@@ -1,0 +1,63 @@
+"""Catalog registration: fixture parquet -> temp views.
+
+Mirrors the reference's catalog surface — ``register_tpch_udtfs`` +
+``tpch(sf)`` register tables under bare names into the session catalog
+(``/root/reference/src/lib.rs:189-200`` and ``:203-310``) — but sourced from
+the driver's parquet fixtures (TESTDATA.md) instead of eager in-memory
+generation.  Parquet scans are splittable, so unlike the reference's
+single-batch MemTable (``src/lib.rs:117-126``) every downstream query starts
+from a parallel, column-pruned, predicate-pushed scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (splittable parquet scan).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as int64 nanoseconds and rebuild a
+    microsecond timestamp (floor division — the same truncation DuckDB
+    applies when it narrows nanos to its native micros).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = FIXTURE_TABLES,
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view under its bare name.
+
+    Equivalent of the reference's bulk ``tpch(sf)`` side effect
+    (``src/lib.rs:232-261``): after this, ``spark.sql("SELECT * FROM
+    lineitem")`` resolves.  Returns the DataFrames keyed by name.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def listing(spark: SparkSession, tables: tuple[str, ...] = FIXTURE_TABLES) -> DataFrame:
+    """1-column ``table_name`` listing DataFrame — the reference's ``tpch()``
+    result shape (``src/lib.rs:294-306``)."""
+    return spark.createDataFrame([(t,) for t in tables], "table_name string")

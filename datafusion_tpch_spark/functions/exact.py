@@ -1,0 +1,52 @@
+"""Exact (order-independent, cross-engine-deterministic) aggregation.
+
+Summing doubles is order-dependent, and Spark and the DuckDB oracle reduce
+in different orders — a plain ``SUM(double)`` differs in the last ulps and
+fails the driver's value-hash comparison.  Rounding ``double -> decimal``
+is also engine-dependent (Spark rounds the exact binary expansion HALF_UP;
+DuckDB scales in floating point), so casting isn't safe either.
+
+The scheme used everywhere here:
+
+1. per-row arithmetic stays in double — bit-identical across engines for
+   the same expression tree;
+2. the row value is quantized with ``floor(x * 10^8)`` — floor is exact on
+   doubles, so both engines get the same integer;
+3. integers are summed in DECIMAL(38,0) — exact, order-independent, no
+   overflow until ~1e38 (safe at 100 TB);
+4. the sum is scaled back to double.
+
+The aggregate is therefore a deterministic fixed-point sum with quantum
+1e-8 — well inside float tolerance for analytics, and *identical* on both
+sides of the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SCALE = 8
+_Q = float(10**SCALE)
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent, engine-stable SUM of a double expression."""
+    q = F.floor(col.cast("double") * F.lit(_Q)).cast("decimal(38,0)")
+    return (F.sum(q).cast("double") / F.lit(_Q)).alias("dsum")
+
+
+def dsum_sql(expr: str) -> str:
+    return (
+        f"(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * {_Q:.1f}) AS DECIMAL(38,0)))"
+        f" AS DOUBLE) / {_Q:.1f})"
+    )
+
+
+def davg(col: Column) -> Column:
+    """Order-independent AVG: quantized exact sum divided by count."""
+    return dsum(col) / F.count(col)
+
+
+def davg_sql(expr: str) -> str:
+    return f"({dsum_sql(expr)} / COUNT({expr}))"

@@ -1,0 +1,119 @@
+"""Text-analysis column builders (language-ID, quality, tokens, fingerprint).
+
+North-star extension operators for the LLM-data-pipeline workload — all
+built from JVM-side ``pyspark.sql.functions`` (no Python UDFs in the hot
+path) so they stay inside whole-stage codegen and scale to 100 TB document
+tables.  Every builder has a SQL mirror for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+# BPE-ish word/number/punct splitter used for token *estimation*.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, embedded (no model downloads).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (trimmed so no empty leading/trailing tokens)."""
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def token_count(col: Column) -> Column:
+    # cast: Spark size() is int32, the DuckDB oracle's len() is int64
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token count estimate: word/number/punct pieces, with long
+    words counted as ceil(len/4) subword pieces (the classic ~4-chars-per-
+    token rule)."""
+    words = F.size(F.split(F.trim(col), TOKEN_RE))
+    chars = F.length(col)
+    return F.greatest(words, F.ceil(chars / F.lit(4.0)).cast("long")).cast("long")
+
+
+def bpe_token_estimate_sql(expr: str) -> str:
+    words = f"len(regexp_split_to_array(trim({expr}), '\\s+'))"
+    return f"CAST(greatest({words}, CAST(ceil(length({expr}) / 4.0) AS BIGINT)) AS BIGINT)"
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens of ``col`` are in the stopword list ``words``."""
+    toks = tokens(F.lower(col))
+    hits = F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+    return F.size(hits)
+
+
+def stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower({expr})), '\\s+'),"
+        f" t -> t IN ({lst})))"
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    stripped = F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    return (F.length(col) - stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def punct_ratio_sql(expr: str) -> str:
+    stripped = f"length(regexp_replace({expr}, '[^A-Za-z0-9\\s]', '', 'g'))"
+    return f"((length({expr}) - {stripped}) * 1.0 / greatest(length({expr}), 1))"
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercase,
+    whitespace-normalized text (the exact-dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as an array<string>.
+
+    Built with transform over the token array (JVM-side; no UDF): shingle i
+    is tokens[i..i+n-1] joined by a space; arrays shorter than n yield the
+    whole text as a single shingle.
+    """
+    toks = tokens(F.lower(col))
+    cnt = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - 1, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(sh)
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )

@@ -1,0 +1,699 @@
+"""LLM-data-pipeline extension queries (north-star operators beyond the
+reference's own surface): deduplication, similarity search, text analysis,
+and event-stream analytics — each as a DataFrame builder + DuckDB oracle.
+
+Everything is built from JVM-side built-ins (higher-order array functions,
+window functions) — no Python UDFs — so the same plans scale to 100 TB
+document/embedding tables: dedup is a shuffle on a fingerprint key, LSH is a
+bucket-join instead of an O(n²) self-join, similarity search broadcasts the
+(small) query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import hashing, text, vectors
+from ..functions.exact import dsum, dsum_sql
+from . import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: survivor = min doc_id per normalized-text fingerprint.
+    One hash-shuffle on the fingerprint; no O(n²) anywhere."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", text.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {text.fingerprint_sql('text')} AS fp,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY fp
+ORDER BY survivor_id
+"""
+
+
+# --- n-gram Jaccard near-dup --------------------------------------------
+
+_SHINGLE_N = 3
+_JACCARD_T = 0.35
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard similarity.
+
+    Relational formulation: explode distinct shingles, self-join on shingle,
+    count common / (n1 + n2 - common). The shingle join is a hash shuffle on
+    the shingle string — at 100 TB you'd pre-hash shingles to int64 (done
+    here) and optionally band them (see dedup_minhash_lsh) to cut candidate
+    pairs; this exact variant is the correctness baseline.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
+    ).withColumn("h", hashing.md5_int(F.col("shingle"))).select("doc_id", "h").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("doc1", "doc2", "common", "n1", "n2", "jaccard")
+        .orderBy("doc1", "doc2")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hashing.md5_int_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({text.shingles_sql('text', _SHINGLE_N)}) AS shingle
+        FROM documents)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY doc1, doc2)
+SELECT doc1, doc2, common, s1.n_sh AS n1, s2.n_sh AS n2,
+       common * 1.0 / (s1.n_sh + s2.n_sh - common) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE common * 1.0 / (s1.n_sh + s2.n_sh - common) >= {_JACCARD_T}
+ORDER BY doc1, doc2
+"""
+
+
+# --- MinHash + LSH banding ------------------------------------------------
+
+_MH_K = 16          # signature length
+_MH_BANDS = 4       # bands of 4 rows each
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
+    ).withColumn("h", hashing.md5_int(F.col("shingle"))).select("doc_id", "h").distinct()
+    aggs = [
+        F.min(hashing.minhash_col(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(hashing.perm_params(_MH_K))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n       ".join(
+        f"MIN({hashing.minhash_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(hashing.perm_params(_MH_K))
+    )
+    return f"""
+SELECT doc_id,
+       {mins}
+FROM (SELECT DISTINCT doc_id, {hashing.md5_int_sql('shingle')} AS h
+      FROM (SELECT doc_id, unnest({text.shingles_sql('text', _SHINGLE_N)}) AS shingle
+            FROM documents))
+GROUP BY doc_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4 bands × 4 rows): candidate pairs are
+    documents agreeing on at least one full band.
+
+    Scale path for near-dup at 100 TB: the only shuffles are (a) shingle →
+    signature aggregation and (b) the band-bucket self-join, whose fan-out
+    is bounded by bucket size (salt or cap hot buckets in production).
+    """
+    sig = _minhash_sig(spark, sf_dir)
+    bands = []
+    for band in range(_MH_BANDS):
+        cols = [F.col(f"m{band * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionAll(extra)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _band_sql(alias: str) -> str:
+    rows = []
+    for band in range(_MH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(m{band * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        )
+        rows.append(
+            f"SELECT doc_id, {band} AS band, md5({cols}) AS bkey FROM {alias}"
+        )
+    return " UNION ALL ".join(rows)
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH sig AS ({_minhash_sig_sql()}),
+buckets AS ({_band_sql('sig')})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY doc1, doc2
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit j is 1 iff the majority of token
+    hashes have bit j set. Computed as 16 conditional sums over exploded
+    tokens — one aggregation, no UDF. Returns (doc_id, simhash)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    ).withColumn("h", hashing.md5_int(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM (SELECT doc_id, {sums}
+      FROM (SELECT doc_id, {hashing.md5_int_sql('tok')} AS h
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                  FROM documents))
+      GROUP BY doc_id)
+ORDER BY doc_id
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+# --- Embedding cosine near-dup ---------------------------------------------
+
+_COS_T = 0.40  # fixture embeddings are cluster-sampled; max pairwise ~0.51
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with cosine similarity above threshold over the embedding
+    column. Exact O(n²/2) self-join baseline — at scale, swap the cross
+    candidate generation for the LSH bucketing in ann_lsh_topk (same
+    verification expression)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", vectors.norm(F.col("embedding")).alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("nrm").alias("n1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("nrm").alias("n2")
+    )
+    cos = vectors.exact_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _COS_T)
+        .select("id1", "id2", "cos_sim")
+        .orderBy("id1", "id2")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {vectors.exact_dot_sql('a.embedding', 'b.embedding')}
+         / (sqrt({vectors.exact_dot_sql('a.embedding', 'a.embedding')})
+            * sqrt({vectors.exact_dot_sql('b.embedding', 'b.embedding')})) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {vectors.exact_dot_sql('a.embedding', 'b.embedding')}
+        / (sqrt({vectors.exact_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({vectors.exact_dot_sql('b.embedding', 'b.embedding')})) >= {_COS_T}
+ORDER BY id1, id2
+"""
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+_TOPK = 5
+_NQUERY = 8  # vec_id < 8 are the query vectors
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for a small query set.
+
+    The query side is tiny → broadcast; the corpus side streams through a
+    narrow projection, so at 100 TB this is a single scan + a top-k
+    (TakeOrdered) per query — no shuffle of the corpus."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_NQUERY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+_LSH_PLANES = 6  # sign-random-projection bits → 64 buckets
+# Hyperplanes are deterministic pseudo-random ±1 vectors: component d of
+# plane p has sign +1 iff md5(f"{p}_{d}") is even — the identical pattern is
+# reproduced in the oracle SQL.
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 6 deterministic ±1 hyperplanes bucket
+    every vector into one of 64 cells; top-k runs only within the query's
+    bucket. This is the scale path: the corpus self-join becomes a bucket
+    equi-join (shuffle on 6-bit key) instead of O(n²).
+
+    Recall is partial by construction (the oracle mirrors the same buckets,
+    so results still hash-match exactly).
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+
+    def bucket_col(e):
+        bits = []
+        for p in range(_LSH_PLANES):
+            # signed projection sum_d ±e[d], quantized to int64 (exact floor,
+            # identical in the oracle) so the sign bit is engine-stable
+            proj = F.aggregate(
+                F.zip_with(
+                    e,
+                    F.sequence(F.lit(0), F.size(e) - 1),
+                    lambda x, d: F.floor(
+                        F.when(
+                            hashing.md5_int(
+                                F.concat_ws("_", F.lit(str(p)), d.cast("string"))
+                            ) % 2 == 0,
+                            x.cast("double"),
+                        ).otherwise(-x.cast("double"))
+                        * F.lit(1e9)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for extra in bits[1:]:
+            out = out + extra
+        return out.cast("long")
+
+    e = emb.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    q = e.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bucket_sql(e: str) -> str:
+    bits = []
+    for p in range(_LSH_PLANES):
+        sign_hash = hashing.md5_int_sql(f"'{p}_' || CAST(d - 1 AS VARCHAR)")
+        proj = (
+            f"list_aggregate(list_transform(range(1, len({e}) + 1), "
+            f"d -> CAST(floor((CASE WHEN ({sign_hash}) % 2 = 0 "
+            f"THEN CAST({e}[d] AS DOUBLE) ELSE -CAST({e}[d] AS DOUBLE) END) "
+            f"* 1000000000.0) AS BIGINT)), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_NQUERY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, BPE-ish token estimate, punctuation ratio
+    and fingerprint — the 'quality features' pass of a data pipeline."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        text.punct_ratio(F.col("text")).alias("punct_ratio"),
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       {text.token_count_sql('text')} AS n_tokens,
+       {text.bpe_token_estimate_sql('text')} AS n_bpe_tokens,
+       length(text) AS n_chars_actual,
+       {text.punct_ratio_sql('text')} AS punct_ratio,
+       {text.fingerprint_sql('text')} AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score per document: mean word length, stopword ratio, and a
+    composite score; the filter predicate (score bands) of a corpus-cleaning
+    pipeline."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    mean_wlen = (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tok)
+    stop = text.stopword_hits(F.col("text"), text.LANG_STOPWORDS["en"]) / n_tok
+    score = (
+        F.when(n_tok >= 20, 0.5).otherwise(0.0)
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.3).otherwise(0.0)
+        + F.when(stop > 0, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        stop.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = text.stopword_hits_sql("text", text.LANG_STOPWORDS["en"])
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       {text.token_count_sql('text')} AS n_tokens,
+       length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+         / {text.token_count_sql('text')} AS mean_word_len,
+       {_STOP_SQL} * 1.0 / {text.token_count_sql('text')} AS stopword_ratio,
+       (CASE WHEN {text.token_count_sql('text')} >= 20 THEN 0.5 ELSE 0.0 END
+        + CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                     / {text.token_count_sql('text')} BETWEEN 3 AND 10
+               THEN 0.3 ELSE 0.0 END
+        + CASE WHEN {_STOP_SQL} > 0 THEN 0.2 ELSE 0.0 END) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts; predicted
+    language = argmax (ties broken by language code). Compared against the
+    fixture's lang column for an agreement count by (lang, predicted)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    hit_cols = {
+        lang: text.stopword_hits(F.col("text"), words)
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *[c.alias(f"hit_{k}") for k, c in hit_cols.items()])
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"hit_{k}").alias("hits"), F.lit(k).alias("code"))
+            for k in sorted(text.LANG_STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)  # struct max: hits first, then code
+    pred = F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _lang_id_sql() -> str:
+    hits = {
+        k: text.stopword_hits_sql("text", w) for k, w in text.LANG_STOPWORDS.items()
+    }
+    structs = ", ".join(
+        f"{{'hits': {hits[k]}, 'code': '{k}'}}" for k in sorted(text.LANG_STOPWORDS)
+    )
+    best = f"list_aggregate([{structs}], 'max')"
+    return f"""
+SELECT lang,
+       CASE WHEN ({best}).hits > 0 THEN ({best}).code ELSE 'und' END AS predicted,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# ===========================================================================
+# Event analytics (batch form; streaming variant in streaming/)
+# ===========================================================================
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + exact value sum."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+_SESSION_GAP_MIN = 30
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts when a user's gap since the
+    previous event exceeds 30 minutes (classic lag + running-sum pattern).
+    Returns per-user session counts and the longest session length."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microsecond math (unix_micros / epoch_us) so both engines
+    # compute the same gaps exactly
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_MIN * 60 * 1000000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked),
+counts AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM counts
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from events.props + aggregation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
+              "3-gram Jaccard near-dup pairs"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,
+              "MinHash(16)+LSH banded candidate pairs"),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "16-bit SimHash"),
+    QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL,
+              "cosine>=0.95 near-dup pairs"),
+    QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL,
+              "brute-force cosine top-k"),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,
+              "sign-random-projection LSH top-k"),
+    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
+    QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
+    QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
+    QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
+              "gap-based sessionization"),
+    QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
+              "JSON prop extraction + agg"),
+]
