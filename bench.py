@@ -1,0 +1,53 @@
+"""Benchmark runner (driver contract).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_tpch_spark.queries import all_queries
+from datafusion_tpch_spark.session import build_session
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+    specs = all_queries()
+
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        n = df.count() if name == "_" else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total query wall time, all registered queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
