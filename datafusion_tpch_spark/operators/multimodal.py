@@ -131,6 +131,60 @@ def resize_images(assets: DataFrame, target: tuple[int, int] = (16, 16)) -> Data
     )
 
 
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as a multimodal asset table: the UTF-8
+    bytes of ``text`` become the opaque blob, width/height metadata derive
+    deterministically from ``doc_id``.  All JVM-side (``encode`` is a
+    built-in) — the blob column is born distributed, never on the driver."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        (8 + F.pmod(F.col("doc_id"), F.lit(9))).cast("int").alias("width"),
+        (8 + F.pmod(F.col("doc_id"), F.lit(7))).cast("int").alias("height"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+# Knuth multiplicative-hash constant: pixel i of asset a is (a*K + i) % 256.
+_PX_K = 2654435761
+
+PIXEL_STATS_SCHEMA = (
+    "asset_id long, n_bytes long, mean_px double, max_px long, sum_px long"
+)
+
+
+def asset_pixel_stats(assets: DataFrame) -> DataFrame:
+    """Decode stub → per-asset pixel statistics via Arrow-batched
+    mapInPandas.  The 'decode' is the deterministic fake
+    ``pixel[i] = (asset_id * K + i) % 256`` over width*height pixels, so an
+    oracle can recompute the exact statistics in SQL while the Spark side
+    exercises the real blob plumbing (binary column in, vectorized numpy
+    kernel, features out).  ``n_bytes`` measures the actual blob, proving
+    the binary column itself crossed Arrow intact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.width) * int(row.height)
+                px = (int(row.asset_id) * _PX_K + np.arange(n, dtype=np.int64)) % 256
+                out.append(
+                    (
+                        row.asset_id,
+                        len(row.content),
+                        float(px.mean()),
+                        int(px.max()),
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_bytes", "mean_px", "max_px", "sum_px"],
+            )
+
+    return assets.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
 def partition_for_blobs(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
     """Large-blob tables need small row-count partitions (executor memory is
     bounded by rows × blob size, not bytes in the parquet footer)."""

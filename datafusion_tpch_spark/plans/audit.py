@@ -1,0 +1,97 @@
+"""Parse `df.explain("formatted")` output into scale-relevant facts.
+
+These functions read the *final* (post-AQE-planning) physical plan text.
+They are intentionally string-level: the goal is the same check a human
+does with `.explain` — did the filter reach the scan, did the small side
+broadcast, how many exchanges — made repeatable in tests and reports.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "simple") -> str:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+    # an executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — audit only the plan that actually ran
+    marker = "== Initial Plan =="
+    return plan.split(marker)[0] if marker in plan else plan
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges (each is a full cluster-wide data
+    movement — THE scale-limiting operator count)."""
+    plan = plan_string(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    plan = plan_string(df)
+    return len(re.findall(r"\bBroadcastHashJoin|\bBroadcastNestedLoopJoin", plan))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every parquet scan in the plan."""
+    plan = plan_string(df)
+    # the whole FileScan prints on one line and long filter lists truncate
+    # with "..." — stop at the closing bracket or the next field
+    return [
+        m.strip()
+        for m in re.findall(r"PushedFilters: \[(.*?)(?:\]|, ReadSchema|\n)", plan)
+        if m.strip()
+    ]
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """ReadSchema column lists per parquet scan (column-pruning evidence)."""
+    plan = plan_string(df)
+    out = []
+    for m in re.findall(r"ReadSchema: struct<([^>\n]*)", plan):
+        cols = [c.split(":")[0].strip() for c in m.split(",") if ":" in c]
+        out.append(cols)
+    return out
+
+
+@dataclass
+class PlanAudit:
+    name: str
+    exchanges: int
+    broadcast_joins: int
+    sort_merge_joins: int
+    pushed: list[str] = field(default_factory=list)
+    read_schemas: list[list[str]] = field(default_factory=list)
+    wholestage_spans: int = 0
+
+    def summary(self) -> str:
+        scans = "; ".join(",".join(cols) for cols in self.read_schemas) or "-"
+        pushed = "; ".join(self.pushed) or "-"
+        return (
+            f"{self.name}: exchanges={self.exchanges} "
+            f"bhj={self.broadcast_joins} smj={self.sort_merge_joins} "
+            f"codegen_spans={self.wholestage_spans}\n"
+            f"  scans: {scans}\n  pushed: {pushed}"
+        )
+
+
+def audit(name: str, df: DataFrame) -> PlanAudit:
+    plan = plan_string(df)
+    return PlanAudit(
+        name=name,
+        exchanges=len(
+            re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan)
+        ),
+        broadcast_joins=len(
+            re.findall(r"\bBroadcastHashJoin|\bBroadcastNestedLoopJoin", plan)
+        ),
+        sort_merge_joins=len(re.findall(r"\bSortMergeJoin", plan)),
+        pushed=pushed_filters(df),
+        read_schemas=scan_columns(df),
+        # distinct *(n) markers = whole-stage codegen spans in simple mode
+        wholestage_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
+    )

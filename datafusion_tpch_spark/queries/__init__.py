@@ -25,10 +25,10 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     """Merged registry across the TPC-H core and the extension operators."""
-    from . import extensions, tpch
+    from . import extensions, stream, tpch
 
     out: dict[str, QuerySpec] = {}
-    for mod in (tpch, extensions):
+    for mod in (tpch, extensions, stream):
         for spec in mod.SPECS:
             assert spec.name not in out, f"duplicate query name {spec.name}"
             out[spec.name] = spec

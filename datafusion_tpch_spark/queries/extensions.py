@@ -556,6 +556,38 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 # ===========================================================================
+# Multimodal columns
+# ===========================================================================
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: documents → binary asset table (JVM-side encode)
+    → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
+    The oracle recomputes the deterministic fake decode in SQL; n_bytes
+    round-trips the actual blob, proving the binary column plumbing."""
+    from ..operators.multimodal import asset_pixel_stats, documents_as_assets
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return asset_pixel_stats(documents_as_assets(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_PIXEL_STATS_SQL = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         octet_length(encode(text)) AS n_bytes,
+         list_transform(
+           range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
+           i -> (doc_id * 2654435761 + i) % 256) AS pxs
+  FROM documents)
+SELECT asset_id, n_bytes,
+       list_aggregate(pxs, 'sum') * 1.0 / len(pxs) AS mean_px,
+       CAST(list_aggregate(pxs, 'max') AS BIGINT) AS max_px,
+       CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS sum_px
+FROM px
+ORDER BY asset_id
+"""
+
+
+# ===========================================================================
 # Event analytics (batch form; streaming variant in streaming/)
 # ===========================================================================
 
@@ -681,6 +713,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
+    QuerySpec("multimodal_pixel_stats", multimodal_pixel_stats, MULTIMODAL_PIXEL_STATS_SQL,
+              "binary asset column -> mapInPandas decode stub -> pixel stats"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -1,0 +1,95 @@
+"""Streaming queries, oracle-checked.
+
+Each runs a Structured Streaming plan (watermark + event-time windows /
+session windows) over the bounded fixture `events` stream with the
+AvailableNow trigger, so the final answer is deterministic and must equal
+the batch SQL the DuckDB oracle runs.  This is the strongest correctness
+statement available for streaming semantics: the stream and the oracle
+agree row-for-row, hash-for-hash.
+
+The reference has no streaming surface at all (SURVEY.md §2.9 — batch-only
+by construction, `/root/reference/src/lib.rs:113-126`); these are north-star
+extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import dsum_sql
+from ..streaming import (
+    hourly_agg_stream,
+    read_events_stream,
+    run_stream_to_df,
+    session_window_stream,
+)
+from . import QuerySpec
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, streaming execution."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = hourly_agg_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(spark, stream, "events_hourly_stream").orderBy(
+        "hour", "event_type"
+    )
+
+
+# identical to EVENTS_HOURLY_SQL: a 1-hour tumbling window's start IS the
+# hour truncation of every timestamp inside it.
+EVENTS_HOURLY_STREAM_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization, streaming execution."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = session_window_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(spark, stream, "events_session_stream").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# session_window boundary rule: event windows are [ts, ts+gap) and merge on
+# overlap, so a new session starts iff gap >= 30 min (note >=, vs the strict
+# > of the lag-based batch sessionization in extensions.py).
+_GAP_US = 30 * 60 * 1_000_000
+EVENTS_SESSION_STREAM_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "events_hourly_stream",
+        events_hourly_stream,
+        EVENTS_HOURLY_STREAM_SQL,
+        "streaming watermarked tumbling-window agg (AvailableNow == batch)",
+    ),
+    QuerySpec(
+        "events_session_stream",
+        events_session_stream,
+        EVENTS_SESSION_STREAM_SQL,
+        "streaming session_window sessionization (AvailableNow == batch)",
+    ),
+]

@@ -1,0 +1,123 @@
+"""Streaming event analytics: watermarked windows + session windows.
+
+Design: each transformation is a pure function ``streaming DataFrame ->
+streaming DataFrame`` so the same plan attaches to any source (file stream
+here, Kafka/rate in production).  ``run_stream_to_df`` executes a plan over
+the *bounded* fixture data with ``Trigger.AvailableNow`` into a memory sink
+and hands back the result as a plain DataFrame — which is how the driver's
+DuckDB oracle can hash-check streaming semantics against batch SQL.
+
+Scale notes (100 TB / unbounded):
+- the hourly aggregation keys state by (window, event_type) — cardinality is
+  bounded by |event_type| x watermark horizon, so state stays tiny no matter
+  the input rate; late rows beyond 2 hours are dropped by the watermark.
+- session windows key state by (user_id, session); Spark merges overlapping
+  session fragments across micro-batches and the watermark bounds state
+  growth to the active-session horizon.
+- the memory sink is test-only; production sinks are `writeStream.format(
+  "parquet"|"kafka")` with checkpointing — same plan object.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_MIN = 30
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the fixture ``events`` parquet.
+
+    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS); the vectorized
+    reader needs ``nanosAsLong`` and we rebuild microsecond timestamps —
+    identical truncation to the batch path (catalog.load_table) and to
+    DuckDB's nanos->micros narrowing, so stream results hash-match.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the fixture is a single file inside a dir of other tables; a glob with
+    # an explicit basePath scopes the file-stream listing to just events.*
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("basePath", sf_dir)
+        .parquet(os.path.join(sf_dir, "events.parquet*"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type (streaming form of
+    queries.extensions.events_hourly): watermarked event-time aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions via the native ``session_window`` operator.
+
+    A session extends ``SESSION_GAP_MIN`` past each event; an event lands in
+    a new session iff its gap from the previous one is **>= the gap** (window
+    [ts, ts+gap) half-open overlap rule) — the oracle SQL mirrors exactly
+    that boundary.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_df(
+    spark: SparkSession, sdf: DataFrame, name: str, timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming plan over bounded input (AvailableNow) into a
+    memory sink; return the completed result as a batch DataFrame.
+
+    ``complete`` output mode emits final aggregates without waiting for the
+    watermark to close windows — required for one-shot bounded runs (in
+    append mode the last micro-batch's windows would stay in state forever).
+    """
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
+    finally:
+        query.stop()
+    return spark.table(name)

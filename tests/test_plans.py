@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the scale-critical physical properties hold.
+
+These are the checks a 100 TB design review does by eye on `.explain` —
+pinned as tests so a regression (lost pushdown, un-broadcast dimension,
+extra shuffle) fails CI instead of a cluster bill.
+"""
+
+from __future__ import annotations
+
+from datafusion_tpch_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    pushed_filters,
+    scan_columns,
+)
+from datafusion_tpch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _build(spark, name):
+    return all_queries()[name].build(spark, SF_DIR)
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    df = _build(spark, "q1")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    cols = scan_columns(df)
+    assert cols, "expected a parquet scan"
+    # 11-column lineitem must be pruned to the 7 q1 needs at most
+    assert all(len(c) <= 7 for c in cols), cols
+
+
+def test_q3_dimension_join_broadcasts(spark):
+    df = _build(spark, "q3")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q5_six_way_join_all_dims_broadcast(spark):
+    df = _build(spark, "q5")
+    # customer/supplier/nation/region sides must broadcast: no sort-merge
+    # join should survive for a star join at these dimension sizes
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q6_single_stage_no_join(spark):
+    df = _build(spark, "q6")
+    assert broadcast_join_count(df) == 0
+    # global agg: one partial/final exchange at most
+    assert exchange_count(df) <= 1
+
+
+def test_ann_bruteforce_corpus_not_shuffled(spark):
+    """The corpus side must stream (broadcast query set), not shuffle —
+    THE property that makes brute-force ANN viable on a 100 TB corpus."""
+    df = _build(spark, "ann_bruteforce_topk")
+    assert broadcast_join_count(df) >= 1
+    # top-k per query: only the window/orderBy shuffles, ≤2 exchanges
+    assert exchange_count(df) <= 2
+
+
+def test_dedup_exact_single_shuffle_plus_sort(spark):
+    df = _build(spark, "dedup_exact")
+    assert exchange_count(df) <= 2  # agg hash + output sort

@@ -1,0 +1,63 @@
+"""Streaming == batch equivalence, executed through the real
+Structured Streaming engine (AvailableNow trigger over the bounded fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpch_spark.catalog import load_table
+from datafusion_tpch_spark.functions.exact import dsum
+from datafusion_tpch_spark.streaming import (
+    hourly_agg_stream,
+    read_events_stream,
+    run_stream_to_df,
+    session_window_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hourly_stream_equals_batch(spark):
+    stream = hourly_agg_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_df(spark, stream, "t_hourly").orderBy("hour", "event_type")
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_session_stream_total_events_conserved(spark):
+    stream = session_window_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_df(spark, stream, "t_sessions")
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n_rows = load_table(spark, SF_DIR, "events").count()
+    assert total == n_rows
+    # sessions are per-user and non-empty
+    assert got.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_session_stream_gap_property(spark):
+    """Within a reconstructed session no gap >= 30min; session starts align
+    with the first event of each session."""
+    stream = session_window_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_df(spark, stream, "t_sessions2")
+    starts = {(r.user_id, r.session_start) for r in got.collect()}
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    gap = 30 * 60
+    expected_starts = set()
+    for uid, tss in by_user.items():
+        tss.sort()
+        prev = None
+        for ts in tss:
+            if prev is None or (ts - prev).total_seconds() >= gap:
+                expected_starts.add((uid, ts))
+            prev = ts
+    assert starts == expected_starts
