@@ -52,6 +52,14 @@ def _quantized_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return dots / (na[:, None] * nb[None, :])
 
 
+def _quantized_cosine_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise quantized cosine: cos(a[i], b[i]). a, b: (k, d) float64."""
+    def qdot_rows(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return np.floor(x * y * _Q).astype(np.int64).sum(axis=1).astype(np.float64) / _Q
+
+    return qdot_rows(a, b) / (np.sqrt(qdot_rows(a, a)) * np.sqrt(qdot_rows(b, b)))
+
+
 def pairwise_cosine(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -82,11 +90,24 @@ def pairwise_cosine(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, b_mat = bc.value
+        # BLAS prefilter: plain float cosine via one dgemm, then the exact
+        # quantized kernel only on pairs within eps of the threshold. The
+        # quantization error on cos is << 1e-4 for unit-ish vectors, so no
+        # qualifying pair can be missed; final values are the exact ones.
+        norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+        eps = 1e-4
         for pdf_chunk in batches:
             for s in pdf_chunk["start"]:
                 lo, hi = int(s), min(int(s) + chunk, len(b_ids))
-                cos = _quantized_cosine(b_mat[lo:hi], b_mat)
-                ii, jj = np.nonzero(cos >= threshold)
+                fast = (b_mat[lo:hi] @ b_mat.T) / (
+                    norms[lo:hi, None] * norms[None, :]
+                )
+                ii, jj = np.nonzero(fast >= threshold - eps)
+                if len(ii) == 0:
+                    continue
+                exact = _quantized_cosine_pairs(b_mat[lo + ii], b_mat[jj])
+                keep = exact >= threshold
+                ii, jj, exact = ii[keep], jj[keep], exact[keep]
                 gi = b_ids[lo + ii]
                 gj = b_ids[jj]
                 keep = gi < gj
@@ -94,7 +115,7 @@ def pairwise_cosine(
                     {
                         "id1": gi[keep],
                         "id2": gj[keep],
-                        "cos_sim": cos[ii[keep], jj[keep]],
+                        "cos_sim": exact[keep],
                     }
                 )
 

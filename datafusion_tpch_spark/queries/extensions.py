@@ -70,9 +70,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; this exact variant is the correctness baseline.
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
-    ).withColumn("h", hashing.md5_int(F.col("shingle"))).select("doc_id", "h").distinct()
+    sh = (
+        docs.select(
+            "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
+        )
+        .withColumn("h", hashing.md5_int(F.col("shingle")))
+        .select("doc_id", "h")
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -156,19 +161,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by bucket size (salt or cap hot buckets in production).
     """
     sig = _minhash_sig(spark, sf_dir)
-    bands = []
-    for band in range(_MH_BANDS):
-        cols = [F.col(f"m{band * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
+    # one band-struct array + explode instead of a 4-way union: the union
+    # form re-runs the whole shingle->signature pipeline once per band (and
+    # the self-join doubles it again — 8 scans); this is a single pass.
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{band * _MH_ROWS + r}").cast("string")
+                            for r in range(_MH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
             )
-        )
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionAll(extra)
+            for band in range(_MH_BANDS)
+        ]
+    )
+    buckets = (
+        sig.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
