@@ -572,6 +572,72 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 # ===========================================================================
+# Set operations + catalog listing (SURVEY §2.7 / §2.1 S4,S7)
+# ===========================================================================
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result: classify customers as
+    having orders only, positive balance only, both, or neither."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey")
+    positive = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    both = with_orders.intersect(positive)
+    only_orders = with_orders.exceptAll(positive).distinct()
+    only_pos = positive.exceptAll(with_orders).distinct()
+    labeled = (
+        both.withColumn("category", F.lit("both"))
+        .unionAll(only_orders.withColumn("category", F.lit("orders_only")))
+        .unionAll(only_pos.withColumn("category", F.lit("balance_only")))
+    )
+    return (
+        labeled.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("category")
+    )
+
+
+CUSTOMER_SET_OPS_SQL = """
+WITH with_orders AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+positive AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+labeled AS (
+  SELECT c_custkey, 'both' AS category
+  FROM (SELECT c_custkey FROM with_orders INTERSECT SELECT c_custkey FROM positive)
+  UNION ALL
+  SELECT c_custkey, 'orders_only' AS category
+  FROM (SELECT c_custkey FROM with_orders EXCEPT SELECT c_custkey FROM positive)
+  UNION ALL
+  SELECT c_custkey, 'balance_only' AS category
+  FROM (SELECT c_custkey FROM positive EXCEPT SELECT c_custkey FROM with_orders))
+SELECT category, COUNT(*) AS n_customers
+FROM labeled GROUP BY category ORDER BY category
+"""
+
+
+def tables_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``tpch()`` result shape / SHOW TABLES surface
+    (src/lib.rs:294-306): the catalog listing as a 1-column DataFrame."""
+    from ..catalog import listing, register_tables
+
+    register_tables(spark, sf_dir)
+    return listing(spark).orderBy("table_name")
+
+
+_FIXTURE_NAMES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+TABLES_LISTING_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL ".join(f"SELECT '{t}' AS table_name" for t in _FIXTURE_NAMES)
+    + "\n) ORDER BY table_name"
+)
+
+
+# ===========================================================================
 # Multimodal columns
 # ===========================================================================
 
@@ -729,6 +795,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
+    QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
+              "UNION ALL / INTERSECT / EXCEPT composition"),
+    QuerySpec("tables_listing", tables_listing, TABLES_LISTING_SQL,
+              "catalog listing (tpch() result shape / SHOW TABLES)"),
     QuerySpec("multimodal_pixel_stats", multimodal_pixel_stats, MULTIMODAL_PIXEL_STATS_SQL,
               "binary asset column -> mapInPandas decode stub -> pixel stats"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),

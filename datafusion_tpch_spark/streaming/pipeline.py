@@ -96,14 +96,20 @@ def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> Data
 
 
 def run_stream_to_df(
-    spark: SparkSession, sdf: DataFrame, name: str, timeout_s: int = 300
+    spark: SparkSession,
+    sdf: DataFrame,
+    name: str,
+    timeout_s: int = 300,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming plan over bounded input (AvailableNow) into a
     memory sink; return the completed result as a batch DataFrame.
 
-    ``complete`` output mode emits final aggregates without waiting for the
-    watermark to close windows — required for one-shot bounded runs (in
-    append mode the last micro-batch's windows would stay in state forever).
+    For aggregations, ``complete`` emits final aggregates without waiting
+    for the watermark to close windows — required for one-shot bounded runs
+    (in append mode the last micro-batch's windows would stay in state
+    forever).  Stateful flatMap operators (applyInPandasWithState) declare
+    their own mode and need ``output_mode="append"``.
     """
     for q in spark.streams.active:
         if q.name == name:
@@ -111,7 +117,7 @@ def run_stream_to_df(
     query = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
