@@ -109,14 +109,16 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
               nat.n_regionkey == reg.r_regionkey)
     )
-    min_cost = europe.groupBy("l_partkey").agg(
+    # alias the grouping key so the self-derived join below binds distinct
+    # attributes (same-lineage l_partkey == l_partkey folds trivially true)
+    min_cost = europe.groupBy(F.col("l_partkey").alias("mk")).agg(
         F.min("ps_supplycost").alias("min_cost")
     )
     p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
     return (
         europe.join(F.broadcast(p), europe.l_partkey == p.p_partkey)
         .join(min_cost,
-              (europe.l_partkey == min_cost.l_partkey)
+              (europe.l_partkey == F.col("mk"))
               & (F.col("ps_supplycost") == F.col("min_cost")))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")

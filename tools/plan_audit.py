@@ -22,7 +22,9 @@ from datafusion_tpch_spark.session import build_session
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default to sf0.01: at sf0.001 several selective queries return empty
+    # and AQE collapses their final plans to EmptyRelation, hiding the shape
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session("plan-audit")
     lines = [
         "# PLANS — physical-plan scale audit",
