@@ -455,6 +455,107 @@ ORDER BY query_id, rank
 """
 
 
+_IVF_CMOD = 25  # centroid set: vec_id % 25 == 0 (~n/25 deterministic seeds)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: the corpus is inverted-file-partitioned by nearest
+    centroid; each query probes only its own cell (nprobe=1).
+
+    Centroids are a deterministic corpus sample (vec_id % {cmod} == 0 —
+    production would k-means; the *plan* is identical).  Assignment is
+    argmin of the exact quantized L2 distance against the broadcast
+    centroid set — a JVM-side cross join + window, no UDF.  At 100 TB the
+    cell id becomes a parquet partition column and probes are
+    partition-pruned scans; recall grows with nprobe by unioning more
+    cells (parameter change, same plan).
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_CMOD)) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def l2q(a, b):
+        # quantized squared-L2: exact, order-independent, oracle-identical
+        diffs = F.zip_with(
+            a, b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")) * F.lit(1e9)
+            ),
+        )
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    wassign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .withColumn("d2", l2q(F.col("embedding"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("cell").alias("ccell"),
+    )
+    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_ivf_topk.__doc__ = (ann_ivf_topk.__doc__ or "").format(cmod=_IVF_CMOD)
+
+
+def _l2q_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1000000000.0) AS BIGINT)), "
+        f"'sum')"
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % {_IVF_CMOD} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE rn = 1),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_NQUERY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -792,6 +893,8 @@ SPECS: list[QuerySpec] = [
               "brute-force cosine top-k"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,
               "sign-random-projection LSH top-k"),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,
+              "IVF-flat top-k (deterministic centroids, nprobe=1)"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
