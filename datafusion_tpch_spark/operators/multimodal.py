@@ -131,6 +131,37 @@ def resize_images(assets: DataFrame, target: tuple[int, int] = (16, 16)) -> Data
     )
 
 
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, frame_bytes: int = 64
+) -> DataFrame:
+    """Frame-sampling for video-modality blobs: one input row fans out to
+    ceil(duration_ms / every_ms) frame rows.  The codec is stubbed (frames
+    are deterministic slices of the blob); the distributed shape — blob in,
+    multiple frame rows out via the same Arrow-batched iterator, fan-out
+    bounded by duration metadata — is the real thing.  Production swaps the
+    slice for an ffmpeg keyframe seek."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.duration_ms is None or row.content is None:
+                    continue
+                n_frames = max(int(row.duration_ms) // every_ms, 1)
+                blob = bytes(row.content)
+                for i in range(n_frames):
+                    off = (i * frame_bytes) % max(len(blob), 1)
+                    frame = blob[off : off + frame_bytes]
+                    out.append((row.asset_id, i, i * every_ms, frame))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return assets.mapInPandas(
+        run, "asset_id long, frame_idx int, ts_ms long, frame binary"
+    )
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Wrap the documents fixture as a multimodal asset table: the UTF-8
     bytes of ``text`` become the opaque blob, width/height metadata derive

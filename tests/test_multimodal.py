@@ -37,6 +37,28 @@ def test_resize_output_bytes(spark):
     assert all(r.height == 16 and r.width == 16 for r in small)
 
 
+def test_sample_frames_fanout(spark):
+    from datafusion_tpch_spark.operators.multimodal import sample_frames
+
+    base = synthetic_assets(spark, n=6)
+    # give them video durations: asset i -> (i+1) seconds
+    vids = base.withColumn(
+        "duration_ms", (F.col("asset_id") + 1) * 1000
+    ).withColumn("modality", F.lit("video"))
+    frames = sample_frames(vids, every_ms=1000, frame_bytes=32).collect()
+    # asset i yields i+1 frames
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r.asset_id, []).append(r)
+    assert {a: len(v) for a, v in per_asset.items()} == {i: i + 1 for i in range(6)}
+    for rows in per_asset.values():
+        assert [r.frame_idx for r in sorted(rows, key=lambda x: x.frame_idx)] == list(
+            range(len(rows))
+        )
+        assert all(len(r.frame) == 32 for r in rows)
+        assert all(r.ts_ms == r.frame_idx * 1000 for r in rows)
+
+
 def test_documents_as_assets_binary_roundtrip(spark):
     docs = load_table(spark, SF_DIR, "documents")
     assets = documents_as_assets(docs)
