@@ -51,19 +51,25 @@ def lsh_candidate_pairs(
     at least one full band. The self-join is a bucket equi-join — fan-out
     bounded by bucket size, not corpus size."""
     rows = k // bands
-    pieces = []
-    for band in range(bands):
-        cols = [F.col(f"m{band * rows + r}").cast("string") for r in range(rows)]
-        pieces.append(
-            signatures.select(
-                F.col(id_col),
+    # one struct-array explode, not a bands-way union: the union form
+    # re-evaluates the signature input once per band
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("bkey"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{band * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("bkey"),
             )
-        )
-    buckets = pieces[0]
-    for p in pieces[1:]:
-        buckets = buckets.unionAll(p)
+            for band in range(bands)
+        ]
+    )
+    buckets = signatures.select(F.col(id_col), F.explode(band_structs).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -1,0 +1,62 @@
+"""The scale-path dedup pipeline (LSH candidates → exact verify) composes
+and agrees with the exact all-pairs baseline; kernel implementations agree
+with each other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpch_spark.catalog import load_table
+from datafusion_tpch_spark.operators.dedup import (
+    exact_survivors,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from datafusion_tpch_spark.operators.similarity import topk_cosine
+from datafusion_tpch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_survivors_counts(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    surv = exact_survivors(docs)
+    n_docs, n_surv = docs.count(), surv.count()
+    assert 0 < n_surv <= n_docs
+    # survivors are distinct by fingerprint: re-dedup is a fixpoint
+    assert exact_survivors(surv).count() == n_surv
+
+
+def test_lsh_then_verify_matches_exact_on_candidates(spark):
+    """verify(LSH candidates) == exact ngram pairs ∩ candidates, and
+    recall over the exact pairs is high on the fixture corpus."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sig)
+    verified = jaccard_verify(docs, cands).select("id1", "id2")
+
+    exact = (
+        all_queries()["dedup_ngram_jaccard"]
+        .build(spark, SF_DIR)
+        .select(F.col("doc1").alias("id1"), F.col("doc2").alias("id2"))
+    )
+    # soundness: every verified pair is an exact near-dup pair
+    assert verified.exceptAll(exact).count() == 0
+    # recall: banding (4x4 of 16) finds most true pairs on this corpus
+    n_exact = exact.count()
+    n_found = exact.join(verified, ["id1", "id2"], "left_semi").count()
+    assert n_exact == 0 or n_found / n_exact >= 0.8, (n_found, n_exact)
+
+
+def test_topk_kernel_agrees_with_jvm_expression_query(spark):
+    """The numpy mapInPandas top-k and the JVM-expression ann_bruteforce
+    query compute the same quantized cosine — identical (id, rank, value)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = (
+        topk_cosine(emb, query_ids=list(range(8)), k=5)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+        .collect()
+    )
+    want = all_queries()["ann_bruteforce_topk"].build(spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
