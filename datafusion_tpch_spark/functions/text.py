@@ -94,6 +94,54 @@ def fingerprint_sql(expr: str) -> str:
     return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
 
 
+def winnow_fingerprints(col: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection): hash every
+    word k-gram *in order*, then keep the minimum hash of each sliding
+    window of ``w`` consecutive k-gram hashes.  The classic local
+    fingerprinting scheme (word-granular: two documents sharing a run of
+    >= k+w-1 words share a selected fingerprint).  All JVM-side
+    higher-order functions; returns sorted array<bigint> of distinct
+    selected hashes."""
+    from . import hashing
+
+    toks = tokens(F.lower(col))
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hashes = F.transform(grams, lambda g: hashing.md5_int(g))
+    n_wins = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_fingerprints_sql(expr: str, k: int = 3, w: int = 4) -> str:
+    # direct t[i+j] indexing, not list_slice-per-element: DuckDB evaluates
+    # slice lambdas ~50x slower than indexed access at this shape
+    from . import hashing
+
+    toks = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    gram_concat = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    short_gram = f"array_to_string(t, ' ')"
+    grams = (
+        f"(SELECT CASE WHEN len(t) <= {k - 1} THEN [{short_gram}] "
+        f"ELSE list_transform(range(1, len(t) - {k - 1} + 1), i -> {gram_concat}) END "
+        f"FROM (SELECT {toks} AS t) _tk)"
+    )
+    hashes = f"list_transform({grams}, g -> {hashing.md5_int_sql('g')})"
+    win_min = "least(" + ", ".join(f"h[j + {j}]" for j in range(w)) + ")"
+    wins = (
+        f"(SELECT CASE WHEN len(h) <= {w - 1} THEN [list_aggregate(h, 'min')] "
+        f"ELSE list_transform(range(1, len(h) - {w - 1} + 1), j -> {win_min}) END "
+        f"FROM (SELECT {hashes} AS h) _hs)"
+    )
+    return f"list_sort(list_distinct({wins}))"
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column, as an array<string>.
 

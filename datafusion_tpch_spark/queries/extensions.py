@@ -625,6 +625,34 @@ ORDER BY doc_id
 """
 
 
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints per document: hash every char
+    8-gram, keep the min of each 4-hash sliding window. Returns the compact
+    per-doc summary (count + extremes of the selected-fingerprint set) so
+    the oracle comparison stays small while pinning the whole set."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.element_at(fps, 1).alias("min_fp"),
+        F.element_at(fps, -1).alias("max_fp"),
+        F.md5(F.concat_ws(",", fps.cast("array<string>"))).alias("set_hash"),
+    ).orderBy("doc_id")
+
+
+_WFP = text.winnow_fingerprints_sql("text")
+DOC_WINNOW_SQL = f"""
+SELECT doc_id,
+       len(fps) AS n_fps,
+       fps[1] AS min_fp,
+       fps[-1] AS max_fp,
+       md5(array_to_string(fps, ',')) AS set_hash
+FROM (SELECT doc_id, {_WFP} AS fps FROM documents)
+ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts; predicted
     language = argmax (ties broken by language code). Compared against the
@@ -898,6 +926,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
+    QuerySpec("doc_winnow", doc_winnow, DOC_WINNOW_SQL,
+              "winnowing rolling-hash document fingerprints"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
     QuerySpec("tables_listing", tables_listing, TABLES_LISTING_SQL,
