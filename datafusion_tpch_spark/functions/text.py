@@ -104,17 +104,39 @@ def winnow_fingerprints(col: Column, k: int = 3, w: int = 4) -> Column:
     selected hashes."""
     from . import hashing
 
-    toks = tokens(F.lower(col))
-    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    hashes = F.transform(grams, lambda g: hashing.md5_int(g))
-    n_wins = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_wins),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+    def let(value, body):
+        # let-binding via single-element transform: `value` is evaluated
+        # once per row and bound to the lambda variable, so downstream
+        # element_at references don't re-evaluate the producing expression
+        return F.flatten(F.transform(F.array(value), body))
+
+    def grams_of(t):
+        n_grams = F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            # direct indexing, not slice-per-element; concat_ws skips the
+            # NULLs element_at yields past the end on short docs, which
+            # reproduces "whole doc as one gram" exactly
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(k)]
+            ),
+        )
+
+    def wins_of(h):
+        n_wins = F.greatest(F.size(h) - F.lit(w - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.least(
+                *[F.element_at(h, (j + F.lit(i)).cast("int")) for i in range(w)]
+            ),
+        )
+
+    wins = let(
+        tokens(F.lower(col)),
+        lambda t: let(
+            F.transform(grams_of(t), lambda g: hashing.md5_int(g)),
+            wins_of,
+        ),
     )
     return F.array_sort(F.array_distinct(wins))
 
