@@ -746,6 +746,32 @@ FROM labeled GROUP BY category ORDER BY category
 """
 
 
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.4): order counts and exact totals at
+    (priority, status), (priority), and grand-total levels."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_ROLLUP_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
 def tables_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ``tpch()`` result shape / SHOW TABLES surface
     (src/lib.rs:294-306): the catalog listing as a 1-column DataFrame."""
@@ -930,6 +956,8 @@ SPECS: list[QuerySpec] = [
               "winnowing rolling-hash document fingerprints"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
+    QuerySpec("orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL,
+              "ROLLUP multi-level aggregation"),
     QuerySpec("tables_listing", tables_listing, TABLES_LISTING_SQL,
               "catalog listing (tpch() result shape / SHOW TABLES)"),
     QuerySpec("multimodal_pixel_stats", multimodal_pixel_stats, MULTIMODAL_PIXEL_STATS_SQL,
