@@ -905,6 +905,70 @@ ORDER BY user_id
 """
 
 
+_KMV_K = 64
+_HASH_SPACE = float(2**63)
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type.
+
+    The mergeable sketch a 100 TB pipeline uses where exact COUNT(DISTINCT)
+    would shuffle every key: keep the k smallest normalized hashes of the
+    values; estimate = (k-1) / max(kept).  Unlike HLL implementations
+    (engine-specific registers), KMV over a shared hash is *deterministic
+    across engines* — the oracle reproduces the estimate bit-for-bit.
+    Exact count included for the error comparison; sketch state is k int64s
+    per group (mergeable by union+re-truncate at any tree depth).
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    h = F.abs(hashing.md5_int(F.col("user_id").cast("string")))
+    per = ev.select("event_type", h.alias("h")).distinct()
+    # rank-filter to the k smallest BEFORE collecting, so the gathered
+    # array is bounded at k regardless of group cardinality
+    wrank = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    agg = (
+        per.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmin"),
+            F.max("cnt").alias("exact_distinct"),
+        )
+    )
+    kth = F.element_at(F.col("kmin"), F.size(F.col("kmin")))
+    est = F.when(
+        F.size(F.col("kmin")) < _KMV_K, F.size(F.col("kmin")).cast("double")
+    ).otherwise(
+        (F.lit(_KMV_K - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE))
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        F.floor(est).cast("long").alias("kmv_estimate"),
+    ).orderBy("event_type")
+
+
+EVENTS_KMV_SQL = f"""
+WITH per AS (
+  SELECT DISTINCT event_type,
+         abs({hashing.md5_int_sql("CAST(user_id AS VARCHAR)")}) AS h
+  FROM events),
+agg AS (
+  SELECT event_type,
+         list_slice(list_sort(list(h)), 1, {_KMV_K}) AS kmin,
+         COUNT(*) AS exact_distinct
+  FROM per GROUP BY event_type)
+SELECT event_type, exact_distinct,
+       CAST(floor(CASE WHEN len(kmin) < {_KMV_K} THEN len(kmin)
+                       ELSE {_KMV_K - 1} / (kmin[-1] / {_HASH_SPACE:.1f}) END)
+            AS BIGINT) AS kmv_estimate
+FROM agg
+ORDER BY event_type
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from events.props + aggregation."""
     (ev,) = _t(spark, sf_dir, "events")
@@ -967,4 +1031,6 @@ SPECS: list[QuerySpec] = [
               "gap-based sessionization"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
               "JSON prop extraction + agg"),
+    QuerySpec("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_SQL,
+              "KMV distinct-count sketch (cross-engine-deterministic)"),
 ]
