@@ -969,6 +969,50 @@ ORDER BY event_type
 """
 
 
+_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank quantiles of ``value`` per event_type, on
+    floor-quantized integers so both engines select the identical element
+    (interpolating quantile definitions differ engine-to-engine; nearest
+    rank on ints cannot).  At 100 TB swap in approx_percentile — same
+    column contract, sketch-merge execution."""
+    (ev,) = _t(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(qv)).alias("vals"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    cols = [
+        (
+            F.element_at(
+                F.col("vals"),
+                F.greatest(F.ceil(F.lit(q) * F.col("n_events")), F.lit(1)).cast("int"),
+            )
+            / 1e6
+        ).alias(f"p{int(q * 100)}")
+        for q in _QUANTILES
+    ]
+    return agg.select("event_type", "n_events", *cols).orderBy("event_type")
+
+
+_QCOLS_SQL = ",\n       ".join(
+    f"vals[CAST(greatest(ceil({q} * n_events), 1) AS BIGINT)] / 1e6 AS p{int(q * 100)}"
+    for q in _QUANTILES
+)
+EVENTS_QUANTILES_SQL = f"""
+SELECT event_type, n_events,
+       {_QCOLS_SQL}
+FROM (
+  SELECT event_type,
+         list_sort(list(CAST(floor(value * 1e6) AS BIGINT))) AS vals,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type)
+ORDER BY event_type
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from events.props + aggregation."""
     (ev,) = _t(spark, sf_dir, "events")
@@ -1033,4 +1077,6 @@ SPECS: list[QuerySpec] = [
               "JSON prop extraction + agg"),
     QuerySpec("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_SQL,
               "KMV distinct-count sketch (cross-engine-deterministic)"),
+    QuerySpec("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_SQL,
+              "exact nearest-rank quantiles (p50/p90/p99)"),
 ]
