@@ -79,6 +79,43 @@ ORDER BY user_id, session_start
 """
 
 
+def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (broadcast — the dimension is re-read per
+    micro-batch, never shuffled with the stream), then aggregates per
+    (segment, event_type).  The canonical realtime-enrichment shape."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..functions.exact import dsum
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        events.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+    return run_stream_to_df(spark, enriched, "events_enriched_stream").orderBy(
+        "c_mktsegment", "event_type"
+    )
+
+
+EVENTS_ENRICHED_STREAM_SQL = f"""
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_stream",
@@ -91,5 +128,11 @@ SPECS: list[QuerySpec] = [
         events_session_stream,
         EVENTS_SESSION_STREAM_SQL,
         "streaming session_window sessionization (AvailableNow == batch)",
+    ),
+    QuerySpec(
+        "events_enriched_stream",
+        events_enriched_stream,
+        EVENTS_ENRICHED_STREAM_SQL,
+        "stream-static broadcast enrichment join + agg (== batch)",
     ),
 ]

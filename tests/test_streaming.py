@@ -41,6 +41,27 @@ def test_session_stream_total_events_conserved(spark):
     assert got.filter(F.col("n_events") <= 0).count() == 0
 
 
+def test_foreach_batch_custom_sink(spark):
+    """foreachBatch: arbitrary batch-DataFrame logic per micro-batch — the
+    escape hatch for sinks Spark lacks (upserts, multi-table writes)."""
+    seen: dict[int, int] = {}
+
+    def sink(batch_df, epoch_id: int) -> None:
+        seen[epoch_id] = batch_df.count()
+
+    q = (
+        read_events_stream(spark, SF_DIR)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(seen.values()) == total
+    assert len(seen) >= 1
+
+
 def test_session_stream_gap_property(spark):
     """Within a reconstructed session no gap >= 30min; session starts align
     with the first event of each session."""
