@@ -54,6 +54,41 @@ ORDER BY survivor_id
 """
 
 
+_INCR_SPLIT = 400  # doc_id >= split is the "incoming batch", rest the corpus
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup shape: an incoming batch is checked against the
+    existing corpus, not against itself.  Exact-fingerprint anti-join: keep
+    only incoming docs whose fingerprint is NOT already in the corpus.
+    One hash-shuffle on the fingerprint (corpus side aggregates to distinct
+    fingerprints first — at 100 TB that's the pre-built dedup index table
+    this query would read instead of recompute)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = text.fingerprint(F.col("text")).alias("fp")
+    corpus_fps = docs.filter(F.col("doc_id") < _INCR_SPLIT).select(fp).distinct()
+    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id", fp)
+    return (
+        incoming.join(corpus_fps, "fp", "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS (
+  SELECT DISTINCT {text.fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id < {_INCR_SPLIT}),
+incoming AS (
+  SELECT doc_id, {text.fingerprint_sql('text')} AS fp
+  FROM documents WHERE doc_id >= {_INCR_SPLIT})
+SELECT doc_id, fp
+FROM incoming
+WHERE fp NOT IN (SELECT fp FROM corpus)
+ORDER BY doc_id
+"""
+
+
 # --- n-gram Jaccard near-dup --------------------------------------------
 
 _SHINGLE_N = 3
@@ -1044,6 +1079,8 @@ ORDER BY event_type
 
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
+    QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL,
+              "incoming-batch vs corpus anti-join dedup"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
               "3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,
