@@ -688,6 +688,37 @@ ORDER BY doc_id
 """
 
 
+_TOP_DOCS_K = 3
+
+
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (grouped top-k pattern): the k longest documents per
+    language by token count, ties broken by doc_id.  Partitioned
+    row_number — each group ranks independently; no global sort."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_DOCS_K)
+        .select("lang", "rnk", "doc_id", "n_tokens")
+        .orderBy("lang", "rnk")
+    )
+
+
+TOP_DOCS_PER_LANG_SQL = f"""
+SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, n_tokens
+FROM (
+  SELECT doc_id, lang, {text.token_count_sql('text')} AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {text.token_count_sql('text')} DESC, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= {_TOP_DOCS_K}
+ORDER BY lang, rnk
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts; predicted
     language = argmax (ties broken by language code). Compared against the
@@ -1099,6 +1130,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
     QuerySpec("doc_winnow", doc_winnow, DOC_WINNOW_SQL,
               "winnowing rolling-hash document fingerprints"),
+    QuerySpec("top_docs_per_lang", top_docs_per_lang, TOP_DOCS_PER_LANG_SQL,
+              "grouped top-k (k longest docs per language)"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
     QuerySpec("orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL,
