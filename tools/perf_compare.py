@@ -1,0 +1,90 @@
+"""Write PERF.md: per-query wall time, this engine (Spark local[N]) vs the
+DuckDB oracle running the equivalent SQL on the same parquet.
+
+Usage: python tools/perf_compare.py [sf_dir]
+
+Both sides get a warm-up and best-of-2. This is a single-node comparison
+at fixture scale — see the analysis block in PERF.md for why the constants
+differ and where the crossover is.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datafusion_tpch_spark import FIXTURE_TABLES
+from datafusion_tpch_spark.queries import all_queries
+from datafusion_tpch_spark.session import build_session
+
+ANALYSIS = """
+## Reading this table
+
+Single-node, fixture-scale (sf0.1 ≈ 600k-row lineitem) measurements.
+DuckDB embeds in-process with microsecond dispatch; Spark pays a fixed
+~0.3–1 s per query for driver→scheduler→task round-trips, codegen, and
+32-way task startup — at this data size that constant dominates, so DuckDB
+wins most rows. The design target is the opposite regime: at 100 TB the
+constant vanishes into scan time, and the properties measured in PLANS.md
+(broadcast joins, pushdown, bounded shuffles, partitioned/bucketed
+layouts) decide throughput — per-core work is what matters, and both
+engines here execute the same relational plans over the same columnar
+format. Streaming rows carry additional fixed checkpoint/trigger overhead
+by construction.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session("perf-compare")
+    spark.range(1).count()
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    specs = all_queries()
+    rows = []
+    for name, spec in sorted(specs.items()):
+        s_best = d_best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(spec.build(spark, sf_dir).collect())
+            s_best = min(s_best, time.perf_counter() - t0)
+        if spec.oracle:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                d_best = min(d_best, time.perf_counter() - t0)
+        ratio = s_best / d_best if d_best > 0 else float("nan")
+        rows.append((name, n, s_best, d_best, ratio))
+        print(f"{name}: spark {s_best:.2f}s duckdb {d_best:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# PERF — this engine vs the DuckDB oracle, identical queries, identical parquet",
+        "",
+        f"Source: `tools/perf_compare.py` on `{sf_dir}`, best of 2 runs per side.",
+        ANALYSIS,
+        "| query | rows | spark s | duckdb s | spark/duckdb |",
+        "|---|---|---|---|---|",
+    ]
+    for name, n, s, d, r in rows:
+        lines.append(f"| {name} | {n} | {s:.2f} | {d:.2f} | {r:.1f}x |")
+    tot_s = sum(r[2] for r in rows)
+    tot_d = sum(r[3] for r in rows)
+    lines.append(f"| **total** | | **{tot_s:.1f}** | **{tot_d:.1f}** | **{tot_s / tot_d:.1f}x** |")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PERF.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
