@@ -122,6 +122,47 @@ def pairwise_cosine(
     return starts_df.mapInPandas(score, "id1 long, id2 long, cos_sim double")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by floor-quantized L2 —
+    the same fixed-point metric as the JVM expression and the DuckDB
+    oracle, so cell ids are bit-identical across all three paths.  Ties
+    break to the smallest centroid id.  One corpus pass, centroids
+    broadcast; output keeps the embedding for in-cell scoring."""
+    spark = df.sparkSession
+    cent_sorted = sorted(centroids)
+    c_ids = np.asarray([c[0] for c in cent_sorted], dtype=np.int64)
+    c_mat = np.asarray([c[1] for c in cent_sorted], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            # blocked (rows x centroids x dim) quantized distances
+            cells = np.empty(len(pdf), dtype=np.int64)
+            step = max(1, 64_000_000 // (b_mat.shape[0] * b_mat.shape[1] * 8))
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                diff = x[lo:hi, None, :] - b_mat[None, :, :]
+                d2 = np.floor(diff * diff * _Q).astype(np.int64).sum(axis=2)
+                cells[lo:hi] = b_ids[np.argmin(d2, axis=1)]
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cells
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, cell long"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def topk_cosine(
     df: DataFrame,
     query_ids: list[int],

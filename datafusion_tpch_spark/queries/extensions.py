@@ -512,30 +512,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned scans; recall grows with nprobe by unioning more
     cells (parameter change, same plan).
     """
+    from ..operators.similarity import ivf_assign
+
     (emb,) = _t(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_CMOD)) == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-
-    def l2q(a, b):
-        # quantized squared-L2: exact, order-independent, oracle-identical
-        diffs = F.zip_with(
-            a, b,
-            lambda x, y: F.floor(
-                (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")) * F.lit(1e9)
-            ),
-        )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    wassign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        emb.join(F.broadcast(cent))
-        .withColumn("d2", l2q(F.col("embedding"), F.col("ce")))
-        .withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
-    )
+    # centroid set is tiny (n/cmod) — collect once and broadcast into the
+    # vectorized assignment kernel (floor-quantized L2, argmin with
+    # smallest-cid tie-break — bit-identical to the oracle's expression)
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_CMOD)) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    assigned = ivf_assign(emb, centroids)
     q = assigned.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
