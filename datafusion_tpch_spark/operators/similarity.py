@@ -163,6 +163,45 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def srp_bucket(
+    df: DataFrame,
+    signs: "list[list[int]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit p of the bucket is
+    set iff the floor(x*1e9)-quantized signed projection onto hyperplane p
+    is >= 0 — the identical fixed-point arithmetic as the JVM expression
+    path and the DuckDB oracle, so bucket ids are bit-identical across all
+    three.  `signs` is a (planes x max_dim) ±1 matrix; vectors shorter than
+    max_dim use its prefix.  One corpus pass, output keeps the embedding
+    for within-bucket scoring."""
+    s_mat = np.asarray(signs, dtype=np.float64)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(s_mat.shape[0], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            d = x.shape[1]
+            # (rows x planes x dim) quantized signed projections
+            proj = (
+                np.floor(x[:, None, :] * s_mat[None, :, :d] * _Q)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = ((proj >= 0) * weights).sum(axis=1)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} long"
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+
+
 def topk_cosine(
     df: DataFrame,
     query_ids: list[int],

@@ -405,6 +405,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
+    from ..operators.similarity import srp_bucket
+
     (emb,) = _t(spark, sf_dir, "embeddings")
 
     def _sign(p: int, d: int) -> int:
@@ -415,32 +417,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return 1 if h % 2 == 0 else -1
 
     _MAX_DIM = 512
-    sign_arrays = [
-        F.array(*[F.lit(_sign(p, d)) for d in range(_MAX_DIM)])
-        for p in range(_LSH_PLANES)
+    signs = [
+        [_sign(p, d) for d in range(_MAX_DIM)] for p in range(_LSH_PLANES)
     ]
-
-    def bucket_col(e):
-        bits = []
-        for p in range(_LSH_PLANES):
-            # signed projection sum_d ±e[d], quantized to int64 (exact floor,
-            # identical in the oracle) so the sign bit is engine-stable
-            proj = F.aggregate(
-                F.zip_with(
-                    e,
-                    F.slice(sign_arrays[p], 1, F.size(e)),
-                    lambda x, s: F.floor(x.cast("double") * s * F.lit(1e9)),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for extra in bits[1:]:
-            out = out + extra
-        return out.cast("long")
-
-    e = emb.select("vec_id", "embedding", bucket_col(F.col("embedding")).alias("bucket"))
+    # bucketing runs in the vectorized numpy kernel (same quantized
+    # arithmetic as the previous JVM expression and the oracle SQL)
+    e = srp_bucket(emb, signs)
     q = e.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
