@@ -111,13 +111,23 @@ def run_stream_to_df(
     forever).  Stateful flatMap operators (applyInPandasWithState) declare
     their own mode and need ``output_mode="append"``.
     """
+    import shutil
+    import tempfile
+
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
+    # offset log + state store live in the checkpoint dir and are fsync'd
+    # per micro-batch; a RAM-backed scratch dir removes that fixed disk
+    # cost for these bounded one-shot runs (production sinks pass a real
+    # durable checkpointLocation — see tests/test_stream_sink.py)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=ckpt_base)
     query = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -126,4 +136,5 @@ def run_stream_to_df(
             raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
     finally:
         query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
