@@ -37,12 +37,13 @@ def main() -> None:
         except Exception:
             pass
 
-    # best of 2 runs per query: one JVM, 32 threads and GC make single-shot
-    # timings jitter 2-4x; the min is the reproducible cost of the plan
+    # best of 3 runs per query: one JVM, 32 threads and GC make single-shot
+    # timings jitter 2-4x (a major GC can double any one run); the min is
+    # the reproducible cost of the plan
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.build(spark, sf_dir)
             n = len(df.collect())
