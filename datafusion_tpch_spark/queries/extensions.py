@@ -112,6 +112,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", hashing.md5_int(F.col("shingle")))
         .select("doc_id", "h")
         .distinct()
+        # the shingle set feeds four consumers (both join sides + both size
+        # lookups) and Catalyst does not reuse the subplan across them —
+        # materialize it once on the executors (the distributed equivalent
+        # of writing the intermediate shingle table, which is exactly what
+        # a 100 TB pipeline would do between the explode and the join)
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
