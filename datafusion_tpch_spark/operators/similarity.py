@@ -5,10 +5,12 @@ Two execution strategies, same semantics:
 1. **Spark-native expressions** (functions.vectors) — higher-order array
    functions, fully JVM-side. Right for per-row scoring against a handful
    of broadcast query vectors.
-2. **Vectorized numpy kernel via mapInPandas** (this module) — Arrow-batched
-   chunks of the corpus against a broadcast matrix. Right when the pair
-   count explodes (all-pairs near-dup): ~50× faster than evaluating
-   interpreted array lambdas per pair.
+2. **Vectorized numpy kernels via mapInPandas/applyInPandas** (this module)
+   — Arrow-batched chunks scored with BLAS. Right when the pair count
+   explodes (all-pairs near-dup): ~50× faster than evaluating interpreted
+   array lambdas per pair. ``pairwise_cosine`` is a blocked distributed
+   all-pairs (no driver materialization): rows shuffle to block-pair tasks
+   and each task runs one dgemm.
 
 Both produce *identical* values: the dot product is per-element float64
 products quantized with floor(x*1e9), summed in int64 — the same fixed
@@ -60,66 +62,102 @@ def _quantized_cosine_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return qdot_rows(a, b) / (np.sqrt(qdot_rows(a, a)) * np.sqrt(qdot_rows(b, b)))
 
 
+def _prefilter_eps(dim: int, min_norm2: float) -> float:
+    """Safe margin for the float-BLAS prefilter vs the quantized cosine.
+
+    floor(x*1e9) quantization shifts each dot/norm by at most dim*1e-9, so
+    |cos_q - cos_float| <= ~3*dim*1e-9/min_norm2 for the smallest-norm vector
+    in play (derived from the data, not assumed unit-norm — a pair can only
+    be *verified away*, never silently dropped).  The extra 1e-7 absorbs the
+    dgemm's own float64 rounding with orders of magnitude to spare.
+    """
+    return 3.0 * dim * 1e-9 / max(min_norm2, 1e-12) + 1e-7
+
+
 def pairwise_cosine(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    chunk: int = 256,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs (id1 < id2) cosine similarity ≥ threshold.
+    """All-pairs (id1 < id2) cosine similarity ≥ threshold — fully
+    distributed blocked formulation, nothing on the driver.
 
-    The full matrix is collected and broadcast (embeddings are the *small*
-    side of a pipeline — for corpora that don't fit, use the LSH candidate
-    path and verify candidates with this same kernel); the pair enumeration
-    is distributed: each Spark task scores a chunk of rows against the
-    broadcast matrix with numpy.
+    Every vector hashes into one of ``n_blocks`` blocks; each row is
+    replicated to the ``n_blocks`` block-pair *tasks* (b, o) it participates
+    in, and ``applyInPandas`` scores each task's A×B (or within-block upper
+    triangle) with one BLAS dgemm prefilter + the exact quantized kernel on
+    near-threshold pairs.  One shuffle of n*n_blocks rows, O(n²/n_blocks²)
+    compute per task — the standard distributed all-pairs layout.  At 100 TB
+    exact all-pairs is inherently quadratic whatever the layout; candidate
+    generation moves to LSH/MinHash banding and this same kernel verifies
+    candidate pairs.  n_blocks scales with sqrt(cluster cores) so each task
+    stays cache-sized.
     """
-    spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
+    e = df.select(id_col, vec_col).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
     )
-    bc = spark.sparkContext.broadcast((ids, mat))
-    n = len(ids)
-    starts = list(range(0, n, chunk))
-    starts_df = spark.createDataFrame([(s,) for s in starts], "start int").repartition(
-        min(len(starts), spark.sparkContext.defaultParallelism)
+    tasks = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(F.col("_blk"), F.lit(o)).alias("t1"),
+                    F.greatest(F.col("_blk"), F.lit(o)).alias("t2"),
+                )
+                for o in range(n_blocks)
+            ]
+        )
     )
+    tagged = e.select(
+        id_col, vec_col, "_blk", F.explode(tasks).alias("_t")
+    ).select(id_col, vec_col, "_blk", F.col("_t.t1").alias("_t1"), F.col("_t.t2").alias("_t2"))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat = bc.value
-        # BLAS prefilter: plain float cosine via one dgemm, then the exact
-        # quantized kernel only on pairs within eps of the threshold. The
-        # quantization error on cos is << 1e-4 for unit-ish vectors, so no
-        # qualifying pair can be missed; final values are the exact ones.
-        norms = np.sqrt((b_mat * b_mat).sum(axis=1))
-        eps = 1e-4
-        for pdf_chunk in batches:
-            for s in pdf_chunk["start"]:
-                lo, hi = int(s), min(int(s) + chunk, len(b_ids))
-                fast = (b_mat[lo:hi] @ b_mat.T) / (
-                    norms[lo:hi, None] * norms[None, :]
-                )
-                ii, jj = np.nonzero(fast >= threshold - eps)
-                if len(ii) == 0:
-                    continue
-                exact = _quantized_cosine_pairs(b_mat[lo + ii], b_mat[jj])
-                keep = exact >= threshold
-                ii, jj, exact = ii[keep], jj[keep], exact[keep]
-                gi = b_ids[lo + ii]
-                gj = b_ids[jj]
-                keep = gi < gj
-                yield pd.DataFrame(
-                    {
-                        "id1": gi[keep],
-                        "id2": gj[keep],
-                        "cos_sim": exact[keep],
-                    }
-                )
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        t1, t2 = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                              "id2": pd.Series(dtype="int64"),
+                              "cos_sim": pd.Series(dtype="float64")})
+        a_pdf = pdf[pdf["_blk"] == t1]
+        b_pdf = a_pdf if t1 == t2 else pdf[pdf["_blk"] == t2]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        ids_a = a_pdf[id_col].to_numpy(dtype=np.int64)
+        ids_b = b_pdf[id_col].to_numpy(dtype=np.int64)
+        mat_a = np.asarray([np.asarray(v, np.float64) for v in a_pdf[vec_col]], np.float64)
+        mat_b = mat_a if t1 == t2 else np.asarray(
+            [np.asarray(v, np.float64) for v in b_pdf[vec_col]], np.float64
+        )
+        norm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+        norm_b = norm_a if t1 == t2 else np.sqrt((mat_b * mat_b).sum(axis=1))
+        eps = _prefilter_eps(
+            mat_a.shape[1], float(min(norm_a.min(), norm_b.min())) ** 2
+        )
+        fast = (mat_a @ mat_b.T) / (norm_a[:, None] * norm_b[None, :])
+        ii, jj = np.nonzero(fast >= threshold - eps)
+        if len(ii) == 0:
+            return empty
+        gi, gj = ids_a[ii], ids_b[jj]
+        # within-block: upper triangle keeps each unordered pair once;
+        # cross-block: blocks are disjoint so every A×B pair is unique
+        keep = gi < gj if t1 == t2 else gi != gj
+        ii, jj, gi, gj = ii[keep], jj[keep], gi[keep], gj[keep]
+        if len(ii) == 0:
+            return empty
+        exact = _quantized_cosine_pairs(mat_a[ii], mat_b[jj])
+        keep = exact >= threshold
+        gi, gj, exact = gi[keep], gj[keep], exact[keep]
+        return pd.DataFrame(
+            {
+                "id1": np.minimum(gi, gj),
+                "id2": np.maximum(gi, gj),
+                "cos_sim": exact,
+            }
+        )
 
-    return starts_df.mapInPandas(score, "id1 long, id2 long, cos_sim double")
+    return tagged.groupBy("_t1", "_t2").applyInPandas(
+        score, "id1 long, id2 long, cos_sim double"
+    )
 
 
 def ivf_assign(

@@ -93,16 +93,27 @@ ORDER BY doc_id
 
 _SHINGLE_N = 3
 _JACCARD_T = 0.35
+# Hot-shingle document-frequency cap: a shingle present in more than this
+# many documents is boilerplate (headers, license text) — it carries no
+# near-dup signal but drives the self-join fan-out quadratically
+# (Σ df(shingle)² pairs).  Dropping df > cap bounds any one shingle's
+# contribution at cap² and is mirrored exactly in the oracle SQL, so
+# results still hash-match.  The hot set itself is tiny by construction
+# (≤ total_shingle_instances / cap shingles), hence broadcast anti-join.
+_SHINGLE_MAX_DF = 50
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram Jaccard similarity.
+    """Near-duplicate pairs by word-3-gram Jaccard similarity over
+    informative shingles (document frequency ≤ {cap}).
 
-    Relational formulation: explode distinct shingles, self-join on shingle,
-    count common / (n1 + n2 - common). The shingle join is a hash shuffle on
-    the shingle string — at 100 TB you'd pre-hash shingles to int64 (done
-    here) and optionally band them (see dedup_minhash_lsh) to cut candidate
-    pairs; this exact variant is the correctness baseline.
+    Relational formulation: explode distinct shingles, drop hot shingles
+    (df > {cap} — the skew defense: without it one boilerplate shingle in
+    k docs contributes k² candidate pairs), self-join on shingle, count
+    common / (n1 + n2 - common).  The shingle join is a hash shuffle on the
+    int64 shingle hash; banding (see dedup_minhash_lsh) cuts candidate
+    pairs further when approximate recall is acceptable — this variant is
+    the exact-Jaccard baseline.
     """
     (docs,) = _t(spark, sf_dir, "documents")
     sh = (
@@ -119,6 +130,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a 100 TB pipeline would do between the explode and the join)
         .localCheckpoint()
     )
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_MAX_DF)
+        .select("h")
+    )
+    sh = sh.join(F.broadcast(hot), "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,11 +157,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+dedup_ngram_jaccard.__doc__ = (dedup_ngram_jaccard.__doc__ or "").format(
+    cap=_SHINGLE_MAX_DF
+)
+
+
 DEDUP_NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT DISTINCT doc_id, {hashing.md5_int_sql('shingle')} AS h
   FROM (SELECT doc_id, unnest({text.shingles_sql('text', _SHINGLE_N)}) AS shingle
         FROM documents)),
+hot AS (SELECT h FROM sh_all GROUP BY h HAVING COUNT(*) > {_SHINGLE_MAX_DF}),
+sh AS (SELECT * FROM sh_all WHERE h NOT IN (SELECT h FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
@@ -193,13 +218,25 @@ GROUP BY doc_id
 """
 
 
+# Hot-bucket cap: a band bucket holding more than this many documents
+# (boilerplate-heavy corpora collapse near-identical docs into one bucket)
+# would contribute count² candidate pairs to the self-join; such buckets
+# are skipped — the standard banded-LSH skew defense (their members are
+# better handled by exact-fingerprint dedup first).  Mirrored in the
+# oracle SQL, so results still hash-match.
+_LSH_MAX_BUCKET = 50
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH banding (4 bands × 4 rows): candidate pairs are
-    documents agreeing on at least one full band.
+    documents agreeing on at least one full band whose bucket holds at
+    most {cap} documents.
 
     Scale path for near-dup at 100 TB: the only shuffles are (a) shingle →
     signature aggregation and (b) the band-bucket self-join, whose fan-out
-    is bounded by bucket size (salt or cap hot buckets in production).
+    the bucket cap bounds at {cap}² per bucket — one hot bucket can no
+    longer produce a straggler task.  The hot-bucket set is tiny by
+    construction (≤ n/cap buckets), hence broadcast anti-join.
     """
     sig = _minhash_sig(spark, sf_dir)
     # one band-struct array + explode instead of a 4-way union: the union
@@ -225,7 +262,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         sig.select("doc_id", F.explode(band_structs).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+        # feeds three consumers (hot-bucket count + both join sides) —
+        # materialize once instead of re-running the shingle→signature
+        # pipeline per consumer
+        .localCheckpoint()
     )
+    hot = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > _LSH_MAX_BUCKET)
+        .select("band", "bkey")
+    )
+    buckets = buckets.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -252,9 +300,20 @@ def _band_sql(alias: str) -> str:
     return " UNION ALL ".join(rows)
 
 
+dedup_minhash_lsh.__doc__ = (dedup_minhash_lsh.__doc__ or "").format(
+    cap=_LSH_MAX_BUCKET
+)
+
+
 DEDUP_MINHASH_LSH_SQL = f"""
 WITH sig AS ({_minhash_sig_sql()}),
-buckets AS ({_band_sql('sig')})
+buckets_all AS ({_band_sql('sig')}),
+hot AS (SELECT band, bkey FROM buckets_all
+        GROUP BY band, bkey HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
+buckets AS (
+  SELECT b.* FROM buckets_all b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bkey = b.bkey))
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM buckets a
 JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -318,11 +377,13 @@ _COS_T = 0.40  # fixture embeddings are cluster-sampled; max pairwise ~0.51
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with cosine similarity above threshold over the
-    embedding column, via the vectorized numpy kernel
-    (operators.similarity.pairwise_cosine — Arrow-batched mapInPandas,
-    ~50× the interpreted array-lambda cross join, same quantized values).
-    At corpus scale, candidate generation moves to LSH (ann_lsh_topk) and
-    this kernel becomes the verify step."""
+    embedding column, via the blocked distributed all-pairs kernel
+    (operators.similarity.pairwise_cosine): rows shuffle to block-pair
+    tasks, each task runs one BLAS dgemm prefilter + the exact quantized
+    verify — no driver-side materialization anywhere in the plan.  Exact
+    all-pairs stays quadratic in compute by definition; at corpus scale
+    candidate generation moves to LSH (ann_lsh_topk / MinHash banding) and
+    this same quantized kernel verifies the candidate pairs."""
     from ..operators.similarity import pairwise_cosine
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -485,31 +546,35 @@ ORDER BY query_id, rank
 """
 
 
-_IVF_CMOD = 25  # centroid set: vec_id % 25 == 0 (~n/25 deterministic seeds)
+_IVF_K = 64  # fixed centroid count — constant regardless of corpus size
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: the corpus is inverted-file-partitioned by nearest
     centroid; each query probes only its own cell (nprobe=1).
 
-    Centroids are a deterministic corpus sample (vec_id % {cmod} == 0 —
-    production would k-means; the *plan* is identical).  Assignment is
-    argmin of the exact quantized L2 distance against the broadcast
-    centroid set — a JVM-side cross join + window, no UDF.  At 100 TB the
-    cell id becomes a parquet partition column and probes are
-    partition-pruned scans; recall grows with nprobe by unioning more
-    cells (parameter change, same plan).
+    Centroids are a **fixed-k** deterministic pseudo-random sample: the
+    {k} corpus vectors with the smallest md5(vec_id) — the centroid set
+    (and thus the driver collect) is a constant {k} rows however large the
+    corpus grows (production would k-means-refine the same {k} seeds; the
+    *plan* is identical).  Assignment is argmin of the exact quantized L2
+    distance against the broadcast centroid set.  At 100 TB the cell id
+    becomes a parquet partition column and probes are partition-pruned
+    scans; recall grows with nprobe by unioning more cells (parameter
+    change, same plan).
     """
     from ..operators.similarity import ivf_assign
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    # centroid set is tiny (n/cmod) — collect once and broadcast into the
-    # vectorized assignment kernel (floor-quantized L2, argmin with
-    # smallest-cid tie-break — bit-identical to the oracle's expression)
+    # fixed-k centroid sample: TakeOrdered over md5(vec_id) — one corpus
+    # pass, collect bounded at _IVF_K rows; broadcast into the vectorized
+    # assignment kernel (floor-quantized L2, argmin with smallest-cid
+    # tie-break — bit-identical to the oracle's expression)
     centroids = [
         (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.filter(F.pmod(F.col("vec_id"), F.lit(_IVF_CMOD)) == 0)
-        .select("vec_id", "embedding")
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_IVF_K)
         .collect()
     ]
     assigned = ivf_assign(emb, centroids)
@@ -536,7 +601,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ann_ivf_topk.__doc__ = (ann_ivf_topk.__doc__ or "").format(cmod=_IVF_CMOD)
+ann_ivf_topk.__doc__ = (ann_ivf_topk.__doc__ or "").format(k=_IVF_K)
 
 
 def _l2q_sql(a: str, b: str) -> str:
@@ -550,7 +615,8 @@ def _l2q_sql(a: str, b: str) -> str:
 
 ANN_IVF_SQL = f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % {_IVF_CMOD} = 0),
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
 assigned AS (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,

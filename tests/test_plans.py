@@ -63,3 +63,40 @@ def test_ann_bruteforce_corpus_not_shuffled(spark):
 def test_dedup_exact_single_shuffle_plus_sort(spark):
     df = _build(spark, "dedup_exact")
     assert exchange_count(df) <= 2  # agg hash + output sort
+
+
+def test_ngram_jaccard_hot_shingle_cap_in_plan(spark):
+    """The df>cap skew defense must be a real part of the executed plan: a
+    broadcast anti-join against the hot-shingle set, fed by a count filter
+    carrying the cap literal."""
+    from datafusion_tpch_spark.plans import plan_string
+    from datafusion_tpch_spark.queries.extensions import _SHINGLE_MAX_DF
+
+    df = _build(spark, "dedup_ngram_jaccard")
+    plan = plan_string(df)
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert f"> {_SHINGLE_MAX_DF}" in plan, plan
+
+
+def test_minhash_lsh_hot_bucket_cap_in_plan(spark):
+    """Same skew defense for the band-bucket self-join: hot buckets
+    (count > cap) anti-joined away before candidate generation."""
+    from datafusion_tpch_spark.plans import plan_string
+    from datafusion_tpch_spark.queries.extensions import _LSH_MAX_BUCKET
+
+    df = _build(spark, "dedup_minhash_lsh")
+    plan = plan_string(df)
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert f"> {_LSH_MAX_BUCKET}" in plan, plan
+
+
+def test_pairwise_cosine_no_driver_materialization(spark):
+    """dedup_embedding_cosine's plan must be the blocked distributed
+    all-pairs: a shuffle into block-pair tasks feeding FlatMapGroupsInPandas
+    — no collect/broadcast of the corpus anywhere."""
+    from datafusion_tpch_spark.plans import plan_string
+
+    df = _build(spark, "dedup_embedding_cosine")
+    plan = plan_string(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Broadcast" not in plan, plan
