@@ -25,9 +25,15 @@ the Spark-first re-expression:
   spec-faithful types: Decimal(15,2) money, DateType dates.
 
 Row counts at SF1 match the tpchgen *formulas* (customer 150k, orders
-1.5M, part 200k, partsupp 800k, supplier 10k); lineitem is ~6M (1-7 lines
-per order, deterministic), matching the spec's expectation rather than the
-exact 6,001,215 sample of tpchgen's RNG stream.
+1.5M, part 200k, partsupp 800k, supplier 10k); lineitem is **exactly
+6,000,942** at SF1 — a fixed constant of this repo's seeded hash stream
+(1-7 lines per order).  tpchgen's own RNG sample gives 6,001,215
+(``/root/reference/src/lib.rs:339``); the two are 0.0045% apart, both ~6M
+draws of the same spec distribution.  This is the one accepted deviation
+from the reference's shape tests: reproducing tpchgen's exact RNG stream
+would mean porting its generator state machine instead of a Spark-native
+derivation.  All per-SF cardinalities are deterministic and pinned in
+``tests/test_tpch_gen.py::EXACT_COUNTS``.
 """
 
 from __future__ import annotations
@@ -336,29 +342,15 @@ GENERATORS = {
 
 def register_tpch_udtfs(spark: SparkSession) -> None:
     """Parity with the reference's ``register_tpch_udtfs``
-    (src/lib.rs:189-200): makes every ``tpch_<table>(sf)`` invocable from
-    SQL.  Spark table-valued functions can't lazily return arbitrary
-    DataFrames, so registration materializes nothing — each call in
-    :func:`call_tpch` builds the lazy DataFrame on demand."""
-    # Python UDTFs (Spark 3.5+) yield rows through Python — fine for the
-    # fixed 25/5-row tables, far too slow for lineitem (SURVEY §2.10); the
-    # scalable invocation path is call_tpch()/register_tpch().
-    from pyspark.sql.functions import udtf
+    (src/lib.rs:189-200): makes ``tpch_<table>(sf [, part, num_parts])``
+    invocable from SQL for **all 8 tables** with full spec schemas, plus
+    the bulk ``tpch(sf)`` listing — value-identical to the DataFrame
+    generators (see :mod:`tpch_udtf`).  The distributed SQL spelling is a
+    LATERAL join over parts; ``call_tpch``/``register_tpch`` remain the
+    Python-native path."""
+    from .tpch_udtf import register_tpch_udtfs as _register
 
-    @udtf(returnType="r_regionkey bigint, r_name string")
-    class TpchRegionUdtf:
-        def eval(self, sf: float):  # noqa: ANN001
-            for i, name in enumerate(REGIONS):
-                yield i, name
-
-    @udtf(returnType="n_nationkey bigint, n_name string, n_regionkey bigint")
-    class TpchNationUdtf:
-        def eval(self, sf: float):  # noqa: ANN001
-            for i, (name, rk) in enumerate(NATIONS):
-                yield i, name, rk
-
-    spark.udtf.register("tpch_region_udtf", TpchRegionUdtf)
-    spark.udtf.register("tpch_nation_udtf", TpchNationUdtf)
+    _register(spark)
 
 
 def call_tpch(spark: SparkSession, table: str, sf: float, part: int = 1, num_parts: int = 1) -> DataFrame:

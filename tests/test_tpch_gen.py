@@ -100,6 +100,40 @@ def test_foreign_keys_resolve(spark):
 
 
 def test_udtf_registration(spark):
+    # full SQL surface under the reference's exact names (deep coverage in
+    # test_sql_udtf.py; this pins the tpch_gen-level entry point)
     tpch_gen.register_tpch_udtfs(spark)
-    assert spark.sql("SELECT * FROM tpch_nation_udtf(0.01)").count() == 25
-    assert spark.sql("SELECT * FROM tpch_region_udtf(0.01)").count() == 5
+    assert spark.sql("SELECT * FROM tpch_nation(0.01)").count() == 25
+    assert spark.sql("SELECT * FROM tpch_region(0.01)").count() == 5
+
+
+# Exact deterministic cardinalities for every table at two SFs, mirroring
+# the reference's shape assertions (src/lib.rs:335-344).  The seven
+# formula-sized tables match tpchgen exactly; lineitem is this repo's own
+# pinned constant — the spec's "1-7 lines per order" expectation gives
+# 6,000,942 at SF1 under our seeded hash stream vs tpchgen's RNG sample of
+# 6,001,215 (0.0045% apart; both are ~6M draws of the same distribution).
+EXACT_COUNTS = {
+    0.001: {"region": 5, "nation": 25, "supplier": 10, "customer": 150,
+            "part": 200, "partsupp": 800, "orders": 1500, "lineitem": 5931},
+    0.01: {"region": 5, "nation": 25, "supplier": 100, "customer": 1500,
+           "part": 2000, "partsupp": 8000, "orders": 15000, "lineitem": 59945},
+}
+
+
+@pytest.mark.parametrize("sf", sorted(EXACT_COUNTS))
+def test_exact_cardinalities(spark, sf):
+    for table, want in EXACT_COUNTS[sf].items():
+        assert tpch_gen.call_tpch(spark, table, sf).count() == want, (table, sf)
+
+
+def test_lineitem_sf1_constant():
+    """The SF1 lineitem cardinality is a fixed constant of the seeded hash
+    stream: 6,000,942 (tpchgen's own RNG sample is 6,001,215 — src/lib.rs:339)."""
+    import numpy as np
+
+    from datafusion_tpch_spark.functions import xxh64
+
+    ok = np.arange(1_500_000, dtype=np.int64) + 1
+    n_lines = xxh64.pmod(xxh64.xxhash64(("str", "l_n"), ("long", ok)), 7) + 1
+    assert int(n_lines.sum()) == 6_000_942
