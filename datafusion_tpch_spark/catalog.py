@@ -51,13 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# events.ts is parquet TIMESTAMP(NANOS); reading it through an explicit
+# int64 schema avoids the session-global nanosAsLong legacy flag (which
+# would silently turn every other nanos column in the session into bigint)
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        )
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

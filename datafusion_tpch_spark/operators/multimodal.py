@@ -217,8 +217,17 @@ def asset_pixel_stats(assets: DataFrame) -> DataFrame:
 
 
 def partition_for_blobs(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
-    """Large-blob tables need small row-count partitions (executor memory is
-    bounded by rows × blob size, not bytes in the parquet footer)."""
-    n = df.rdd.getNumPartitions()
-    est = max(n, 1)
-    return df.repartition(max(est, df.sparkSession.sparkContext.defaultParallelism))
+    """Repartition a large-blob table so no partition exceeds
+    ``target_rows_per_partition`` rows: executor memory for decode UDFs is
+    bounded by rows × blob size, not by the byte sizing
+    ``spark.sql.files.maxPartitionBytes`` does on the compressed footer.
+
+    Costs one count() job (cheap parquet-metadata scan) + one shuffle —
+    call it once in front of a decode pipeline, not per operator.
+    """
+    if target_rows_per_partition < 1:
+        raise ValueError(f"target_rows_per_partition must be >= 1, got {target_rows_per_partition}")
+    rows = df.count()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n = max(-(-rows // target_rows_per_partition), parallelism, 1)
+    return df.repartition(n)

@@ -27,10 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+from ..catalog import EVENTS_RAW_SCHEMA as EVENTS_SCHEMA
 
 SESSION_GAP_MIN = 30
 
@@ -38,12 +35,12 @@ SESSION_GAP_MIN = 30
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the fixture ``events`` parquet.
 
-    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS); the vectorized
-    reader needs ``nanosAsLong`` and we rebuild microsecond timestamps —
-    identical truncation to the batch path (catalog.load_table) and to
-    DuckDB's nanos->micros narrowing, so stream results hash-match.
+    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS); the explicit
+    int64 schema reads it as raw nanoseconds (no session-global legacy
+    flag) and we rebuild microsecond timestamps — identical truncation to
+    the batch path (catalog.load_table) and to DuckDB's nanos->micros
+    narrowing, so stream results hash-match.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the fixture is a single file inside a dir of other tables; a glob with
     # an explicit basePath scopes the file-stream listing to just events.*
     raw = (

@@ -79,3 +79,20 @@ def test_pixel_stats_against_numpy(spark):
         assert r.sum_px == int(px.sum())
         assert r.max_px == int(px.max())
         assert abs(r.mean_px - float(px.mean())) < 1e-12
+
+
+def test_partition_for_blobs_bounds_partition_rows(spark):
+    """Every output partition must hold <= target rows (the executor-memory
+    guarantee the docstring promises for decode pipelines)."""
+    from datafusion_tpch_spark.operators.multimodal import partition_for_blobs
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    out = partition_for_blobs(docs, target_rows_per_partition=10)
+    sizes = out.rdd.glom().map(len).collect()
+    assert sum(sizes) == 200
+    assert max(sizes) <= 10, sizes
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        partition_for_blobs(docs, target_rows_per_partition=0)
