@@ -92,3 +92,70 @@ def listing(spark: SparkSession, tables: tuple[str, ...] = FIXTURE_TABLES) -> Da
     """1-column ``table_name`` listing DataFrame — the reference's ``tpch()``
     result shape (``src/lib.rs:294-306``)."""
     return spark.createDataFrame([(t,) for t in tables], "table_name string")
+
+
+# Spark simpleString -> ANSI/DuckDB information_schema type spelling, so the
+# metadata view is directly comparable across engines.
+_ANSI_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    # DuckDB's information_schema reports plain TIMESTAMP for both; the
+    # tz-ness distinction is a Spark-internal spelling
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _ansi_type(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return dtype.upper()
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return _ansi_type(dtype[len("array<") : -1]) + "[]"
+    return _ANSI_TYPES.get(dtype, dtype.upper())
+
+
+def information_schema_columns(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = FIXTURE_TABLES,
+) -> DataFrame:
+    """Queryable ``information_schema.columns`` equivalent over the catalog —
+    parity with the reference enabling information_schema on its context
+    (``examples/parquet.rs:8``, ``examples/tpchgen.rs:9``).
+
+    Catalog metadata lives on the driver in every engine (DataFusion's
+    information_schema is likewise built from in-memory catalog state), so
+    this is a plan-time construction, not a distributed scan.  Type names
+    use the ANSI spelling DuckDB's information_schema reports, making the
+    view value-comparable across engines.
+    """
+    rows = []
+    for t in tables:
+        df = load_table(spark, sf_dir, t)
+        for i, (cname, dtype) in enumerate(df.dtypes, 1):
+            rows.append((t, cname, i, _ansi_type(dtype)))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, ordinal_position int, data_type string",
+    )
+
+
+def information_schema_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = FIXTURE_TABLES,
+) -> DataFrame:
+    """``information_schema.tables`` equivalent: name + column count per
+    registered table."""
+    rows = [
+        (t, len(load_table(spark, sf_dir, t).columns)) for t in tables
+    ]
+    return spark.createDataFrame(rows, "table_name string, n_columns int")

@@ -1158,7 +1158,39 @@ ORDER BY event_type
 """
 
 
+def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.columns over the registered catalog (reference
+    parity: it enables DataFusion's information_schema,
+    examples/parquet.rs:8 and examples/tpchgen.rs:9).  Metadata is
+    driver-side catalog state in every engine; type names use the ANSI
+    spelling so the view value-matches DuckDB's information_schema."""
+    from ..catalog import information_schema_columns
+
+    return information_schema_columns(spark, sf_dir).orderBy(
+        "table_name", "ordinal_position"
+    )
+
+
+_INFO_TABLES_IN = ", ".join(
+    f"'{t}'"
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+)
+
+INFO_SCHEMA_COLUMNS_SQL = f"""
+SELECT table_name, column_name,
+       CAST(ordinal_position AS INTEGER) AS ordinal_position, data_type
+FROM information_schema.columns
+WHERE table_name IN ({_INFO_TABLES_IN})
+ORDER BY table_name, ordinal_position
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("info_schema_columns", info_schema_columns, INFO_SCHEMA_COLUMNS_SQL,
+              "information_schema.columns metadata view (cross-engine)"),
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL,
               "incoming-batch vs corpus anti-join dedup"),
