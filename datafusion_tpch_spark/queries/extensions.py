@@ -98,9 +98,37 @@ _JACCARD_T = 0.35
 # near-dup signal but drives the self-join fan-out quadratically
 # (Σ df(shingle)² pairs).  Dropping df > cap bounds any one shingle's
 # contribution at cap² and is mirrored exactly in the oracle SQL, so
-# results still hash-match.  The hot set itself is tiny by construction
-# (≤ total_shingle_instances / cap shingles), hence broadcast anti-join.
+# results still hash-match.
 _SHINGLE_MAX_DF = 50
+
+
+def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs with the hot-shingle df cap
+    applied as a count window over h: the window shuffles on the same key
+    the downstream self-join needs, so the skew defense rides a shuffle
+    the plan already pays (counting a hot key is linear; only joining on
+    it would be quadratic — which the filter prevents).
+
+    ``checkpoint=True`` materializes the set once on the executors — it
+    feeds four consumers (both join sides + both size lookups) and
+    Catalyst does not reuse the subplan across them; the distributed
+    equivalent of writing the intermediate shingle table, which is exactly
+    what a 100 TB pipeline would do before the join.  Tests pass
+    ``checkpoint=False`` to audit the pre-checkpoint plan.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
+        )
+        .withColumn("h", hashing.md5_int(F.col("shingle")))
+        .select("doc_id", "h")
+        .distinct()
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= _SHINGLE_MAX_DF)
+        .drop("df")
+    )
+    return sh.localCheckpoint() if checkpoint else sh
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,28 +143,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs further when approximate recall is acceptable — this variant is
     the exact-Jaccard baseline.
     """
-    (docs,) = _t(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
-        )
-        .withColumn("h", hashing.md5_int(F.col("shingle")))
-        .select("doc_id", "h")
-        .distinct()
-        # the shingle set feeds four consumers (both join sides + both size
-        # lookups) and Catalyst does not reuse the subplan across them —
-        # materialize it once on the executors (the distributed equivalent
-        # of writing the intermediate shingle table, which is exactly what
-        # a 100 TB pipeline would do between the explode and the join)
-        .localCheckpoint()
-    )
-    hot = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _SHINGLE_MAX_DF)
-        .select("h")
-    )
-    sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    sh = _shingle_set(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -227,17 +234,14 @@ GROUP BY doc_id
 _LSH_MAX_BUCKET = 50
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH banding (4 bands × 4 rows): candidate pairs are
-    documents agreeing on at least one full band whose bucket holds at
-    most {cap} documents.
-
-    Scale path for near-dup at 100 TB: the only shuffles are (a) shingle →
-    signature aggregation and (b) the band-bucket self-join, whose fan-out
-    the bucket cap bounds at {cap}² per bucket — one hot bucket can no
-    longer produce a straggler task.  The hot-bucket set is tiny by
-    construction (≤ n/cap buckets), hence broadcast anti-join.
-    """
+def _lsh_buckets(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
+    """(doc_id, band, bkey) bucket membership with the hot-bucket cap
+    applied as a count window over the bucket key: rides the same
+    (band, bkey) shuffle the self-join needs; a hot bucket costs a linear
+    count, never the quadratic join.  ``checkpoint=True`` materializes the
+    buckets once for both join sides (otherwise the whole
+    shingle→signature pipeline re-runs per side); tests pass
+    ``checkpoint=False`` to audit the pre-checkpoint plan."""
     sig = _minhash_sig(spark, sf_dir)
     # one band-struct array + explode instead of a 4-way union: the union
     # form re-runs the whole shingle->signature pipeline once per band (and
@@ -262,18 +266,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         sig.select("doc_id", F.explode(band_structs).alias("b"))
         .select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
-        # feeds three consumers (hot-bucket count + both join sides) —
-        # materialize once instead of re-running the shingle→signature
-        # pipeline per consumer
-        .localCheckpoint()
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")))
+        .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
+        .drop("n_docs")
     )
-    hot = (
-        buckets.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > _LSH_MAX_BUCKET)
-        .select("band", "bkey")
-    )
-    buckets = buckets.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    return buckets.localCheckpoint() if checkpoint else buckets
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4 bands × 4 rows): candidate pairs are
+    documents agreeing on at least one full band whose bucket holds at
+    most {cap} documents.
+
+    Scale path for near-dup at 100 TB: the only shuffles are (a) shingle →
+    signature aggregation and (b) the band-bucket self-join, whose fan-out
+    the bucket cap bounds at {cap}² per bucket — one hot bucket can no
+    longer produce a straggler task.
+    """
+    buckets = _lsh_buckets(spark, sf_dir)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

@@ -120,18 +120,31 @@ def run_stream_to_df(
     # durable checkpointLocation — see tests/test_stream_sink.py)
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=ckpt_base)
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful operators open one state-store instance per shuffle
+    # partition and fsync each per micro-batch; the fixture state
+    # cardinality (windows × types, active sessions) is thousands of keys,
+    # so 8 partitions carry it easily and cut the fixed store-commit cost
+    # 4x vs the batch setting.  Production sizes this by state volume per
+    # partition instead (state stores shard-scale the same way shuffles
+    # do); scoped here via save/restore so batch queries keep their own
+    # setting.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
     try:
-        if not query.awaitTermination(timeout_s):
-            raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_s):
+                raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

@@ -67,27 +67,33 @@ def test_dedup_exact_single_shuffle_plus_sort(spark):
 
 def test_ngram_jaccard_hot_shingle_cap_in_plan(spark):
     """The df>cap skew defense must be a real part of the executed plan: a
-    broadcast anti-join against the hot-shingle set, fed by a count filter
-    carrying the cap literal."""
+    count window over the shingle key + a filter carrying the cap literal,
+    upstream of the self-join (the shingle set is checkpointed after the
+    cap, so the filter sits in the checkpointed subplan)."""
     from datafusion_tpch_spark.plans import plan_string
-    from datafusion_tpch_spark.queries.extensions import _SHINGLE_MAX_DF
+    from datafusion_tpch_spark.queries.extensions import (
+        _SHINGLE_MAX_DF,
+        _shingle_set,
+    )
 
-    df = _build(spark, "dedup_ngram_jaccard")
-    plan = plan_string(df)
-    assert "LeftAnti, BuildRight" in plan, plan
-    assert f"> {_SHINGLE_MAX_DF}" in plan, plan
+    plan = plan_string(_shingle_set(spark, SF_DIR, checkpoint=False))
+    assert "Window" in plan, plan
+    assert f"<= {_SHINGLE_MAX_DF}" in plan, plan
 
 
 def test_minhash_lsh_hot_bucket_cap_in_plan(spark):
-    """Same skew defense for the band-bucket self-join: hot buckets
-    (count > cap) anti-joined away before candidate generation."""
+    """Same skew defense for the band-bucket self-join: buckets holding
+    more than cap docs filtered out by a count window before candidate
+    generation."""
     from datafusion_tpch_spark.plans import plan_string
-    from datafusion_tpch_spark.queries.extensions import _LSH_MAX_BUCKET
+    from datafusion_tpch_spark.queries.extensions import (
+        _LSH_MAX_BUCKET,
+        _lsh_buckets,
+    )
 
-    df = _build(spark, "dedup_minhash_lsh")
-    plan = plan_string(df)
-    assert "LeftAnti, BuildRight" in plan, plan
-    assert f"> {_LSH_MAX_BUCKET}" in plan, plan
+    plan = plan_string(_lsh_buckets(spark, SF_DIR, checkpoint=False))
+    assert "Window" in plan, plan
+    assert f"<= {_LSH_MAX_BUCKET}" in plan, plan
 
 
 def test_pairwise_cosine_no_driver_materialization(spark):
