@@ -1035,6 +1035,151 @@ _KMV_K = 64
 _HASH_SPACE = float(2**63)
 
 
+_ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2h staleness tolerance
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.asof_join): every purchase event picks up
+    the latest click by the same user at-or-before the purchase, nulled when
+    the click is older than 2 hours.  The naive form is a correlated
+    "latest earlier row" range join; the plan here is the union +
+    carry-forward window — ONE hash shuffle on user_id at any scale.
+
+    DataFusion has no as-of operator; this is the feature-attribution /
+    point-in-time-correctness staple of training-data pipelines.
+    """
+    from ..operators.joins import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    # order_col must exist in both inputs under one name: use the event ids
+    l = purchases.withColumn("_oid", F.col("event_id"))
+    r = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "click_value",
+        ).withColumn("_oid", F.col("click_id"))
+    )
+    out = asof_join(
+        l,
+        r,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ts", "click_value"],
+        order_col="_oid",
+        tolerance_us=_ASOF_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_id", "click_ts", "click_value"
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = f"""
+WITH u AS (
+  SELECT user_id, ts AS _ts, 1 AS _is_left, event_id AS _ord,
+         event_id, ts,
+         NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts,
+         NULL::DOUBLE AS click_value, NULL::BIGINT AS _r_us
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, event_id,
+         NULL, NULL,
+         event_id, ts, value, epoch_us(ts)
+  FROM events WHERE event_type = 'click'),
+carried AS (
+  SELECT event_id, user_id, ts, _is_left, _ts,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS click_id,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER w AS click_ts,
+         LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value,
+         LAST_VALUE(_r_us IGNORE NULLS) OVER w AS _m_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _is_left, _ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(_ts) - _m_us > {_ASOF_TOL_US} THEN NULL ELSE click_id END AS click_id,
+       CASE WHEN epoch_us(_ts) - _m_us > {_ASOF_TOL_US} THEN NULL ELSE click_ts END AS click_ts,
+       CASE WHEN epoch_us(_ts) - _m_us > {_ASOF_TOL_US} THEN NULL ELSE click_value END AS click_value
+FROM carried WHERE _is_left = 1
+ORDER BY event_id
+"""
+
+
+_RANGE_BUSY_N = 6          # hourly count threshold defining a "busy" interval
+_RANGE_PAD_MIN = 15        # interval = busy hour padded ±15 min
+_RANGE_BUCKET_S = 5400     # 90-min intervals -> 90-min buckets, ≤2 per interval
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.range_join): events against the padded
+    "busy hours" of their own event_type (hours with >= 6 events, padded
+    ±15 min).  Spark would plan the raw interval predicate as a nested-loop
+    join; the operator bucketizes the time axis so it runs as an equi-join
+    on (event_type, bucket) + exact range filter — shuffle-hash-uniform at
+    any scale, replication ≤ 2 buckets per interval.
+    """
+    from ..operators.joins import range_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _RANGE_BUSY_N)
+    )
+    pad = f"INTERVAL {_RANGE_PAD_MIN} MINUTES"
+    intervals = hourly.select(
+        "event_type",
+        F.expr(f"h - {pad}").alias("range_start"),
+        F.expr(f"h + INTERVAL 1 HOUR + {pad}").alias("range_end"),
+    )
+    joined = range_join(
+        ev.select("event_type", "ts", "value"),
+        intervals,
+        on=["event_type"],
+        probe_ts="ts",
+        start_col="range_start",
+        end_col="range_end",
+        bucket_s=_RANGE_BUCKET_S,
+    )
+    return (
+        joined.groupBy("event_type", "range_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_range"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type", "range_start")
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, h),
+intervals AS (
+  SELECT event_type,
+         h - INTERVAL {_RANGE_PAD_MIN} MINUTE AS range_start,
+         h + INTERVAL 1 HOUR + INTERVAL {_RANGE_PAD_MIN} MINUTE AS range_end
+  FROM hourly WHERE n >= {_RANGE_BUSY_N})
+SELECT e.event_type, i.range_start,
+       COUNT(*) AS n_in_range, {dsum_sql('e.value')} AS sum_value
+FROM events e
+JOIN intervals i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.range_start AND e.ts < i.range_end
+GROUP BY e.event_type, i.range_start
+ORDER BY e.event_type, i.range_start
+"""
+
+
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event_type.
 
@@ -1237,6 +1382,10 @@ SPECS: list[QuerySpec] = [
               "gap-based sessionization"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
               "JSON prop extraction + agg"),
+    QuerySpec("events_asof_join", events_asof_join, EVENTS_ASOF_SQL,
+              "as-of join: latest click <= purchase ts per user (union+window plan)"),
+    QuerySpec("events_range_join", events_range_join, EVENTS_RANGE_JOIN_SQL,
+              "bucketized interval join: events vs padded busy-hour ranges"),
     QuerySpec("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_SQL,
               "KMV distinct-count sketch (cross-engine-deterministic)"),
     QuerySpec("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_SQL,
