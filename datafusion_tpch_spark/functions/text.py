@@ -35,6 +35,23 @@ def tokens_sql(expr: str) -> str:
     return f"regexp_split_to_array(trim({expr}), '\\s+')"
 
 
+WORD_RE = r"[^a-z0-9]+"
+
+
+def words(col: Column) -> Column:
+    """Normalized word array: lowercase, split on non-alphanumeric runs,
+    empties dropped.  The unit for histogram / TF-IDF style analysis
+    (whereas :func:`tokens` preserves punctuation for counting)."""
+    return F.filter(F.split(F.lower(col), WORD_RE), lambda x: x != F.lit(""))
+
+
+def words_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{WORD_RE}'),"
+        f" x -> x <> '')"
+    )
+
+
 def token_count(col: Column) -> Column:
     # cast: Spark size() is int32, the DuckDB oracle's len() is int64
     return F.size(tokens(col)).cast("long")

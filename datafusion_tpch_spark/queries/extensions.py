@@ -779,6 +779,149 @@ ORDER BY lang, rnk
 """
 
 
+# stratum sampling rates (percent kept): downsample the dominant language,
+# keep the tail.  A training-data mix in miniature.
+_SAMPLE_PCT_EN = 20
+_SAMPLE_PCT_OTHER = 50
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data mix builder.
+
+    Each document keeps/drops itself from a *content-free* coin:
+    md5(doc_id) mod 100 compared against its stratum's rate, so the sample
+    is reproducible across engines, runs, and cluster sizes (no RNG state,
+    no ordering dependence — the property `df.sample()` cannot give).
+    Inverse-probability `sample_weight` restores unbiased aggregates.
+    Embarrassingly parallel: a narrow filter, no shuffle at any scale.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("lang") == "en", F.lit(_SAMPLE_PCT_EN)
+    ).otherwise(F.lit(_SAMPLE_PCT_OTHER))
+    coin = hashing.md5_int(F.col("doc_id").cast("string")) % F.lit(100)
+    return (
+        docs.withColumn("rate", rate)
+        .filter(coin < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (F.lit(100.0) / F.col("rate").cast("double")).alias("sample_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source,
+       100.0 / CAST(CASE WHEN lang = 'en' THEN {_SAMPLE_PCT_EN}
+                         ELSE {_SAMPLE_PCT_OTHER} END AS DOUBLE) AS sample_weight
+FROM documents
+WHERE {hashing.md5_int_sql("CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN lang = 'en' THEN {_SAMPLE_PCT_EN} ELSE {_SAMPLE_PCT_OTHER} END
+ORDER BY doc_id
+"""
+
+
+_TOKEN_TOPK = 20
+
+
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters: the top-k most frequent normalized
+    words with occurrence and document frequencies.
+
+    Plan: explode -> hash aggregate (map-side partial combine absorbs the
+    per-document repetition before the shuffle) -> TakeOrderedAndProject.
+    The shuffle carries one row per *distinct* (partition, word), not per
+    occurrence — the reason exact heavy hitters stays viable at 100 TB for
+    vocabulary-sized key spaces.  Ties broken by word for determinism.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "term")
+        .limit(_TOKEN_TOPK)
+    )
+
+
+TOKEN_TOPK_SQL = f"""
+SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({text.words_sql('text')}) AS term FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT {_TOKEN_TOPK}
+"""
+
+
+_TFIDF_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF.
+
+    idf uses the *linear* rarity weight N/df instead of log(N/df): IEEE
+    multiply/divide are bit-exact across engines while libm log is not, so
+    the gate stays hash-comparable; the ranking only needs monotone rarity.
+    Plan: one shuffle to (doc_id, term) counts, one to term df, the corpus
+    size N broadcast as a 1-row cross join, top-k via partitioned
+    row_number.  No driver collection anywhere.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_corpus").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "rnk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({text.words_sql('text')}) AS term FROM documents)
+  GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_corpus AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE)
+                              * (CAST(n.n_corpus AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+                              tf.term) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, score
+FROM scored WHERE rnk <= {_TFIDF_K}
+ORDER BY doc_id, rnk
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts; predicted
     language = argmax (ties broken by language code). Compared against the
@@ -1369,6 +1512,12 @@ SPECS: list[QuerySpec] = [
               "winnowing rolling-hash document fingerprints"),
     QuerySpec("top_docs_per_lang", top_docs_per_lang, TOP_DOCS_PER_LANG_SQL,
               "grouped top-k (k longest docs per language)"),
+    QuerySpec("docs_stratified_sample", docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL,
+              "deterministic hash-based stratified sampling with IP weights"),
+    QuerySpec("token_topk", token_topk, TOKEN_TOPK_SQL,
+              "exact corpus heavy hitters (top-k words)"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
+              "per-doc top-k TF-IDF terms (log-free linear idf)"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
     QuerySpec("orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL,
