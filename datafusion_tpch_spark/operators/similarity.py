@@ -240,6 +240,50 @@ def srp_bucket(
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def srp_band_buckets(
+    df: DataFrame,
+    signs: "list[list[int]]",
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "buckets",
+) -> DataFrame:
+    """Banded sign-random-projection: ``signs`` holds ``n_bands``
+    consecutive groups of hyperplanes; the output array carries one bucket
+    id per band (same quantized projection arithmetic as
+    :func:`srp_bucket`, so every band bucket is bit-identical to the
+    oracle's expression).  One corpus pass computes all bands — the
+    B-band near-dup candidate generator (share >=1 band bucket) without
+    B scans."""
+    s_mat = np.asarray(signs, dtype=np.float64)
+    if s_mat.shape[0] % n_bands:
+        raise ValueError(f"{s_mat.shape[0]} planes do not split into {n_bands} bands")
+    per_band = s_mat.shape[0] // n_bands
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(per_band, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            d = x.shape[1]
+            proj = (
+                np.floor(x[:, None, :] * s_mat[None, :, :d] * _Q)
+                .astype(np.int64)
+                .sum(axis=2)
+            )  # (rows, n_bands*per_band)
+            bits = (proj >= 0).reshape(len(pdf), n_bands, per_band)
+            buckets = (bits * weights).sum(axis=2)  # (rows, n_bands)
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = list(buckets)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} array<long>"
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+
+
 def topk_cosine(
     df: DataFrame,
     query_ids: list[int],

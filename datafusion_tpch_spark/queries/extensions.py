@@ -413,6 +413,128 @@ ORDER BY id1, id2
 """
 
 
+_SEM_BANDS = 8          # bands of SRP planes; candidate = share >=1 band bucket
+_SEM_PLANES = 4         # planes per band -> 16 buckets per band
+_SEM_CAP = 100          # hot-bucket cap (same defense as dedup_minhash_lsh)
+# same threshold as the exact all-pairs baseline (dedup_embedding_cosine),
+# so recall of this sub-quadratic path is directly measurable against it.
+# 8x4 banding: per-band collision (1-θ/π)^4 ≈ 0.16 at cos 0.40 → ~75%
+# of true pairs share >=1 band bucket.
+_SEM_T = _COS_T
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup dedup, the **sub-quadratic 100 TB path**: banded
+    SRP-LSH candidate generation + exact quantized cosine verify.
+
+    One corpus pass computes 4 band buckets per vector
+    (operators.similarity.srp_band_buckets); candidates are pairs sharing
+    >=1 band bucket (posexplode -> hot-capped bucket equi-join -> distinct),
+    then ONLY candidate pairs pay the exact cosine — the all-pairs O(n²)
+    never appears.  Contrast with dedup_embedding_cosine, the exact
+    blocked all-pairs baseline this pipeline's recall is measured against.
+    Misses are by construction (pairs bucketed apart in every band); the
+    oracle mirrors the banding bit-for-bit so the gate stays exact.
+    """
+    import hashlib
+
+    from ..operators.similarity import srp_band_buckets
+
+    def _sign(p: int, d: int) -> int:
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    _MAX_DIM = 512
+    signs = [
+        [_sign(p, d) for d in range(_MAX_DIM)]
+        for p in range(_SEM_BANDS * _SEM_PLANES)
+    ]
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    banded = srp_band_buckets(emb, signs, _SEM_BANDS)
+    long_form = banded.select(
+        "vec_id", F.posexplode(F.col("buckets")).alias("band", "bucket")
+    )
+    wcnt = Window.partitionBy("band", "bucket")
+    capped = (
+        long_form.withColumn("cnt", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("cnt") <= _SEM_CAP)
+        .drop("cnt")
+    )
+    cands = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    cos = vectors.exact_dot(F.col("e1"), F.col("e2")) / (
+        vectors.norm(F.col("e1")) * vectors.norm(F.col("e2"))
+    )
+    return (
+        cands.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= _SEM_T)
+        .select("id1", "id2", "cos_sim")
+        .orderBy("id1", "id2")
+    )
+
+
+def _sem_band_bucket_sql(e: str, band: int) -> str:
+    bits = []
+    for p in range(_SEM_PLANES):
+        gp = band * _SEM_PLANES + p
+        sign_hash = hashing.md5_int_sql(f"'{gp}_' || CAST(d - 1 AS VARCHAR)")
+        proj = (
+            f"list_aggregate(list_transform(range(1, len({e}) + 1), "
+            f"d -> CAST(floor((CASE WHEN ({sign_hash}) % 2 = 0 "
+            f"THEN CAST({e}[d] AS DOUBLE) ELSE -CAST({e}[d] AS DOUBLE) END) "
+            f"* 1000000000.0) AS BIGINT)), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def _sem_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, {_sem_band_bucket_sql('embedding', b)} AS bucket"
+        f" FROM embeddings"
+        for b in range(_SEM_BANDS)
+    )
+    cos = (
+        f"{vectors.exact_dot_sql('e1.embedding', 'e2.embedding')}"
+        f" / (sqrt({vectors.exact_dot_sql('e1.embedding', 'e1.embedding')})"
+        f" * sqrt({vectors.exact_dot_sql('e2.embedding', 'e2.embedding')}))"
+    )
+    return f"""
+WITH long_form AS (
+{band_rows}),
+capped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS cnt FROM long_form)
+  WHERE cnt <= {_SEM_CAP}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT cand.id1, cand.id2, {cos} AS cos_sim
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = cand.id1
+JOIN embeddings e2 ON e2.vec_id = cand.id2
+WHERE {cos} >= {_SEM_T}
+ORDER BY id1, id2
+"""
+
+
+DEDUP_SEMANTIC_SQL = _sem_sql()
+
+
 # ===========================================================================
 # Similarity search (ANN)
 # ===========================================================================
@@ -1499,6 +1621,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "16-bit SimHash"),
     QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL,
               "cosine>=0.95 near-dup pairs"),
+    QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL,
+              "banded SRP-LSH candidates + exact cosine verify (sub-quadratic)"),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL,
               "brute-force cosine top-k"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,

@@ -60,3 +60,40 @@ def test_topk_kernel_agrees_with_jvm_expression_query(spark):
     )
     want = all_queries()["ann_bruteforce_topk"].build(spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_srp_band_buckets_band0_matches_srp_bucket(spark):
+    """The banded kernel's band 0 equals the single-band srp_bucket over the
+    same planes — one code path's buckets validate the other's."""
+    import hashlib
+
+    from datafusion_tpch_spark.operators.similarity import (
+        srp_band_buckets,
+        srp_bucket,
+    )
+
+    def sign(p, d):
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    signs = [[sign(p, d) for d in range(64)] for p in range(8)]
+    emb = load_table(spark, SF_DIR, "embeddings")
+    banded = {
+        r.vec_id: list(r.buckets)
+        for r in srp_band_buckets(emb, signs, 2).collect()
+    }
+    single = {r.vec_id: r.bucket for r in srp_bucket(emb, signs[:4]).collect()}
+    assert {k: v[0] for k, v in banded.items()} == single
+    assert all(len(v) == 2 for v in banded.values())
+
+
+def test_semantic_dedup_sound_and_recalls(spark):
+    """dedup_semantic (banded SRP candidates + exact verify) returns only
+    true >=threshold pairs (soundness) and finds most of them (recall)."""
+    sem = all_queries()["dedup_semantic"].build(spark, SF_DIR).select("id1", "id2")
+    exact = (
+        all_queries()["dedup_embedding_cosine"].build(spark, SF_DIR).select("id1", "id2")
+    )
+    assert sem.exceptAll(exact).count() == 0
+    n_exact, n_found = exact.count(), exact.join(sem, ["id1", "id2"], "left_semi").count()
+    assert n_exact == 0 or n_found / n_exact >= 0.6, (n_found, n_exact)
