@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.exact import dsum_sql
 from ..streaming import (
+    dedup_keys_stream,
     hourly_agg_stream,
     read_events_stream,
     run_stream_to_df,
@@ -116,6 +117,23 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: first-seen (user_id, event_type) key set,
+    append-mode output — the surviving key set equals batch DISTINCT."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = dedup_keys_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(
+        spark, stream, "events_dedup_stream", output_mode="append"
+    ).orderBy("user_id", "event_type")
+
+
+EVENTS_DEDUP_STREAM_SQL = """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_stream",
@@ -134,5 +152,11 @@ SPECS: list[QuerySpec] = [
         events_enriched_stream,
         EVENTS_ENRICHED_STREAM_SQL,
         "stream-static broadcast enrichment join + agg (== batch)",
+    ),
+    QuerySpec(
+        "events_dedup_stream",
+        events_dedup_stream,
+        EVENTS_DEDUP_STREAM_SQL,
+        "streaming dropDuplicates key dedup (append mode == batch DISTINCT)",
     ),
 ]

@@ -10,6 +10,7 @@ batch answer.
 """
 
 from .pipeline import (  # noqa: F401
+    dedup_keys_stream,
     hourly_agg_stream,
     read_events_stream,
     run_stream_to_df,

@@ -92,6 +92,30 @@ def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def dedup_keys_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication: first-seen key set over the event stream.
+
+    ``dropDuplicates`` keeps one row per key in the state store and emits it
+    on first arrival — the streaming ingest-dedup staple (an upstream
+    at-least-once delivery becomes exactly-once keyed output).  Only the
+    *key columns* are emitted: which physical row arrives first is a race
+    in any distributed stream, so emitting payload columns would be
+    nondeterministic, but the surviving key set is exact — and equals the
+    batch ``SELECT DISTINCT``, which is what the oracle checks.
+
+    State: one entry per distinct key, forever — correct for bounded
+    one-shot runs.  An unbounded production stream with a time-scoped
+    uniqueness contract uses ``dropDuplicatesWithinWatermark`` instead so
+    the watermark (declared here for that reason) evicts old keys.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
 def run_stream_to_df(
     spark: SparkSession,
     sdf: DataFrame,

@@ -82,3 +82,34 @@ def test_session_stream_gap_property(spark):
                 expected_starts.add((uid, ts))
             prev = ts
     assert starts == expected_starts
+
+
+def test_dedup_stream_collapses_redelivery(spark, tmp_path):
+    """At-least-once simulation: the same events file delivered twice (two
+    files in the stream source dir) — dropDuplicates still emits exactly
+    the batch DISTINCT key set, once."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datafusion_tpch_spark.streaming import dedup_keys_stream
+    from datafusion_tpch_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    src = tmp_path / "redelivered"
+    src.mkdir()
+    fixture = f"{SF_DIR}/events.parquet"
+    shutil.copy(fixture, src / "delivery1.parquet")
+    shutil.copy(fixture, src / "delivery2.parquet")
+
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = run_stream_to_df(
+        spark, dedup_keys_stream(events), "t_dedup_redeliver", output_mode="append"
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
