@@ -46,6 +46,17 @@ def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataF
     return (reader.schema(schema) if schema else reader.option("inferSchema", True)).csv(path)
 
 
+def copy_to_orc(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """ORC sink (columnar alternative Spark ships natively; same COPY
+    delegation rationale as parquet)."""
+    df.write.mode(mode).orc(path)
+    return df.sparkSession.read.orc(path).count()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def copy_to_json(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     """JSON-lines sink (engine-provided format, as above)."""
     df.write.mode(mode).json(path)

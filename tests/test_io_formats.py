@@ -62,3 +62,7 @@ def test_copy_query_result(spark):
         assert n == df.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_orc_roundtrip(spark):
+    _roundtrip(spark, parquet_io.copy_to_orc, parquet_io.read_orc, None)
