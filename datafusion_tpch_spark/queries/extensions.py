@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import hashing, text, vectors
-from ..functions.exact import dsum, dsum_sql
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql
 from . import QuerySpec
 
 
@@ -535,6 +535,44 @@ ORDER BY id1, id2
 DEDUP_SEMANTIC_SQL = _sem_sql()
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (class centroids for
+    curriculum / coreset selection).  Long-form plan: posexplode to
+    (label, dim, val) and hash-aggregate — the shuffle carries one row per
+    (label, dim) after partial combine, so a 10^10-vector corpus reduces
+    to |labels| x dim rows however large n grows.  Fixed-point mean
+    (functions.exact.davg) keeps the result bit-identical cross-engine."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            davg(F.col("val")).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = f"""
+SELECT label, s.dim AS dim, COUNT(*) AS n_vecs,
+       {davg_sql('s.val')} AS centroid
+FROM (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                d -> {{'dim': d - 1, 'val': CAST(embedding[d] AS DOUBLE)}})) AS s
+  FROM embeddings)
+GROUP BY label, s.dim
+ORDER BY label, dim
+"""
+
+
 # ===========================================================================
 # Similarity search (ANN)
 # ===========================================================================
@@ -842,6 +880,61 @@ ORDER BY doc_id
 """
 
 
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning filter pipeline: keep documents strictly longer (in
+    tokens) than their language's median, report per-language keep stats.
+
+    The per-stratum threshold is the exact nearest-rank median computed as
+    a tiny per-lang aggregate (|langs| rows) broadcast back onto the
+    corpus — the adaptive-threshold filter pattern (vs docs_stratified_
+    sample's fixed rates).  Nothing here depends on row order: the median
+    is rank-defined and ties are resolved by the value itself."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    med = (
+        toks.groupBy("lang")
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("n_tokens")),
+                F.ceil(F.count(F.lit(1)) / 2).cast("int"),
+            ).alias("median_tokens")
+        )
+    )
+    kept = toks.join(F.broadcast(med), "lang").filter(
+        F.col("n_tokens") > F.col("median_tokens")
+    )
+    return (
+        kept.groupBy("lang", "median_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_tokens").alias("min_kept_tokens"),
+            F.max("n_tokens").alias("max_kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_QUALITY_FILTER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {text.token_count_sql('text')} AS n_tokens FROM documents),
+med AS (
+  SELECT lang,
+         (list_sort(list(n_tokens)))[CAST(ceil(COUNT(*) / 2.0) AS INTEGER)]
+           AS median_tokens
+  FROM toks GROUP BY lang)
+SELECT toks.lang, med.median_tokens,
+       COUNT(*) AS n_kept,
+       MIN(n_tokens) AS min_kept_tokens,
+       MAX(n_tokens) AS max_kept_tokens
+FROM toks JOIN med ON toks.lang = med.lang
+WHERE n_tokens > median_tokens
+GROUP BY toks.lang, med.median_tokens
+ORDER BY toks.lang
+"""
+
+
 def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints per document: hash every char
     8-gram, keep the min of each 4-hash sliding window. Returns the compact
@@ -1134,6 +1227,53 @@ labeled AS (
   FROM (SELECT c_custkey FROM positive EXCEPT SELECT c_custkey FROM with_orders))
 SELECT category, COUNT(*) AS n_customers
 FROM labeled GROUP BY category ORDER BY category
+"""
+
+
+_FO_BAL = 9000.0  # high-balance cutoff: creates rows on both exclusive sides
+
+
+def customer_orders_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: high-balance customers vs per-customer
+    order counts.  Left-only = rich customers who never ordered;
+    right-only = ordering customers below the balance cutoff.  Null sides
+    are coalesced to sentinels so the cross-engine hash stays dtype-stable
+    (nullable int64 decays to float64 in pandas on both engines, but the
+    coalesced form is exact)."""
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    rich = cust.filter(F.col("c_acctbal") > _FO_BAL).select(
+        "c_custkey", "c_acctbal"
+    )
+    cnts = orders.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    fo = rich.join(cnts, rich.c_custkey == cnts.o_custkey, "full_outer")
+    return (
+        fo.select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.coalesce(F.col("c_acctbal"), F.lit(-1.0)).alias("acctbal"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.when(F.col("c_custkey").isNull(), "right_only")
+            .when(F.col("o_custkey").isNull(), "left_only")
+            .otherwise("both")
+            .alias("side"),
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_ORDERS_FULL_OUTER_SQL = f"""
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       COALESCE(c.c_acctbal, -1.0) AS acctbal,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+            WHEN o.o_custkey IS NULL THEN 'left_only'
+            ELSE 'both' END AS side
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > {_FO_BAL}) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY custkey
 """
 
 
@@ -1445,6 +1585,96 @@ ORDER BY e.event_type, i.range_start
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type.
+
+    The pivot value list is fixed (not discovered from data), which is
+    both the determinism requirement and the scale requirement — a
+    data-driven pivot needs an extra pass to enumerate values.  Executes
+    as a single hash aggregate over day with conditional counts."""
+    (ev,) = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    out = (
+        ev.groupBy(day)
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("day")
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+)
+EVENTS_PIVOT_SQL = f"""
+SELECT date_trunc('day', ts) AS day,
+       {_PIVOT_COLS}
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
+_MA_DAYS = 7
+_MA_Q = float(10**8)
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed moving aggregate: 7-day moving average of the daily value
+    sum per event type.
+
+    Frame sums of doubles are order-dependent, so the daily total is kept
+    as its floor-quantized integer through the window frame (exact,
+    order-independent) and scaled back once — the same fixed-point scheme
+    as functions.exact, extended through a ROWS frame.  One shuffle to
+    daily grain, one window pass."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(_MA_Q)).cast("decimal(38,0)"))
+            .alias("q")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_MA_DAYS - 1), Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("q").cast("double") / F.lit(_MA_Q)).alias("daily_sum"),
+        (
+            F.sum("q").over(w).cast("double")
+            / (F.lit(_MA_Q) * F.count("q").over(w).cast("double"))
+        ).alias("ma7"),
+    ).orderBy("event_type", "day")
+
+
+EVENTS_MOVING_AVG_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(floor(value * {_MA_Q:.1f}) AS DECIMAL(38,0))) AS q
+  FROM events GROUP BY event_type, day)
+SELECT event_type, day,
+       CAST(q AS DOUBLE) / {_MA_Q:.1f} AS daily_sum,
+       CAST(SUM(q) OVER w AS DOUBLE)
+         / ({_MA_Q:.1f} * CAST(COUNT(q) OVER w AS DOUBLE)) AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN {_MA_DAYS - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event_type.
 
@@ -1623,6 +1853,8 @@ SPECS: list[QuerySpec] = [
               "cosine>=0.95 near-dup pairs"),
     QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL,
               "banded SRP-LSH candidates + exact cosine verify (sub-quadratic)"),
+    QuerySpec("embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL,
+              "per-label embedding centroids (long-form fixed-point mean)"),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL,
               "brute-force cosine top-k"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,
@@ -1642,6 +1874,8 @@ SPECS: list[QuerySpec] = [
               "exact corpus heavy hitters (top-k words)"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "per-doc top-k TF-IDF terms (log-free linear idf)"),
+    QuerySpec("docs_quality_filter", docs_quality_filter, DOCS_QUALITY_FILTER_SQL,
+              "adaptive per-lang median-threshold quality filter"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
     QuerySpec("orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL,
@@ -1655,6 +1889,13 @@ SPECS: list[QuerySpec] = [
               "gap-based sessionization"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
               "JSON prop extraction + agg"),
+    QuerySpec("events_pivot", events_pivot, EVENTS_PIVOT_SQL,
+              "PIVOT: daily counts, one column per event type"),
+    QuerySpec("events_moving_avg", events_moving_avg, EVENTS_MOVING_AVG_SQL,
+              "7-day moving average via fixed-point ROWS frame"),
+    QuerySpec("customer_orders_full_outer", customer_orders_full_outer,
+              CUSTOMER_ORDERS_FULL_OUTER_SQL,
+              "FULL OUTER join with coalesced sides"),
     QuerySpec("events_asof_join", events_asof_join, EVENTS_ASOF_SQL,
               "as-of join: latest click <= purchase ts per user (union+window plan)"),
     QuerySpec("events_range_join", events_range_join, EVENTS_RANGE_JOIN_SQL,
