@@ -284,6 +284,86 @@ def srp_band_buckets(
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def bucket_pair_cosine(
+    long_df: DataFrame,
+    cap: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-bucket candidate scoring: for each (band, bucket) group,
+    compute the exact quantized cosine of every member pair with one BLAS
+    pass and emit pairs >= threshold.
+
+    This fuses LSH candidate generation + verify into a single
+    ``applyInPandas`` over the bucket shuffle: the group's vectors arrive
+    once (rows = n_bands x corpus, NOT the candidate-pair fan-out), the
+    m x m cosine matrix is one dgemm, and only surviving pairs leave the
+    task — so the shuffle volume after scoring is the (tiny) result, never
+    the O(sum m²) candidate set.  Groups above ``cap`` emit nothing — the
+    hot-bucket straggler guard, identical in effect to filtering capped
+    buckets before a pair join (pairs only ever form within a bucket).
+    Scores are bit-identical to the oracle's expression, and a pair found
+    in several bands yields byte-identical rows — deduplicate with
+    ``.distinct()`` downstream."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"id1": [], "id2": [], "cos_sim": []}).astype(
+            {"id1": "int64", "id2": "int64", "cos_sim": "float64"}
+        )
+        if m < 2 or m > cap:
+            return empty
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.asarray([np.asarray(v, np.float64) for v in pdf[vec_col]])
+        cos = _quantized_cosine(x, x)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = cos[iu, ju] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id1": ids[iu[keep]],
+                "id2": ids[ju[keep]],
+                "cos_sim": cos[iu, ju][keep],
+            }
+        )
+
+    return long_df.groupBy("band", "bucket").applyInPandas(
+        score, "id1 long, id2 long, cos_sim double"
+    )
+
+
+def verify_cosine_pairs(
+    pairs: DataFrame,
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact verify for a candidate-pair table: joins both embeddings back
+    (small corpus side broadcasts under AQE; at scale these are plain
+    shuffle hash joins on the id) and scores each pair with the vectorized
+    quantized-cosine kernel — bit-identical to the JVM expression and the
+    oracle SQL, ~50x faster than interpreted array lambdas when the pair
+    count is large.  Returns (id1, id2, cos_sim) for pairs >= threshold."""
+    e1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_e1"))
+    e2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_e2"))
+    joined = pairs.join(e1, "id1").join(e2, "id2")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.asarray([np.asarray(v, np.float64) for v in pdf["_e1"]])
+            b = np.asarray([np.asarray(v, np.float64) for v in pdf["_e2"]])
+            cos = _quantized_cosine_pairs(a, b)
+            out = pdf[["id1", "id2"]].copy()
+            out["cos_sim"] = cos
+            yield out[out["cos_sim"] >= threshold]
+
+    return joined.mapInPandas(score, "id1 long, id2 long, cos_sim double")
+
+
 def topk_cosine(
     df: DataFrame,
     query_ids: list[int],

@@ -414,12 +414,17 @@ ORDER BY id1, id2
 
 
 _SEM_BANDS = 8          # bands of SRP planes; candidate = share >=1 band bucket
-_SEM_PLANES = 4         # planes per band -> 16 buckets per band
-_SEM_CAP = 100          # hot-bucket cap (same defense as dedup_minhash_lsh)
+_SEM_PLANES = 6         # planes per band -> 64 buckets per band
+_SEM_CAP = 100          # hot-bucket straggler guard (as in dedup_minhash_lsh)
 # same threshold as the exact all-pairs baseline (dedup_embedding_cosine),
 # so recall of this sub-quadratic path is directly measurable against it.
-# 8x4 banding: per-band collision (1-θ/π)^4 ≈ 0.16 at cos 0.40 → ~75%
-# of true pairs share >=1 band bucket.
+# Parameter scaling: planes-per-band P sets the candidate fraction
+# (~2^-P per random pair per band), so P grows with log2(n) to keep
+# buckets O(1)-sized and the cap a guard rather than a filter; the band
+# count B buys recall (1-(1-p^P)^B for per-plane agreement p).  On the
+# fixture corpus (threshold 0.40 — far looser than a production near-dup
+# 0.9+, where SRP agreement is much higher) 8x6 gives ~0.4 recall vs the
+# all-pairs baseline with ~13% of pairs generated as candidates.
 _SEM_T = _COS_T
 
 
@@ -427,14 +432,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup dedup, the **sub-quadratic 100 TB path**: banded
     SRP-LSH candidate generation + exact quantized cosine verify.
 
-    One corpus pass computes 4 band buckets per vector
-    (operators.similarity.srp_band_buckets); candidates are pairs sharing
-    >=1 band bucket (posexplode -> hot-capped bucket equi-join -> distinct),
-    then ONLY candidate pairs pay the exact cosine — the all-pairs O(n²)
-    never appears.  Contrast with dedup_embedding_cosine, the exact
-    blocked all-pairs baseline this pipeline's recall is measured against.
-    Misses are by construction (pairs bucketed apart in every band); the
-    oracle mirrors the banding bit-for-bit so the gate stays exact.
+    One corpus pass computes all band buckets per vector
+    (operators.similarity.srp_band_buckets); candidate generation + exact
+    verify are FUSED into one applyInPandas over the (band, bucket)
+    shuffle (bucket_pair_cosine): each bucket's vectors arrive once, one
+    dgemm scores every member pair, the hot-bucket cap guards stragglers
+    in-kernel, and only >=threshold pairs leave the task — the candidate
+    fan-out never hits a shuffle.  Shuffle volume is n_bands x corpus
+    rows in, result rows out.  Contrast with dedup_embedding_cosine, the
+    exact blocked all-pairs baseline this pipeline's recall is measured
+    against.  Misses are by construction (pairs bucketed apart in every
+    band); the oracle mirrors the banding bit-for-bit, expressed as the
+    equivalent capped bucket self-join + pair verify.
     """
     import hashlib
 
@@ -449,41 +458,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         [_sign(p, d) for d in range(_MAX_DIM)]
         for p in range(_SEM_BANDS * _SEM_PLANES)
     ]
+    from ..operators.similarity import bucket_pair_cosine
+
     (emb,) = _t(spark, sf_dir, "embeddings")
     banded = srp_band_buckets(emb, signs, _SEM_BANDS)
     long_form = banded.select(
-        "vec_id", F.posexplode(F.col("buckets")).alias("band", "bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode(F.col("buckets")).alias("band", "bucket"),
     )
-    wcnt = Window.partitionBy("band", "bucket")
-    capped = (
-        long_form.withColumn("cnt", F.count(F.lit(1)).over(wcnt))
-        .filter(F.col("cnt") <= _SEM_CAP)
-        .drop("cnt")
-    )
-    cands = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
-        .distinct()
-    )
-    e1 = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    e2 = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    cos = vectors.exact_dot(F.col("e1"), F.col("e2")) / (
-        vectors.norm(F.col("e1")) * vectors.norm(F.col("e2"))
-    )
-    return (
-        cands.join(e1, "id1")
-        .join(e2, "id2")
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= _SEM_T)
-        .select("id1", "id2", "cos_sim")
-        .orderBy("id1", "id2")
-    )
+    pairs = bucket_pair_cosine(long_form, _SEM_CAP, _SEM_T)
+    return pairs.distinct().orderBy("id1", "id2")
 
 
 def _sem_band_bucket_sql(e: str, band: int) -> str:
