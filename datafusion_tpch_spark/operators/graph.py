@@ -1,0 +1,107 @@
+"""Iterative graph operators: connected components via distributed
+min-label propagation.
+
+The canonical use in a training-data pipeline is near-dup *cluster*
+formation: pairwise near-dup edges (MinHash/SRP/n-gram verify output) are
+only half the dedup story — survivors are elected per connected component
+(keep one doc per cluster), which needs transitive closure, an iterative
+algorithm no single SQL join expresses.
+
+Execution model: the driver runs the convergence loop (rounds ≈ component
+diameter, a handful for the shallow clusters near-dup graphs produce), but
+every iteration is a pair of distributed hash joins/aggregations; nothing
+data-sized ever lands on the driver.  Each iteration reuses the same (node) partitioning, and the
+label frontier is localCheckpoint'ed to cut the growing lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Returns ``(node, component)`` where ``component`` is the minimum node
+    id reachable from ``node`` — a deterministic canonical labeling.
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own label and its neighbors' labels, then jumps
+    to its label's label (labels are always real node ids, so the parent
+    lookup is a self-join).  The jump makes label trees collapse in
+    O(log diameter) rounds instead of O(diameter).  Convergence is
+    detected through a monotone invariant — labels only ever decrease, so
+    the label sum is strictly decreasing until fixpoint; one scalar
+    aggregate per round, no extra join.  ``max_iter`` is a runaway guard.
+    """
+    spark = edges.sparkSession
+    # materialize the (possibly expensive) upstream edge pipeline ONCE, at
+    # the session's full width — every round joins against it, and without
+    # this each round would recompute the whole edge derivation.  Only the
+    # label loop runs under the narrowed shuffle width: num_partitions
+    # sizes the loop's shuffles to the graph (a small graph on a wide
+    # session wastes each round on empty-task scheduling; size it
+    # ~ edge_count / rows-per-task at scale, None keeps session width).
+    # The conf is restored after the loop; the returned frame is
+    # localCheckpoint-materialized inside the scope.
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if num_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _cc_loop(both, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbor minimum: smallest label among each node's neighbors
+        neigh = (
+            both.join(labels, both.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("neigh_min"))
+            .withColumnRenamed("a", "node")
+        )
+        updated = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("neigh_min", "component")
+            ).alias("component"),
+        )
+        # pointer jump: follow my label to ITS label (component ids are
+        # node ids, so the parent lookup is a self-join on the label)
+        parents = updated.select(
+            F.col("node").alias("component"), F.col("component").alias("_parent")
+        )
+        labels = (
+            updated.join(parents, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_parent", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()  # bound lineage; the action below reuses it
+        )
+        s = labels.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

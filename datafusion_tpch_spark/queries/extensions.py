@@ -486,7 +486,9 @@ def _sem_band_bucket_sql(e: str, band: int) -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def _sem_sql() -> str:
+def _sem_ctes() -> str:
+    """The semantic-dedup pipeline as a reusable CTE chain ending in
+    ``sem_pairs`` — shared by the pair gate and the clustering oracle."""
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {b} AS band, {_sem_band_bucket_sql('embedding', b)} AS bucket"
         f" FROM embeddings"
@@ -497,8 +499,7 @@ def _sem_sql() -> str:
         f" / (sqrt({vectors.exact_dot_sql('e1.embedding', 'e1.embedding')})"
         f" * sqrt({vectors.exact_dot_sql('e2.embedding', 'e2.embedding')}))"
     )
-    return f"""
-WITH long_form AS (
+    return f"""long_form AS (
 {band_rows}),
 capped AS (
   SELECT vec_id, band, bucket FROM (
@@ -507,17 +508,70 @@ capped AS (
 cand AS (
   SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
   FROM capped a JOIN capped b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT cand.id1, cand.id2, {cos} AS cos_sim
-FROM cand
-JOIN embeddings e1 ON e1.vec_id = cand.id1
-JOIN embeddings e2 ON e2.vec_id = cand.id2
-WHERE {cos} >= {_SEM_T}
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+sem_pairs AS (
+  SELECT cand.id1, cand.id2, {cos} AS cos_sim
+  FROM cand
+  JOIN embeddings e1 ON e1.vec_id = cand.id1
+  JOIN embeddings e2 ON e2.vec_id = cand.id2
+  WHERE {cos} >= {_SEM_T})"""
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH {_sem_ctes()}
+SELECT id1, id2, cos_sim FROM sem_pairs
 ORDER BY id1, id2
 """
 
 
-DEDUP_SEMANTIC_SQL = _sem_sql()
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup **cluster** formation + survivor election — the step after
+    pairwise detection: connected components over the semantic near-dup
+    edge set (operators/graph.connected_components, iterative distributed
+    min-label propagation), survivor = min doc id per component.
+
+    Pairwise output alone under-deduplicates (a~b and b~c chains must
+    collapse to ONE survivor even when a!~c); transitive closure is the
+    iterative algorithm no single join expresses.  The oracle replays the
+    same closure as a recursive CTE — label-set enumeration to the same
+    min-label fixpoint.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = dedup_semantic(spark, sf_dir)
+    # fixture-scale graphs: a few hundred edges — scope the loop shuffles
+    # narrow (production sizes this from the edge count)
+    cc = connected_components(pairs, src="id1", dst="id2", num_partitions=4)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .select(
+            F.col("component").alias("survivor_id"), "n_members", "max_member"
+        )
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_sem_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM sem_pairs
+  UNION ALL
+  SELECT id2, id1 FROM sem_pairs),
+cc(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a),
+labeled AS (
+  SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+SELECT component AS survivor_id, COUNT(*) AS n_members, MAX(node) AS max_member
+FROM labeled
+GROUP BY component
+ORDER BY survivor_id
+"""
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +971,36 @@ FROM toks JOIN med ON toks.lang = med.lang
 WHERE n_tokens > median_tokens
 GROUP BY toks.lang, med.median_tokens
 ORDER BY toks.lang
+"""
+
+
+def docs_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window coverage: per-language length quartiles (the corpus
+    profiling pass before choosing filter thresholds).  The tile order key
+    (n_chars, doc_id) is total, so tile assignment is deterministic."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select("lang", "n_chars", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "quartile")
+    )
+
+
+DOCS_LENGTH_QUARTILES_SQL = """
+SELECT lang, CAST(quartile AS INTEGER) AS quartile,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (
+  SELECT lang, n_chars,
+         NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+  FROM documents)
+GROUP BY lang, quartile
+ORDER BY lang, quartile
 """
 
 
@@ -1838,6 +1922,9 @@ SPECS: list[QuerySpec] = [
               "cosine>=0.95 near-dup pairs"),
     QuerySpec("dedup_semantic", dedup_semantic, DEDUP_SEMANTIC_SQL,
               "banded SRP-LSH candidates + exact cosine verify (sub-quadratic)"),
+    QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters,
+              DEDUP_SEMANTIC_CLUSTERS_SQL,
+              "connected-components cluster formation + survivor election"),
     QuerySpec("embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL,
               "per-label embedding centroids (long-form fixed-point mean)"),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL,
@@ -1861,6 +1948,9 @@ SPECS: list[QuerySpec] = [
               "per-doc top-k TF-IDF terms (log-free linear idf)"),
     QuerySpec("docs_quality_filter", docs_quality_filter, DOCS_QUALITY_FILTER_SQL,
               "adaptive per-lang median-threshold quality filter"),
+    QuerySpec("docs_length_quartiles", docs_length_quartiles,
+              DOCS_LENGTH_QUARTILES_SQL,
+              "per-lang NTILE(4) length quartiles"),
     QuerySpec("customer_set_ops", customer_set_ops, CUSTOMER_SET_OPS_SQL,
               "UNION ALL / INTERSECT / EXCEPT composition"),
     QuerySpec("orders_rollup", orders_rollup, ORDERS_ROLLUP_SQL,

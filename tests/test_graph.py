@@ -1,0 +1,39 @@
+"""connected_components: labeling semantics, convergence, conf hygiene."""
+
+from __future__ import annotations
+
+from datafusion_tpch_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, **kw)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: every node labels to 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (30, 31)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_direction_irrelevant(spark):
+    # edges listed "backwards" still produce min-id labeling
+    got = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_narrow_scope_restores_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    _cc(spark, [(1, 2)], num_partitions=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_cycle(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == {1: 1, 2: 1, 3: 1}
