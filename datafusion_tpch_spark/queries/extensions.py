@@ -1505,6 +1505,79 @@ ORDER BY user_id
 """
 
 
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defended enrichment join (operators/skew.salted_join, wired
+    into a live query): events join a tiny per-type profile dimension on
+    event_type — a 5-distinct-key join, the textbook skew shape (every
+    row holds one of 5 hot keys, so an unsalted shuffle join puts 1/5 of
+    the fact table on single reducers).  salted_join scatters each hot
+    key across 8 replica partitions; the result is row-identical to the
+    plain join (tests/test_skew.py), which is exactly what the oracle's
+    plain-join SQL checks."""
+    from ..operators.skew import salted_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(davg(F.col("value")).alias("type_avg"))
+    enriched = salted_join(
+        ev.select("event_type", "value"), dim, on=["event_type"], salt_n=8
+    )
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+            ).alias("n_above_avg"),
+            F.max("type_avg").alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SALTED_ENRICH_SQL = f"""
+WITH dim AS (
+  SELECT event_type, {davg_sql('value')} AS type_avg
+  FROM events GROUP BY event_type)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_avg,
+       MAX(d.type_avg) AS type_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curve: distinct active users by day-offset from
+    each user's first-seen day.  Two exact aggregations (per-user min
+    day rides the same shuffle as the distinct-day set), then a
+    distinct-count per offset — the cohort-analysis staple."""
+    (ev,) = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id", F.datediff(F.col("day"), F.col("first_day")).alias("day_offset")
+        )
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day_offset")
+    )
+
+
+EVENTS_USER_RETENTION_SQL = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id)
+SELECT CAST(date_diff('day', first_day, day) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT days.user_id) AS n_users
+FROM days JOIN first ON days.user_id = first.user_id
+GROUP BY day_offset
+ORDER BY day_offset
+"""
+
+
 _KMV_K = 64
 _HASH_SPACE = float(2**63)
 
@@ -1975,6 +2048,10 @@ SPECS: list[QuerySpec] = [
               "as-of join: latest click <= purchase ts per user (union+window plan)"),
     QuerySpec("events_range_join", events_range_join, EVENTS_RANGE_JOIN_SQL,
               "bucketized interval join: events vs padded busy-hour ranges"),
+    QuerySpec("events_salted_enrich", events_salted_enrich, EVENTS_SALTED_ENRICH_SQL,
+              "salted skew-defended hot-key join (row-identical to plain join)"),
+    QuerySpec("events_user_retention", events_user_retention, EVENTS_USER_RETENTION_SQL,
+              "cohort retention curve by day-offset from first-seen"),
     QuerySpec("events_kmv_distinct", events_kmv_distinct, EVENTS_KMV_SQL,
               "KMV distinct-count sketch (cross-engine-deterministic)"),
     QuerySpec("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_SQL,
