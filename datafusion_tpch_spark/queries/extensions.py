@@ -1950,6 +1950,227 @@ ORDER BY event_type
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view -> click -> purchase.  Each stage
+    keeps users whose first qualifying event happens at-or-after their
+    previous stage's first event (classic product-analytics funnel).
+
+    Three per-user aggregations chained by equi-joins on user_id — every
+    shuffle is on the same key, so at 100 TB the stages co-partition and
+    AQE collapses the exchanges; no window over the raw event stream and
+    no per-user event-array materialization.  Timestamp comparisons use
+    integer microseconds (unix_micros / epoch_us) for cross-engine
+    exactness."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    first_purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+        )
+
+    return (
+        stage(first_view, 1, "view")
+        .unionAll(stage(first_click, 2, "view>click"))
+        .unionAll(stage(first_purch, 3, "view>click>purchase"))
+        .orderBy("stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+fc AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= fv.v_us
+  GROUP BY e.user_id),
+fp AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.c_us
+  GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM fv
+  UNION ALL
+  SELECT 2, 'view>click', COUNT(*) FROM fc
+  UNION ALL
+  SELECT 3, 'view>click>purchase', COUNT(*) FROM fp)
+ORDER BY stage
+"""
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (order year, priority): all four grouping combinations in
+    one pass (reference surface: DataFusion grows the same GROUPING SETS
+    expansion; complements the ROLLUP gate).  Group keys are coalesced to
+    sentinel values ('ALL' / -1) so neither engine's NULL ordering or
+    NULL hashing enters the comparison."""
+    (o,) = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate")).alias("o_year")
+    return (
+        o.cube(yr, F.col("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("gid", "o_year", "o_orderpriority")
+    )
+
+
+ORDERS_CUBE_SQL = f"""
+SELECT CAST(COALESCE(EXTRACT(YEAR FROM o_orderdate), -1) AS INTEGER) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate), o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (EXTRACT(YEAR FROM o_orderdate), o_orderpriority)
+ORDER BY gid, o_year, o_orderpriority
+"""
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (last observation carried
+    forward): build the dense hourly spine per event type (sequence +
+    explode — generated, never collected), left-join the hourly
+    aggregate, and fill missing hours with the latest preceding value
+    via last(ignorenulls) over an unbounded-preceding frame.
+
+    At scale the spine is tiny relative to the fact table (hours x
+    types), the join is on (type, hour), and the fill window partitions
+    by type — one shuffle each.  The timeseries-database 'gapfill +
+    locf' primitive expressed as pure DataFrame ops."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(dsum(F.col("value")).alias("sum_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .withColumn("is_gap", F.col("sum_value").isNull().cast("int"))
+        .withColumn(
+            "sum_value_filled",
+            F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)),
+        )
+        .select("event_type", "hour", "is_gap", "sum_value_filled")
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         {dsum_sql('value')} AS sum_value
+  FROM events GROUP BY hour, event_type),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events),
+offs AS (
+  SELECT UNNEST(range(0, ((epoch_us(hi) - epoch_us(lo)) // 3600000000) + 1)) AS i
+  FROM bounds),
+spine AS (
+  SELECT t.event_type, b.lo + o.i * INTERVAL 1 HOUR AS hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds b CROSS JOIN offs o)
+SELECT s.event_type, s.hour,
+       CASE WHEN h.sum_value IS NULL THEN 1 ELSE 0 END AS is_gap,
+       COALESCE(LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS sum_value_filled
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+ORDER BY s.event_type, s.hour
+"""
+
+
+_HIST_WIDTH = 50.0
+_HIST_NBUCKETS = 10
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (10 buckets of
+    width 50, clamped).  Bucket index is floor(value / width) — plain
+    IEEE division + floor, bit-identical across engines — so the whole
+    histogram is one hash aggregation; no sort, no sketch."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / _HIST_WIDTH), F.lit(0)),
+        F.lit(_HIST_NBUCKETS - 1),
+    ).cast("int")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("bucket_lo", F.col("bucket").cast("double") * _HIST_WIDTH)
+        .select("event_type", "bucket", "bucket_lo", "n_events")
+        .orderBy("event_type", "bucket")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR(value / {_HIST_WIDTH}), 0),
+                    {_HIST_NBUCKETS - 1}) AS INTEGER) AS bucket
+  FROM events)
+SELECT event_type, bucket,
+       CAST(bucket AS DOUBLE) * {_HIST_WIDTH} AS bucket_lo,
+       COUNT(*) AS n_events
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
 def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """information_schema.columns over the registered catalog (reference
     parity: it enables DataFusion's information_schema,
@@ -2056,4 +2277,12 @@ SPECS: list[QuerySpec] = [
               "KMV distinct-count sketch (cross-engine-deterministic)"),
     QuerySpec("events_value_quantiles", events_value_quantiles, EVENTS_QUANTILES_SQL,
               "exact nearest-rank quantiles (p50/p90/p99)"),
+    QuerySpec("events_funnel", events_funnel, EVENTS_FUNNEL_SQL,
+              "ordered conversion funnel (view -> click -> purchase)"),
+    QuerySpec("orders_cube", orders_cube, ORDERS_CUBE_SQL,
+              "CUBE grouping-sets aggregation with GROUPING id"),
+    QuerySpec("events_gapfill", events_gapfill, EVENTS_GAPFILL_SQL,
+              "dense hourly spine + LOCF gap filling"),
+    QuerySpec("events_histogram", events_histogram, EVENTS_HISTOGRAM_SQL,
+              "fixed-width value histogram (exact, one aggregation)"),
 ]
