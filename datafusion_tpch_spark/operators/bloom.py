@@ -1,0 +1,108 @@
+"""Bloom-filter semi-join prefilter.
+
+The classic distributed-join optimization: build a small bit-set from the
+(filtered) build side's join keys, broadcast it, and drop probe-side rows
+whose keys cannot possibly match *before* the shuffle/join — then run the
+exact join on the survivors to eliminate false positives.  Result rows are
+identical to the plain join; the bloom pass only cuts the data volume that
+reaches the join, which at 100 TB is the difference between shuffling the
+whole fact table and shuffling the ~selectivity fraction of it.
+
+Spark has a native version of this idea (runtime bloom-filter join,
+``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``) that only fires
+under cost heuristics; this operator is the explicit, deterministic form —
+and every expression is JVM-side (md5 + bit arithmetic), no Python UDFs.
+
+Design constraints:
+- The filter is a fixed ``m_bits`` bit-set packed into 32-bit words stored
+  in int64s.  The driver collect is bounded at ``m_bits / 32`` rows
+  (constant, corpus-size independent — same rule as the fixed-k IVF
+  centroids).
+- Hash positions derive from the cross-engine-stable md5 hash
+  (functions/hashing.md5_int), so behavior is reproducible across runs and
+  engines; correctness never depends on the hash anyway (the exact join
+  removes false positives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+_WORD_BITS = 32
+# powers of two as a constant-folded literal array (shiftleft needs a
+# literal shift amount, so a lookup table stands in for 1 << bit_col)
+_POW2 = [1 << b for b in range(_WORD_BITS)]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bloom bit positions for a key column (md5-derived, JVM-side)."""
+    s = key.cast("string")
+    return [
+        md5_int(F.concat(s, F.lit(f"#{i}"))) % F.lit(m_bits) for i in range(k)
+    ]
+
+
+def bloom_build(build: DataFrame, key: Column, m_bits: int = 1 << 15,
+                k: int = 4) -> list[int]:
+    """Aggregate the build side's keys into a packed bloom bit-set.
+
+    One explode (k rows per key) + one hash aggregation on the word index,
+    then a driver collect bounded at ``m_bits / 32`` rows.  Returns the
+    dense word list (length ``m_bits / 32``, zeros included).
+    """
+    pos = F.explode(F.array(*_positions(key, m_bits, k))).alias("pos")
+    pairs = (
+        build.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).cast("int").alias("word"),
+            (F.col("pos") % _WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.element_at(F.lit(_POW2), F.col("bit") + 1)).alias("mask"))
+        .collect()
+    )
+    words = [0] * (m_bits // _WORD_BITS)
+    for r in pairs:
+        words[r["word"]] = r["mask"]
+    return words
+
+
+def bloom_might_contain(words: list[int], key: Column, m_bits: int = 1 << 15,
+                        k: int = 4) -> Column:
+    """Membership predicate over a built filter — pure column expressions.
+
+    The word list enters the plan as one constant-folded array literal
+    (``m_bits / 32`` elements); each probe row computes k md5 positions and
+    ANDs the corresponding bit tests.  False positives possible (callers
+    must re-join exactly), false negatives impossible.
+    """
+    arr = F.lit(words)
+    checks = []
+    for pos in _positions(key, m_bits, k):
+        word = F.element_at(arr, F.shiftright(pos, 5).cast("int") + 1)
+        mask = F.element_at(F.lit(_POW2), (pos % _WORD_BITS).cast("int") + 1)
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(probe: DataFrame, build: DataFrame, probe_key: str,
+                    build_key: str, m_bits: int = 1 << 15, k: int = 4,
+                    ) -> DataFrame:
+    """Exact semi-join with a bloom prefilter on the probe side.
+
+    Row-identical to ``probe.join(build, probe_key == build_key,
+    "left_semi")`` — the bloom pass is performance-only.
+    """
+    words = bloom_build(build, F.col(build_key), m_bits, k)
+    pre = probe.filter(bloom_might_contain(words, F.col(probe_key), m_bits, k))
+    return pre.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )

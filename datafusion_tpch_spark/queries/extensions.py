@@ -2171,6 +2171,143 @@ ORDER BY event_type, bucket
 """
 
 
+def lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (operators/bloom wired into a live
+    query): lineitem rows whose order is 1-URGENT from 1995.  The bloom
+    bit-set built from the filtered orders keys drops non-matching
+    lineitem rows before the exact semi-join — at 100 TB that cuts the
+    join's shuffle input by ~the build side's selectivity (here ~3%)
+    while staying row-identical to the plain semi-join, which is exactly
+    what the oracle checks."""
+    from ..operators.bloom import bloom_semi_join
+
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year(F.col("o_orderdate")) == 1995)
+    ).select("o_orderkey")
+    hit = bloom_semi_join(
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        build,
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+    )
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_BLOOM_SEMI_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT'
+    AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+_MERGE_MOD = 97          # every 97th order receives an update
+_MERGE_KEY_SHIFT = 900_000_000  # synthetic insert keys live far above real ones
+
+
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / CDC-apply semantics as pure DataFrame ops: a deterministic
+    change batch (price updates for every 97th order, plus synthetic new
+    orders on shifted keys) applied to the base table as
+    ``base ANTI-JOIN changes  UNION ALL  changes`` — the standard
+    upsert-without-a-table-format plan (the same shape Delta/Iceberg
+    MERGE lowers to).  One anti-join shuffle on the key; verified by
+    aggregating the merged result per status."""
+    (o,) = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % _MERGE_MOD == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = updates.select(
+        (F.col("o_orderkey") + _MERGE_KEY_SHIFT).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    changes = updates.unionByName(inserts)
+    merged = base.join(changes, "o_orderkey", "left_anti").unionByName(changes)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_MERGE_UPSERT_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+updates AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM base WHERE o_orderkey % {_MERGE_MOD} = 0),
+inserts AS (
+  SELECT o_orderkey + {_MERGE_KEY_SHIFT} AS o_orderkey,
+         'N' AS o_orderstatus, o_totalprice
+  FROM updates),
+changes AS (
+  SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL SELECT * FROM changes)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       MAX(o_orderkey) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive-canonicalization dedup: lowercase, strip everything
+    non-alphanumeric to single spaces, then group by the md5 of the
+    canonical text (catches near-dups that differ only in punctuation,
+    casing, or whitespace — the URL/boilerplate-normalization step of a
+    training-data pipeline).  Same single-shuffle shape as dedup_exact,
+    stricter key."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.withColumn("fp", F.md5(canon))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_CANONICAL_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY fp
+ORDER BY survivor_id
+"""
+
+
 def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """information_schema.columns over the registered catalog (reference
     parity: it enables DataFusion's information_schema,
@@ -2285,4 +2422,10 @@ SPECS: list[QuerySpec] = [
               "dense hourly spine + LOCF gap filling"),
     QuerySpec("events_histogram", events_histogram, EVENTS_HISTOGRAM_SQL,
               "fixed-width value histogram (exact, one aggregation)"),
+    QuerySpec("lineitem_bloom_semi", lineitem_bloom_semi, LINEITEM_BLOOM_SEMI_SQL,
+              "bloom-prefiltered semi-join (row-identical to plain semi)"),
+    QuerySpec("orders_merge_upsert", orders_merge_upsert, ORDERS_MERGE_UPSERT_SQL,
+              "MERGE/CDC upsert via anti-join + union"),
+    QuerySpec("dedup_canonical", dedup_canonical, DEDUP_CANONICAL_SQL,
+              "punctuation/case-insensitive canonicalization dedup"),
 ]
