@@ -1206,6 +1206,101 @@ ORDER BY doc_id, rnk
 """
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def docs_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent word
+    pairs whose joint frequency beats what their unigram frequencies
+    predict.  The PMI score uses the *linear* probability ratio
+    p(ab)/(p(a)p(b)) rather than its log — IEEE multiply/divide are
+    bit-exact across engines while libm log is not, and the ranking only
+    needs monotonicity (same rule as the TF-IDF gate).
+
+    Bigram extraction is a narrow per-row array zip (no join, no
+    positional self-join — the classic scalable n-gram shape); then one
+    hash aggregation per n-gram order and two vocabulary-sized joins.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    sz = F.size(w)
+    toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    pair = F.arrays_zip(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+    )
+    bigrams = (
+        toks.select(F.explode(pair).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= _PMI_MIN_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(w).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = (
+        docs.select(sz.alias("n_tok"))
+        .agg(
+            F.sum(F.col("n_tok").cast("long")).alias("t_tokens_i"),
+            F.sum(
+                F.greatest(F.col("n_tok") - 1, F.lit(0)).cast("long")
+            ).alias("t_pairs_i"),
+        )
+        .select(
+            F.col("t_tokens_i").cast("double").alias("t_tokens"),
+            F.col("t_pairs_i").cast("double").alias("t_pairs"),
+        )
+    )
+    scored = (
+        bigrams.join(uni.withColumnRenamed("term", "w1").withColumnRenamed("n", "na"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("n", "nb"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_ratio",
+            (F.col("nab").cast("double") * F.col("t_tokens") * F.col("t_tokens"))
+            / (F.col("t_pairs") * F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "nab", "na", "nb", "pmi_ratio")
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
+
+
+DOCS_PMI_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {text.words_sql('text')} AS w FROM documents),
+bigrams AS (
+  SELECT w[i.i] AS w1, w[i.i + 1] AS w2, COUNT(*) AS nab
+  FROM toks CROSS JOIN UNNEST(range(1, len(w))) AS i(i)
+  WHERE len(w) >= 2
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+uni AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest(w) AS term FROM toks)
+  GROUP BY term),
+totals AS (
+  SELECT CAST(SUM(len(w)) AS DOUBLE) AS t_tokens,
+         CAST(SUM(GREATEST(len(w) - 1, 0)) AS DOUBLE) AS t_pairs
+  FROM toks)
+SELECT b.w1, b.w2, b.nab, a.n AS na, c.n AS nb,
+       (CAST(b.nab AS DOUBLE) * t.t_tokens * t.t_tokens)
+         / (t.t_pairs * CAST(a.n AS DOUBLE) * CAST(c.n AS DOUBLE)) AS pmi_ratio
+FROM bigrams b
+JOIN uni a ON b.w1 = a.term
+JOIN uni c ON b.w2 = c.term
+CROSS JOIN totals t
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT {_PMI_TOPK}
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts; predicted
     language = argmax (ties broken by language code). Compared against the
@@ -2428,4 +2523,6 @@ SPECS: list[QuerySpec] = [
               "MERGE/CDC upsert via anti-join + union"),
     QuerySpec("dedup_canonical", dedup_canonical, DEDUP_CANONICAL_SQL,
               "punctuation/case-insensitive canonicalization dedup"),
+    QuerySpec("docs_pmi_bigrams", docs_pmi_bigrams, DOCS_PMI_BIGRAMS_SQL,
+              "top collocations by linear-PMI over adjacent word pairs"),
 ]

@@ -23,6 +23,7 @@ from ..streaming import (
     read_events_stream,
     run_stream_to_df,
     session_window_stream,
+    sliding_agg_stream,
 )
 from . import QuerySpec
 
@@ -117,6 +118,32 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (hopping) aggregation, streaming execution: 3-hour
+    windows every hour."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = sliding_agg_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(spark, stream, "events_sliding_stream").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# a 3h/1h sliding window's starts for an event at hour h are h, h-1, h-2
+# (hour-aligned, epoch-anchored) — so expanding each event into its three
+# windows reproduces Spark's window(ts, '3 hours', '1 hour') exactly.
+EVENTS_SLIDING_STREAM_SQL = f"""
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) - o.i * INTERVAL 1 HOUR AS win_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT UNNEST(range(0, 3)) AS i) o)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM expanded
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
 def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: first-seen (user_id, event_type) key set,
     append-mode output — the surviving key set equals batch DISTINCT."""
@@ -152,6 +179,12 @@ SPECS: list[QuerySpec] = [
         events_enriched_stream,
         EVENTS_ENRICHED_STREAM_SQL,
         "stream-static broadcast enrichment join + agg (== batch)",
+    ),
+    QuerySpec(
+        "events_sliding_stream",
+        events_sliding_stream,
+        EVENTS_SLIDING_STREAM_SQL,
+        "streaming sliding/hopping window agg (AvailableNow == batch)",
     ),
     QuerySpec(
         "events_dedup_stream",

@@ -15,4 +15,5 @@ from .pipeline import (  # noqa: F401
     read_events_stream,
     run_stream_to_df,
     session_window_stream,
+    sliding_agg_stream,
 )

@@ -92,6 +92,28 @@ def session_window_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def sliding_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding (hopping) windows: 3-hour windows advancing every hour, so
+    each event contributes to exactly 3 windows.  Same watermark/state
+    rules as the tumbling form — state cardinality is (window x type) x
+    3 overlap factor, still bounded by the watermark horizon regardless
+    of input rate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "3 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_keys_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication: first-seen key set over the event stream.
 
