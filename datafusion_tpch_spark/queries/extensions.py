@@ -1519,6 +1519,49 @@ ORDER BY asset_id
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality frame sampling: one blob row fans out to
+    ceil(duration/interval) frame rows through the Arrow-batched
+    mapInPandas kernel (operators/multimodal.sample_frames).  The codec
+    is the documented deterministic stub (frames are blob slices), so
+    the oracle recomputes every frame's byte-length and md5 in SQL —
+    proving the fan-out arithmetic and that the sliced bytes crossed
+    Arrow intact."""
+    from ..operators.multimodal import documents_as_assets, sample_frames
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs).withColumn(
+        "duration_ms",
+        ((1 + F.pmod(F.col("asset_id"), F.lit(5))) * 1000).cast("long"),
+    )
+    frames = sample_frames(assets, every_ms=1000, frame_bytes=64)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "ts_ms",
+        F.length(F.col("frame")).cast("long").alias("n_frame_bytes"),
+        F.md5(F.col("frame")).alias("frame_md5"),
+    ).orderBy("asset_id", "frame_idx")
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH meta AS (
+  SELECT doc_id AS asset_id, text,
+         GREATEST(octet_length(encode(text)), 1) AS blob_len,
+         1 + doc_id % 5 AS n_frames
+  FROM documents),
+frames AS (
+  SELECT asset_id, CAST(i.i AS INTEGER) AS frame_idx, i.i * 1000 AS ts_ms,
+         substring(text, CAST((i.i * 64) % blob_len AS BIGINT) + 1, 64) AS frame
+  FROM meta CROSS JOIN UNNEST(range(0, n_frames)) AS i(i))
+SELECT asset_id, frame_idx, ts_ms,
+       CAST(length(frame) AS BIGINT) AS n_frame_bytes,
+       md5(frame) AS frame_md5
+FROM frames
+ORDER BY asset_id, frame_idx
+"""
+
+
 # ===========================================================================
 # Event analytics (batch form; streaming variant in streaming/)
 # ===========================================================================
@@ -2013,6 +2056,96 @@ FROM (
          COUNT(*) AS n_events
   FROM events GROUP BY event_type)
 ORDER BY event_type
+"""
+
+
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch set operations: estimate |click-users ∪
+    purchase-users| and |click-users ∩ purchase-users| from two KMV
+    sketches without ever shuffling the full key sets together.
+
+    Union sketch = k smallest of the merged hash lists; Jaccard estimate
+    = fraction of the union sketch present in both input sketches;
+    intersection estimate = Jaccard x union estimate — the textbook KMV
+    algebra, and (unlike HLL registers) bit-reproducible in the oracle
+    because both engines share the md5-derived hash.  Exact counts ride
+    along for the error comparison."""
+    (ev,) = _t(spark, sf_dir, "events")
+    h = F.abs(hashing.md5_int(F.col("user_id").cast("string")))
+
+    def sketch(ev_type: str, out: str) -> DataFrame:
+        per = (
+            ev.filter(F.col("event_type") == ev_type)
+            .select(h.alias("h"))
+            .distinct()
+        )
+        wrank = Window.orderBy("h")
+        return (
+            per.withColumn("rn", F.row_number().over(wrank))
+            .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+            .filter(F.col("rn") <= _KMV_K)
+            .agg(
+                F.sort_array(F.collect_list("h")).alias(f"{out}_kmin"),
+                F.max("cnt").alias(f"{out}_exact"),
+            )
+        )
+
+    a, b = sketch("click", "a"), sketch("purchase", "b")
+    merged = a.crossJoin(b).withColumn(
+        "u_kmin",
+        F.slice(
+            F.sort_array(F.array_union(F.col("a_kmin"), F.col("b_kmin"))),
+            1,
+            _KMV_K,
+        ),
+    )
+    u_len = F.size(F.col("u_kmin"))
+    kth = F.element_at(F.col("u_kmin"), u_len)
+    union_est = F.when(u_len < _KMV_K, u_len.cast("double")).otherwise(
+        F.lit(_KMV_K - 1) / (kth.cast("double") / F.lit(_HASH_SPACE))
+    )
+    matches = F.size(
+        F.array_intersect(
+            F.col("u_kmin"), F.array_intersect(F.col("a_kmin"), F.col("b_kmin"))
+        )
+    )
+    inter_est = (matches.cast("double") / u_len.cast("double")) * union_est
+    return merged.select(
+        F.col("a_exact").alias("click_exact"),
+        F.col("b_exact").alias("purchase_exact"),
+        F.floor(union_est).cast("long").alias("union_estimate"),
+        F.floor(inter_est).cast("long").alias("intersect_estimate"),
+    )
+
+
+_KMV_SKETCH_SQL = """
+  SELECT list_slice(list_sort(list(h)), 1, {k}) AS kmin, COUNT(*) AS exact
+  FROM (SELECT DISTINCT abs({h}) AS h FROM events WHERE event_type = '{t}')
+"""
+
+EVENTS_KMV_SETOPS_SQL = f"""
+WITH a AS ({_KMV_SKETCH_SQL.format(k=_KMV_K, t="click",
+                                   h=hashing.md5_int_sql("CAST(user_id AS VARCHAR)"))}),
+b AS ({_KMV_SKETCH_SQL.format(k=_KMV_K, t="purchase",
+                              h=hashing.md5_int_sql("CAST(user_id AS VARCHAR)"))}),
+m AS (
+  SELECT a.kmin AS a_kmin, a.exact AS a_exact,
+         b.kmin AS b_kmin, b.exact AS b_exact,
+         list_slice(list_sort(list_distinct(list_concat(a.kmin, b.kmin))),
+                    1, {_KMV_K}) AS u_kmin
+  FROM a CROSS JOIN b),
+est AS (
+  SELECT a_exact, b_exact, u_kmin,
+         CASE WHEN len(u_kmin) < {_KMV_K} THEN CAST(len(u_kmin) AS DOUBLE)
+              ELSE {_KMV_K - 1} / (CAST(u_kmin[-1] AS DOUBLE) / {_HASH_SPACE:.1f})
+         END AS union_est,
+         len(list_intersect(u_kmin, list_intersect(a_kmin, b_kmin))) AS matches
+  FROM m)
+SELECT a_exact AS click_exact, b_exact AS purchase_exact,
+       CAST(floor(union_est) AS BIGINT) AS union_estimate,
+       CAST(floor((CAST(matches AS DOUBLE) / CAST(len(u_kmin) AS DOUBLE))
+                  * union_est) AS BIGINT) AS intersect_estimate
+FROM est
 """
 
 
@@ -2525,4 +2658,9 @@ SPECS: list[QuerySpec] = [
               "punctuation/case-insensitive canonicalization dedup"),
     QuerySpec("docs_pmi_bigrams", docs_pmi_bigrams, DOCS_PMI_BIGRAMS_SQL,
               "top collocations by linear-PMI over adjacent word pairs"),
+    QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
+              "KMV sketch union/intersection estimates (mergeable set algebra)"),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
+              MULTIMODAL_FRAME_SAMPLE_SQL,
+              "blob -> N frame rows fan-out via Arrow mapInPandas"),
 ]
