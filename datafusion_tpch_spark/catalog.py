@@ -51,22 +51,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# events.ts is parquet TIMESTAMP(NANOS); reading it through an explicit
-# int64 schema avoids the session-global nanosAsLong legacy flag (which
-# would silently turn every other nanos column in the session into bigint)
+# Some fixture generations write events.ts as parquet TIMESTAMP(NANOS),
+# which Spark's vectorized reader rejects; others write plain
+# TIMESTAMP(MICROS).  Sniff the footer and, only when the column really is
+# nanos, read it through an explicit int64 schema (avoiding the
+# session-global nanosAsLong legacy flag, which would silently turn every
+# other nanos column in the session into bigint) and rebuild a microsecond
+# timestamp with the same floor-truncation DuckDB applies.
 EVENTS_RAW_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
 
+# Micros fixtures read through an explicit TIMESTAMP schema: pins the column
+# to TimestampType (not the inferred TIMESTAMP_NTZ, which functions like
+# unix_micros reject) — value-identical under the UTC session timezone.
+EVENTS_MICROS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_ts_is_nanos(path: str) -> bool:
+    try:
+        import pyarrow.parquet as pq
+
+        return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    except Exception:
+        return False
+
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
-            os.path.join(sf_dir, f"{name}.parquet")
-        )
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if events_ts_is_nanos(path):
+            df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return spark.read.schema(EVENTS_MICROS_SCHEMA).parquet(path)
+    return spark.read.parquet(path)
 
 
 def register_tables(

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 
-from ..catalog import EVENTS_RAW_SCHEMA as EVENTS_SCHEMA
+from ..catalog import (
+    EVENTS_MICROS_SCHEMA,
+    EVENTS_RAW_SCHEMA,
+    events_ts_is_nanos,
+)
 
 SESSION_GAP_MIN = 30
 
@@ -35,20 +39,29 @@ SESSION_GAP_MIN = 30
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the fixture ``events`` parquet.
 
-    The fixture stores ``ts`` as parquet TIMESTAMP(NANOS); the explicit
-    int64 schema reads it as raw nanoseconds (no session-global legacy
-    flag) and we rebuild microsecond timestamps — identical truncation to
-    the batch path (catalog.load_table) and to DuckDB's nanos->micros
-    narrowing, so stream results hash-match.
+    Fixture generations differ in the parquet unit of ``ts``: NANOS builds
+    are read through an explicit int64 schema (no session-global legacy
+    flag) and rebuilt as microsecond timestamps — identical truncation to
+    the batch path (catalog.load_table) and DuckDB's nanos->micros
+    narrowing; MICROS builds read through an explicit TIMESTAMP schema
+    (pinning TimestampType, not the inferred NTZ).  Either way stream
+    results hash-match the batch path.
     """
     # the fixture is a single file inside a dir of other tables; a glob with
     # an explicit basePath scopes the file-stream listing to just events.*
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    path = os.path.join(sf_dir, "events.parquet")
+    if events_ts_is_nanos(path):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("basePath", sf_dir)
+            .parquet(path + "*")
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_MICROS_SCHEMA)
         .option("basePath", sf_dir)
-        .parquet(os.path.join(sf_dir, "events.parquet*"))
+        .parquet(path + "*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

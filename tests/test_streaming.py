@@ -92,8 +92,12 @@ def test_dedup_stream_collapses_redelivery(spark, tmp_path):
 
     from pyspark.sql import functions as F  # noqa: F811
 
+    from datafusion_tpch_spark.catalog import (
+        EVENTS_MICROS_SCHEMA,
+        EVENTS_RAW_SCHEMA,
+        events_ts_is_nanos,
+    )
     from datafusion_tpch_spark.streaming import dedup_keys_stream
-    from datafusion_tpch_spark.streaming.pipeline import EVENTS_SCHEMA
 
     src = tmp_path / "redelivered"
     src.mkdir()
@@ -101,8 +105,11 @@ def test_dedup_stream_collapses_redelivery(spark, tmp_path):
     shutil.copy(fixture, src / "delivery1.parquet")
     shutil.copy(fixture, src / "delivery2.parquet")
 
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if events_ts_is_nanos(fixture):
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(str(src))
+        events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        events = spark.readStream.schema(EVENTS_MICROS_SCHEMA).parquet(str(src))
     got = run_stream_to_df(
         spark, dedup_keys_stream(events), "t_dedup_redeliver", output_mode="append"
     )
