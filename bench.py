@@ -21,7 +21,11 @@ from datafusion_tpch_spark.session import build_session
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_session("bench")
+    # no console progress bars: the driver parses the tail of combined
+    # stdout+stderr, and \r-progress junk can push the JSON line out of it
+    spark = build_session(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     specs = all_queries()
 
     # Warm-up: JVM + codegen on a trivial action, then one pass over every
@@ -52,17 +56,22 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total query wall time, all registered queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # ONE compact JSON line: the driver records only the last ~4096 chars of
+    # output, so the line must stay well under that at 100+ queries —
+    # compact separators and 3-decimal timings keep it ~2.5 KB
+    line = json.dumps(
+        {
+            "metric": "total query wall time, all registered queries",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
