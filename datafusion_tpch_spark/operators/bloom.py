@@ -11,17 +11,16 @@ whole fact table and shuffling the ~selectivity fraction of it.
 Spark has a native version of this idea (runtime bloom-filter join,
 ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``) that only fires
 under cost heuristics; this operator is the explicit, deterministic form —
-and every expression is JVM-side (md5 + bit arithmetic), no Python UDFs.
+and every expression is JVM-side (xxhash64 + bit arithmetic), no Python UDFs.
 
 Design constraints:
 - The filter is a fixed ``m_bits`` bit-set packed into 32-bit words stored
   in int64s.  The driver collect is bounded at ``m_bits / 32`` rows
   (constant, corpus-size independent — same rule as the fixed-k IVF
   centroids).
-- Hash positions derive from the cross-engine-stable md5 hash
-  (functions/hashing.md5_int), so behavior is reproducible across runs and
-  engines; correctness never depends on the hash anyway (the exact join
-  removes false positives).
+- Hash positions derive from Spark's native xxhash64 (seeded per position),
+  deterministic across runs; correctness never depends on the hash (the
+  exact join removes false positives), so the cheapest JVM hash wins.
 """
 
 from __future__ import annotations
@@ -29,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_int
 
 _WORD_BITS = 32
 # powers of two as a constant-folded literal array (shiftleft needs a
@@ -38,10 +36,15 @@ _POW2 = [1 << b for b in range(_WORD_BITS)]
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bloom bit positions for a key column (md5-derived, JVM-side)."""
-    s = key.cast("string")
+    """k bloom bit positions for a key column (xxhash64-derived, JVM-side).
+
+    xxhash64 over md5: ~10x cheaper per row (no hex/conv round-trip) and
+    the exact re-join removes false positives regardless of hash choice,
+    so cross-engine hash stability buys nothing here.  Each position
+    salts the hash with its index as an extra hashed column.
+    """
     return [
-        md5_int(F.concat(s, F.lit(f"#{i}"))) % F.lit(m_bits) for i in range(k)
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
     ]
 
 
@@ -75,7 +78,7 @@ def bloom_might_contain(words: list[int], key: Column, m_bits: int = 1 << 15,
     """Membership predicate over a built filter — pure column expressions.
 
     The word list enters the plan as one constant-folded array literal
-    (``m_bits / 32`` elements); each probe row computes k md5 positions and
+    (``m_bits / 32`` elements); each probe row computes k xxhash64 positions and
     ANDs the corresponding bit tests.  False positives possible (callers
     must re-join exactly), false negatives impossible.
     """

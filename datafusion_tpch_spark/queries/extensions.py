@@ -104,10 +104,11 @@ _SHINGLE_MAX_DF = 50
 
 def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """Distinct (doc_id, shingle-hash) pairs with the hot-shingle df cap
-    applied as a count window over h: the window shuffles on the same key
-    the downstream self-join needs, so the skew defense rides a shuffle
-    the plan already pays (counting a hot key is linear; only joining on
-    it would be quadratic — which the filter prevents).
+    applied as a broadcast anti-join against the df > cap shingle list:
+    counting a hot key is linear (hash aggregate with partial combine);
+    only joining on it would be quadratic — which the filter prevents.
+    The hot list is bounded by corpus boilerplate, not corpus size, so the
+    broadcast stays small at 100 TB.
 
     ``checkpoint=True`` materializes the set once on the executors — it
     feeds four consumers (both join sides + both size lookups) and
@@ -117,18 +118,30 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
     ``checkpoint=False`` to audit the pre-checkpoint plan.
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = (
+    sh_all = (
         docs.select(
             "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
         )
         .withColumn("h", hashing.md5_int(F.col("shingle")))
         .select("doc_id", "h")
         .distinct()
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("df") <= _SHINGLE_MAX_DF)
-        .drop("df")
     )
-    return sh.localCheckpoint() if checkpoint else sh
+    if checkpoint:
+        # materialize the expensive explode+distinct ONCE — it feeds the
+        # hot-list aggregate plus both sides of the downstream self-join
+        sh_all = sh_all.localCheckpoint()
+    # hot-shingle list: only shingles with df > cap survive the HAVING, so
+    # it is tiny (boilerplate n-grams) however large the corpus — broadcast
+    # anti-join beats a count window here because the window would re-sort
+    # the full shingle set, while the hash aggregate partial-combines and
+    # the anti-join adds no shuffle on the big side
+    hot = (
+        sh_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_MAX_DF)
+        .select("h")
+    )
+    return sh_all.join(F.broadcast(hot), "h", "left_anti")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +441,22 @@ _SEM_CAP = 100          # hot-bucket straggler guard (as in dedup_minhash_lsh)
 _SEM_T = _COS_T
 
 
+# the near-dup pair table feeds two gates (pair listing + cluster
+# formation); materialize it once per session+fixture, exactly as a real
+# pipeline persists the pair table before survivor election
+_SEM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SEM_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = _sem_pairs_plan(spark, sf_dir).localCheckpoint()
+    _SEM_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup dedup, the **sub-quadratic 100 TB path**: banded
     SRP-LSH candidate generation + exact quantized cosine verify.
@@ -445,6 +474,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     band); the oracle mirrors the banding bit-for-bit, expressed as the
     equivalent capped bucket self-join + pair verify.
     """
+    return _sem_pairs(spark, sf_dir).orderBy("id1", "id2")
+
+
+def _sem_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized pair pipeline behind :func:`dedup_semantic`."""
     import hashlib
 
     from ..operators.similarity import srp_band_buckets
@@ -468,7 +502,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("buckets")).alias("band", "bucket"),
     )
     pairs = bucket_pair_cosine(long_form, _SEM_CAP, _SEM_T)
-    return pairs.distinct().orderBy("id1", "id2")
+    return pairs.distinct()
 
 
 def _sem_band_bucket_sql(e: str, band: int) -> str:
@@ -538,7 +572,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    pairs = dedup_semantic(spark, sf_dir)
+    pairs = _sem_pairs(spark, sf_dir)
     # fixture-scale graphs: a few hundred edges — scope the loop shuffles
     # narrow (production sizes this from the edge count)
     cc = connected_components(pairs, src="id1", dst="id2", num_partitions=4)

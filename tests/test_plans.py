@@ -67,9 +67,10 @@ def test_dedup_exact_single_shuffle_plus_sort(spark):
 
 def test_ngram_jaccard_hot_shingle_cap_in_plan(spark):
     """The df>cap skew defense must be a real part of the executed plan: a
-    count window over the shingle key + a filter carrying the cap literal,
-    upstream of the self-join (the shingle set is checkpointed after the
-    cap, so the filter sits in the checkpointed subplan)."""
+    broadcast ANTI-join against the hot-shingle (df > cap) list carrying
+    the cap literal, upstream of the self-join (the shingle set is
+    checkpointed after the cap, so the filter sits in the checkpointed
+    subplan)."""
     from datafusion_tpch_spark.plans import plan_string
     from datafusion_tpch_spark.queries.extensions import (
         _SHINGLE_MAX_DF,
@@ -77,8 +78,8 @@ def test_ngram_jaccard_hot_shingle_cap_in_plan(spark):
     )
 
     plan = plan_string(_shingle_set(spark, SF_DIR, checkpoint=False))
-    assert "Window" in plan, plan
-    assert f"<= {_SHINGLE_MAX_DF}" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert f"> {_SHINGLE_MAX_DF}" in plan, plan
 
 
 def test_minhash_lsh_hot_bucket_cap_in_plan(spark):
