@@ -1,0 +1,374 @@
+"""Training-corpus curation operators: the preparation steps between raw
+documents and a training run — benchmark decontamination, sequence packing,
+boilerplate stripping, repetition scoring, domain-mixture weighting, and
+structured-log PII scrubbing.
+
+Same design rules as the rest of the extension surface: JVM-side built-ins
+only (split/transform/window/regexp — no Python UDFs), one hash shuffle per
+aggregation, small sides broadcast, every gate mirrored by a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text
+from . import QuerySpec
+from .extensions import _t
+
+# ===========================================================================
+# Benchmark decontamination
+# ===========================================================================
+
+_DECON_N = 5            # n-gram width: wide enough that overlap means copying
+_DECON_EVAL_MOD = 97    # doc_id % mod == 0 stands in for the held-out benchmark
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any word
+    {n}-gram with the held-out benchmark slice (the GPT-3-style n-gram
+    membership test, n wide enough that a hit means copied text).
+
+    Plan: benchmark shingles are a distinct, *fixed-size* set (eval suites
+    don't grow with the corpus) — broadcast it; one pass over training-doc
+    shingles counts distinct shared n-grams per doc.  No self-join, no
+    shuffle on the corpus side beyond the per-doc aggregation.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = F.explode(text.shingles(F.col("text"), _DECON_N)).alias("shingle")
+    eval_sh = (
+        docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select(sh)
+        .distinct()
+    )
+    train_sh = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0).select(
+        "doc_id", sh
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+docs_decontaminate.__doc__ = (docs_decontaminate.__doc__ or "").format(
+    n=_DECON_N
+)
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({text.shingles_sql('text', _DECON_N)}) AS shingle
+  FROM documents),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0)
+SELECT doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# Sequence packing
+# ===========================================================================
+
+_PACK_LEN = 512         # target training-sequence length in tokens
+
+
+def docs_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order and cut into fixed-length training sequences; a
+    doc belongs to the sequence where it starts.
+
+    Partitioned by source so the running-total window parallelizes per
+    shard (a single global cumsum would serialize the corpus through one
+    task) — exactly how a sharded tokenizer run packs in production.
+    Output is the per-sequence manifest: docs packed and tokens filled.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = docs.select(
+        "source", "doc_id", text.token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        toks.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_LEN)),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+DOCS_TOKEN_PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, {text.token_count_sql('text')} AS n_tok
+  FROM documents),
+laid AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks)
+SELECT source, CAST(floor((cum - n_tok) / {_PACK_LEN}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM laid
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+# ===========================================================================
+# Boilerplate stripping
+# ===========================================================================
+
+_BP_DF_FRAC = 0.5       # a word in more than this fraction of docs is boilerplate
+
+
+def docs_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate stripping: words present in more than
+    {frac} of all documents carry no content signal (headers, nav text,
+    license lines in real corpora); report each doc's size before/after
+    dropping them.
+
+    The hot-word list is bounded by vocabulary, not corpus size — built
+    with one hash aggregation over distinct (doc, word) pairs and
+    broadcast; the strip itself is a broadcast anti-join on the exploded
+    words, so the corpus never shuffles on anything but the per-doc
+    re-aggregation.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    exploded = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("w")
+    )
+    hot = (
+        exploded.distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df") > F.lit(_BP_DF_FRAC) * F.col("n_docs"))
+        .select("w")
+    )
+    kept = (
+        exploded.join(F.broadcast(hot), "w", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    before = docs.select(
+        "doc_id", F.size(text.words(F.col("text"))).cast("long").alias("n_before")
+    )
+    return (
+        before.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            (F.coalesce("n_after", F.lit(0)) / F.col("n_before")).alias(
+                "kept_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+docs_boilerplate_strip.__doc__ = (docs_boilerplate_strip.__doc__ or "").format(
+    frac=_BP_DF_FRAC
+)
+
+
+DOCS_BOILERPLATE_STRIP_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, unnest({text.words_sql('text')}) AS w FROM documents),
+hot AS (
+  SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS df FROM exploded GROUP BY w)
+  WHERE df > {_BP_DF_FRAC} * (SELECT COUNT(*) FROM documents)),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_after
+  FROM exploded WHERE w NOT IN (SELECT w FROM hot)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len({text.words_sql('text')}) AS BIGINT) AS n_before,
+       COALESCE(k.n_after, 0) AS n_after,
+       COALESCE(k.n_after, 0) * 1.0
+         / CAST(len({text.words_sql('text')}) AS BIGINT) AS kept_ratio
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ===========================================================================
+# Intra-document repetition
+# ===========================================================================
+
+_REP_N = 3
+
+
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition score: fraction of word {n}-gram positions
+    whose n-gram already occurred in the doc (1 - distinct/total) — the
+    standard repeated-n-gram quality signal for generated/spammy text.
+    Narrow per-row array expressions only; no shuffle but the output sort.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    total = F.greatest(n_tok - F.lit(_REP_N - 1), F.lit(1))
+    distinct = F.size(text.shingles(F.col("text"), _REP_N)).cast("long")
+    return docs.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        (F.lit(1.0) - distinct / total).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+docs_repetition.__doc__ = (docs_repetition.__doc__ or "").format(n=_REP_N)
+
+
+DOCS_REPETITION_SQL = f"""
+SELECT doc_id,
+       greatest({text.token_count_sql('text')} - {_REP_N - 1}, 1)
+         AS total_ngrams,
+       CAST(len({text.shingles_sql('text', _REP_N)}) AS BIGINT)
+         AS distinct_ngrams,
+       1.0 - CAST(len({text.shingles_sql('text', _REP_N)}) AS BIGINT) * 1.0
+           / greatest({text.token_count_sql('text')} - {_REP_N - 1}, 1)
+         AS rep_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# Domain-mixture weights
+# ===========================================================================
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain (source) mixture weighting: per-source token share of the
+    corpus and the resampling weight that flattens the mixture to uniform
+    across sources — the input every mixture-tuned training run needs.
+    One aggregation to |sources| rows; the share/weight arithmetic runs on
+    the aggregated (tiny) frame, so the window over it is free.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_src.withColumn(
+            "corpus_share", F.col("n_tokens") / F.sum("n_tokens").over(w)
+        )
+        .withColumn(
+            "target_share", F.lit(1.0) / F.count(F.lit(1)).over(w)
+        )
+        .withColumn("weight", F.col("target_share") / F.col("corpus_share"))
+        .select(
+            "source", "n_docs", "n_tokens", "corpus_share", "target_share",
+            "weight",
+        )
+        .orderBy("source")
+    )
+
+
+DOCS_MIXTURE_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM({text.token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       n_tokens * 1.0 / SUM(n_tokens) OVER () AS corpus_share,
+       1.0 / COUNT(*) OVER () AS target_share,
+       (1.0 / COUNT(*) OVER ())
+         / (n_tokens * 1.0 / SUM(n_tokens) OVER ()) AS weight
+FROM per_src
+ORDER BY source
+"""
+
+
+# ===========================================================================
+# Structured-log PII scrubbing
+# ===========================================================================
+
+_PII_RE = r'"k":\s*\d+'
+_PII_SUB = '"k":"[ID]"'
+
+
+def events_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over semi-structured event payloads: numeric ids in
+    the JSON props are replaced by a redaction token, and the scrub is
+    audited per event type (rows touched + characters removed).  The
+    regexp runs inside whole-stage codegen — the same single-pass shape a
+    100 TB log-scrub job needs; no shuffle but the audit aggregation.
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace(F.col("props"), _PII_RE, _PII_SUB)
+    return (
+        ev.select(
+            "event_type",
+            (scrubbed != F.col("props")).cast("long").alias("hit"),
+            (F.length("props") - F.length(scrubbed)).cast("long").alias("removed"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("hit").alias("n_redacted"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PII_SCRUB_SQL = rf"""
+WITH s AS (
+  SELECT event_type, props,
+         regexp_replace(props, '{_PII_RE}', '{_PII_SUB.replace("'", "''")}', 'g')
+           AS scrubbed
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN scrubbed <> props THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(SUM(length(props) - length(scrubbed)) AS BIGINT) AS chars_removed
+FROM s
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL,
+        "benchmark decontamination: n-gram overlap vs held-out eval slice",
+    ),
+    QuerySpec(
+        "docs_token_pack", docs_token_pack, DOCS_TOKEN_PACK_SQL,
+        "concat-and-chunk sequence packing manifest per source shard",
+    ),
+    QuerySpec(
+        "docs_boilerplate_strip", docs_boilerplate_strip,
+        DOCS_BOILERPLATE_STRIP_SQL,
+        "drop corpus-boilerplate words; per-doc before/after audit",
+    ),
+    QuerySpec(
+        "docs_repetition", docs_repetition, DOCS_REPETITION_SQL,
+        "intra-doc repeated n-gram fraction (generated-text signal)",
+    ),
+    QuerySpec(
+        "docs_mixture_weights", docs_mixture_weights, DOCS_MIXTURE_WEIGHTS_SQL,
+        "per-source token shares + uniform-mixture resampling weights",
+    ),
+    QuerySpec(
+        "events_pii_scrub", events_pii_scrub, EVENTS_PII_SCRUB_SQL,
+        "regexp PII scrub of JSON payloads with per-type audit",
+    ),
+]

@@ -1,0 +1,97 @@
+"""Semantic properties of the training-corpus curation gates
+(queries/curation.py) beyond the cross-engine hash check the oracle gate
+provides: invariants that must hold for any corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_tpch_spark.catalog import load_table
+from datafusion_tpch_spark.queries import all_queries
+from datafusion_tpch_spark.queries.curation import (
+    _DECON_EVAL_MOD,
+    _PACK_LEN,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return all_queries()[name].build(spark, SF_DIR)
+
+
+def test_decontaminate_never_flags_eval_docs(spark):
+    flagged = _q(spark, "docs_decontaminate")
+    assert (
+        flagged.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0).count() == 0
+    )
+    # every flagged doc shares at least one n-gram
+    assert flagged.filter(F.col("n_shared") < 1).count() == 0
+
+
+def test_token_pack_conserves_tokens(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from datafusion_tpch_spark.functions.text import token_count
+
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    packed = _q(spark, "docs_token_pack")
+    agg = packed.agg(
+        F.sum("seq_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    ).collect()[0]
+    assert agg["tok"] == total            # no token lost or duplicated
+    assert agg["docs"] == docs.count()    # every doc packed exactly once
+    # a sequence overfills by at most one doc's tokens (doc assigned where
+    # it starts), so any seq except a source's last holds >= PACK_LEN - max_doc
+    assert packed.filter(F.col("seq_tokens") <= 0).count() == 0
+
+
+def test_boilerplate_strip_bounds(spark):
+    res = _q(spark, "docs_boilerplate_strip")
+    assert res.filter(
+        (F.col("n_after") > F.col("n_before"))
+        | (F.col("kept_ratio") < 0)
+        | (F.col("kept_ratio") > 1)
+    ).count() == 0
+    docs = load_table(spark, SF_DIR, "documents")
+    assert res.count() == docs.count()    # audit row per doc, always
+
+
+def test_repetition_ratio_in_unit_interval(spark):
+    rep = _q(spark, "docs_repetition")
+    assert rep.filter(
+        (F.col("rep_ratio") < 0)
+        | (F.col("rep_ratio") > 1)
+        | (F.col("distinct_ngrams") > F.col("total_ngrams"))
+    ).count() == 0
+
+
+def test_mixture_weights_shares_sum_to_one(spark):
+    mw = _q(spark, "docs_mixture_weights").collect()
+    assert abs(sum(r["corpus_share"] for r in mw) - 1.0) < 1e-9
+    assert abs(sum(r["target_share"] for r in mw) - 1.0) < 1e-9
+    for r in mw:
+        # weight * corpus_share recovers the uniform target exactly
+        assert abs(r["weight"] * r["corpus_share"] - r["target_share"]) < 1e-12
+
+
+def test_pii_scrub_redacts_every_payload_with_id(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    res = _q(spark, "events_pii_scrub")
+    agg = res.agg(
+        F.sum("n_events").alias("n"), F.sum("n_redacted").alias("r")
+    ).collect()[0]
+    assert agg["n"] == ev.count()
+    # the fixture's props always carry a numeric id -> all rows redacted
+    with_id = ev.filter(F.col("props").rlike(r'"k":\s*\d+')).count()
+    assert agg["r"] == with_id
+    # scrubbed output must contain no digit runs in the id position
+    from datafusion_tpch_spark.queries.curation import _PII_RE, _PII_SUB
+
+    leftover = ev.select(
+        F.regexp_replace("props", _PII_RE, _PII_SUB).alias("s")
+    ).filter(F.col("s").rlike(_PII_RE))
+    assert leftover.count() == 0
+
+
+def test_pack_len_constant_sane():
+    assert _PACK_LEN > 0
