@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import text
+from ..functions import hashing, text
 from . import QuerySpec
 from .extensions import _t
 
@@ -298,6 +298,73 @@ ORDER BY source
 
 
 # ===========================================================================
+# Mixture-weighted resampling
+# ===========================================================================
+
+_MIX_PPM = 1_000_000    # keep-threshold resolution (parts per million)
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mixture weights: down-sample over-represented sources by
+    a deterministic hash threshold (keep doc iff
+    ``md5(doc_id) % 1e6 < keep_prob * 1e6``) so the sampled corpus moves
+    toward the uniform target without any RNG state — re-runs, retries,
+    and engines agree on every kept row, which is what makes distributed
+    sampling auditable.  Weights > 1 (under-represented sources) cap at
+    keep-all; true up-sampling is an epoch multiplier downstream.
+    One broadcast join of the |sources|-row weight table; no corpus
+    shuffle but the audit aggregation.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    weights = docs_mixture_weights(spark, sf_dir).select(
+        "source",
+        F.floor(
+            F.least(F.col("weight"), F.lit(1.0)) * F.lit(_MIX_PPM)
+        ).cast("long").alias("keep_ppm"),
+    )
+    hashed = docs.join(F.broadcast(weights), "source").withColumn(
+        "bucket",
+        hashing.md5_int(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+        % F.lit(_MIX_PPM),
+    )
+    return (
+        hashed.groupBy("source", "keep_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("bucket") < F.col("keep_ppm")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .select("source", "keep_ppm", "n_docs", "n_kept")
+        .orderBy("source")
+    )
+
+
+_MIX_WEIGHT_SQL = (
+    "(1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ())"
+)
+
+DOCS_MIXTURE_SAMPLE_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM({text.token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+weights AS (
+  SELECT source,
+         CAST(floor(least({_MIX_WEIGHT_SQL}, 1.0) * {_MIX_PPM}) AS BIGINT)
+           AS keep_ppm
+  FROM per_src)
+SELECT d.source, w.keep_ppm, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN
+         ({hashing.md5_int_sql("concat('mix#', CAST(doc_id AS VARCHAR))")})
+           % {_MIX_PPM} < w.keep_ppm
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN weights w ON d.source = w.source
+GROUP BY d.source, w.keep_ppm
+ORDER BY d.source
+"""
+
+
+# ===========================================================================
 # Structured-log PII scrubbing
 # ===========================================================================
 
@@ -366,6 +433,10 @@ SPECS = [
     QuerySpec(
         "docs_mixture_weights", docs_mixture_weights, DOCS_MIXTURE_WEIGHTS_SQL,
         "per-source token shares + uniform-mixture resampling weights",
+    ),
+    QuerySpec(
+        "docs_mixture_sample", docs_mixture_sample, DOCS_MIXTURE_SAMPLE_SQL,
+        "deterministic hash-threshold resampling toward the uniform mixture",
     ),
     QuerySpec(
         "events_pii_scrub", events_pii_scrub, EVENTS_PII_SCRUB_SQL,

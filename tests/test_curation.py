@@ -93,5 +93,16 @@ def test_pii_scrub_redacts_every_payload_with_id(spark):
     assert leftover.count() == 0
 
 
+def test_mixture_sample_moves_toward_uniform(spark):
+    res = _q(spark, "docs_mixture_sample").collect()
+    for r in res:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["keep_ppm"] <= 1_000_000
+    # re-running yields the identical sample (hash-deterministic, no RNG)
+    again = {(r["source"], r["n_kept"]) for r in
+             _q(spark, "docs_mixture_sample").collect()}
+    assert {(r["source"], r["n_kept"]) for r in res} == again
+
+
 def test_pack_len_constant_sane():
     assert _PACK_LEN > 0
