@@ -107,3 +107,17 @@ def test_pairwise_cosine_no_driver_materialization(spark):
     plan = plan_string(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Broadcast" not in plan, plan
+
+
+def test_semantic_pair_pipeline_plan(spark):
+    """dedup_semantic's pre-materialization pipeline (the plan PLANS.md
+    can't see past the shared localCheckpoint) must be the fused bucket
+    kernel: posexplode of band buckets into one FlatMapGroupsInPandas —
+    no corpus broadcast, no driver materialization."""
+    from datafusion_tpch_spark.plans import plan_string
+    from datafusion_tpch_spark.queries.extensions import _sem_pairs_plan
+
+    plan = plan_string(_sem_pairs_plan(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Broadcast" not in plan, plan
+    assert "Generate posexplode" in plan or "posexplode" in plan, plan

@@ -49,6 +49,13 @@ def main() -> None:
             f"{a.sort_merge_joins} | {a.wholestage_spans} | {scans} | {pushed} |"
         )
         print(a.summary(), file=sys.stderr)
+    lines += [
+        "",
+        "Queries that materialize a shared intermediate with localCheckpoint "
+        "(`dedup_semantic`'s pair table, `dedup_ngram_jaccard`'s shingle set) "
+        "audit here as scans of the persisted stage; their full "
+        "pre-materialization plans are asserted in `tests/test_plans.py`.",
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
