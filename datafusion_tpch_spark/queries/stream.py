@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.exact import dsum_sql
 from ..streaming import (
+    click_purchase_join_stream,
     dedup_keys_stream,
     hourly_agg_stream,
     read_events_stream,
@@ -161,6 +162,28 @@ ORDER BY user_id, event_type
 """
 
 
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase<-click attribution
+    within 2 h), append mode — the emitted pair set equals the batch
+    interval join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = click_purchase_join_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(
+        spark, stream, "events_stream_stream_join", output_mode="append"
+    ).orderBy("purchase_id", "click_id")
+
+
+EVENTS_STREAM_STREAM_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_stream",
@@ -191,5 +214,11 @@ SPECS: list[QuerySpec] = [
         events_dedup_stream,
         EVENTS_DEDUP_STREAM_SQL,
         "streaming dropDuplicates key dedup (append mode == batch DISTINCT)",
+    ),
+    QuerySpec(
+        "events_stream_stream_join",
+        events_stream_stream_join,
+        EVENTS_STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join (== batch interval join)",
     ),
 ]

@@ -10,6 +10,7 @@ batch answer.
 """
 
 from .pipeline import (  # noqa: F401
+    click_purchase_join_stream,
     dedup_keys_stream,
     hourly_agg_stream,
     read_events_stream,

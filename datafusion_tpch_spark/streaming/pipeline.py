@@ -151,6 +151,60 @@ def dedup_keys_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, watermark: str = "2 hours", horizon: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase joins every click by the same user within the preceding
+    ``horizon``.
+
+    The canonical attribution-join shape.  Both sides carry watermarks and
+    the join condition bounds click_ts relative to purchase_ts, so Spark
+    can size the state store exactly: a click is held only until the
+    watermark passes ``click_ts + horizon``, a purchase until its own
+    watermark — state is O(rate x horizon), independent of stream length.
+    Inner join in append mode emits each matched pair exactly once; over
+    bounded input (AvailableNow) the emitted set equals the batch interval
+    join, which is what the oracle checks.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )
+
+
 def run_stream_to_df(
     spark: SparkSession,
     sdf: DataFrame,

@@ -120,3 +120,42 @@ def test_dedup_stream_collapses_redelivery(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream interval join emits exactly the batch
+    interval-join pair set over bounded input."""
+    from datafusion_tpch_spark.streaming import click_purchase_join_stream
+
+    stream = click_purchase_join_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_df(
+        spark, stream, "t_ssjoin", output_mode="append"
+    ).orderBy("purchase_id", "click_id")
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = (
+        p.join(
+            c,
+            (p.user_id == c.cu)
+            & (c.cts <= p.pts)
+            & (c.cts >= p.pts - F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
