@@ -884,6 +884,144 @@ ORDER BY query_id, rank
 """
 
 
+_PQ_M = 4       # subspaces (64-dim embedding -> 4 x 16-dim subvectors)
+_PQ_SUB = 16    # dims per subspace
+_PQ_K = 16      # codebook entries per subspace
+
+
+def _l2q(a, b):
+    """Quantized L2 distance as a JVM expression — floor((x-y)^2 * 1e9)
+    summed as int64; bit-identical to the oracle's ``_l2q_sql``."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1000000000.0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: the compressed-scan path of the ANN family
+    (brute force = exact, LSH/IVF = pruned candidate sets, PQ = scan
+    *everything* but at ~1/64 the bytes).
+
+    The 64-dim embedding splits into {m} x {sub}-dim subvectors; each
+    subvector is coded as the argmin (quantized L2, smallest-code
+    tie-break) over a {k}-entry sub-codebook.  Codebooks are fixed-size
+    deterministic seeds — the {k} corpus vectors with smallest
+    md5(vec_id), sliced per subspace — so the driver collect is bounded at
+    {k} rows regardless of corpus size, and the codebook rides into the
+    plan as literals (no join, no shuffle to encode: encoding is a narrow
+    projection).  Queries score against the *reconstruction*
+    (concatenated codebook entries), which is exactly asymmetric distance
+    computation: sum of per-subspace lookup distances.
+
+    At 100 TB: codes are {m} bytes/vector (vs 256 B raw) — the whole
+    corpus's codes fit in cluster memory; the scan is a single narrow
+    pass, no shuffle, and the same plan runs IVF-partitioned by prefixing
+    a cell filter.  The reference has no ANN surface; this extends it per
+    the north star (BASELINE.json).
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_PQ_K)
+        .collect()
+    ]
+    # codebook[s][j] = subvector s of seed j, as plan-time double literals
+    codebook = [
+        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+
+    def _lit_vec(v: list[float]):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    recon_parts = []
+    for s in range(_PQ_M):
+        sub = F.slice(F.col("embedding"), s * _PQ_SUB + 1, _PQ_SUB)
+        # argmin over the codebook: array_min on (dist, code) structs gives
+        # the lexicographic minimum = smallest distance, smallest-code tie
+        best = F.array_min(F.array(*[
+            F.struct(
+                _l2q(sub, _lit_vec(codebook[s][j])).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j in range(_PQ_K)
+        ]))
+        cents = F.array(*[_lit_vec(codebook[s][j]) for j in range(_PQ_K)])
+        recon_parts.append(F.element_at(cents, best["j"] + 1))
+    coded = emb.select(
+        "vec_id", "embedding",
+        F.flatten(F.array(*recon_parts)).alias("recon"),
+    )
+
+    q = coded.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = coded.select(F.col("vec_id").alias("cand_id"), F.col("recon").alias("cr"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_pq_topk.__doc__ = (ann_pq_topk.__doc__ or "").format(
+    m=_PQ_M, sub=_PQ_SUB, k=_PQ_K
+)
+
+
+ANN_PQ_SQL = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         embedding AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, sp.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, sp.s
+             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
+                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
+    CROSS JOIN cent c)
+  WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
+  FROM codes JOIN cent c USING (j)
+  GROUP BY codes.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+         CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
+  FROM embeddings q JOIN recon r ON q.vec_id <> r.vec_id
+  WHERE q.vec_id < {_NQUERY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -2624,6 +2762,8 @@ SPECS: list[QuerySpec] = [
               "brute-force cosine top-k"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,
               "sign-random-projection LSH top-k"),
+    QuerySpec("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL,
+              "product-quantization ADC scan: fixed sub-codebooks, 4-byte codes"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,
               "IVF-flat top-k (deterministic centroids, nprobe=1)"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
