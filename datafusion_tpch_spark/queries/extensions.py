@@ -1473,6 +1473,89 @@ LIMIT {_PMI_TOPK}
 """
 
 
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document — the perplexity
+    proxy a corpus-quality pipeline uses to drop machine-mangled text.
+
+    The LM is trained on the corpus itself in the same plan: corpus-wide
+    bigram and unigram counts, add-one smoothing over vocabulary V, and
+    each document scored by the mean conditional probability of its
+    bigrams p(w2|w1) = (c12 + 1) / (c1 + V).  The mean of probabilities
+    (not log-probs) keeps the gate hash-exact: IEEE divides are
+    bit-identical across engines while libm log is not; the score is a
+    strictly monotone quality signal either way (same rule as the TF-IDF
+    and PMI gates).
+
+    Scale: bigram extraction is a narrow per-row zip; counts are two
+    n-gram-keyed hash aggregations; scoring joins each bigram instance to
+    its count — shuffles keyed on the n-gram, linear in corpus size, the
+    vocabulary scalar broadcast.  At 100 TB the count tables are the
+    precomputed LM table this query would read instead of recompute.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = text.words(F.col("text"))
+    toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    pair = F.arrays_zip(
+        F.slice(F.col("w"), 1, F.size("w") - 1),
+        F.slice(F.col("w"), 2, F.size("w") - 1),
+    )
+    inst = toks.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
+    )
+    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        toks.select(F.explode(F.col("w")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        inst.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg(F.col("p")).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOCS_LM_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {text.words_sql('text')} AS w FROM documents),
+inst AS (
+  SELECT doc_id, w[i.i] AS w1, w[i.i + 1] AS w2
+  FROM toks CROSS JOIN UNNEST(range(1, len(w))) AS i(i)
+  WHERE len(w) >= 2),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM inst GROUP BY w1, w2),
+uni AS (
+  SELECT term, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS term FROM toks WHERE len(w) >= 2)
+  GROUP BY term),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+scored AS (
+  SELECT i.doc_id,
+         CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + vo.v AS DOUBLE) AS p
+  FROM inst i
+  JOIN big b USING (w1, w2)
+  JOIN uni u ON i.w1 = u.term
+  CROSS JOIN vocab vo)
+SELECT doc_id, COUNT(*) AS n_bigrams, {davg_sql('p')} AS lm_score
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts; predicted
     language = argmax (ties broken by language code). Compared against the
@@ -2832,6 +2915,8 @@ SPECS: list[QuerySpec] = [
               "punctuation/case-insensitive canonicalization dedup"),
     QuerySpec("docs_pmi_bigrams", docs_pmi_bigrams, DOCS_PMI_BIGRAMS_SQL,
               "top collocations by linear-PMI over adjacent word pairs"),
+    QuerySpec("docs_lm_score", docs_lm_score, DOCS_LM_SCORE_SQL,
+              "bigram-LM fluency score (add-one smoothed, perplexity proxy)"),
     QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
               "KMV sketch union/intersection estimates (mergeable set algebra)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
