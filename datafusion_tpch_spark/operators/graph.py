@@ -105,3 +105,76 @@ def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
             break
         prev_sum = s
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count.
+
+    Returns ``(node, pr)``.  Each iteration is one hash join (rank ->
+    out-edges, keyed on src) and one hash aggregation (contributions,
+    keyed on dst) — the textbook distributed formulation; nothing
+    data-sized touches the driver and the loop length is a plan-time
+    constant, so the whole computation is a single Catalyst plan.
+    Dangling mass is not redistributed (ranks are comparative, not a
+    probability simplex — same convention on both sides of the gate).
+
+    Determinism: the per-node contribution sum runs through the
+    floor-quantized decimal reducer (functions.exact.dsum), so the result
+    is order-independent and bit-identical to the unrolled SQL oracle.
+
+    Scale: identical shuffle pair per iteration, keyed on node ids; the
+    edge list is localCheckpoint-materialized once and reused by every
+    round.  Iterations is O(1) in data size — rank converges in a fixed
+    handful of rounds regardless of corpus scale.
+    """
+    from ..functions.exact import dsum
+
+    w = (
+        F.col(weight).cast("double")
+        if weight
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
+    ).localCheckpoint()
+    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("e_ow"))
+    e = e.join(outw, "e_src")
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select("e_dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr, e.e_src == pr.node)
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("pr") * F.col("e_w") / F.col("e_ow")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(dsum(F.col("c")).alias("csum"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes").cast("double")
+                    + F.lit(damping) * F.coalesce("csum", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr

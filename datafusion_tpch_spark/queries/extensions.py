@@ -2615,6 +2615,74 @@ ORDER BY s.event_type, s.hour
 """
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph: nodes are
+    event types, edge (a, b) weighted by how often b follows a in a
+    user's stream — surfacing the 'hub' interaction states.
+
+    The transition edges come from one LEAD window over (user, ts); the
+    rank loop is ``operators.graph.pagerank`` — a fixed 3-iteration
+    join+aggregate chain, each round one shuffle on src and one on dst,
+    contributions reduced with the quantized deterministic sum so the
+    gate hash-matches the oracle's unrolled-CTE replica.  Iterative
+    algorithms are exactly what single-pass SQL can't express; the
+    oracle here is the loop manually unrolled."""
+    from ..operators.graph import pagerank
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return (
+        pagerank(edges, weight="w", iterations=_PR_ITERS, damping=_PR_DAMPING)
+        .orderBy("node")
+    )
+
+
+def _pagerank_sql(iters: int) -> str:
+    d = "CAST(0.85 AS DOUBLE)"
+    resid = f"(CAST(1.0 AS DOUBLE) - {d})"
+    ctes = [f"""seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, CAST(edges.w AS DOUBLE) AS w, outw.ow
+      FROM edges JOIN outw USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS pr
+  FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        contrib = "p.pr * e.w / e.ow"
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, {dsum_sql(contrib)} AS csum
+  FROM e JOIN pr{i - 1} p ON e.src = p.node GROUP BY e.dst),
+pr{i} AS (
+  SELECT nodes.node,
+         {resid} / CAST(n_nodes AS DOUBLE)
+           + {d} * COALESCE(c{i}.csum, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes LEFT JOIN c{i} USING (node) CROSS JOIN nn)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, pr FROM pr{iters} ORDER BY node"
+    )
+
+
+EVENTS_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
+
+
 _HIST_WIDTH = 50.0
 _HIST_NBUCKETS = 10
 
@@ -2917,6 +2985,8 @@ SPECS: list[QuerySpec] = [
               "top collocations by linear-PMI over adjacent word pairs"),
     QuerySpec("docs_lm_score", docs_lm_score, DOCS_LM_SCORE_SQL,
               "bigram-LM fluency score (add-one smoothed, perplexity proxy)"),
+    QuerySpec("events_pagerank", events_pagerank, EVENTS_PAGERANK_SQL,
+              "weighted PageRank on the event-type transition graph (iterative)"),
     QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
               "KMV sketch union/intersection estimates (mergeable set algebra)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
