@@ -2826,6 +2826,90 @@ ORDER BY o_orderstatus
 """
 
 
+_SCD2_MOD = 7            # every 7th supplier gets a changed balance
+_SCD2_DELTA = 500.0
+_SCD2_EPOCH = "1992-01-01"   # valid_from of the initial dimension load
+_SCD2_BATCH = "1998-06-01"   # effective date of the change batch
+_SCD2_OPEN = "9999-12-31"    # open-ended valid_to sentinel
+
+
+def supplier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 maintenance: apply a change batch
+    to the supplier dimension, closing superseded versions and opening
+    new ones with effective-date ranges.
+
+    The change batch is deterministic (every {mod}th supplier's account
+    balance moves by {delta}).  The merge is the canonical SCD2 plan:
+    changed keys produce a CLOSED old version (valid_to = batch date,
+    is_current = false) plus an OPEN new version; untouched rows pass
+    through via an anti-join.  Two hash joins on the dimension key, no
+    driver participation — the same shape a Delta/Iceberg MERGE with
+    whenMatched-close / whenNotMatched-insert lowers to, expressed as
+    pure DataFrame ops so it runs on bare parquet.
+
+    At 100 TB this runs on the (much smaller) dimension side of the
+    warehouse; the plan is one shuffle per join keyed on s_suppkey and
+    unions are metadata-only."""
+    (sup,) = _t(spark, sf_dir, "supplier")
+    epoch = F.to_date(F.lit(_SCD2_EPOCH))
+    batch = F.to_date(F.lit(_SCD2_BATCH))
+    open_end = F.to_date(F.lit(_SCD2_OPEN))
+    base = sup.select("s_suppkey", "s_name", "s_acctbal")
+    changed = base.filter(F.col("s_suppkey") % _SCD2_MOD == 0)
+    closed = changed.select(
+        "s_suppkey", "s_name", "s_acctbal",
+        epoch.alias("valid_from"), batch.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = changed.select(
+        "s_suppkey", "s_name",
+        (F.col("s_acctbal") + F.lit(_SCD2_DELTA)).alias("s_acctbal"),
+        batch.alias("valid_from"), open_end.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = base.join(changed.select("s_suppkey"), "s_suppkey", "left_anti").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        epoch.alias("valid_from"), open_end.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        untouched.unionByName(closed).unionByName(opened)
+        .orderBy("s_suppkey", "valid_from")
+    )
+
+
+supplier_scd2.__doc__ = (supplier_scd2.__doc__ or "").format(
+    mod=_SCD2_MOD, delta=_SCD2_DELTA
+)
+
+
+SUPPLIER_SCD2_SQL = f"""
+WITH base AS (
+  SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+changed AS (
+  SELECT * FROM base WHERE s_suppkey % {_SCD2_MOD} = 0),
+closed AS (
+  SELECT s_suppkey, s_name, s_acctbal,
+         DATE '{_SCD2_EPOCH}' AS valid_from, DATE '{_SCD2_BATCH}' AS valid_to,
+         FALSE AS is_current
+  FROM changed),
+opened AS (
+  SELECT s_suppkey, s_name, s_acctbal + {_SCD2_DELTA} AS s_acctbal,
+         DATE '{_SCD2_BATCH}' AS valid_from, DATE '{_SCD2_OPEN}' AS valid_to,
+         TRUE AS is_current
+  FROM changed),
+untouched AS (
+  SELECT s_suppkey, s_name, s_acctbal,
+         DATE '{_SCD2_EPOCH}' AS valid_from, DATE '{_SCD2_OPEN}' AS valid_to,
+         TRUE AS is_current
+  FROM base WHERE s_suppkey NOT IN (SELECT s_suppkey FROM changed))
+SELECT * FROM untouched
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+ORDER BY s_suppkey, valid_from
+"""
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggressive-canonicalization dedup: lowercase, strip everything
     non-alphanumeric to single spaces, then group by the md5 of the
@@ -2987,6 +3071,8 @@ SPECS: list[QuerySpec] = [
               "bigram-LM fluency score (add-one smoothed, perplexity proxy)"),
     QuerySpec("events_pagerank", events_pagerank, EVENTS_PAGERANK_SQL,
               "weighted PageRank on the event-type transition graph (iterative)"),
+    QuerySpec("supplier_scd2", supplier_scd2, SUPPLIER_SCD2_SQL,
+              "SCD type-2 dimension maintenance: close/open versioned rows"),
     QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
               "KMV sketch union/intersection estimates (mergeable set algebra)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
