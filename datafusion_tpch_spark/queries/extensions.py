@@ -2615,6 +2615,78 @@ ORDER BY s.event_type, s.hour
 """
 
 
+_MV_SPLIT = "1997-01-01"  # lineitem shipped before = old state, after = delta
+
+
+def lineitem_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the q1-shaped rollup is
+    kept as mergeable partial state and a new data partition is folded in
+    WITHOUT rescanning history — merge(state(old), state(delta)) — while
+    the oracle recomputes the aggregate directly over the full table, so
+    the gate proves the incremental path is lossless.
+
+    The state is a commutative monoid per group: row count (int64) and
+    floor-quantized DECIMAL(38,0) sums (the functions.exact scheme kept
+    in integer space, where partial merges are exact and
+    order-independent; scaling back to double happens only at
+    finalization).  AVG is finalized as merged-sum / merged-count —
+    never stored.
+
+    At 100 TB this is THE pattern for daily-refresh rollups: the old
+    side is the stored state table (keys x 4 columns, trivially small),
+    the delta side aggregates one day's partition, and the merge
+    shuffles only state rows — the 99.99% of history is never re-read."""
+    from ..functions import exact
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("ship_date", F.to_date("l_shipdate"))
+    qty_q = F.floor(F.col("l_quantity").cast("double") * F.lit(exact._Q)).cast(
+        "decimal(38,0)"
+    )
+    price_q = F.floor(
+        F.col("l_extendedprice").cast("double") * F.lit(exact._Q)
+    ).cast("decimal(38,0)")
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(qty_q).alias("qty_qsum"),
+            F.sum(price_q).alias("price_qsum"),
+        )
+
+    old = state(li.filter(F.col("ship_date") < F.to_date(F.lit(_MV_SPLIT))))
+    delta = state(li.filter(F.col("ship_date") >= F.to_date(F.lit(_MV_SPLIT))))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("qty_qsum").alias("qty_qsum"),
+            F.sum("price_qsum").alias("price_qsum"),
+        )
+    )
+    q = F.lit(exact._Q)
+    return merged.select(
+        "l_returnflag", "l_linestatus", "n_rows",
+        (F.col("qty_qsum").cast("double") / q).alias("sum_qty"),
+        (F.col("price_qsum").cast("double") / q).alias("sum_price"),
+        (
+            (F.col("qty_qsum").cast("double") / q) / F.col("n_rows")
+        ).alias("avg_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+LINEITEM_DELTA_AGG_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       ({dsum_sql('l_quantity')} / COUNT(*)) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 _PR_DAMPING = 0.85
 _PR_ITERS = 3
 
@@ -2681,6 +2753,66 @@ pr{i} AS (
 
 
 EVENTS_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: flag hours whose event count deviates
+    more than 2 sigma from that event type's hourly mean.
+
+    The 2-sigma test is algebraically cleared of division and sqrt:
+    |c - S/H| > 2*sqrt((H*SUMSQ - S^2)/H^2)  <=>
+    (c*H - S)^2 > 4*(H*SUMSQ - S^2), with c = hour count, H = #hours,
+    S = sum of counts, SUMSQ = sum of squared counts — all INTEGER
+    aggregates, so the gate is exact with no epsilon anywhere (the
+    squares are evaluated as doubles of exact integers; at petabyte
+    counts they'd be DECIMAL(38,0), same plan).
+
+    Plan: one hash aggregation to hourly counts, one window (or
+    broadcast re-join) for the per-type moments, a narrow filter — two
+    shuffles total, both keyed on event_type; linear at any scale."""
+    (ev,) = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    stats = (
+        hourly.withColumn("h_cnt", F.count(F.lit(1)).over(w))
+        .withColumn("s_sum", F.sum("c").over(w))
+        .withColumn("ssq", F.sum(F.col("c") * F.col("c")).over(w))
+    )
+    dev = (F.col("c") * F.col("h_cnt") - F.col("s_sum")).cast("double")
+    var4 = F.lit(4.0) * (
+        F.col("h_cnt").cast("double") * F.col("ssq").cast("double")
+        - F.col("s_sum").cast("double") * F.col("s_sum").cast("double")
+    )
+    return (
+        stats.withColumn("is_anomaly", dev * dev > var4)
+        .filter(F.col("is_anomaly"))
+        .select("event_type", "hour", "c", "h_cnt", "s_sum", "is_anomaly")
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS c
+  FROM events GROUP BY event_type, hour),
+stats AS (
+  SELECT event_type, hour, c,
+         COUNT(*) OVER (PARTITION BY event_type) AS h_cnt,
+         SUM(c) OVER (PARTITION BY event_type) AS s_sum,
+         SUM(c * c) OVER (PARTITION BY event_type) AS ssq
+  FROM hourly)
+SELECT event_type, hour, c, h_cnt, CAST(s_sum AS BIGINT) AS s_sum,
+       (CAST(c * h_cnt - s_sum AS DOUBLE) * CAST(c * h_cnt - s_sum AS DOUBLE)
+        > 4.0 * (CAST(h_cnt AS DOUBLE) * CAST(ssq AS DOUBLE)
+                 - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))) AS is_anomaly
+FROM stats
+WHERE CAST(c * h_cnt - s_sum AS DOUBLE) * CAST(c * h_cnt - s_sum AS DOUBLE)
+      > 4.0 * (CAST(h_cnt AS DOUBLE) * CAST(ssq AS DOUBLE)
+               - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+ORDER BY event_type, hour
+"""
 
 
 _HIST_WIDTH = 50.0
@@ -3073,6 +3205,10 @@ SPECS: list[QuerySpec] = [
               "weighted PageRank on the event-type transition graph (iterative)"),
     QuerySpec("supplier_scd2", supplier_scd2, SUPPLIER_SCD2_SQL,
               "SCD type-2 dimension maintenance: close/open versioned rows"),
+    QuerySpec("lineitem_delta_agg", lineitem_delta_agg, LINEITEM_DELTA_AGG_SQL,
+              "incremental MV maintenance: mergeable partial state vs full recompute"),
+    QuerySpec("events_anomaly", events_anomaly, EVENTS_ANOMALY_SQL,
+              "2-sigma hourly volume anomalies, division-free integer algebra"),
     QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
               "KMV sketch union/intersection estimates (mergeable set algebra)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
