@@ -201,6 +201,48 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def pq_encode(
+    df: DataFrame,
+    codebook: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "recon",
+) -> DataFrame:
+    """Product-quantization encode: per subspace, code = argmin of the
+    floor-quantized L2 distance to a (k x sub)-entry sub-codebook
+    (smallest-code tie-break = numpy first-argmin over code order), and
+    the output column is the reconstruction (concatenated codebook rows)
+    used for asymmetric-distance scoring.  The fixed-point metric is
+    identical to the JVM expression path and the DuckDB oracle, so codes
+    and reconstructions are bit-exact across all three.
+
+    ``codebook`` is (m subspaces, k entries, sub dims).  One corpus
+    pass, codebook broadcast by closure (m*k*sub floats — tiny); the
+    scan is a narrow Arrow-batched projection, no shuffle."""
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = cb.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            recon = np.empty((len(pdf), m * sub), dtype=np.float64)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                diff = xs[:, None, :] - cb[s][None, :, :]
+                d2 = np.floor(diff * diff * _Q).astype(np.int64).sum(axis=2)
+                recon[:, s * sub:(s + 1) * sub] = cb[s][np.argmin(d2, axis=1)]
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = list(recon)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} array<double>"
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def srp_bucket(
     df: DataFrame,
     signs: "list[list[int]]",

@@ -942,27 +942,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_PQ_M)
     ]
 
-    def _lit_vec(v: list[float]):
-        return F.array(*[F.lit(float(x)) for x in v])
+    # encode in the vectorized numpy kernel (identical fixed-point argmin
+    # as the oracle SQL; the equivalent JVM expression tree — 64 nested
+    # zip_with aggregates — was ~4s/query at sf0.1, the kernel ~0.3s)
+    from ..operators.similarity import pq_encode
 
-    recon_parts = []
-    for s in range(_PQ_M):
-        sub = F.slice(F.col("embedding"), s * _PQ_SUB + 1, _PQ_SUB)
-        # argmin over the codebook: array_min on (dist, code) structs gives
-        # the lexicographic minimum = smallest distance, smallest-code tie
-        best = F.array_min(F.array(*[
-            F.struct(
-                _l2q(sub, _lit_vec(codebook[s][j])).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j in range(_PQ_K)
-        ]))
-        cents = F.array(*[_lit_vec(codebook[s][j]) for j in range(_PQ_K)])
-        recon_parts.append(F.element_at(cents, best["j"] + 1))
-    coded = emb.select(
-        "vec_id", "embedding",
-        F.flatten(F.array(*recon_parts)).alias("recon"),
-    )
+    coded = pq_encode(emb, codebook)
 
     q = coded.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
