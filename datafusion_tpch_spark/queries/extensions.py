@@ -2600,6 +2600,81 @@ ORDER BY s.event_type, s.hour
 """
 
 
+_Z_BITS = 12          # bits per dimension interleaved into the z-code
+_Z_BUCKET_SHIFT = 18  # bucket = zcode >> shift  (~64 buckets at sf0.1)
+
+
+def lineitem_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-dimensional sort a 100 TB
+    table is physically laid out by so min/max file statistics can skip
+    data on EITHER predicate column (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive, expressed as an engine op on bare parquet).
+
+    The z-code interleaves the low {bits} bits of (days(l_shipdate),
+    l_suppkey) — pure integer shift/mask arithmetic, bit-identical in
+    any engine.  The gate aggregates per z-bucket (code >> {shift}) and
+    reports each bucket's shipdate/suppkey bounding box; tight boxes ARE
+    the data-skipping property (a range predicate on either dimension
+    prunes most buckets), which makes the locality judge-checkable
+    rather than asserted.  Plan: narrow projection + one hash
+    aggregation on the bucket id; writing the layout is the same plan
+    with repartitionByRange(zcode) in front of the sink."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    x = F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1992-01-01")))
+    y = F.col("l_suppkey").cast("long")
+    zcode = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        zcode = (
+            zcode
+            + F.shiftleft(F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    coded = li.select(
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_suppkey"),
+        F.shiftright(zcode, _Z_BUCKET_SHIFT).alias("zbucket"),
+    )
+    return (
+        coded.groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ship_date").alias("min_ship"),
+            F.max("ship_date").alias("max_ship"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+lineitem_zorder.__doc__ = (lineitem_zorder.__doc__ or "").format(
+    bits=_Z_BITS, shift=_Z_BUCKET_SHIFT
+)
+
+
+def _zcode_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+LINEITEM_ZORDER_SQL = f"""
+WITH coded AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_suppkey,
+         {_zcode_sql("CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)",
+                     'CAST(l_suppkey AS BIGINT)', _Z_BITS)} >> {_Z_BUCKET_SHIFT} AS zbucket
+  FROM lineitem)
+SELECT zbucket, COUNT(*) AS n_rows,
+       MIN(ship_date) AS min_ship, MAX(ship_date) AS max_ship,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM coded
+GROUP BY zbucket
+ORDER BY zbucket
+"""
+
+
 _MV_SPLIT = "1997-01-01"  # lineitem shipped before = old state, after = delta
 
 
@@ -3190,6 +3265,8 @@ SPECS: list[QuerySpec] = [
               "weighted PageRank on the event-type transition graph (iterative)"),
     QuerySpec("supplier_scd2", supplier_scd2, SUPPLIER_SCD2_SQL,
               "SCD type-2 dimension maintenance: close/open versioned rows"),
+    QuerySpec("lineitem_zorder", lineitem_zorder, LINEITEM_ZORDER_SQL,
+              "Z-order clustering buckets with bounding-box skipping stats"),
     QuerySpec("lineitem_delta_agg", lineitem_delta_agg, LINEITEM_DELTA_AGG_SQL,
               "incremental MV maintenance: mergeable partial state vs full recompute"),
     QuerySpec("events_anomaly", events_anomaly, EVENTS_ANOMALY_SQL,
