@@ -47,3 +47,38 @@ def test_refinement_deterministic(spark):
     c1, _ = kmeans_refine(emb, seeds, iters=2)
     c2, _ = kmeans_refine(emb, seeds, iters=2)
     assert c1 == c2
+
+
+# ---------------------------------------------------------------------------
+# pq_encode (product quantization)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from datafusion_tpch_spark.operators.similarity import pq_encode
+
+
+def test_pq_encode_reconstruction_is_codebook_rows(spark):
+    # 4-dim vectors, 2 subspaces x 2 dims, 2 codebook entries per subspace
+    cb = [
+        [[0.0, 0.0], [1.0, 1.0]],      # subspace 0
+        [[0.0, 1.0], [1.0, 0.0]],      # subspace 1
+    ]
+    rows = [
+        (1, [0.1, -0.1, 0.1, 0.9]),    # -> cb[0][0] ++ cb[1][0]
+        (2, [0.9, 1.1, 0.9, 0.1]),     # -> cb[0][1] ++ cb[1][1]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.recon for r in pq_encode(df, cb).collect()}
+    assert np.allclose(got[1], [0.0, 0.0, 0.0, 1.0])
+    assert np.allclose(got[2], [1.0, 1.0, 1.0, 0.0])
+
+
+def test_pq_encode_tie_breaks_to_smallest_code(spark):
+    # equidistant from both entries -> code 0 wins in every subspace
+    cb = [[[1.0, 0.0], [0.0, 1.0]], [[2.0, 2.0], [2.0, 2.0]]]
+    df = spark.createDataFrame(
+        [(7, [0.5, 0.5, 2.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    (row,) = pq_encode(df, cb).collect()
+    assert list(row.recon) == [1.0, 0.0, 2.0, 2.0]

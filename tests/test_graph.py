@@ -37,3 +37,40 @@ def test_narrow_scope_restores_conf(spark):
 def test_cycle(spark):
     got = _cc(spark, [(1, 2), (2, 3), (3, 1)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+from datafusion_tpch_spark.operators.graph import pagerank
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = pagerank(df, weight="w", **kw)
+    return {r.node: r.pr for r in out.collect()}
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # a -> b, c -> b: b must outrank its sources
+    got = _pr(spark, [("a", "b", 1), ("c", "b", 1)])
+    assert got["b"] > got["a"] == got["c"]
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    # 2-cycle with equal weights: ranks identical and mass conserved
+    got = _pr(spark, [("a", "b", 1), ("b", "a", 1)])
+    assert got["a"] == got["b"]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_weight_beats_unweighted(spark):
+    # a splits 9:1 between b and c -> b gets ~9x c's incoming share
+    got = _pr(spark, [("a", "b", 9), ("a", "c", 1)], iterations=1)
+    assert got["b"] > got["c"]
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    edges = [("a", "b", 3), ("b", "c", 2), ("c", "a", 5), ("a", "c", 1)]
+    assert _pr(spark, edges) == _pr(spark, edges)
