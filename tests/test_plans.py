@@ -121,3 +121,39 @@ def test_semantic_pair_pipeline_plan(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Broadcast" not in plan, plan
     assert "Generate posexplode" in plan or "posexplode" in plan, plan
+
+
+def test_ann_pq_corpus_not_shuffled(spark):
+    """PQ = compressed SCAN: encode is a narrow kernel pass (codebook in
+    the closure — no join to encode) and ADC scoring broadcasts the query
+    side, so the corpus never shuffles; only the per-query top-k window
+    and the output sort exchange."""
+    df = _build(spark, "ann_pq_topk")
+    assert broadcast_join_count(df) >= 1
+    assert exchange_count(df) <= 2
+
+
+def test_zorder_single_aggregation(spark):
+    """Morton coding is pure per-row integer arithmetic: one hash
+    aggregation on the bucket + the output sort, nothing else."""
+    df = _build(spark, "lineitem_zorder")
+    assert broadcast_join_count(df) == 0
+    assert exchange_count(df) <= 2
+
+
+def test_pagerank_no_driver_loop_leakage(spark):
+    """The 3-iteration rank loop must be ONE declarative plan: joins per
+    round (ranks->edges) plus contribution aggregations, no
+    collect-driven scalar recursion.  Exchange budget: ~3 per round
+    (join + agg + node re-join) plus setup/output."""
+    df = _build(spark, "events_pagerank")
+    assert exchange_count(df) <= 14
+
+
+def test_delta_agg_partial_state_merges(spark):
+    """Incremental MV merge: two branch aggregations + one merge
+    aggregation + output sort; both branches' date filters must push to
+    the parquet scan (the O(delta) refresh property)."""
+    df = _build(spark, "lineitem_delta_agg")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed or "ship_date" in pushed, pushed
