@@ -2815,6 +2815,79 @@ pr{i} AS (
 EVENTS_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
 
 
+_CONC_MINUTES = 5  # each event holds a resource for 5 minutes
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the sweep-line algorithm over
+    intervals: each event occupies [ts, ts+{m}min); every interval emits
+    a +1 start point and a -1 end point, a running sum over the ordered
+    points is the live-interval count, and its max is the answer (the
+    'max concurrent sessions' / connection-pool-sizing question that a
+    naive self-join answers in O(n^2)).
+
+    Half-open semantics are pinned by the tie order (ends sort before
+    starts at the same instant, so back-to-back intervals never double
+    count).  Ties *within* (t, delta) leave individual prefix rows
+    order-ambiguous but every tie order yields the same row-set of
+    running sums per group, so MAX is deterministic — the only
+    aggregate the gate emits.
+
+    Plan: one narrow 2x explode, one window shuffle keyed on
+    event_type, one hash aggregation.  Linear; at 100 TB the window
+    partitions by (type, day) with per-day carry-in, same plan shape."""
+    (ev,) = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ts").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("ts") + F.expr(f"INTERVAL {_CONC_MINUTES} MINUTES")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+events_concurrency.__doc__ = (events_concurrency.__doc__ or "").format(
+    m=_CONC_MINUTES
+)
+
+
+EVENTS_CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {_CONC_MINUTES} MINUTE AS t, -1 AS delta
+  FROM events),
+live AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS live
+  FROM pts)
+SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM live
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: flag hours whose event count deviates
     more than 2 sigma from that event type's hourly mean.
@@ -3075,7 +3148,7 @@ supplier_scd2.__doc__ = (supplier_scd2.__doc__ or "").format(
 )
 
 
-SUPPLIER_SCD2_SQL = f"""
+_SCD2_CORE_SQL = f"""
 WITH base AS (
   SELECT s_suppkey, s_name, s_acctbal FROM supplier),
 changed AS (
@@ -3098,7 +3171,56 @@ untouched AS (
 SELECT * FROM untouched
 UNION ALL SELECT * FROM closed
 UNION ALL SELECT * FROM opened
-ORDER BY s_suppkey, valid_from
+"""
+
+SUPPLIER_SCD2_SQL = _SCD2_CORE_SQL + "ORDER BY s_suppkey, valid_from\n"
+
+
+def lineitem_pit_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each lineitem resolves the supplier dimension
+    VERSION that was valid on its ship date — the leakage-free temporal
+    lookup a feature store does when assembling training data (joining
+    today's attributes onto yesterday's facts is label leakage; the gate
+    pins the interval semantics: valid_from <= ship_date < valid_to).
+
+    Plan: equi-join on s_suppkey with the interval predicate as a join
+    residual; the versioned dimension is dimension-sized (versions x
+    suppliers), so it broadcasts — the fact table never shuffles.  The
+    aggregate proves every row matched exactly one version (n_items
+    across versions == lineitem count).  At 100 TB: same broadcast, or a
+    bucketed join on suppkey when the dimension outgrows the threshold."""
+    li, = _t(spark, sf_dir, "lineitem")
+    dim = supplier_scd2(spark, sf_dir)
+    ship = F.to_date("l_shipdate").alias("ship_date")
+    fact = li.select(F.col("l_suppkey"), ship, F.col("l_extendedprice"))
+    joined = fact.join(
+        F.broadcast(dim),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("valid_from") <= F.col("ship_date"))
+        & (F.col("ship_date") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy("is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("is_current")
+    )
+
+
+LINEITEM_PIT_SUPPLIER_SQL = f"""
+WITH scd AS ({_SCD2_CORE_SQL})
+SELECT s.is_current, COUNT(*) AS n_items,
+       COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+       {dsum_sql('l.l_extendedprice')} AS sum_price
+FROM lineitem l
+JOIN scd s ON l.l_suppkey = s.s_suppkey
+          AND s.valid_from <= CAST(l.l_shipdate AS DATE)
+          AND CAST(l.l_shipdate AS DATE) < s.valid_to
+GROUP BY s.is_current
+ORDER BY s.is_current
 """
 
 
@@ -3271,6 +3393,10 @@ SPECS: list[QuerySpec] = [
               "incremental MV maintenance: mergeable partial state vs full recompute"),
     QuerySpec("events_anomaly", events_anomaly, EVENTS_ANOMALY_SQL,
               "2-sigma hourly volume anomalies, division-free integer algebra"),
+    QuerySpec("events_concurrency", events_concurrency, EVENTS_CONCURRENCY_SQL,
+              "sweep-line peak concurrency per event type (interval algebra)"),
+    QuerySpec("lineitem_pit_supplier", lineitem_pit_supplier, LINEITEM_PIT_SUPPLIER_SQL,
+              "point-in-time join to SCD2 dimension versions (leakage-free lookup)"),
     QuerySpec("events_kmv_setops", events_kmv_setops, EVENTS_KMV_SETOPS_SQL,
               "KMV sketch union/intersection estimates (mergeable set algebra)"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
