@@ -57,18 +57,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     # ONE compact JSON line: the driver records only the last ~4096 chars of
-    # output, so the line must stay well under that at 100+ queries —
-    # compact separators and 3-decimal timings keep it ~2.5 KB
-    line = json.dumps(
-        {
-            "metric": "total query wall time, all registered queries",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 3) for k, v in timings.items()},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    # COMBINED stdout+stderr, so (a) stop Spark BEFORE printing so no JVM
+    # shutdown chatter lands after the line, and (b) keep the line itself
+    # well under the window — compact separators, and degrade timing
+    # precision if the registry has grown enough to threaten the budget.
+    spark.stop()
+
+    def encode(ndigits: int) -> str:
+        return json.dumps(
+            {
+                "metric": "total query wall time, all registered queries",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, ndigits) for k, v in timings.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
+        )
+
+    line = encode(3)
+    if len(line) > 3400:
+        line = encode(2)
     sys.stdout.flush()
     print(line)
     sys.stdout.flush()
