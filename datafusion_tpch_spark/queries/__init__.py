@@ -32,12 +32,16 @@ class QuerySpec:
 # heaviest previously-green queries so regressions there stay visible.
 # Everything not listed keeps registration order after these.
 _CHECK_FIRST = [
+    # -- new this round (no driver-side record yet) --
+    "orders_changelog", "events_triangle_count", "part_skyline",
+    "docs_chunk_dedup", "customer_record_linkage", "events_hll_distinct",
+    "embeddings_gram", "customer_orders_bucketed",
+    "events_stateful_sessions",
     # -- never driver-checked (rounds 1-2 windows predate them) --
-    "multimodal_pixel_stats", "multimodal_frame_sample",
-    "events_hourly", "events_sessionize", "events_json_extract",
+    "multimodal_frame_sample",
     "events_pivot", "events_moving_avg", "events_asof_join",
     "events_range_join", "events_salted_enrich", "events_user_retention",
-    "events_kmv_distinct", "events_kmv_setops", "events_value_quantiles",
+    "events_kmv_setops",
     "events_funnel", "events_gapfill", "events_histogram",
     "events_anomaly", "events_concurrency", "events_pagerank",
     "events_pii_scrub",
@@ -48,8 +52,7 @@ _CHECK_FIRST = [
     "docs_pmi_bigrams", "docs_lm_score", "docs_decontaminate",
     "docs_token_pack", "docs_boilerplate_strip", "docs_repetition",
     "docs_mixture_weights", "docs_mixture_sample",
-    "events_hourly_stream", "events_session_stream",
-    "events_enriched_stream", "events_sliding_stream",
+    "events_sliding_stream",
     "events_dedup_stream", "events_stream_stream_join",
     # -- heaviest previously-green (regression canaries) --
     "dedup_semantic", "dedup_semantic_clusters", "dedup_minhash_lsh",
@@ -59,10 +62,10 @@ _CHECK_FIRST = [
 
 def all_queries() -> dict[str, QuerySpec]:
     """Merged registry across the TPC-H core and the extension operators."""
-    from . import curation, extensions, stream, tpch
+    from . import advanced, curation, extensions, stream, tpch
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (tpch, extensions, stream, curation):
+    for mod in (tpch, extensions, stream, curation, advanced):
         for spec in mod.SPECS:
             assert spec.name not in merged, f"duplicate query name {spec.name}"
             merged[spec.name] = spec

@@ -15,6 +15,7 @@ extensions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.exact import dsum_sql
 from ..streaming import (
@@ -184,6 +185,59 @@ ORDER BY purchase_id, click_id
 """
 
 
+def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator as a live gate: gap sessionization with
+    explicit per-key state (``applyInPandasWithState``,
+    streaming/stateful.py) run over the bounded event stream.  Open
+    sessions re-emit as later batches extend them, so the consumer
+    collapses to final sessions by (user, session_start) keeping the max
+    extent — correct under any micro-batching — then rolls up per user.
+    The oracle is the batch lag-based sessionization (strict > gap, the
+    same rule the stateful kernel walks), making this the strongest
+    check available for a hand-rolled stateful operator: stream state
+    machine == batch window algebra, hash-for-hash."""
+    from ..streaming.stateful import sessionize_with_state
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = sessionize_with_state(read_events_stream(spark, sf_dir))
+    observed = run_stream_to_df(
+        spark, stream, "events_stateful_sessions", output_mode="append"
+    )
+    sess = observed.groupBy("user_id", "session_start").agg(
+        F.max("n_events").alias("n_events")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("longest_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+EVENTS_STATEFUL_SESSIONS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+per AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY user_id, sid)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS longest_session
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_stream",
@@ -220,5 +274,11 @@ SPECS: list[QuerySpec] = [
         events_stream_stream_join,
         EVENTS_STREAM_STREAM_JOIN_SQL,
         "watermarked stream-stream interval join (== batch interval join)",
+    ),
+    QuerySpec(
+        "events_stateful_sessions",
+        events_stateful_sessions,
+        EVENTS_STATEFUL_SESSIONS_SQL,
+        "applyInPandasWithState gap sessionization (== batch lag windows)",
     ),
 ]

@@ -1,0 +1,216 @@
+"""Semantics and plan-shape tests for the round-3 advanced operators
+(queries/advanced.py + the stateful-streaming gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from datafusion_tpch_spark.catalog import load_table
+from datafusion_tpch_spark.plans import exchange_count
+from datafusion_tpch_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _build(spark, name):
+    return all_queries()[name].build(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------- skyline
+
+def test_skyline_equals_bruteforce(spark):
+    got = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in _build(spark, "part_skyline").collect()
+    }
+    rows = (
+        load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    pts = [(r["p_partkey"], r["p_retailprice"], r["p_size"]) for r in rows]
+    expect = {
+        (k, pr, sz)
+        for (k, pr, sz) in pts
+        if not any(
+            qp <= pr and qs >= sz and (qp < pr or qs > sz)
+            for (_, qp, qs) in pts
+        )
+    }
+    assert got == expect and got
+
+
+def test_skyline_mutual_nondominance(spark):
+    rows = _build(spark, "part_skyline").collect()
+    # along the frontier sorted by ascending price, size must strictly
+    # increase (a cheaper point with >= size would dominate its successor)
+    srt = sorted((r["p_retailprice"], r["p_size"]) for r in rows)
+    for (p1, s1), (p2, s2) in zip(srt, srt[1:]):
+        assert p2 > p1 or s2 == s1
+        if p2 > p1:
+            assert s2 > s1
+
+
+# ------------------------------------------------------------- triangles
+
+def test_triangles_are_real_and_ordered(spark):
+    tri = _build(spark, "events_triangle_count").collect()
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    edges = {
+        (r["a"], r["b"])
+        for r in seq.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert tri, "fixture transition graph should contain triangles"
+    for r in tri:
+        a, b, c = r["a"], r["b"], r["c"]
+        assert a < b < c  # each triangle enumerated exactly once
+        assert {(a, b), (b, c), (a, c)} <= edges
+
+
+# ------------------------------------------------------------- changelog
+
+def test_changelog_counts_match_construction(spark):
+    rows = {r["change_type"]: r for r in _build(spark, "orders_changelog").collect()}
+    o = load_table(spark, SF_DIR, "orders")
+    n_upd = o.filter(F.col("o_orderkey") % 101 == 0).count()
+    n_del = o.filter(
+        (F.col("o_orderkey") % 83 == 0) & (F.col("o_orderkey") % 101 != 0)
+    ).count()
+    assert rows["insert"]["n_changes"] == n_upd  # shifted-key inserts
+    assert rows["delete"]["n_changes"] == n_del
+    # key 0 is updated (+500) but 0 % anything == 0 keeps it in both sets
+    assert rows["update"]["n_changes"] == n_upd
+    up = rows["update"]
+    assert abs((up["sum_new"] - up["sum_old"]) - 500.0 * n_upd) < 1e-3
+
+
+# ---------------------------------------------------------- chunk dedup
+
+def test_chunk_dedup_invariants(spark):
+    rows = _build(spark, "docs_chunk_dedup").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(rows) == docs.count()
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    assert by_id[0]["n_dup_chunks"] == 0  # first doc can't duplicate earlier
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+    # chunk totals reconstruct ceil(words/10) per doc
+    expect = {
+        r["doc_id"]: (r["n"] + 9) // 10
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["n_chunks"] == expect[r["doc_id"]]
+
+
+# -------------------------------------------------------- record linkage
+
+def test_linkage_recovers_all_dirty_records(spark):
+    rows = _build(spark, "customer_record_linkage").collect()
+    c = load_table(spark, SF_DIR, "customer")
+    n_dirty = c.filter(F.col("c_custkey") % 3 == 0).count()
+    assert sum(r["n_dirty"] for r in rows) == n_dirty
+    # one dropped char -> distance 1 to the true record, which must win
+    assert sum(r["n_recovered"] for r in rows) == n_dirty
+    assert sum(r["sum_dist"] for r in rows) == n_dirty
+
+
+# ------------------------------------------------------------ HLL sketch
+
+def test_hll_estimate_tracks_exact(spark):
+    """The consumer-side corrected estimator (linear counting while empty
+    buckets remain, raw HLL otherwise — derivable entirely from the gate's
+    output columns) must track the exact count."""
+    import math
+
+    rows = _build(spark, "events_hll_distinct").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["m_used"] <= 64
+        m, v = 64, 64 - r["m_used"]
+        est = m * math.log(m / v) if v > 0 else r["raw_est"]
+        # 64 buckets -> ~13% standard error; assert a loose 2x band
+        assert r["exact_distinct"] / 2 <= est <= r["exact_distinct"] * 2
+
+
+def test_hll_registers_deterministic(spark):
+    a = _build(spark, "events_hll_distinct").collect()
+    b = _build(spark, "events_hll_distinct").collect()
+    assert a == b
+
+
+# ------------------------------------------------------------------ gram
+
+def test_gram_matches_numpy(spark):
+    rows = _build(spark, "embeddings_gram").collect()
+    emb = np.array(
+        [
+            r["embedding"][:8]
+            for r in load_table(spark, SF_DIR, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    gram = emb.T @ emb
+    assert len(rows) == 36
+    for r in rows:
+        # quantized-exact sum vs float64 accumulation: 1e-8 quantum x n rows
+        assert abs(r["gram"] - gram[r["i"], r["j"]]) < 1e-4
+
+
+# -------------------------------------------------------- bucketed join
+
+def test_bucketed_gate_matches_plain_join(spark):
+    got = {
+        (r["c_mktsegment"], r["n_orders"], round(r["sum_price"], 6))
+        for r in _build(spark, "customer_orders_bucketed").collect()
+    }
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    plain = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    expect = {
+        (r["c_mktsegment"], r["n"], round(r["s"], 6)) for r in plain
+    }
+    assert {g[:2] for g in got} == {e[:2] for e in expect}
+    for g, e in zip(sorted(got), sorted(expect)):
+        assert abs(g[2] - e[2]) < 1e-3
+
+
+def test_bucketed_join_plan_has_no_join_exchange(spark):
+    """The join itself must consume the bucketing: the only exchanges in
+    the gate plan belong to the final aggregation/sort, not the join."""
+    from datafusion_tpch_spark.operators.bucketing import bucketed_join
+
+    _build(spark, "customer_orders_bucketed").collect()  # writes the tables
+    j = bucketed_join(spark, "gate_customer_b", "gate_orders_b", ["custkey"])
+    assert exchange_count(j) == 0
+
+
+# ----------------------------------------------- stateful sessions gate
+
+def test_stateful_sessions_accounts_every_event(spark):
+    rows = _build(spark, "events_stateful_sessions").collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    assert len(rows) == ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r["longest_session"] <= r["n_events"]
+        assert r["n_sessions"] >= 1
