@@ -36,7 +36,7 @@ _CHECK_FIRST = [
     "orders_changelog", "events_triangle_count", "part_skyline",
     "docs_chunk_dedup", "customer_record_linkage", "events_hll_distinct",
     "embeddings_gram", "customer_orders_bucketed",
-    "events_stateful_sessions",
+    "events_stateful_sessions", "token_cms_topk", "events_rolling_kmv",
     # -- never driver-checked (rounds 1-2 windows predate them) --
     "multimodal_frame_sample",
     "events_pivot", "events_moving_avg", "events_asof_join",
@@ -56,7 +56,6 @@ _CHECK_FIRST = [
     "events_dedup_stream", "events_stream_stream_join",
     # -- heaviest previously-green (regression canaries) --
     "dedup_semantic", "dedup_semantic_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "ann_ivf_topk",
 ]
 
 

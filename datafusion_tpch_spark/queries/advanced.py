@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import hashing
+from ..functions import hashing, text
 from ..functions.exact import dsum, dsum_sql
 from . import QuerySpec
 from .extensions import _t
@@ -563,6 +563,193 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# ===========================================================================
+# Count-min sketch heavy hitters
+# ===========================================================================
+
+_CMS_D = 4     # hash rows
+_CMS_W = 512   # counters per row
+_CMS_TOPK = 20
+
+
+def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, probed for the exact
+    top-{k} heavy hitters.  The sketch is {d}×{w} integer counters — a
+    *fixed-size, mergeable* summary (counters add across partitions /
+    days / shards), which is the 100 TB answer when the vocabulary
+    itself is too hot to shuffle per occurrence: the sketch build's
+    shuffle carries at most d·w rows per partition regardless of corpus
+    size.  Point estimate = min over the d row counters (always an
+    overestimate; the gate emits exact and estimate side by side so the
+    error is visible).  All hashing is the shared md5 scheme, so the
+    oracle reproduces every counter bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(text.words(F.col("text"))).alias("term"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                hashing.md5_int(
+                    F.concat(F.col("term"), F.lit("#"), F.lit(str(r)))
+                ) % _CMS_W
+            ).alias("c"),
+        )
+        for r in range(_CMS_D)
+    ])
+    sketch = (
+        occ.select(F.explode(rows).alias("rc"))
+        .select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "term")
+        .limit(_CMS_TOPK)
+    )
+    probe = top.select(
+        "term", "exact_count", F.explode(rows).alias("rc")
+    ).select("term", "exact_count", "rc.r", "rc.c")
+    return (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy(F.col("exact_count").desc(), "term")
+    )
+
+
+def _cms_hash_sql(term_expr: str) -> str:
+    return (
+        f"{hashing.md5_int_sql(f'{term_expr} || chr(35) || CAST(r AS VARCHAR)')}"
+        f" % {_CMS_W}"
+    )
+
+
+TOKEN_CMS_TOPK_SQL = f"""
+WITH occ AS (
+  SELECT unnest({text.words_sql('text')}) AS term FROM documents),
+sketch AS (
+  SELECT r, {_cms_hash_sql('term')} AS c, COUNT(*) AS cnt
+  FROM occ, range(0, {_CMS_D}) t(r)
+  GROUP BY r, c),
+top AS (
+  SELECT term, COUNT(*) AS exact_count FROM occ GROUP BY term
+  ORDER BY exact_count DESC, term LIMIT {_CMS_TOPK}),
+probe AS (
+  SELECT term, exact_count, r, {_cms_hash_sql('term')} AS c
+  FROM top, range(0, {_CMS_D}) t(r))
+SELECT term, exact_count, CAST(MIN(cnt) AS BIGINT) AS cms_est
+FROM probe JOIN sketch USING (r, c)
+GROUP BY term, exact_count
+ORDER BY exact_count DESC, term
+"""
+
+
+# ===========================================================================
+# Rolling distinct via mergeable KMV sketches
+# ===========================================================================
+
+_RKMV_K = 64
+_RKMV_WIN = 3  # trailing days, inclusive
+_RKMV_SPACE = float(2**63)
+
+
+def events_rolling_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{win}-day distinct users per day, twice: exactly, and via
+    *merged per-day KMV sketches*.  Exact distinct over sliding windows
+    re-scans every window at scale; the sketch path builds one bounded
+    k-min-hash array per day and merges the trailing window inside a
+    window frame (flatten → sort → retruncate to k) — sketch
+    mergeability doing the work, k·win int64s per day no matter how many
+    users.  Deterministic md5 hashing makes the merged estimate
+    bit-identical on the oracle side; the exact count rides along to
+    show the error."""
+    (ev,) = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"),
+        F.abs(hashing.md5_int(F.col("user_id").cast("string"))).alias("h"),
+    ).distinct()
+    wrank = Window.partitionBy("day").orderBy("h")
+    per_day = (
+        du.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _RKMV_K)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    )
+    wroll = Window.orderBy("day").rowsBetween(-(_RKMV_WIN - 1), 0)
+    merged = per_day.select(
+        "day",
+        F.count(F.lit(1)).over(wroll).alias("n_days_in_window"),
+        # KMV merge = k smallest of the union of per-day k-mins, over
+        # DISTINCT hash values (the same user active on two window days
+        # must not occupy two sketch slots)
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmin").over(wroll)))
+            ),
+            1,
+            _RKMV_K,
+        ).alias("m"),
+    )
+    kth = F.element_at(F.col("m"), F.size(F.col("m")))
+    est = F.when(
+        F.size(F.col("m")) < _RKMV_K, F.size(F.col("m")).cast("double")
+    ).otherwise(
+        F.lit(_RKMV_K - 1) / (kth.cast("double") / F.lit(_RKMV_SPACE))
+    )
+    sketch_side = merged.select(
+        "day", "n_days_in_window", F.floor(est).cast("long").alias("kmv_est")
+    )
+    days = du.select("day").distinct()
+    exact = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= F.date_sub(F.col("d.day"), _RKMV_WIN - 1)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.h").alias("exact_distinct"))
+    )
+    return sketch_side.join(exact, "day").orderBy("day")
+
+
+EVENTS_ROLLING_KMV_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         abs({hashing.md5_int_sql('CAST(user_id AS VARCHAR)')}) AS h
+  FROM events),
+per_day AS (
+  SELECT day, list_sort(list(h)) AS kmin FROM (
+    SELECT day, h,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM du) WHERE rn <= {_RKMV_K}
+  GROUP BY day),
+merged AS (
+  SELECT day,
+         COUNT(*) OVER w AS n_days_in_window,
+         (list_sort(list_distinct(flatten(list(kmin) OVER w))))[1:{_RKMV_K}] AS m
+  FROM per_day
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_RKMV_WIN - 1} PRECEDING
+               AND CURRENT ROW)),
+sk AS (
+  SELECT day, n_days_in_window,
+         CAST(floor(CASE WHEN len(m) < {_RKMV_K} THEN CAST(len(m) AS DOUBLE)
+              ELSE {_RKMV_K - 1} / (CAST(m[{_RKMV_K}] AS DOUBLE) / {_RKMV_SPACE!r})
+              END) AS BIGINT) AS kmv_est
+  FROM merged),
+exact AS (
+  SELECT d.day AS day, COUNT(DISTINCT u.h) AS exact_distinct
+  FROM (SELECT DISTINCT day FROM du) d
+  JOIN du u ON u.day <= d.day AND u.day >= d.day - {_RKMV_WIN - 1}
+  GROUP BY d.day)
+SELECT day, n_days_in_window, kmv_est, exact_distinct
+FROM sk JOIN exact USING (day)
+ORDER BY day
+"""
+
+
 SPECS = [
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
@@ -598,5 +785,13 @@ SPECS = [
         "customer_orders_bucketed", customer_orders_bucketed,
         CUSTOMER_ORDERS_BUCKETED_SQL,
         "bucketed co-located join: zero-exchange join after bucketed write",
+    ),
+    QuerySpec(
+        "token_cms_topk", token_cms_topk, TOKEN_CMS_TOPK_SQL,
+        "count-min sketch heavy hitters: fixed mergeable counters + probe",
+    ),
+    QuerySpec(
+        "events_rolling_kmv", events_rolling_kmv, EVENTS_ROLLING_KMV_SQL,
+        "trailing-window distinct via merged per-day KMV sketches",
     ),
 ]

@@ -204,6 +204,32 @@ def test_bucketed_join_plan_has_no_join_exchange(spark):
     assert exchange_count(j) == 0
 
 
+# -------------------------------------------------------------- sketches
+
+def test_cms_estimate_bounds(spark):
+    rows = _build(spark, "token_cms_topk").collect()
+    assert len(rows) == 20
+    for r in rows:
+        # count-min never underestimates; 4x512 counters on this corpus
+        # keep collision inflation modest
+        assert r["cms_est"] >= r["exact_count"]
+        assert r["cms_est"] <= r["exact_count"] * 3
+
+
+def test_rolling_kmv_tracks_exact(spark):
+    rows = _build(spark, "events_rolling_kmv").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days_in_window"] <= 3
+        lo, hi = r["exact_distinct"] * 0.5, r["exact_distinct"] * 2
+        assert lo <= r["kmv_est"] <= hi
+    # trailing-window distinct can never drop below the day's own count
+    per_day = {r["day"]: r for r in rows}
+    days = sorted(per_day)
+    for d1, d2 in zip(days, days[1:]):
+        assert per_day[d2]["n_days_in_window"] >= 1
+
+
 # ----------------------------------------------- stateful sessions gate
 
 def test_stateful_sessions_accounts_every_event(spark):
