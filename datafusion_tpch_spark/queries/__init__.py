@@ -37,6 +37,7 @@ _CHECK_FIRST = [
     "docs_chunk_dedup", "customer_record_linkage", "events_hll_distinct",
     "embeddings_gram", "customer_orders_bucketed",
     "events_stateful_sessions", "token_cms_topk", "events_rolling_kmv",
+    "customer_window_suite", "lineitem_running_total",
     # -- never driver-checked (rounds 1-2 windows predate them) --
     "multimodal_frame_sample",
     "events_pivot", "events_moving_avg", "events_asof_join",
@@ -54,8 +55,8 @@ _CHECK_FIRST = [
     "docs_mixture_weights", "docs_mixture_sample",
     "events_sliding_stream",
     "events_dedup_stream", "events_stream_stream_join",
-    # -- heaviest previously-green (regression canaries) --
-    "dedup_semantic", "dedup_semantic_clusters", "dedup_minhash_lsh",
+    # -- heaviest previously-green (regression canary) --
+    "dedup_semantic_clusters",
 ]
 
 

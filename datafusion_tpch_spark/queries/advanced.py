@@ -750,6 +750,108 @@ ORDER BY day
 """
 
 
+# ===========================================================================
+# Window-function breadth suite
+# ===========================================================================
+
+def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §2.5 ranking/analytic surface in one plan: row_number,
+    dense_rank, percent_rank, cume_dist, ntile, lag, lead and first_value
+    over the same (nation, acctbal desc, custkey) window spec — which is
+    the scale-relevant point: Spark plans ONE exchange + ONE sort for all
+    eight functions because they share a window specification; the
+    per-function cost is a streaming pass over the sorted partition.
+    percent_rank/cume_dist emit exact small-integer ratios (identical
+    IEEE division on both engines).  Output truncated to the top 3 rows
+    per nation after the analytics are computed over the full
+    partition."""
+    (c,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.lead("c_acctbal").over(w).alias("next_bal"),
+        F.first_value(F.col("c_acctbal")).over(wf).alias("top_bal"),
+    )
+    return out.filter(F.col("rn") <= 3).orderBy("c_nationkey", "rn")
+
+
+CUSTOMER_WINDOW_SUITE_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST()    OVER w AS cdist,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       LAG(c_acctbal)  OVER w AS prev_bal,
+       LEAD(c_acctbal) OVER w AS next_bal,
+       FIRST_VALUE(c_acctbal) OVER (PARTITION BY c_nationkey
+         ORDER BY c_acctbal DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+QUALIFY rn <= 3
+ORDER BY c_nationkey, rn
+"""
+
+
+# ===========================================================================
+# Deterministic running totals
+# ===========================================================================
+
+_RT_MOD = 997  # sampled orders keep the gate output bounded
+
+
+def lineitem_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order running invoice total by line number — the cumulative
+    ROWS-frame aggregate, made cross-engine-exact by summing the
+    floor-quantized line amounts (a running double sum would be
+    order-deterministic here, but the quantized form is immune to any
+    future frame reordering).  One window shuffle on the order key; the
+    sampling predicate is pushed to the scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sample = li.filter(F.col("l_orderkey") % _RT_MOD == 0)
+    q = F.floor(F.col("l_extendedprice").cast("double") * F.lit(1e8)).cast(
+        "decimal(38,0)"
+    )
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sample.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.sum(q).over(w).cast("double") / F.lit(1e8)).alias("cum_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+LINEITEM_RUNNING_TOTAL_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100000000.0)
+                     AS DECIMAL(38,0)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100000000.0 AS cum_price
+FROM lineitem
+WHERE l_orderkey % {_RT_MOD} = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 SPECS = [
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
@@ -793,5 +895,15 @@ SPECS = [
     QuerySpec(
         "events_rolling_kmv", events_rolling_kmv, EVENTS_ROLLING_KMV_SQL,
         "trailing-window distinct via merged per-day KMV sketches",
+    ),
+    QuerySpec(
+        "customer_window_suite", customer_window_suite,
+        CUSTOMER_WINDOW_SUITE_SQL,
+        "eight ranking/analytic window functions sharing one window spec",
+    ),
+    QuerySpec(
+        "lineitem_running_total", lineitem_running_total,
+        LINEITEM_RUNNING_TOTAL_SQL,
+        "per-order cumulative totals, quantized-exact running sum",
     ),
 ]

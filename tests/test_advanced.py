@@ -230,6 +230,41 @@ def test_rolling_kmv_tracks_exact(spark):
         assert per_day[d2]["n_days_in_window"] >= 1
 
 
+# ------------------------------------------------------- window breadth
+
+def test_window_suite_shares_one_window_exchange(spark):
+    """Eight window functions over one spec must cost one hash exchange
+    (plus the final presentation sort) — N analytics, one shuffle."""
+    df = _build(spark, "customer_window_suite")
+    assert exchange_count(df) <= 2
+    rows = df.collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    for nk, grp in by_nation.items():
+        grp.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in grp] == list(range(1, len(grp) + 1))
+        # top row of each nation: max balance, rank stats at their floor
+        assert grp[0]["prank"] == 0.0
+        assert grp[0]["top_bal"] == grp[0]["c_acctbal"]
+        for prev, cur in zip(grp, grp[1:]):
+            assert cur["prev_bal"] == prev["c_acctbal"]
+            assert cur["c_acctbal"] <= prev["c_acctbal"]
+
+
+def test_running_total_monotone_per_order(spark):
+    rows = _build(spark, "lineitem_running_total").collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["l_orderkey"], []).append(r)
+    for okey, grp in per.items():
+        grp.sort(key=lambda r: r["l_linenumber"])
+        cums = [r["cum_price"] for r in grp]
+        assert cums == sorted(cums)  # prices positive -> monotone
+        assert cums[0] > 0
+
+
 # ----------------------------------------------- stateful sessions gate
 
 def test_stateful_sessions_accounts_every_event(spark):
