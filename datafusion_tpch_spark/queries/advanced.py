@@ -527,24 +527,27 @@ def customer_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bucketing import bucketed_join, write_bucketed
 
     c, o = _t(spark, sf_dir, "customer", "orders")
-    # a previous session may have left the managed-table directories behind
-    # without this session's catalog knowing the tables: drop both AND clear
-    # the stale locations, or the create-on-overwrite collides
+    # table names carry the pid: the warehouse dir is shared between
+    # concurrent Spark processes (verify + pytest racing on the same
+    # managed-table location corrupts the write), and a previous session
+    # with the same pid may have left directories behind without this
+    # session's catalog knowing the tables — drop AND clear the location
+    tc, to = f"gate_customer_b_{os.getpid()}", f"gate_orders_b_{os.getpid()}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for t in ("gate_customer_b", "gate_orders_b"):
+    for t in (tc, to):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(
             os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
         )
     write_bucketed(
         c.select(F.col("c_custkey").alias("custkey"), "c_mktsegment"),
-        "gate_customer_b", ["custkey"], 8, sort_cols=["custkey"],
+        tc, ["custkey"], 8, sort_cols=["custkey"],
     )
     write_bucketed(
         o.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
-        "gate_orders_b", ["custkey"], 8, sort_cols=["custkey"],
+        to, ["custkey"], 8, sort_cols=["custkey"],
     )
-    j = bucketed_join(spark, "gate_customer_b", "gate_orders_b", ["custkey"])
+    j = bucketed_join(spark, tc, to, ["custkey"])
     return (
         j.groupBy("c_mktsegment")
         .agg(

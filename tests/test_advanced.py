@@ -200,7 +200,12 @@ def test_bucketed_join_plan_has_no_join_exchange(spark):
     from datafusion_tpch_spark.operators.bucketing import bucketed_join
 
     _build(spark, "customer_orders_bucketed").collect()  # writes the tables
-    j = bucketed_join(spark, "gate_customer_b", "gate_orders_b", ["custkey"])
+    import os
+
+    pid = os.getpid()
+    j = bucketed_join(
+        spark, f"gate_customer_b_{pid}", f"gate_orders_b_{pid}", ["custkey"]
+    )
     assert exchange_count(j) == 0
 
 
