@@ -855,6 +855,183 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+# ===========================================================================
+# GROUPING SETS with grouping-id (completes the rollup/cube OLAP trio)
+# ===========================================================================
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP
+    (`orders_rollup`) and CUBE (`orders_cube`): an arbitrary set list
+    ((flag,status),(flag),()) with GROUPING_ID disambiguating which
+    aggregation level a row belongs to (a NULL key value vs a
+    rolled-away key are different things).  One expand + one hash
+    aggregation — Catalyst plans grouping sets as a single Expand
+    operator, so the fact table is scanned once, not once per set."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+LINEITEM_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# ===========================================================================
+# Event-sequence n-gram mining (top user paths)
+# ===========================================================================
+
+_PATH_TOPK = 20
+
+
+def events_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths: what users actually *do*, as ordered
+    3-step sequences (the sequence-mining question behind funnel design
+    — `events_funnel` checks one hypothesized path, this discovers them).
+    LEAD twice over the per-user time order turns each event row into
+    the path starting at it; a hash aggregation counts path frequency.
+    One window shuffle keyed on user_id + one agg shuffle keyed on the
+    path — no self-joins, no explosion beyond 1 row per event.  At
+    100 TB the user_id window partitions are the same shuffle any
+    sessionization already pays; path cardinality is bounded by
+    |event_types|^3, so the count table is tiny."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e0"),
+            F.lead("event_type", 1).over(w).alias("e1"),
+            F.lead("event_type", 2).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _PATH_TOPK)
+        .orderBy("rank")
+    )
+
+
+EVENTS_PATH_NGRAMS_SQL = f"""
+WITH tri AS (
+  SELECT user_id, event_type AS e0,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events),
+paths AS (
+  SELECT e0 || '>' || e1 || '>' || e2 AS path FROM tri WHERE e2 IS NOT NULL),
+counted AS (
+  SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+SELECT path, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INTEGER) AS rank
+FROM counted
+QUALIFY rank <= {_PATH_TOPK}
+ORDER BY rank
+"""
+
+
+# ===========================================================================
+# Interval-union coverage (merged busy time per user)
+# ===========================================================================
+
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total *covered* time per user after merging overlapping activity
+    intervals — the interval-union-length problem (billable time, device
+    uptime, dedup'd exposure).  Each event occupies
+    [ts, ts + floor(value*1000) ms]; the classic island detection: a row
+    starts a new island when its start exceeds the running max end of
+    all earlier intervals, islands are numbered by a running sum of the
+    start flags, and covered time is Σ (max(end) - min(start)) per
+    island.  All integer epoch-millis arithmetic — cross-engine exact.
+    Two window passes + one aggregation over the same user_id
+    partitioning: Catalyst reuses a single shuffle for all three."""
+    (ev,) = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("s"),
+        (
+            F.unix_millis(F.col("ts"))
+            + F.greatest(
+                F.floor(F.col("value") * 1000).cast("long"), F.lit(0).cast("long")
+            )
+        ).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max = (
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("len_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len_ms").alias("covered_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s,
+         epoch_ms(ts) + GREATEST(CAST(floor(value * 1000) AS BIGINT), 0) AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged),
+per_island AS (
+  SELECT user_id, island, MAX(e) - MIN(s) AS len_ms
+  FROM islands GROUP BY user_id, island)
+SELECT user_id, COUNT(*) AS n_islands, CAST(SUM(len_ms) AS BIGINT) AS covered_ms
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SPECS = [
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
@@ -908,5 +1085,19 @@ SPECS = [
         "lineitem_running_total", lineitem_running_total,
         LINEITEM_RUNNING_TOTAL_SQL,
         "per-order cumulative totals, quantized-exact running sum",
+    ),
+    QuerySpec(
+        "lineitem_grouping_sets", lineitem_grouping_sets,
+        LINEITEM_GROUPING_SETS_SQL,
+        "GROUPING SETS + grouping_id: one Expand, one scan, three levels",
+    ),
+    QuerySpec(
+        "events_path_ngrams", events_path_ngrams, EVENTS_PATH_NGRAMS_SQL,
+        "sequence mining: top event-type trigram paths via double LEAD",
+    ),
+    QuerySpec(
+        "events_interval_union", events_interval_union,
+        EVENTS_INTERVAL_UNION_SQL,
+        "interval-union coverage: island detection, integer epoch-ms exact",
     ),
 ]

@@ -1007,6 +1007,115 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the composition production vector stores actually run
+    at scale (the FAISS ``IVFx,PQy`` recipe): a coarse inverted-file
+    quantizer prunes the search to one cell (nprobe=1), and within the
+    cell candidates are scored by asymmetric distance against their
+    product-quantization reconstruction instead of raw vectors.
+
+    Both index structures come from the bounded-collect patterns proven
+    separately by ``ann_ivf_topk`` (fixed {ivf_k}-centroid deterministic
+    sample) and ``ann_pq_topk`` (fixed {pq_k}-entry sub-codebooks), and
+    the corpus is indexed in ONE Arrow-batched pass
+    (``operators/similarity.ivf_pq_encode``) — no second scan, no vec_id
+    stitch join.  At 100 TB: codes are {m} bytes/vector partitioned by
+    cell id, a probe is a partition-pruned scan of ~1/{ivf_k} of the
+    corpus at ~1/64 the bytes, and recall scales with nprobe by unioning
+    cells — parameter change, same plan.
+
+    The reference has no ANN surface (`/root/reference/src/lib.rs` stops
+    at generate+register+COPY); this extends it per the north star."""
+    from ..operators.similarity import ivf_pq_encode
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    seeded = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_IVF_K)
+        .collect()
+    )
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeded]
+    seeds = [[float(x) for x in r.embedding] for r in seeded[:_PQ_K]]
+    codebook = [
+        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+    coded = ivf_pq_encode(emb, centroids, codebook)
+    q = coded.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("cand_id"), F.col("cell").alias("ccell"),
+        F.col("recon").alias("cr"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell"))
+              & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_ivf_pq_topk.__doc__ = (ann_ivf_pq_topk.__doc__ or "").format(
+    ivf_k=_IVF_K, pq_k=_PQ_K, m=_PQ_M
+)
+
+
+ANN_IVF_PQ_SQL = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sn
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
+ivfcent AS (SELECT vec_id AS cid, embedding AS ce FROM seeded),
+pqcent AS (SELECT sn - 1 AS j, embedding AS ce FROM seeded WHERE sn <= {_PQ_K}),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN ivfcent c)
+  WHERE rn = 1),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, sp.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, sp.s
+             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
+                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
+    CROSS JOIN pqcent c)
+  WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
+  FROM codes JOIN pqcent c USING (j)
+  GROUP BY codes.vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+         CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
+  FROM assigned q
+  JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+  JOIN recon r ON r.vec_id = a.vec_id
+  WHERE q.vec_id < {_NQUERY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -3315,6 +3424,8 @@ SPECS: list[QuerySpec] = [
               "product-quantization ADC scan: fixed sub-codebooks, 4-byte codes"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,
               "IVF-flat top-k (deterministic centroids, nprobe=1)"),
+    QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, ANN_IVF_PQ_SQL,
+              "IVF-PQ: cell-pruned ADC scan, one-pass fused index build"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),

@@ -280,3 +280,107 @@ def test_stateful_sessions_accounts_every_event(spark):
     for r in rows:
         assert r["longest_session"] <= r["n_events"]
         assert r["n_sessions"] >= 1
+
+
+# ------------------------------------------------- grouping sets / paths
+
+def test_grouping_sets_levels_consistent(spark):
+    rows = _build(spark, "lineitem_grouping_sets").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # (flag,status)=0, (flag)=1 with status rolled away, ()=3
+    assert set(by_gid) == {0, 1, 3}
+    total = next(iter(by_gid[3]))
+    assert total["l_returnflag"] is None and total["l_linestatus"] is None
+    assert sum(r["n_rows"] for r in by_gid[0]) == total["n_rows"]
+    assert sum(r["n_rows"] for r in by_gid[1]) == total["n_rows"]
+    assert abs(sum(r["sum_qty"] for r in by_gid[0]) - total["sum_qty"]) < 1e-6
+    # every level-1 row aggregates exactly its level-0 rows
+    lvl0 = {}
+    for r in by_gid[0]:
+        lvl0[r["l_returnflag"]] = lvl0.get(r["l_returnflag"], 0) + r["n_rows"]
+    for r in by_gid[1]:
+        assert r["l_linestatus"] is None
+        assert lvl0[r["l_returnflag"]] == r["n_rows"]
+
+
+def test_path_ngrams_counts_match_bruteforce(spark):
+    rows = _build(spark, "events_path_ngrams").collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # brute-force recount on the driver (fixture-sized only)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["event_type"]))
+    counts = {}
+    for trail in seqs.values():
+        trail.sort()
+        for a, b, c in zip(trail, trail[1:], trail[2:]):
+            p = f"{a[2]}>{b[2]}>{c[2]}"
+            counts[p] = counts.get(p, 0) + 1
+    for r in rows:
+        assert counts[r["path"]] == r["n"]
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["path"], r["n"]) for r in rows] == top
+
+
+def test_interval_union_bounds(spark):
+    rows = _build(spark, "events_interval_union").collect()
+    ev = load_table(spark, SF_DIR, "events")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    spans = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_millis("ts")).alias("lo"),
+            F.max(
+                F.unix_millis("ts")
+                + F.greatest(F.floor(F.col("value") * 1000).cast("long"), F.lit(0).cast("long"))
+            ).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for r in rows:
+        s = spans[r["user_id"]]
+        assert 0 <= r["covered_ms"] <= s["hi"] - s["lo"]
+        assert 1 <= r["n_islands"] <= s["n"]
+
+
+# ------------------------------------------------------- fused IVF-PQ
+
+def test_ivf_pq_encode_matches_separate_kernels(spark):
+    from datafusion_tpch_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_encode,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds]
+    d = len(centroids[0][1])
+    sub = d // 4
+    codebook = [
+        [centroids[j][1][s * sub:(s + 1) * sub] for j in range(8)]
+        for s in range(4)
+    ]
+    fused = {
+        r["vec_id"]: (r["cell"], tuple(r["recon"]))
+        for r in ivf_pq_encode(emb, centroids, codebook).collect()
+    }
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, centroids).collect()}
+    recons = {
+        r["vec_id"]: tuple(r["recon"])
+        for r in pq_encode(emb, codebook).collect()
+    }
+    assert len(fused) == emb.count()
+    for vid, (cell, recon) in fused.items():
+        assert cells[vid] == cell
+        assert recons[vid] == recon
