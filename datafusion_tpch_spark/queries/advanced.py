@@ -1032,6 +1032,146 @@ ORDER BY user_id
 """
 
 
+# ===========================================================================
+# Partitioned-layout write + partition-pruned read
+# ===========================================================================
+
+_PRUNE_MONTH = "1995-03"
+
+
+def orders_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout as a live gate: write orders
+    partitioned by order month (``o_month=yyyy-MM/`` directories), read
+    the layout back, and aggregate ONE month — the month predicate is a
+    partition filter, so planning lists only that directory and the scan
+    never opens the other ~80 months' files (asserted via inputFiles in
+    tests/test_advanced.py).  This is THE first-order scale lever for a
+    100 TB fact table: time-partitioned layout turns every
+    time-bounded query from a full scan into a pruned scan, before any
+    row-level pushdown applies."""
+    import os
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"/tmp/spark_graft_orders_part_{os.getpid()}"
+    (
+        o.withColumn(
+            "o_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(path)
+    )
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("o_month") == _PRUNE_MONTH)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_PARTITIONED_PRUNE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '{_PRUNE_MONTH}'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ===========================================================================
+# Mergeable histogram sketch -> approximate quantiles
+# ===========================================================================
+
+_HQ_BINS = 64
+_HQ_W = 2000  # equal-width bins over l_extendedprice
+
+
+def lineitem_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles from a mergeable fixed-width histogram
+    sketch: {bins} equal-width counters per group, built in one narrow
+    pass with map-side combine — the mergeable alternative to
+    ``events_value_quantiles``'s exact nearest-rank sort, which needs
+    the full value multiset.  Sketches of shards/days merge by adding
+    counters (the property that matters at 100 TB: per-partition
+    histograms roll up without re-scanning), and p50/p90/p99 read off
+    the cumulative counts with integer-exact nearest-rank thresholds —
+    the answer is the bin's lower edge, error bounded by the bin width.
+    Shuffle: one aggregation keyed (flag, bin) + one tiny window over
+    {bins} rows per flag."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    b = F.least(
+        F.floor(F.col("l_extendedprice") / _HQ_W).cast("long"),
+        F.lit(_HQ_BINS - 1).cast("long"),
+    )
+    hist = (
+        li.select(F.col("l_returnflag").alias("flag"), b.alias("bin"))
+        .groupBy("flag", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("flag").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("flag")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wt))
+    )
+
+    def q_edge(num: int, den: int) -> F.Column:
+        # nearest-rank threshold ceil(num*n/den) in pure integers
+        r = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+        return (F.min(F.when(F.col("cum") >= r, F.col("bin"))) * _HQ_W).cast("long")
+
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("n").alias("n_rows"),
+            q_edge(1, 2).alias("p50_edge"),
+            q_edge(9, 10).alias("p90_edge"),
+            q_edge(99, 100).alias("p99_edge"),
+        )
+        .orderBy("flag")
+    )
+
+
+LINEITEM_HIST_QUANTILE_SQL = f"""
+WITH hist AS (
+  SELECT l_returnflag AS flag,
+         LEAST(CAST(floor(l_extendedprice / {_HQ_W}) AS BIGINT), {_HQ_BINS - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY flag, bin),
+cum AS (
+  SELECT flag, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+  FROM hist)
+SELECT flag, MAX(n) AS n_rows,
+       CAST(MIN(CASE WHEN cum >= CAST(floor((1 * n + 1) / 2) AS BIGINT)
+                     THEN bin END) * {_HQ_W} AS BIGINT) AS p50_edge,
+       CAST(MIN(CASE WHEN cum >= CAST(floor((9 * n + 9) / 10) AS BIGINT)
+                     THEN bin END) * {_HQ_W} AS BIGINT) AS p90_edge,
+       CAST(MIN(CASE WHEN cum >= CAST(floor((99 * n + 99) / 100) AS BIGINT)
+                     THEN bin END) * {_HQ_W} AS BIGINT) AS p99_edge
+FROM cum
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+lineitem_hist_quantile_sketch.__doc__ = (
+    lineitem_hist_quantile_sketch.__doc__ or ""
+).format(bins=_HQ_BINS)
+
+
 SPECS = [
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
@@ -1099,5 +1239,15 @@ SPECS = [
         "events_interval_union", events_interval_union,
         EVENTS_INTERVAL_UNION_SQL,
         "interval-union coverage: island detection, integer epoch-ms exact",
+    ),
+    QuerySpec(
+        "orders_partitioned_prune", orders_partitioned_prune,
+        ORDERS_PARTITIONED_PRUNE_SQL,
+        "hive-partitioned write + partition-pruned one-month read",
+    ),
+    QuerySpec(
+        "lineitem_hist_quantile_sketch", lineitem_hist_quantile_sketch,
+        LINEITEM_HIST_QUANTILE_SQL,
+        "mergeable fixed-width histogram sketch -> p50/p90/p99 edges",
     ),
 ]

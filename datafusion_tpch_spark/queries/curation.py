@@ -412,6 +412,162 @@ ORDER BY event_type
 """
 
 
+# ===========================================================================
+# Asymmetric shingle containment (quote / subset detection)
+# ===========================================================================
+
+_CONTAIN_T = 0.6
+
+
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-duplication: containment(A in B) = |A∩B| / |A|
+    over informative word-3-gram shingles.  Jaccard (``dedup_ngram_
+    jaccard``) misses the quote/subset case — a short doc wholly embedded
+    in a long one has low Jaccard but containment ≈ 1, which is the
+    signal dedup pipelines use to keep the superset and drop the
+    fragment.
+
+    Reuses the shared capped shingle set (hot-df shingles dropped, one
+    materialization feeds all consumers); common counts come from ONE
+    unordered-pair join (doc1 < doc2) and both directions are emitted by
+    a 2-row explode — half the join fan-out of a naive ordered-pair
+    formulation.  Shuffles: the shingle equi-join + one aggregation."""
+    from .extensions import _shingle_set
+
+    sh = _shingle_set(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    both = (
+        common.join(s1, "doc1").join(s2, "doc2")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc1").alias("src"), F.col("doc2").alias("dst"),
+                        F.col("common"),
+                        (F.col("common") / F.col("n1")).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("doc2").alias("src"), F.col("doc1").alias("dst"),
+                        F.col("common"),
+                        (F.col("common") / F.col("n2")).alias("containment"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst", "p.common", "p.containment")
+    )
+    return (
+        both.filter(F.col("containment") >= _CONTAIN_T)
+        .orderBy("src", "dst")
+    )
+
+
+DOCS_CONTAINMENT_SQL = f"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id, {hashing.md5_int_sql('shingle')} AS h
+  FROM (SELECT doc_id, unnest({text.shingles_sql('text', 3)}) AS shingle
+        FROM documents)),
+hot AS (SELECT h FROM sh_all GROUP BY h HAVING COUNT(*) > 50),
+sh AS (SELECT * FROM sh_all WHERE h NOT IN (SELECT h FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY doc1, doc2),
+joined AS (
+  SELECT doc1, doc2, common, s1.n_sh AS n1, s2.n_sh AS n2
+  FROM common
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2),
+both_dir AS (
+  SELECT doc1 AS src, doc2 AS dst, common, common * 1.0 / n1 AS containment
+  FROM joined
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst, common, common * 1.0 / n2 AS containment
+  FROM joined)
+SELECT src, dst, common, containment
+FROM both_dir
+WHERE containment >= {_CONTAIN_T}
+ORDER BY src, dst
+"""
+
+
+# ===========================================================================
+# BPE merge-candidate induction (one step)
+# ===========================================================================
+
+_BPE_TOPK = 25
+
+
+def docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of BPE vocabulary induction: the top adjacent-symbol-pair
+    merge candidates, counted over the corpus *word-frequency table* —
+    exactly how tokenizer training scores its next merge.  Two
+    aggregations: (word, freq) first (the explode's output is bounded by
+    vocabulary, not corpus, after the map-side combine), then character
+    pairs weighted by word frequency.  No Python in the pair generation —
+    substring over a sequence is a JVM higher-order expression.  At
+    100 TB the word-frequency table IS the intermediate a tokenizer
+    trainer persists; each merge iteration is this same tiny-output
+    aggregation."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(text.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("weight"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .orderBy("rank")
+    )
+
+
+DOCS_BPE_PAIRS_SQL = f"""
+WITH vocab AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest({text.words_sql('text')}) AS word FROM documents)
+  GROUP BY word
+  HAVING length(word) >= 2),
+pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(word)),
+                               i -> substring(word, i, 2))) AS pair
+  FROM vocab),
+counted AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS weight, COUNT(*) AS n_words
+  FROM pairs GROUP BY pair)
+SELECT pair, weight, n_words,
+       CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS INTEGER) AS rank
+FROM counted
+QUALIFY rank <= {_BPE_TOPK}
+ORDER BY rank
+"""
+
+
 SPECS = [
     QuerySpec(
         "docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL,
@@ -441,5 +597,13 @@ SPECS = [
     QuerySpec(
         "events_pii_scrub", events_pii_scrub, EVENTS_PII_SCRUB_SQL,
         "regexp PII scrub of JSON payloads with per-type audit",
+    ),
+    QuerySpec(
+        "docs_containment", docs_containment, DOCS_CONTAINMENT_SQL,
+        "directional shingle containment: quote/subset near-dup signal",
+    ),
+    QuerySpec(
+        "docs_bpe_pairs", docs_bpe_pairs, DOCS_BPE_PAIRS_SQL,
+        "BPE merge-candidate induction over the word-frequency table",
     ),
 ]

@@ -384,3 +384,90 @@ def test_ivf_pq_encode_matches_separate_kernels(spark):
     for vid, (cell, recon) in fused.items():
         assert cells[vid] == cell
         assert recons[vid] == recon
+
+
+# --------------------------------------- partitioned layout + pruning
+
+def test_partitioned_prune_reads_one_month(spark):
+    import os
+
+    df = _build(spark, "orders_partitioned_prune")
+    df.collect()  # materialize the partitioned layout
+    path = f"/tmp/spark_graft_orders_part_{os.getpid()}"
+    part = spark.read.parquet(path)
+    all_files = set(part.inputFiles())
+    assert len({f.rsplit("/", 2)[1] for f in all_files}) > 12  # many months
+    filtered = part.filter(F.col("o_month") == "1995-03")
+    # the month predicate must plan as a PartitionFilter on the scan (so
+    # only the one directory is listed), not a row-level data filter
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_month" in pf.group(1)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "o_month" not in pushed.group(1)
+    # and the pruned read sees exactly the partition directory's rows
+    one_dir = spark.read.parquet(f"{path}/o_month=1995-03")
+    assert filtered.count() == one_dir.count() > 0
+
+
+def test_hist_quantile_within_bin_width(spark):
+    rows = _build(spark, "lineitem_hist_quantile_sketch").collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    import math
+
+    for r in rows:
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == r["flag"]).collect()
+        )
+        assert r["n_rows"] == len(vals)
+        for q, col in ((0.5, "p50_edge"), (0.9, "p90_edge"), (0.99, "p99_edge")):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            # the sketch answers the bin lower edge: exact lies in the bin
+            assert r[col] <= exact < r[col] + 2000
+
+
+# ------------------------------------------------- containment / BPE
+
+def test_containment_dominates_jaccard_and_is_directional(spark):
+    cont = {
+        (r["src"], r["dst"]): r for r in _build(spark, "docs_containment").collect()
+    }
+    assert cont
+    for (s, d), r in cont.items():
+        assert s != d
+        assert 0.6 <= r["containment"] <= 1.0 + 1e-9
+    jac = _build(spark, "dedup_ngram_jaccard")
+    # containment(common/n1) >= jaccard(common/(n1+n2-common)) always
+    for j in jac.collect():
+        pair = (j["doc1"], j["doc2"])
+        if pair in cont:
+            assert cont[pair]["containment"] >= j["jaccard"] - 1e-9
+
+
+def test_bpe_pairs_match_bruteforce(spark):
+    import re
+
+    rows = _build(spark, "docs_bpe_pairs").collect()
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    freq = {}
+    for r in docs:
+        for w in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if len(w) >= 2:
+                freq[w] = freq.get(w, 0) + 1
+    weights = {}
+    nwords = {}
+    for w, f in freq.items():
+        seen = {}
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            weights[p] = weights.get(p, 0) + f
+            seen[p] = seen.get(p, 0) + 1
+        for p in seen:
+            nwords[p] = nwords.get(p, 0) + seen[p]
+    top = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    assert [(r["pair"], r["weight"]) for r in rows] == top
+    for r in rows:
+        assert r["n_words"] == nwords[r["pair"]]
