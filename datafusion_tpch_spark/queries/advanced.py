@@ -1033,6 +1033,140 @@ ORDER BY user_id
 
 
 # ===========================================================================
+# Power-iteration principal direction (PCA building block)
+# ===========================================================================
+
+_PI_TOPK = 5
+_PI_ITERS = 8
+_PI_QC = 1e4       # gram coarsening quantum (1e-4 of a gram unit)
+_PI_VSCALE = 1e6   # per-step iterate rescale target
+
+
+def embeddings_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-direction estimate by fixed-step power iteration, then
+    the top-|projection| vectors along it — the distributed-PCA recipe:
+    the only corpus-sized work is (a) the Gram matrix (one pass,
+    map-side d² partial sums — the ``embeddings_gram`` plan) and (b) the
+    final projection scan; the {t}-step iteration runs on the driver
+    over the d×d matrix (d={d}, a constant — NOT corpus-sized driver
+    work).
+
+    Cross-engine exactness without trusting libm: Gram entries are
+    quantized-integer sums; the matrix is fixed-point-coarsened
+    (floor(double(Gq)/1e4) — magnitudes < 2⁵³, so the double ops are
+    exactly rounded and engine-identical); each iteration is an exact
+    integer mat-vec followed by a deterministic rescale
+    floor(w/max|w|·1e6) in the same always-exact double range (so the
+    integers never outgrow BIGINT at any corpus size); projections are
+    exact integer dot products of the 1e3-quantized embeddings with the
+    final iterate.  The oracle unrolls the same {t} iterations as CTEs.
+    Fixed step count (not convergence-tested): on a spectrally flat
+    corpus like the synthetic fixture the iterate is only as principal
+    as the eigengap allows, which is a property of the data, not the
+    plan — production raises {t} (driver-side constant work) or seeds
+    with a prior direction."""
+    import math
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    aggs = []
+    for i in range(_GRAM_D):
+        for j in range(i, _GRAM_D):
+            prod = (
+                F.element_at("embedding", i + 1).cast("double")
+                * F.element_at("embedding", j + 1).cast("double")
+            )
+            aggs.append(
+                F.sum(F.floor(prod * F.lit(1e8)).cast("decimal(38,0)"))
+                .cast("long")
+                .alias(f"g{i}_{j}")
+            )
+    row = emb.agg(*aggs).collect()[0]  # d(d+1)/2 ints — bounded collect
+    g = [[0] * _GRAM_D for _ in range(_GRAM_D)]
+    for i in range(_GRAM_D):
+        for j in range(i, _GRAM_D):
+            # the same deterministic coarsening the oracle applies
+            val = math.floor(float(row[f"g{i}_{j}"]) / _PI_QC)
+            g[i][j] = g[j][i] = int(val)
+    v = [int(_PI_VSCALE)] * _GRAM_D
+    for _ in range(_PI_ITERS):
+        w = [sum(g[i][j] * v[j] for j in range(_GRAM_D)) for i in range(_GRAM_D)]
+        m = max(abs(x) for x in w) or 1
+        v = [math.floor(float(x) / float(m) * _PI_VSCALE) for x in w]
+    proj = None
+    for i in range(_GRAM_D):
+        term = F.floor(
+            F.element_at("embedding", i + 1).cast("double") * F.lit(1000.0)
+        ).cast("long") * F.lit(v[i])
+        proj = term if proj is None else proj + term
+    return (
+        emb.select("vec_id", proj.alias("proj"))
+        .orderBy(F.abs(F.col("proj")).desc(), "vec_id")
+        .limit(_PI_TOPK)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.abs(F.col("proj")).desc(), "vec_id"))
+            .cast("int"),
+        )
+    )
+
+
+embeddings_top_eigvec.__doc__ = (embeddings_top_eigvec.__doc__ or "").format(
+    d=_GRAM_D, t=_PI_ITERS
+)
+
+
+def _eigvec_sql() -> str:
+    ctes = [
+        f"""gq AS MATERIALIZED (
+  SELECT i, j,
+         CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                             * CAST(embedding[j + 1] AS DOUBLE)
+                             * 100000000.0) AS DECIMAL(38,0))) AS BIGINT) AS q
+  FROM embeddings, range(0, {_GRAM_D}) t1(i), range(0, {_GRAM_D}) t2(j)
+  GROUP BY i, j)""",
+        f"""g2 AS MATERIALIZED (SELECT i, j,
+       CAST(floor(CAST(q AS DOUBLE) / {_PI_QC:.1f}) AS BIGINT) AS g FROM gq)""",
+        f"""v0 AS (SELECT i, CAST({int(_PI_VSCALE)} AS BIGINT) AS v
+       FROM range(0, {_GRAM_D}) t(i))""",
+    ]
+    for t in range(1, _PI_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (SELECT g2.i, CAST(SUM(g2.g * v{t - 1}.v) AS BIGINT) AS w
+       FROM g2 JOIN v{t - 1} ON g2.j = v{t - 1}.i GROUP BY g2.i)"""
+        )
+        ctes.append(f"m{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{t})")
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                          * {_PI_VSCALE:.1f}) AS BIGINT) AS v
+       FROM w{t}, m{t})"""
+        )
+    ctes.append(
+        f"""proj AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(floor(CAST(e.embedding[vf.i + 1] AS DOUBLE) * 1000.0)
+                       AS BIGINT) * vf.v) AS BIGINT) AS proj
+  FROM embeddings e CROSS JOIN v{_PI_ITERS} vf
+  GROUP BY e.vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, proj,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(proj) DESC, vec_id) AS INTEGER)
+         AS rank
+FROM proj
+QUALIFY rank <= {_PI_TOPK}
+ORDER BY rank
+"""
+    )
+
+
+EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
+
+
+# ===========================================================================
 # Partitioned-layout write + partition-pruned read
 # ===========================================================================
 
@@ -1249,5 +1383,10 @@ SPECS = [
         "lineitem_hist_quantile_sketch", lineitem_hist_quantile_sketch,
         LINEITEM_HIST_QUANTILE_SQL,
         "mergeable fixed-width histogram sketch -> p50/p90/p99 edges",
+    ),
+    QuerySpec(
+        "embeddings_top_eigvec", embeddings_top_eigvec,
+        EMBEDDINGS_TOP_EIGVEC_SQL,
+        "power-iteration principal direction + top-|proj| scan (PCA step)",
     ),
 ]

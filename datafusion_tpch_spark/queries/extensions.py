@@ -1893,6 +1893,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id", "frame_idx")
 
 
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality framed energy: blob bytes → unsigned 8-bit PCM →
+    64-sample frames → integer-exact per-frame energy Σ(s−128)² — the
+    voice-activity / silence-trim primitive, over the REAL binary column
+    (np.frombuffer in the Arrow kernel; the oracle recomputes from the
+    ASCII text the blob encodes).  One narrow mapInPandas pass, no
+    shuffle; at 100 TB this runs wherever the audio shards live, with
+    `partition_for_blobs` bounding per-task memory."""
+    from ..operators.multimodal import audio_frame_energy, documents_as_audio
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return audio_frame_energy(documents_as_audio(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = """
+WITH samples AS (
+  SELECT doc_id, (i - 1) // 64 AS frame,
+         (ascii(substring(text, CAST(i AS INTEGER), 1)) - 128)
+           * (ascii(substring(text, CAST(i AS INTEGER), 1)) - 128) AS sq
+  FROM documents, UNNEST(range(1, length(text) + 1)) t(i)),
+frames AS (
+  SELECT doc_id, frame, CAST(SUM(sq) AS BIGINT) AS energy, COUNT(*) AS n
+  FROM samples GROUP BY doc_id, frame),
+peaks AS (
+  SELECT doc_id, frame, energy,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY energy DESC, frame) AS rn
+  FROM frames)
+SELECT f.doc_id AS asset_id,
+       CAST(SUM(f.n) AS BIGINT) AS n_samples,
+       COUNT(*) AS n_frames,
+       CAST(SUM(f.energy) AS BIGINT) AS total_energy,
+       MAX(CASE WHEN p.rn = 1 THEN p.frame END) AS peak_frame,
+       CAST(MAX(CASE WHEN p.rn = 1 THEN p.energy END) AS BIGINT) AS peak_energy
+FROM frames f
+JOIN peaks p ON p.doc_id = f.doc_id AND p.frame = f.frame
+GROUP BY f.doc_id
+ORDER BY asset_id
+"""
+
+
 MULTIMODAL_FRAME_SAMPLE_SQL = """
 WITH meta AS (
   SELECT doc_id AS asset_id, text,
@@ -3513,4 +3554,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample,
               MULTIMODAL_FRAME_SAMPLE_SQL,
               "blob -> N frame rows fan-out via Arrow mapInPandas"),
+    QuerySpec("multimodal_audio_energy", multimodal_audio_energy,
+              MULTIMODAL_AUDIO_ENERGY_SQL,
+              "audio PCM framed energy over the real binary column"),
 ]

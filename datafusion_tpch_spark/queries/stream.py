@@ -238,6 +238,99 @@ FROM per GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch maintenance: the HLL register table of
+    ``events_hll_distinct`` built as a *streaming aggregation* — registers
+    are MAX-merged across micro-batches by the state store, which is the
+    whole point of a mergeable sketch in production (each micro-batch
+    folds into O(types × m) state; no re-scan, no distinct-set state).
+    The estimate extraction is the same batch-side final reduce as the
+    batch gate, run over the completed register table; the answer must
+    equal the batch sketch exactly, whatever the micro-batching was."""
+    from ..functions import hashing
+    from .advanced import (
+        _HLL_ALPHA_NUM,
+        _HLL_M,
+        _HLL_P,
+        _HLL_RANK_BITS,
+        _HLL_RANK_CAP,
+        _POW2,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, sf_dir)
+    h = hashing.md5_int(F.col("user_id").cast("string"))
+    hashed = ev.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        (F.shiftrightunsigned(h, _HLL_P) % F.lit(1 << _HLL_RANK_BITS)).alias("x"),
+    )
+    rank = F.when(F.col("x") == 0, F.lit(_HLL_RANK_CAP)).otherwise(
+        F.length(F.bin(F.expr("x & -x")))
+    )
+    regs_stream = (
+        hashed.withColumn("rank", rank)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    regs = run_stream_to_df(spark, regs_stream, "events_hll_stream")
+    denom = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(
+            F.element_at(F.lit(_POW2), (F.lit(_HLL_RANK_CAP) - F.col("r")) + 1)
+        ).alias("occupied"),
+    )
+    return (
+        denom.select(
+            "event_type",
+            "m_used",
+            (
+                F.col("occupied")
+                + (F.lit(_HLL_M) - F.col("m_used")) * F.lit(_POW2[_HLL_RANK_CAP])
+            ).alias("denom_scaled"),
+        )
+        .withColumn(
+            "raw_est",
+            F.floor(F.lit(_HLL_ALPHA_NUM) / F.col("denom_scaled").cast("double"))
+            .cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_stream_sql() -> str:
+    from ..functions import hashing
+    from .advanced import _HLL_ALPHA_NUM, _HLL_M, _HLL_RANK_BITS, _HLL_RANK_CAP
+
+    return f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         {hashing.md5_int_sql('CAST(user_id AS VARCHAR)')} % {_HLL_M} AS bucket,
+         ({hashing.md5_int_sql('CAST(user_id AS VARCHAR)')} // {_HLL_M})
+           % {1 << _HLL_RANK_BITS} AS x
+  FROM events),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN x = 0 THEN {_HLL_RANK_CAP}
+                  ELSE length(bin(x & -x)) END) AS r
+  FROM hashed GROUP BY event_type, bucket),
+denom AS (
+  SELECT event_type, COUNT(*) AS m_used,
+         CAST(SUM(1::BIGINT << ({_HLL_RANK_CAP} - r)) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RANK_CAP})
+           AS denom_scaled
+  FROM regs GROUP BY event_type)
+SELECT event_type, m_used, denom_scaled,
+       CAST(floor({_HLL_ALPHA_NUM!r} / CAST(denom_scaled AS DOUBLE)) AS BIGINT)
+         AS raw_est
+FROM denom
+ORDER BY event_type
+"""
+
+
+EVENTS_HLL_STREAM_SQL = _hll_stream_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "events_hourly_stream",
@@ -280,5 +373,11 @@ SPECS: list[QuerySpec] = [
         events_stateful_sessions,
         EVENTS_STATEFUL_SESSIONS_SQL,
         "applyInPandasWithState gap sessionization (== batch lag windows)",
+    ),
+    QuerySpec(
+        "events_hll_stream",
+        events_hll_stream,
+        EVENTS_HLL_STREAM_SQL,
+        "streaming HLL register maintenance (MAX-merged state == batch)",
     ),
 ]

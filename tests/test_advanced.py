@@ -471,3 +471,68 @@ def test_bpe_pairs_match_bruteforce(spark):
     assert [(r["pair"], r["weight"]) for r in rows] == top
     for r in rows:
         assert r["n_words"] == nwords[r["pair"]]
+
+
+# ------------------------------------------- batch-3: audio / eig / hll
+
+def test_audio_energy_matches_bruteforce(spark):
+    rows = {r["asset_id"]: r for r in _build(spark, "multimodal_audio_energy").collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        b = d["text"].encode()
+        sq = [(x - 128) ** 2 for x in b]
+        frames = [sum(sq[i : i + 64]) for i in range(0, len(sq), 64)]
+        r = rows[d["doc_id"]]
+        assert r["n_samples"] == len(b)
+        assert r["n_frames"] == len(frames)
+        assert r["total_energy"] == sum(sq)
+        peak = max(range(len(frames)), key=lambda i: (frames[i], -i))
+        assert r["peak_frame"] == peak
+        assert r["peak_energy"] == frames[peak]
+
+
+def test_top_eigvec_matches_exact_reimplementation(spark):
+    """Recompute the entire fixed-point pipeline (gram -> coarsen -> 8
+    rescaled integer iterations -> integer projections -> top-5)
+    independently in Python; the gate must match EXACTLY — this is the
+    determinism claim the oracle also checks from SQL."""
+    import math
+
+    rows = _build(spark, "embeddings_top_eigvec").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    emb = [
+        (r["vec_id"], [float(x) for x in r["embedding"][:8]])
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    d = 8
+    gq = [[0] * d for _ in range(d)]
+    for _, e in emb:
+        for i in range(d):
+            for j in range(d):
+                gq[i][j] += math.floor(e[i] * e[j] * 1e8)
+    g = [[math.floor(float(gq[i][j]) / 1e4) for j in range(d)] for i in range(d)]
+    v = [10**6] * d
+    for _ in range(8):
+        w = [sum(g[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w) or 1
+        v = [math.floor(float(x) / float(m) * 1e6) for x in w]
+    projs = [
+        (vid, sum(math.floor(e[i] * 1000.0) * v[i] for i in range(d)))
+        for vid, e in emb
+    ]
+    top = sorted(projs, key=lambda t: (-abs(t[1]), t[0]))[:5]
+    assert [(r["vec_id"], r["proj"]) for r in rows] == top
+
+
+def test_hll_stream_equals_batch_sketch(spark):
+    stream = {r["event_type"]: r for r in _build(spark, "events_hll_stream").collect()}
+    batch = {r["event_type"]: r for r in _build(spark, "events_hll_distinct").collect()}
+    assert set(stream) == set(batch)
+    for t, s in stream.items():
+        b = batch[t]
+        assert (s["m_used"], s["denom_scaled"], s["raw_est"]) == (
+            b["m_used"], b["denom_scaled"], b["raw_est"]
+        )
