@@ -1167,6 +1167,122 @@ EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
 
 
 # ===========================================================================
+# Non-equi broadcast nested-loop band join
+# ===========================================================================
+
+_QTY_BANDS = [
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 20.0),
+    ("medium", 20.0, 35.0),
+    ("large", 35.0, 45.0),
+    ("huge", 45.0, 1e9),
+]
+
+
+def lineitem_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi join: classify every lineitem into a quantity band by
+    joining against a 5-row band table on ``lo <= qty < hi`` — no equi
+    key at all, so Catalyst's ONLY correct strategy is
+    BroadcastNestedLoopJoin with the tiny band table broadcast
+    (plan-asserted in tests).  This is the legitimate BNLJ use: n×5
+    comparisons streamed JVM-side beats materializing a CASE ladder when
+    the band table is data (editable, joinable, versioned) rather than
+    code.  At 100 TB the fact side streams, the band side is bytes —
+    no shuffle anywhere; a band table too big to broadcast graduates to
+    the bucketized `events_range_join` shape instead."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo double, hi double")
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in _QTY_BANDS)
+
+LINEITEM_BAND_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT band, COUNT(*) AS n_items, {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+# ===========================================================================
+# Watermark-lateness audit (batch replay of streaming admission)
+# ===========================================================================
+
+_LATE_MS = 3_600_000  # 1-hour watermark horizon
+
+
+def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: replay the stream's admission decision in
+    batch — an event is *late* iff its event time lags the running max
+    event time seen so far (arrival order = event_id) by more than the
+    1-hour horizon; exactly the rows ``withWatermark('ts', '1 hour')``
+    would drop from an aggregation.  The tool for choosing a production
+    watermark: run the audit over history at several horizons and read
+    the drop rate.  One window pass partitioned by event_type (the
+    per-stream admission boundary); integer epoch-ms arithmetic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ms = F.unix_millis(F.col("ts"))
+    flagged = ev.select(
+        "event_type",
+        ms.alias("t"),
+        F.max(ms).over(wo).alias("hwm"),
+    ).withColumn(
+        "late",
+        F.when(
+            F.col("hwm").isNotNull() & (F.col("t") < F.col("hwm") - _LATE_MS),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").cast("long").alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("hwm") - F.col("t"))).alias(
+                "max_lateness_ms"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_LATE_AUDIT_SQL = f"""
+WITH flagged AS (
+  SELECT event_type, epoch_ms(ts) AS t,
+         MAX(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS hwm
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN hwm IS NOT NULL AND t < hwm - {_LATE_MS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       MAX(CASE WHEN hwm IS NOT NULL AND t < hwm - {_LATE_MS}
+                THEN hwm - t END) AS max_lateness_ms
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ===========================================================================
 # Partitioned-layout write + partition-pruned read
 # ===========================================================================
 
@@ -1388,5 +1504,13 @@ SPECS = [
         "embeddings_top_eigvec", embeddings_top_eigvec,
         EMBEDDINGS_TOP_EIGVEC_SQL,
         "power-iteration principal direction + top-|proj| scan (PCA step)",
+    ),
+    QuerySpec(
+        "lineitem_band_join", lineitem_band_join, LINEITEM_BAND_JOIN_SQL,
+        "non-equi band join: broadcast nested loop over a 5-row band table",
+    ),
+    QuerySpec(
+        "events_late_audit", events_late_audit, EVENTS_LATE_AUDIT_SQL,
+        "watermark-lateness audit: batch replay of streaming admission",
     ),
 ]

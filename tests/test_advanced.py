@@ -536,3 +536,42 @@ def test_hll_stream_equals_batch_sketch(spark):
         assert (s["m_used"], s["denom_scaled"], s["raw_est"]) == (
             b["m_used"], b["denom_scaled"], b["raw_est"]
         )
+
+
+# ------------------------------------------- band join / late audit
+
+def test_band_join_plans_as_broadcast_nested_loop(spark):
+    df = _build(spark, "lineitem_band_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = {r["band"]: r for r in df.collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert sum(r["n_items"] for r in rows.values()) == li.count()
+    # spot-check one band against a plain filter
+    small = li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20))
+    assert rows["small"]["n_items"] == small.count()
+
+
+def test_late_audit_matches_bruteforce(spark):
+    rows = {r["event_type"]: r for r in _build(spark, "events_late_audit").collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "event_id", F.unix_millis("ts").alias("t"))
+        .collect()
+    )
+    seqs = {}
+    for r in ev:
+        seqs.setdefault(r["event_type"], []).append((r["event_id"], r["t"]))
+    for et, lst in seqs.items():
+        lst.sort()
+        hwm, n_late, max_lateness = None, 0, None
+        for _, t in lst:
+            if hwm is not None and t < hwm - 3_600_000:
+                n_late += 1
+                lateness = hwm - t
+                max_lateness = max(max_lateness or 0, lateness)
+            hwm = t if hwm is None else max(hwm, t)
+        r = rows[et]
+        assert r["n_events"] == len(lst)
+        assert r["n_late"] == n_late
+        assert r["max_lateness_ms"] == max_lateness
