@@ -1302,15 +1302,24 @@ def orders_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     (o,) = _t(spark, sf_dir, "orders")
-    path = f"/tmp/spark_graft_orders_part_{os.getpid()}"
-    (
-        o.withColumn(
-            "o_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_orders_part_{os.getpid()}_{tag}"
+    # write-once per (process, fixture): the layout is deterministic, so
+    # re-running the gate reuses it (as a real warehouse table would be
+    # written once and queried many times).  repartition by the partition
+    # column first so each month directory gets ONE file written by the
+    # task that owns the month — the same move that avoids the
+    # tasks x partitions small-file explosion on a real cluster.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.withColumn(
+                "o_month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+            )
+            .repartition(F.col("o_month"))
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(path)
         )
-        .write.mode("overwrite")
-        .partitionBy("o_month")
-        .parquet(path)
-    )
     part = spark.read.parquet(path)
     return (
         part.filter(F.col("o_month") == _PRUNE_MONTH)

@@ -393,7 +393,8 @@ def test_partitioned_prune_reads_one_month(spark):
 
     df = _build(spark, "orders_partitioned_prune")
     df.collect()  # materialize the partitioned layout
-    path = f"/tmp/spark_graft_orders_part_{os.getpid()}"
+    tag = SF_DIR.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_orders_part_{os.getpid()}_{tag}"
     part = spark.read.parquet(path)
     all_files = set(part.inputFiles())
     assert len({f.rsplit("/", 2)[1] for f in all_files}) > 12  # many months
