@@ -1167,6 +1167,133 @@ EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
 
 
 # ===========================================================================
+# CSV sink/source round-trip
+# ===========================================================================
+
+def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a first-class sink AND source (the reference's COPY surface
+    covers parquet, `examples/parquet.rs:17-31`; CSV is the other format
+    every warehouse exports): write orders to headered CSV, read it back
+    through an explicit schema (never inference — at 100 TB schema
+    inference means scanning twice), and aggregate.  Timestamps
+    round-trip through an explicit ISO format; the gate's oracle runs on
+    the ORIGINAL table, so any loss in the round trip fails the hash.
+    Write-once per (process, fixture), one file per status group via the
+    same repartition-before-partitionBy move as the parquet layout
+    gate."""
+    import os
+
+    (o,) = _t(spark, sf_dir, "orders")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_orders_csv_{os.getpid()}_{tag}"
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.repartition(F.col("o_orderstatus"))
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", fmt)
+            .option("timestampNTZFormat", fmt)
+            .partitionBy("o_orderstatus")
+            .csv(path)
+        )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate timestamp_ntz, o_orderpriority string, "
+            "o_orderstatus string"
+        )
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.min(F.date_format("o_orderdate", fmt)).alias("first_date"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_CSV_ROUNDTRIP_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ===========================================================================
+# Fact-fact join strategies: sort-merge and shuffle-hash
+# ===========================================================================
+
+def orders_lineitem_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join planned as a SortMergeJoin (hinted; asserted in
+    tests): the strategy that carries joins where NEITHER side fits in
+    memory — both sides hash-shuffle on the key and stream a merge, so
+    memory stays O(one key group) however large the tables.  Everywhere
+    else this repo broadcasts dims deliberately; this gate pins the SMJ
+    path a 100 TB orders⋈lineitem actually uses (and with both tables
+    bucketed by the key — `customer_orders_bucketed` — the same join
+    drops its exchanges)."""
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    j = li.hint("merge").join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_LINEITEM_MERGE_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def orders_lineitem_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fact-fact join planned as a ShuffledHashJoin (hinted;
+    asserted in tests): shuffle both sides, build a hash table on the
+    smaller per-partition side instead of sorting both — wins over SMJ
+    when one side is much smaller per key-range but still too big to
+    broadcast.  Distinct aggregate shape from the SMJ gate so both
+    strategies stay independently oracle-checked."""
+    li, o = _t(spark, sf_dir, "lineitem", "orders")
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDERS_LINEITEM_HASH_JOIN_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ===========================================================================
 # Non-equi broadcast nested-loop band join
 # ===========================================================================
 
@@ -1521,5 +1648,19 @@ SPECS = [
     QuerySpec(
         "events_late_audit", events_late_audit, EVENTS_LATE_AUDIT_SQL,
         "watermark-lateness audit: batch replay of streaming admission",
+    ),
+    QuerySpec(
+        "orders_csv_roundtrip", orders_csv_roundtrip, ORDERS_CSV_ROUNDTRIP_SQL,
+        "CSV sink+source round-trip with explicit schema; oracle on original",
+    ),
+    QuerySpec(
+        "orders_lineitem_merge_join", orders_lineitem_merge_join,
+        ORDERS_LINEITEM_MERGE_JOIN_SQL,
+        "fact-fact SortMergeJoin (hinted, plan-asserted)",
+    ),
+    QuerySpec(
+        "orders_lineitem_hash_join", orders_lineitem_hash_join,
+        ORDERS_LINEITEM_HASH_JOIN_SQL,
+        "fact-fact ShuffledHashJoin (hinted, plan-asserted)",
     ),
 ]

@@ -576,3 +576,44 @@ def test_late_audit_matches_bruteforce(spark):
         assert r["n_events"] == len(lst)
         assert r["n_late"] == n_late
         assert r["max_lateness_ms"] == max_lateness
+
+
+# ------------------------------------- join strategies / csv round-trip
+
+def test_merge_join_plans_as_sort_merge(spark):
+    df = _build(spark, "orders_lineitem_merge_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_hash_join_plans_as_shuffled_hash(spark):
+    df = _build(spark, "orders_lineitem_hash_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_csv_roundtrip_preserves_rows(spark):
+    import os
+
+    _build(spark, "orders_csv_roundtrip").collect()
+    tag = SF_DIR.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_orders_csv_{os.getpid()}_{tag}"
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate timestamp_ntz, o_orderpriority string, "
+            "o_orderstatus string"
+        )
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    o = load_table(spark, SF_DIR, "orders")
+    assert back.count() == o.count()
+    a = {tuple(r) for r in back.select("o_orderkey", "o_custkey", "o_orderdate").collect()}
+    b = {tuple(r) for r in o.select("o_orderkey", "o_custkey", "o_orderdate").collect()}
+    assert a == b
