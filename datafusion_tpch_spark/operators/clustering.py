@@ -29,13 +29,20 @@ Centroids = list[tuple[int, list[float]]]
 
 
 def _update_centroids(assigned: DataFrame, prev: Centroids,
-                      vec_col: str) -> Centroids:
+                      vec_col: str, exact: bool = False) -> Centroids:
     """One centroid-update step: per-cell dimension means (k x dim rows
-    through the shuffle, k rows to the driver)."""
+    through the shuffle, k rows to the driver).  ``exact=True`` uses the
+    floor-quantized fixed-point mean (functions/exact.davg) so the means
+    are order-independent and engine-identical — required when a DuckDB
+    oracle replays the same iterations (queries/advanced.py:
+    embeddings_kmeans)."""
+    from ..functions.exact import davg
+
+    mean = davg(F.col("v")) if exact else F.avg("v")
     rows = (
         assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
         .groupBy("cell", "dim")
-        .agg(F.avg("v").alias("m"))
+        .agg(mean.alias("m"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
         .collect()
@@ -48,6 +55,7 @@ def _update_centroids(assigned: DataFrame, prev: Centroids,
 
 def kmeans_refine(emb: DataFrame, seeds: Centroids, iters: int = 3,
                   id_col: str = "vec_id", vec_col: str = "embedding",
+                  exact: bool = False,
                   ) -> tuple[Centroids, DataFrame]:
     """Refine fixed-k seed centroids with ``iters`` Lloyd iterations.
 
@@ -55,12 +63,13 @@ def kmeans_refine(emb: DataFrame, seeds: Centroids, iters: int = 3,
     plus a ``cell`` column from the final assignment pass.  Deterministic:
     assignment uses the floor-quantized L2 argmin with smallest-id
     tie-break (same kernel the IVF gate query uses), updates are exact
-    dimension means.
+    dimension means (``exact=True`` makes them fixed-point
+    order-independent for cross-engine replay).
     """
     centroids = seeds
     for _ in range(iters):
         assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-        centroids = _update_centroids(assigned, centroids, vec_col)
+        centroids = _update_centroids(assigned, centroids, vec_col, exact=exact)
     return centroids, ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
 
 

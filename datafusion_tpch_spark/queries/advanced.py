@@ -1167,6 +1167,105 @@ EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
 
 
 # ===========================================================================
+# Distributed k-means (Lloyd iterations) as a live gate
+# ===========================================================================
+
+_KM_K = 4
+_KM_D = 8
+_KM_ITERS = 2
+
+
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means wired live: {it} exact Lloyd iterations over
+    the leading {d} embedding dims via ``operators/clustering.
+    kmeans_refine`` — per-iteration work is one Arrow assignment pass
+    (vectorized argmin against the broadcast centroids, no shuffle) plus
+    one k×d-row mean aggregation; ONLY k rows ever reach the driver per
+    step, so the loop is corpus-size-independent.  Cross-engine exact:
+    assignment is the floor-quantized L2 argmin (smallest-cid
+    tie-break), means are fixed-point order-independent (``exact=True``
+    → functions/exact.davg), and the oracle replays both iterations as
+    unrolled CTEs.  Output is per-cell membership + quantized-integer
+    inertia — the k-means objective without a single libm call."""
+    from ..operators.clustering import kmeans_refine
+    from .extensions import _l2q
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb8 = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _KM_D).alias("embedding")
+    )
+    seeds_rows = (
+        emb8.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_KM_K)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds_rows]
+    cents, assigned = kmeans_refine(emb8, seeds, iters=_KM_ITERS, exact=True)
+    cent_df = spark.createDataFrame(cents, "cell long, cvec array<double>")
+    return (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(_l2q(F.col("embedding"), F.col("cvec"))).alias("inertia_q"),
+        )
+        .orderBy("cell")
+    )
+
+
+embeddings_kmeans.__doc__ = (embeddings_kmeans.__doc__ or "").format(
+    it=_KM_ITERS, d=_KM_D
+)
+
+
+def _kmeans_sql() -> str:
+    from ..functions.exact import davg_sql
+    from .extensions import _l2q_sql
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.v', 'c.ce')}, c.cid) AS rn
+    FROM e CROSS JOIN {cent} c)
+  WHERE rn = 1)"""
+
+    def update(mname: str, cname: str, aname: str) -> str:
+        return f"""{mname} AS MATERIALIZED (
+  SELECT cell, i AS dim, {davg_sql('CAST(v[i + 1] AS DOUBLE)')} AS m
+  FROM {aname}, range(0, {_KM_D}) t(i)
+  GROUP BY cell, i),
+{cname} AS MATERIALIZED (
+  SELECT s.cid,
+         list(COALESCE(m.m, CAST(s.ce[t.i + 1] AS DOUBLE)) ORDER BY t.i) AS ce
+  FROM seeds s CROSS JOIN range(0, {_KM_D}) t(i)
+  LEFT JOIN {mname} m ON m.cell = s.cid AND m.dim = t.i
+  GROUP BY s.cid)"""
+
+    return f"""WITH seeds AS MATERIALIZED (
+  SELECT vec_id AS cid, list_slice(embedding, 1, {_KM_D}) AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KM_K}),
+e AS MATERIALIZED (
+  SELECT vec_id, list_slice(embedding, 1, {_KM_D}) AS v FROM embeddings),
+{assign('a0', 'seeds')},
+{update('m1', 'c1', 'a0')},
+{assign('a1', '(SELECT cid, ce FROM c1)')},
+{update('m2', 'c2', 'a1')},
+{assign('a2', '(SELECT cid, ce FROM c2)')}
+SELECT a2.cell, COUNT(*) AS n_members,
+       CAST(SUM({_l2q_sql('a2.v', 'c.ce')}) AS BIGINT) AS inertia_q
+FROM a2 JOIN c2 c ON c.cid = a2.cell
+GROUP BY a2.cell
+ORDER BY a2.cell
+"""
+
+
+EMBEDDINGS_KMEANS_SQL = _kmeans_sql()
+
+
+# ===========================================================================
 # CSV sink/source round-trip
 # ===========================================================================
 
@@ -1652,6 +1751,10 @@ SPECS = [
     QuerySpec(
         "orders_csv_roundtrip", orders_csv_roundtrip, ORDERS_CSV_ROUNDTRIP_SQL,
         "CSV sink+source round-trip with explicit schema; oracle on original",
+    ),
+    QuerySpec(
+        "embeddings_kmeans", embeddings_kmeans, EMBEDDINGS_KMEANS_SQL,
+        "distributed k-means: 2 exact Lloyd iterations, unrolled-CTE oracle",
     ),
     QuerySpec(
         "orders_lineitem_merge_join", orders_lineitem_merge_join,

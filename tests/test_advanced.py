@@ -617,3 +617,31 @@ def test_csv_roundtrip_preserves_rows(spark):
     a = {tuple(r) for r in back.select("o_orderkey", "o_custkey", "o_orderdate").collect()}
     b = {tuple(r) for r in o.select("o_orderkey", "o_custkey", "o_orderdate").collect()}
     assert a == b
+
+
+# ----------------------------------------------------------- k-means gate
+
+def test_kmeans_members_cover_corpus_and_inertia_drops(spark):
+    from datafusion_tpch_spark.operators.clustering import (
+        inertia,
+        kmeans_refine,
+    )
+    from datafusion_tpch_spark.operators.similarity import ivf_assign
+
+    rows = _build(spark, "embeddings_kmeans").collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    assert 1 <= len(rows) <= 4
+    # Lloyd monotonicity: refined centroids give no worse an objective
+    # than the raw seed assignment
+    emb8 = emb.select("vec_id", F.slice(F.col("embedding"), 1, 8).alias("embedding"))
+    seeds_rows = (
+        emb8.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(4)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds_rows]
+    seed_inertia = inertia(ivf_assign(emb8, seeds), seeds)
+    cents, assigned = kmeans_refine(emb8, seeds, iters=2, exact=True)
+    refined_inertia = inertia(assigned, cents)
+    assert refined_inertia <= seed_inertia + 1e-6
