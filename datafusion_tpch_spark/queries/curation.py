@@ -413,6 +413,111 @@ ORDER BY event_type
 
 
 # ===========================================================================
+# Deterministic per-group reservoir sample
+# ===========================================================================
+
+_RES_K = 20
+
+
+def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per language — the distributed
+    'reservoir': rank docs inside each language by md5(doc_id) and keep
+    the first {k}.  Hash-rank top-k is exactly the mergeable form of
+    reservoir sampling (the top-k by hash of a union IS the top-k of the
+    merged per-shard top-ks), so shards sample independently and
+    combine without coordination — unlike classic reservoir state, and
+    unlike Bernoulli sampling (`docs_mixture_sample`) this guarantees
+    the sample SIZE.  One window shuffle on lang; at 100 TB the
+    per-shard top-k pre-aggregation bounds what reaches it."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", "n_chars",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= _RES_K)
+        .orderBy("lang", "rank")
+    )
+
+
+docs_reservoir_sample.__doc__ = (docs_reservoir_sample.__doc__ or "").format(
+    k=_RES_K
+)
+
+
+DOCS_RESERVOIR_SAMPLE_SQL = f"""
+SELECT lang, doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS INTEGER) AS rank
+FROM documents
+QUALIFY rank <= {_RES_K}
+ORDER BY lang, rank
+"""
+
+
+# ===========================================================================
+# A/B experiment lift readout
+# ===========================================================================
+
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis: users hash-split into arms (md5 parity — the
+    same deterministic assignment an experimentation system ships), per
+    arm the click→purchase conversion is counted, and the lift is
+    reported as a floor-quantized ratio of ratios (integer-exact
+    cross-engine; consumers descale by 1e6).  One pass to per-user
+    flags, one aggregation; no joins."""
+    (ev,) = _t(spark, sf_dir, "events")
+    arm = (hashing.md5_int(F.col("user_id").cast("string")) % 2).alias("arm")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicked"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+        .select(arm, "clicked", "purchased")
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("clicked").cast("long").alias("n_clicked"),
+            F.sum("purchased").cast("long").alias("n_purchased"),
+            F.floor(
+                F.sum("purchased").cast("double")
+                / F.sum("clicked").cast("double")
+                * F.lit(1e6)
+            ).cast("long").alias("conv_q6"),
+        )
+        .orderBy("arm")
+    )
+
+
+EVENTS_AB_LIFT_SQL = f"""
+WITH per_user AS (
+  SELECT {hashing.md5_int_sql('CAST(user_id AS VARCHAR)')} % 2 AS arm,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id)
+SELECT arm, COUNT(*) AS n_users,
+       CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchased,
+       CAST(floor(CAST(SUM(purchased) AS DOUBLE) / CAST(SUM(clicked) AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS conv_q6
+FROM per_user
+GROUP BY arm
+ORDER BY arm
+"""
+
+
+# ===========================================================================
 # Asymmetric shingle containment (quote / subset detection)
 # ===========================================================================
 
@@ -605,5 +710,14 @@ SPECS = [
     QuerySpec(
         "docs_bpe_pairs", docs_bpe_pairs, DOCS_BPE_PAIRS_SQL,
         "BPE merge-candidate induction over the word-frequency table",
+    ),
+    QuerySpec(
+        "docs_reservoir_sample", docs_reservoir_sample,
+        DOCS_RESERVOIR_SAMPLE_SQL,
+        "fixed-k per-group hash-rank sample (mergeable reservoir form)",
+    ),
+    QuerySpec(
+        "events_ab_lift", events_ab_lift, EVENTS_AB_LIFT_SQL,
+        "A/B arms by hash parity; conversion ratios as quantized integers",
     ),
 ]

@@ -106,3 +106,44 @@ def test_mixture_sample_moves_toward_uniform(spark):
 
 def test_pack_len_constant_sane():
     assert _PACK_LEN > 0
+
+
+# ------------------------------------------- reservoir sample / A/B lift
+
+def test_reservoir_sample_fixed_size_per_lang(spark):
+    from datafusion_tpch_spark.catalog import load_table
+
+    rows = _q(spark, "docs_reservoir_sample").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], []).append(r["rank"])
+    assert set(got) == set(per_lang)
+    for lang, ranks in got.items():
+        want = min(20, per_lang[lang])
+        assert sorted(ranks) == list(range(1, want + 1))
+    # determinism: same sample on re-run
+    again = _q(spark, "docs_reservoir_sample").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ab_lift_arms_partition_users(spark):
+    from datafusion_tpch_spark.catalog import load_table
+
+    rows = {r["arm"]: r for r in _q(spark, "events_ab_lift").collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    assert set(rows) == {0, 1}
+    total_users = ev.select("user_id").distinct().count()
+    assert rows[0]["n_users"] + rows[1]["n_users"] == total_users
+    for r in rows.values():
+        assert 0 <= r["n_purchased"] <= r["n_clicked"] <= r["n_users"]
+        # conv_q6 is floor(purchased/clicked * 1e6)
+        import math
+
+        assert r["conv_q6"] == math.floor(
+            r["n_purchased"] / r["n_clicked"] * 1e6
+        )
