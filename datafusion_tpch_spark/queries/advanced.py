@@ -1167,6 +1167,49 @@ EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
 
 
 # ===========================================================================
+# Time-hierarchy rollup (hypertable continuous-aggregate shape)
+# ===========================================================================
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one scan aggregates the event stream
+    at day, month, year, and grand-total grain simultaneously via
+    ROLLUP(year, month, day) — the hierarchy behind continuous
+    aggregates (a coarser grain is always derivable by summing the finer
+    one, which is also how an incremental refresh maintains it: day
+    partials roll up, upper grains merge).  grouping_id disambiguates
+    grain; Catalyst plans the whole hierarchy as ONE Expand + one hash
+    aggregation, so the 100 TB fact table is read once, not once per
+    grain."""
+    (ev,) = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    return (
+        d.rollup("y", "m", "d")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("gid", "y", "m", "d")
+    )
+
+
+EVENTS_TIME_ROLLUP_SQL = f"""
+SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m,
+       CAST(day(ts) AS INTEGER) AS d,
+       CAST(GROUPING(year(ts), month(ts), day(ts)) AS INTEGER) AS gid,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+ORDER BY gid, y, m, d
+"""
+
+
+# ===========================================================================
 # Distributed k-means (Lloyd iterations) as a live gate
 # ===========================================================================
 
@@ -1755,6 +1798,10 @@ SPECS = [
     QuerySpec(
         "embeddings_kmeans", embeddings_kmeans, EMBEDDINGS_KMEANS_SQL,
         "distributed k-means: 2 exact Lloyd iterations, unrolled-CTE oracle",
+    ),
+    QuerySpec(
+        "events_time_rollup", events_time_rollup, EVENTS_TIME_ROLLUP_SQL,
+        "hypertable time rollup: day/month/year/total in one Expand scan",
     ),
     QuerySpec(
         "orders_lineitem_merge_join", orders_lineitem_merge_join,

@@ -645,3 +645,23 @@ def test_kmeans_members_cover_corpus_and_inertia_drops(spark):
     cents, assigned = kmeans_refine(emb8, seeds, iters=2, exact=True)
     refined_inertia = inertia(assigned, cents)
     assert refined_inertia <= seed_inertia + 1e-6
+
+
+def test_time_rollup_grains_telescope(spark):
+    rows = _build(spark, "events_time_rollup").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # day=0, month=1, year=3, total=7
+    assert set(by_gid) == {0, 1, 3, 7}
+    total = by_gid[7][0]
+    for gid in (0, 1, 3):
+        assert sum(r["n_events"] for r in by_gid[gid]) == total["n_events"]
+        assert abs(sum(r["sum_value"] for r in by_gid[gid]) - total["sum_value"]) < 1e-5
+    # each month row telescopes its day rows
+    per_month = {}
+    for r in by_gid[0]:
+        key = (r["y"], r["m"])
+        per_month[key] = per_month.get(key, 0) + r["n_events"]
+    for r in by_gid[1]:
+        assert per_month[(r["y"], r["m"])] == r["n_events"]
