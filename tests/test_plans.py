@@ -157,3 +157,52 @@ def test_delta_agg_partial_state_merges(spark):
     df = _build(spark, "lineitem_delta_agg")
     pushed = " ".join(pushed_filters(df))
     assert "l_shipdate" in pushed or "ship_date" in pushed, pushed
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    plan = _plan_str(_build(spark, "lineitem_grouping_sets"))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1  # one scan feeds all levels
+
+
+def test_time_rollup_single_expand_single_scan(spark):
+    plan = _plan_str(_build(spark, "events_time_rollup"))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ivf_pq_single_corpus_pass_no_stitch_join(spark):
+    """The fused kernel must keep ONE scan for the candidate side and no
+    vec_id join between assignment and encoding; the only join is the
+    broadcast of the tiny query side on the cell key."""
+    df = _build(spark, "ann_ivf_pq_topk")
+    plan = _plan_str(df)
+    # exactly one shuffle (the rank window); the cell join is broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_path_ngrams_no_self_join(spark):
+    plan = _plan_str(_build(spark, "events_path_ngrams"))
+    assert "Join" not in plan  # LEAD windows, not a sequence self-join
+
+
+def test_interval_union_single_window_partitioning(spark):
+    """Both window passes and the first aggregation share the user_id
+    hash partitioning: at most 2 exchanges in the whole plan (one for
+    the windows, one if the final global sort reshuffles)."""
+    df = _build(spark, "events_interval_union")
+    assert exchange_count(df) <= 3
+
+
+def test_band_join_no_shuffle_before_agg(spark):
+    """BNLJ against the broadcast band table adds no exchange; the only
+    exchanges belong to the final aggregation."""
+    df = _build(spark, "lineitem_band_join")
+    assert exchange_count(df) <= 2
+    plan = _plan_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
