@@ -178,3 +178,49 @@ def pagerank(
             )
         )
     return pr
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iterations: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation for community detection over an
+    undirected edge list: every node starts as its own label, and each
+    round every node adopts the most frequent label among its neighbors
+    (ties break to the smallest label — fully deterministic, unlike the
+    usual randomized async variant).  Returns ``(node, label)``.
+
+    Each round is one hash join (labels onto the doubled edge list) and
+    one two-level aggregation (label counts → per-node argmax via
+    row_number) — node-keyed shuffles only, nothing data-sized on the
+    driver, fixed round count → one Catalyst plan.  The same loop at
+    100 TB partitions by node id; the doubled edge list is materialized
+    once and reused by every round.
+    """
+    from pyspark.sql.window import Window as W
+
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = W.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -1167,6 +1167,190 @@ EMBEDDINGS_TOP_EIGVEC_SQL = _eigvec_sql()
 
 
 # ===========================================================================
+# Changelog apply: CDC round-trip inverse of orders_changelog
+# ===========================================================================
+
+def orders_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip invariant, as a gate: apply the changelog that
+    ``orders_changelog`` generates back onto snapshot A and prove the
+    result IS snapshot B — apply(A, diff(A,B)) == B, the property every
+    replication pipeline depends on.  Apply is the standard MERGE shape
+    (anti-join A against all touched keys, union the upserted rows);
+    verification is one full-outer join counting key and value
+    disagreements, which must all be zero.  Two co-partitioned shuffles
+    on the key; nothing driver-sized."""
+    (o,) = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    upd = F.col("o_orderkey") % _CDC_UPD == 0
+    dele = (F.col("o_orderkey") % _CDC_DEL == 0) & ~upd
+    b = (
+        a.filter(~dele)
+        .withColumn(
+            "o_totalprice",
+            F.when(upd, F.col("o_totalprice") + 500.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            a.filter(upd).select(
+                (F.col("o_orderkey") + _CDC_SHIFT).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    j = a.withColumnRenamed("o_totalprice", "old_price").join(
+        b.withColumnRenamed("o_totalprice", "new_price"),
+        "o_orderkey",
+        "full_outer",
+    )
+    chg = j.withColumn(
+        "change_type",
+        F.when(F.col("new_price").isNull(), F.lit("delete"))
+        .when(F.col("old_price").isNull(), F.lit("insert"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("update")),
+    ).filter(F.col("change_type").isNotNull())
+    touched = chg.select("o_orderkey")
+    upserts = chg.filter(F.col("change_type") != "delete").select(
+        "o_orderkey", F.col("new_price").alias("o_totalprice")
+    )
+    bprime = a.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
+    v = bprime.withColumnRenamed("o_totalprice", "p").join(
+        b.withColumnRenamed("o_totalprice", "q"), "o_orderkey", "full_outer"
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_extra"),
+        F.sum(
+            F.when(
+                F.col("p").isNotNull()
+                & F.col("q").isNotNull()
+                & (F.col("p") != F.col("q")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_value_mismatch"),
+    )
+
+
+ORDERS_CHANGELOG_APPLY_SQL = f"""
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_CDC_UPD} = 0 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM a
+  WHERE NOT (o_orderkey % {_CDC_DEL} = 0 AND o_orderkey % {_CDC_UPD} <> 0)
+  UNION ALL
+  SELECT o_orderkey + {_CDC_SHIFT}, o_totalprice
+  FROM a WHERE o_orderkey % {_CDC_UPD} = 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_totalprice AS old_price, b.o_totalprice AS new_price
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+chg AS (
+  SELECT o_orderkey, new_price,
+         CASE WHEN new_price IS NULL THEN 'delete'
+              WHEN old_price IS NULL THEN 'insert'
+              WHEN old_price <> new_price THEN 'update' END AS change_type
+  FROM j
+  WHERE (CASE WHEN new_price IS NULL THEN 'delete'
+              WHEN old_price IS NULL THEN 'insert'
+              WHEN old_price <> new_price THEN 'update' END) IS NOT NULL),
+bprime AS (
+  SELECT a.o_orderkey, a.o_totalprice FROM a
+  WHERE a.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+  UNION ALL
+  SELECT o_orderkey, new_price FROM chg WHERE change_type <> 'delete'),
+v AS (
+  SELECT bp.o_totalprice AS p, b.o_totalprice AS q
+  FROM bprime bp FULL OUTER JOIN b ON bp.o_orderkey = b.o_orderkey)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+       CAST(SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL AND p <> q
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_value_mismatch
+FROM v
+"""
+
+
+# ===========================================================================
+# Label-propagation communities on the transition graph
+# ===========================================================================
+
+_LP_ITERS = 2
+
+
+def events_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (``operators/graph.label_propagation``) over the undirected
+    event-type transition graph (same edge derivation as the triangle
+    and pagerank gates).  Deterministic variant: every node adopts the
+    most frequent neighbor label, ties to the smallest — so the gate is
+    exactly replayable by the oracle's {it} unrolled rounds.  Completes
+    the graph-operator family: components (connectivity), pagerank
+    (centrality), triangles (cohesion), communities (partitioning)."""
+    from ..operators.graph import label_propagation
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    e = seq.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return label_propagation(e, iterations=_LP_ITERS).orderBy("node")
+
+
+events_communities.__doc__ = (events_communities.__doc__ or "").format(
+    it=_LP_ITERS
+)
+
+
+def _communities_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for t in range(1, _LP_ITERS + 1):
+        rounds.append(f"""n{t} AS MATERIALIZED (
+  SELECT und.u AS node, {prev}.label, COUNT(*) AS n
+  FROM und JOIN {prev} ON {prev}.node = und.v
+  GROUP BY und.u, {prev}.label),
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+    FROM n{t})
+  WHERE rn = 1)""")
+        prev = f"l{t}"
+    body = ",\n".join(rounds)
+    return f"""WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM und),
+{body}
+SELECT node, label FROM {prev} ORDER BY node
+"""
+
+
+EVENTS_COMMUNITIES_SQL = _communities_sql()
+
+
+# ===========================================================================
 # Time-hierarchy rollup (hypertable continuous-aggregate shape)
 # ===========================================================================
 
@@ -1802,6 +1986,15 @@ SPECS = [
     QuerySpec(
         "events_time_rollup", events_time_rollup, EVENTS_TIME_ROLLUP_SQL,
         "hypertable time rollup: day/month/year/total in one Expand scan",
+    ),
+    QuerySpec(
+        "events_communities", events_communities, EVENTS_COMMUNITIES_SQL,
+        "deterministic label-propagation communities (unrolled oracle)",
+    ),
+    QuerySpec(
+        "orders_changelog_apply", orders_changelog_apply,
+        ORDERS_CHANGELOG_APPLY_SQL,
+        "CDC round-trip: apply(A, diff(A,B)) == B, verified by full outer",
     ),
     QuerySpec(
         "orders_lineitem_merge_join", orders_lineitem_merge_join,

@@ -1840,6 +1840,107 @@ TABLES_LISTING_SQL = (
 # Multimodal columns
 # ===========================================================================
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 3     # query = the 3 most document-frequent terms
+_BM25_TOPK = 10
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking — the IR scoring function behind retrieval
+    quality filters (tf saturation via k1, length normalization via b),
+    upgrading the linear `tfidf_top_terms` weight.  The query is the
+    {nq} most document-frequent terms (self-contained, deterministic);
+    idf uses the ratio form (N−df+0.5)/(df+0.5) instead of its log —
+    IEEE multiply/divide are engine-exact while libm log is not, and
+    ranking only needs monotone rarity.  Per-term scores are exact
+    double expression trees; the per-doc sum over query terms runs
+    through the quantized reducer so it is order-independent.  Plan:
+    two aggregations (tf, df), a broadcast of the {nq}-term query and
+    the 1-row corpus stats, one ranking window — no driver collection.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wq = Window.orderBy(F.col("df").desc(), "term")
+    qterms = (
+        dfreq.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= _BM25_NQ)
+        .select("term", "df")
+    )
+    stats = dl.agg(
+        F.sum("dl").cast("double").alias("sumdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    idf = (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    denom = F.col("tf").cast("double") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + F.lit(_BM25_B)
+        * (F.col("dl").cast("double") / (F.col("sumdl") / F.col("n_docs")))
+    )
+    s_term = idf * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(dsum(F.col("s")).alias("score"))
+    )
+    wr = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .orderBy("rank")
+    )
+
+
+docs_bm25_topk.__doc__ = (docs_bm25_topk.__doc__ or "").format(nq=_BM25_NQ)
+
+
+DOCS_BM25_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest({text.words_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT term, df FROM (
+    SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrn
+    FROM dfreq)
+  WHERE qrn <= {_BM25_NQ}),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) AS sumdl,
+         CAST(COUNT(*) AS DOUBLE) AS n_docs
+  FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         ((stats.n_docs - CAST(q.df AS DOUBLE) + 0.5)
+            / (CAST(q.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+         / (CAST(tf.tf AS DOUBLE) + {_BM25_K1!r}
+            * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+               * (CAST(dl.dl AS DOUBLE) / (stats.sumdl / stats.n_docs))))
+           AS s
+  FROM tf
+  JOIN qterms q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+agg AS (SELECT doc_id, {dsum_sql('s')} AS score FROM scored GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM agg
+QUALIFY rank <= {_BM25_TOPK}
+ORDER BY rank
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -3480,6 +3581,8 @@ SPECS: list[QuerySpec] = [
               "exact corpus heavy hitters (top-k words)"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "per-doc top-k TF-IDF terms (log-free linear idf)"),
+    QuerySpec("docs_bm25_topk", docs_bm25_topk, DOCS_BM25_SQL,
+              "BM25 ranking: tf saturation + length norm, ratio-form idf"),
     QuerySpec("docs_quality_filter", docs_quality_filter, DOCS_QUALITY_FILTER_SQL,
               "adaptive per-lang median-threshold quality filter"),
     QuerySpec("docs_length_quartiles", docs_length_quartiles,

@@ -298,6 +298,62 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_TOPK = 3
+
+
+def events_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending dashboard: watermarked 6-hour tumbling counts
+    per event type maintained by the streaming engine, with the top-{k}
+    ranking applied batch-side over the completed aggregate — ranking
+    is not an incremental-state operator (a rank can change on every
+    arrival), so production serves it from the continuously-maintained
+    count table exactly like this.  Over bounded input the result must
+    equal the batch bucket-count + rank, hash-for-hash."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    counts = run_stream_to_df(spark, agg, "events_trending_stream")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TREND_TOPK)
+        .orderBy("win_start", "rank")
+    )
+
+
+events_trending_stream.__doc__ = (events_trending_stream.__doc__ or "").format(
+    k=_TREND_TOPK
+)
+
+
+EVENTS_TRENDING_STREAM_SQL = f"""
+WITH counts AS (
+  SELECT make_timestamp((epoch_ms(ts) // 21600000) * 21600000 * 1000)
+           AS win_start,
+         event_type, COUNT(*) AS n_events
+  FROM events
+  GROUP BY win_start, event_type)
+SELECT win_start, event_type, n_events,
+       CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+                               ORDER BY n_events DESC, event_type)
+            AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= {_TREND_TOPK}
+ORDER BY win_start, rank
+"""
+
+
 def _hll_stream_sql() -> str:
     from ..functions import hashing
     from .advanced import _HLL_ALPHA_NUM, _HLL_M, _HLL_RANK_BITS, _HLL_RANK_CAP
@@ -379,5 +435,11 @@ SPECS: list[QuerySpec] = [
         events_hll_stream,
         EVENTS_HLL_STREAM_SQL,
         "streaming HLL register maintenance (MAX-merged state == batch)",
+    ),
+    QuerySpec(
+        "events_trending_stream",
+        events_trending_stream,
+        EVENTS_TRENDING_STREAM_SQL,
+        "streaming 6h counts + batch-side trending top-k (== batch)",
     ),
 ]

@@ -665,3 +665,89 @@ def test_time_rollup_grains_telescope(spark):
         per_month[key] = per_month.get(key, 0) + r["n_events"]
     for r in by_gid[1]:
         assert per_month[(r["y"], r["m"])] == r["n_events"]
+
+
+# ---------------------------------- batch-5: communities / CDC / trending
+
+def test_communities_form_partition_over_nodes(spark):
+    rows = _build(spark, "events_communities").collect()
+    nodes = {r["node"] for r in rows}
+    labels = {r["label"] for r in rows}
+    assert labels <= nodes  # a community exemplar is itself a node
+    assert len(rows) == len(nodes)
+    again = _build(spark, "events_communities").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_changelog_apply_roundtrip_is_exact(spark):
+    r = _build(spark, "orders_changelog_apply").collect()[0]
+    assert r["n_missing"] == 0
+    assert r["n_extra"] == 0
+    assert r["n_value_mismatch"] == 0
+    o = load_table(spark, SF_DIR, "orders")
+    n_a = o.count()
+    n_del = o.filter(
+        (F.col("o_orderkey") % 83 == 0) & (F.col("o_orderkey") % 101 != 0)
+    ).count()
+    n_ins = o.filter(F.col("o_orderkey") % 101 == 0).count()
+    assert r["n_keys"] == n_a - n_del + n_ins  # |B|
+
+
+def test_bm25_matches_bruteforce(spark):
+    import re
+
+    rows = _build(spark, "docs_bm25_topk").collect()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    tf, dl, df = {}, {}, {}
+    for d in docs:
+        words = [w for w in re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        dl[d["doc_id"]] = len(words)
+        seen = {}
+        for w in words:
+            seen[w] = seen.get(w, 0) + 1
+        tf[d["doc_id"]] = seen
+        for w in seen:
+            df[w] = df.get(w, 0) + 1
+    q = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    n = float(len(docs))
+    avgdl = sum(dl.values()) / n
+    import math
+
+    scores = {}
+    for did in dl:
+        s = 0
+        for term, dfreq in q:
+            t = tf[did].get(term, 0)
+            if t == 0:
+                continue
+            idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+            s += math.floor(
+                idf * (t * 2.2) / (t + 1.2 * (0.25 + 0.75 * (dl[did] / avgdl)))
+                * 1e8
+            )
+        scores[did] = s / 1e8
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [(r["doc_id"], round(r["score"], 6)) for r in rows]
+    want = [(d, round(s, 6)) for d, s in top]
+    assert got == want
+
+
+def test_trending_stream_equals_batch(spark):
+    rows = _build(spark, "events_trending_stream").collect()
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql.window import Window
+
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    batch = (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
