@@ -1,0 +1,264 @@
+"""Data-cleaning operators: the repair steps between raw ingested data
+and analytics-grade tables — missing-value imputation, outlier
+winsorization, and semi-structured schema-drift auditing.
+
+Same design rules as the rest of the extension surface: JVM-side
+built-ins only, window/aggregate plans with one hash shuffle each, every
+gate mirrored by a DuckDB oracle with identical column names and
+integer-or-quantized outputs so the driver's value-hash comparison is
+exact.  Null injection for the imputation gate is deterministic (a key
+modulus), so both engines clean the identical dirty table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dsum, dsum_sql
+from . import QuerySpec
+from .extensions import _t
+
+# ===========================================================================
+# Median imputation of synthetically-missing values
+# ===========================================================================
+
+_IMP_MOD = 13  # every 13th part key loses its price (deterministic dirt)
+
+
+def part_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair: prices nulled on a deterministic key modulus
+    are imputed with the per-brand exact lower median of the surviving
+    values — the classic grouped-median fill.  The median is nearest-rank
+    (position ceil(n/2) in the (price, key) order — integer arithmetic,
+    no interpolation), computed with one rank window over the non-null
+    rows and one tiny broadcast join back; at 100 TB the window
+    partitions by brand exactly like any grouped quantile.  Output
+    audits the repair: rows, nulls imputed, the median used, and the
+    quantized-exact post-repair sum per brand."""
+    (p,) = _t(spark, sf_dir, "part")
+    dirty = p.select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_partkey") % _IMP_MOD == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+    )
+    ok = dirty.filter(F.col("price").isNotNull())
+    w = Window.partitionBy("p_brand").orderBy("price", "p_partkey")
+    ranked = ok.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("p_brand"))
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 1) / 2)
+    ).select("p_brand", F.col("price").alias("brand_median"))
+    fixed = dirty.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "price",
+        F.coalesce("price", "brand_median").alias("price_fixed"),
+        "brand_median",
+    )
+    return (
+        fixed.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.max("brand_median").alias("brand_median"),
+            dsum(F.col("price_fixed")).alias("sum_fixed"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_IMPUTE_MEDIAN_SQL = f"""
+WITH dirty AS (
+  SELECT p_partkey, p_brand,
+         CASE WHEN p_partkey % {_IMP_MOD} = 0 THEN NULL
+              ELSE p_retailprice END AS price
+  FROM part),
+ranked AS (
+  SELECT p_brand, price,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY price, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS cnt
+  FROM dirty WHERE price IS NOT NULL),
+med AS (
+  SELECT p_brand, price AS brand_median
+  FROM ranked WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)),
+fixed AS (
+  SELECT d.p_brand, d.price,
+         COALESCE(d.price, m.brand_median) AS price_fixed,
+         m.brand_median
+  FROM dirty d JOIN med m ON m.p_brand = d.p_brand)
+SELECT p_brand, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       MAX(brand_median) AS brand_median,
+       {dsum_sql('price_fixed')} AS sum_fixed
+FROM fixed
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ===========================================================================
+# Winsorization (percentile clipping) of outliers
+# ===========================================================================
+
+def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier treatment by winsorizing: per returnflag, prices are
+    clipped to the exact nearest-rank [p01, p99] band.  Thresholds come
+    from one rank window over the (price, key) order and integer rank
+    targets (ceil(n/100), ceil(99n/100)) — no interpolation, no libm —
+    then broadcast back for the clip pass.  Output audits the treatment:
+    rows, caps applied at each tail, the thresholds, and the
+    quantized-exact clipped sum.  Two window passes + one broadcast
+    join; at 100 TB the flag partitioning carries both."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy("price", "l_orderkey", "l_linenumber")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("flag"))
+    )
+    lo_target = F.floor((F.col("cnt") + 99) / 100)
+    hi_target = F.floor((F.lit(99) * F.col("cnt") + 99) / 100)
+    th = (
+        ranked.filter((F.col("rn") == lo_target) | (F.col("rn") == hi_target))
+        .groupBy("flag")
+        .agg(F.min("price").alias("p01"), F.max("price").alias("p99"))
+    )
+    clipped = base.join(F.broadcast(th), "flag").select(
+        "flag",
+        "price",
+        "p01",
+        "p99",
+        F.greatest(F.least(F.col("price"), F.col("p99")), F.col("p01")).alias(
+            "price_w"
+        ),
+    )
+    return (
+        clipped.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("price") < F.col("p01"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_low"),
+            F.sum(F.when(F.col("price") > F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_high"),
+            F.max("p01").alias("p01"),
+            F.max("p99").alias("p99"),
+            dsum(F.col("price_w")).alias("sum_winsorized"),
+        )
+        .orderBy("flag")
+    )
+
+
+LINEITEM_WINSORIZE_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT flag, price,
+         ROW_NUMBER() OVER (PARTITION BY flag
+                            ORDER BY price, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS cnt
+  FROM base),
+th AS (
+  SELECT flag, MIN(price) AS p01, MAX(price) AS p99
+  FROM ranked
+  WHERE rn = CAST(floor((cnt + 99) / 100) AS BIGINT)
+     OR rn = CAST(floor((99 * cnt + 99) / 100) AS BIGINT)
+  GROUP BY flag),
+clipped AS (
+  SELECT b.flag, b.price, th.p01, th.p99,
+         GREATEST(LEAST(b.price, th.p99), th.p01) AS price_w
+  FROM base b JOIN th ON th.flag = b.flag)
+SELECT flag, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN price < p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_low,
+       CAST(SUM(CASE WHEN price > p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_high,
+       MAX(p01) AS p01, MAX(p99) AS p99,
+       {dsum_sql('price_w')} AS sum_winsorized
+FROM clipped
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+# ===========================================================================
+# Semi-structured schema-drift audit (JSON key census)
+# ===========================================================================
+
+def events_props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift monitoring for semi-structured payloads: a census of
+    which JSON keys appear in ``props`` per event type, with coverage as
+    a floor-quantized per-million share — the audit that catches a
+    producer silently adding/dropping fields.  Keys come from
+    ``from_json`` to a map + ``map_keys`` (JVM-side; no Python); one
+    explode + one aggregation + a broadcast of per-type totals.  At
+    100 TB the explode fan-out is bounded by keys-per-payload, and the
+    census table is vocabulary-sized."""
+    (ev,) = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.explode(
+            F.map_keys(F.from_json(F.col("props"), "map<string,string>"))
+        ).alias("key"),
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        keys.groupBy("event_type", "key")
+        .agg(F.count(F.lit(1)).alias("n_with_key"))
+        .join(F.broadcast(totals), "event_type")
+        .withColumn(
+            "coverage_ppm",
+            F.floor(
+                F.col("n_with_key").cast("double")
+                / F.col("n_total").cast("double")
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .orderBy("event_type", "key")
+    )
+
+
+EVENTS_PROPS_KEY_CENSUS_SQL = """
+WITH keys AS (
+  SELECT event_type, unnest(json_keys(props)) AS key FROM events),
+totals AS (
+  SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY event_type)
+SELECT k.event_type, k.key, COUNT(*) AS n_with_key, t.n_total,
+       CAST(floor(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS coverage_ppm
+FROM keys k JOIN totals t ON t.event_type = k.event_type
+GROUP BY k.event_type, k.key, t.n_total
+ORDER BY k.event_type, k.key
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "part_impute_median", part_impute_median, PART_IMPUTE_MEDIAN_SQL,
+        "grouped exact-median imputation of deterministically-nulled prices",
+    ),
+    QuerySpec(
+        "lineitem_winsorize", lineitem_winsorize, LINEITEM_WINSORIZE_SQL,
+        "winsorize to exact nearest-rank [p01,p99] with repair audit",
+    ),
+    QuerySpec(
+        "events_props_key_census", events_props_key_census,
+        EVENTS_PROPS_KEY_CENSUS_SQL,
+        "JSON key census per event type: schema-drift coverage audit",
+    ),
+]
