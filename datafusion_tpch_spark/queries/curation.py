@@ -518,6 +518,153 @@ ORDER BY arm
 
 
 # ===========================================================================
+# Contrastive negative sampling
+# ===========================================================================
+
+_NEG_K = 2
+
+
+def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive training: each anchor document
+    draws {k} deterministic pseudo-random partners by hashing
+    (anchor, draw) onto the corpus's dense rank ring — the
+    hash-onto-ranks construction that replaces a shuffle-the-corpus
+    random permutation at scale.  One rank window builds the ring once;
+    the draw is an equi-join on the ring position (co-partitioned
+    shuffle, no broadcast of the corpus, no driver sampling).
+    Self-pairs are dropped rather than redrawn (exactly reproducible;
+    the occasional missing draw is the documented trade)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    ring = docs.select(
+        F.col("doc_id").alias("partner_id"),
+        F.row_number()
+        .over(Window.orderBy("doc_id"))
+        .alias("ring_pos"),
+    )
+    draws = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])
+            ).alias("draw"),
+            "n_corpus",
+        )
+        .withColumn(
+            "ring_pos",
+            (
+                hashing.md5_int(
+                    F.concat_ws(":", F.col("doc_id"), F.col("draw"))
+                )
+                % F.col("n_corpus")
+                + 1
+            ).cast("int"),
+        )
+    )
+    return (
+        draws.join(ring, "ring_pos")
+        .filter(F.col("doc_id") != F.col("partner_id"))
+        .select("doc_id", "draw", "partner_id")
+        .orderBy("doc_id", "draw")
+    )
+
+
+docs_negative_pairs.__doc__ = (docs_negative_pairs.__doc__ or "").format(
+    k=_NEG_K
+)
+
+
+DOCS_NEGATIVE_PAIRS_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+ring AS (
+  SELECT doc_id AS partner_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INTEGER) AS ring_pos
+  FROM documents),
+draws AS (
+  SELECT d.doc_id, CAST(j.draw AS INTEGER) AS draw,
+         CAST({hashing.md5_int_sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.draw AS VARCHAR)")}
+              % n.n_corpus + 1 AS INTEGER) AS ring_pos
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(1, {_NEG_K + 1})) AS draw) j
+  CROSS JOIN n)
+SELECT dr.doc_id, dr.draw, r.partner_id
+FROM draws dr JOIN ring r ON r.ring_pos = dr.ring_pos
+WHERE dr.doc_id <> r.partner_id
+ORDER BY dr.doc_id, dr.draw
+"""
+
+
+# ===========================================================================
+# Hashing-trick featurization census
+# ===========================================================================
+
+_FH_DIM = 32
+
+
+def events_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the linear-model/embedding-input
+    prep): every (key=value) pair of the JSON payload plus the event
+    type hashes into a fixed {d}-bucket feature space — no vocabulary
+    build, no dictionary shuffle, the property that makes the trick the
+    scale answer for sparse categorical features.  The gate emits the
+    corpus-level feature census (bucket → count, distinct event types
+    contributing); the per-row vector is the same explode before the
+    aggregation.  Collisions are part of the contract and the census is
+    how you size {d}."""
+    (ev,) = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.explode(
+            F.map_entries(F.from_json(F.col("props"), "map<string,string>"))
+        ).alias("e"),
+    ).select(
+        "event_type",
+        F.concat_ws("=", F.col("e.key"), F.col("e.value")).alias("feat"),
+    )
+    tagged = kv.select(
+        "event_type",
+        (hashing.md5_int(F.concat_ws("|", "event_type", "feat")) % _FH_DIM)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("bucket")
+    )
+
+
+events_feature_hash.__doc__ = (events_feature_hash.__doc__ or "").format(
+    d=_FH_DIM
+)
+
+
+EVENTS_FEATURE_HASH_SQL = f"""
+WITH keys AS (
+  SELECT event_type, props, unnest(json_keys(props)) AS key FROM events),
+kv AS (
+  SELECT event_type,
+         key || '=' || json_extract_string(props, '$.' || key) AS feat
+  FROM keys),
+tagged AS (
+  SELECT event_type,
+         CAST({hashing.md5_int_sql("event_type || '|' || feat")} % {_FH_DIM}
+              AS INTEGER) AS bucket
+  FROM kv)
+SELECT bucket, COUNT(*) AS n_hits,
+       COUNT(DISTINCT event_type) AS n_types
+FROM tagged
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ===========================================================================
 # Asymmetric shingle containment (quote / subset detection)
 # ===========================================================================
 
@@ -719,5 +866,13 @@ SPECS = [
     QuerySpec(
         "events_ab_lift", events_ab_lift, EVENTS_AB_LIFT_SQL,
         "A/B arms by hash parity; conversion ratios as quantized integers",
+    ),
+    QuerySpec(
+        "docs_negative_pairs", docs_negative_pairs, DOCS_NEGATIVE_PAIRS_SQL,
+        "contrastive negative sampling: hash-onto-ranks partner draws",
+    ),
+    QuerySpec(
+        "events_feature_hash", events_feature_hash, EVENTS_FEATURE_HASH_SQL,
+        "hashing-trick featurization census over JSON key=value pairs",
     ),
 ]

@@ -147,3 +147,36 @@ def test_ab_lift_arms_partition_users(spark):
         assert r["conv_q6"] == math.floor(
             r["n_purchased"] / r["n_clicked"] * 1e6
         )
+
+
+# ----------------------------------- negative sampling / feature hashing
+
+def test_negative_pairs_shape_and_determinism(spark):
+    rows = _q(spark, "docs_negative_pairs").collect()
+    from datafusion_tpch_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # at most k=2 draws per anchor, self-pairs dropped, partners real docs
+    per = {}
+    for r in rows:
+        assert r["doc_id"] != r["partner_id"]
+        assert r["partner_id"] in ids
+        per.setdefault(r["doc_id"], set()).add(r["draw"])
+    assert len(rows) <= 2 * n
+    assert len(rows) >= 2 * n - 2 * len(ids) // 10  # few self-collisions
+    again = _q(spark, "docs_negative_pairs").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_feature_hash_census_accounts_all_pairs(spark):
+    rows = _q(spark, "events_feature_hash").collect()
+    from datafusion_tpch_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    # props is a single-key object per event -> one pair per event
+    assert sum(r["n_hits"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["bucket"] < 32
+        assert 1 <= r["n_types"] <= 5
