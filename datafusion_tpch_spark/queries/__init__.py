@@ -55,8 +55,10 @@ _CHECK_FIRST = [
     "docs_mixture_weights", "docs_mixture_sample",
     "events_sliding_stream",
     "events_dedup_stream", "events_stream_stream_join",
-    # -- heaviest previously-green (regression canary) --
-    "dedup_semantic_clusters",
+    # -- round-3 addition in the last slot (every other window entry is
+    # also unchecked; the rest of the round-3 additions queue for the
+    # round-4 rotation) --
+    "ann_ivf_pq_topk",
 ]
 
 
