@@ -298,6 +298,43 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE multi-micro-batch streaming gate: the fixture events are
+    re-laid-out as 8 files and streamed with ``maxFilesPerTrigger=1``,
+    so the hourly aggregation is genuinely maintained INCREMENTALLY
+    across 8 micro-batches — watermark advancing, state updated per
+    batch — not collapsed into the single batch the one-file fixture
+    otherwise yields.  The final complete-mode answer must equal the
+    batch SQL hash-for-hash whatever the batch boundaries were: the
+    strongest statement this harness can make about streaming-state
+    correctness.  Layout is written once per (process, fixture)."""
+    import os
+
+    from ..catalog import load_table
+    from ..streaming.pipeline import hourly_agg_stream, run_stream_to_df
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_events_split_{os.getpid()}_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = hourly_agg_stream(stream)
+    return run_stream_to_df(
+        spark, agg, "events_multibatch_stream"
+    ).orderBy("hour", "event_type")
+
+
+EVENTS_MULTIBATCH_STREAM_SQL = EVENTS_HOURLY_STREAM_SQL
+
+
 _TREND_TOPK = 3
 
 
@@ -441,5 +478,11 @@ SPECS: list[QuerySpec] = [
         events_trending_stream,
         EVENTS_TRENDING_STREAM_SQL,
         "streaming 6h counts + batch-side trending top-k (== batch)",
+    ),
+    QuerySpec(
+        "events_multibatch_stream",
+        events_multibatch_stream,
+        EVENTS_MULTIBATCH_STREAM_SQL,
+        "8 forced micro-batches (maxFilesPerTrigger=1) == batch answer",
     ),
 ]

@@ -159,3 +159,22 @@ def test_stream_stream_join_equals_batch(spark):
         .orderBy("purchase_id", "click_id")
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_multibatch_stream_equals_batch_hourly(spark):
+    """The forced 8-micro-batch run must agree with the batch aggregation
+    row-for-row — incremental state maintenance across batch boundaries
+    changes nothing about the final answer."""
+    import os
+
+    from datafusion_tpch_spark.queries import all_queries
+
+    specs = all_queries()
+    got = specs["events_multibatch_stream"].build(spark, SF_DIR).collect()
+    tag = SF_DIR.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_events_split_{os.getpid()}_{tag}"
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 8  # the stream really had 8 single-file triggers
+    batch = specs["events_hourly"].build(spark, SF_DIR).collect()
+    key = lambda r: (r[0], r[1])
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, batch), key=key)
