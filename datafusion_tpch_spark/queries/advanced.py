@@ -1351,6 +1351,65 @@ EVENTS_COMMUNITIES_SQL = _communities_sql()
 
 
 # ===========================================================================
+# Bitmap-index distinct (roaring-style word bitmap)
+# ===========================================================================
+
+def events_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct counting: user ids pack into 32-bit words
+    (word = id/32, bit = id mod 32 — 32 wide because a shift of 63 is
+    well-defined two's-complement in Spark but a checked overflow in
+    DuckDB; the narrower word keeps the construction engine-portable)
+    OR-merged per event type — the
+    roaring-bitmap construction that gives EXACT distinct counts with
+    sketch-like mergeability (bitmaps of shards/days union with OR,
+    never re-scan; intersections/differences become AND/AND-NOT on the
+    same words — set algebra HLL cannot do).  State is O(id-domain/64)
+    words per group (state O(domain/32)); at 100 TB ids are first dictionary-encoded into a
+    dense domain, which is the standard bitmap-index prerequisite.  The
+    exact countDistinct rides along and must equal the popcount sum."""
+    (ev,) = _t(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.bit_count("bits")).cast("long").alias("bitmap_distinct"),
+        )
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )
+
+
+EVENTS_USER_BITMAP_SQL = """
+WITH words AS (
+  SELECT event_type, CAST(user_id // 32 AS BIGINT) AS word,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events
+  GROUP BY event_type, word),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT w.event_type, COUNT(*) AS n_words,
+       CAST(SUM(bit_count(w.bits)) AS BIGINT) AS bitmap_distinct,
+       e.exact_distinct
+FROM words w JOIN exact e ON e.event_type = w.event_type
+GROUP BY w.event_type, e.exact_distinct
+ORDER BY w.event_type
+"""
+
+
+# ===========================================================================
 # Time-hierarchy rollup (hypertable continuous-aggregate shape)
 # ===========================================================================
 
@@ -1986,6 +2045,10 @@ SPECS = [
     QuerySpec(
         "events_time_rollup", events_time_rollup, EVENTS_TIME_ROLLUP_SQL,
         "hypertable time rollup: day/month/year/total in one Expand scan",
+    ),
+    QuerySpec(
+        "events_user_bitmap", events_user_bitmap, EVENTS_USER_BITMAP_SQL,
+        "bitmap-index distinct: OR-merged 64-bit words, exact + mergeable",
     ),
     QuerySpec(
         "events_communities", events_communities, EVENTS_COMMUNITIES_SQL,

@@ -393,6 +393,67 @@ ORDER BY doc_id
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SimHash near-dup lookup: pairs whose 16-bit signatures
+    differ in AT MOST one bit, found by the multi-probe trick — each doc
+    emits its signature plus all {b} single-bit flips (a fixed {b}+1
+    fan-out), and candidates fall out of one equi-join probe-vs-signature
+    instead of any Hamming-distance scan.  This is how signature stores
+    answer tolerance queries at scale: fan-out is constant in corpus
+    size, the join is a hash join on a 64-bit key, and tolerance k costs
+    C({b},≤k) probes — a parameter, not a new plan.  Exact bit distance
+    rides along for the consumer."""
+    sims = dedup_simhash(spark, sf_dir)
+    a = sims.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("simhash").alias("s1"),
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_SIMHASH_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    b = sims.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"))
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        a.join(b, (F.col("probe") == F.col("s2")) & (F.col("doc1") < F.col("doc2")))
+        .select("doc1", "doc2", "s1", "s2")
+        .distinct()
+        .withColumn("hamming", ham)
+        .orderBy("doc1", "doc2")
+    )
+
+
+dedup_simhash_hamming1.__doc__ = (dedup_simhash_hamming1.__doc__ or "").format(
+    b=_SIMHASH_BITS
+)
+
+
+def _simhash_hamming1_sql() -> str:
+    flips = ", ".join(f"xor(simhash, {1 << j})" for j in range(_SIMHASH_BITS))
+    return f"""
+WITH sims AS MATERIALIZED ({_simhash_sql().replace('ORDER BY doc_id', '')}),
+probes AS (
+  SELECT doc_id AS doc1, simhash AS s1,
+         unnest([simhash, {flips}]) AS probe
+  FROM sims),
+pairs AS (
+  SELECT DISTINCT p.doc1, b.doc_id AS doc2, p.s1, b.simhash AS s2
+  FROM probes p JOIN sims b ON p.probe = b.simhash AND p.doc1 < b.doc_id)
+SELECT doc1, doc2, s1, s2,
+       CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+FROM pairs
+ORDER BY doc1, doc2
+"""
+
+
+DEDUP_SIMHASH_HAMMING1_SQL = _simhash_hamming1_sql()
+
+
 # --- Embedding cosine near-dup ---------------------------------------------
 
 _COS_T = 0.40  # fixture embeddings are cluster-sampled; max pairwise ~0.51
@@ -3583,6 +3644,9 @@ SPECS: list[QuerySpec] = [
               "per-doc top-k TF-IDF terms (log-free linear idf)"),
     QuerySpec("docs_bm25_topk", docs_bm25_topk, DOCS_BM25_SQL,
               "BM25 ranking: tf saturation + length norm, ratio-form idf"),
+    QuerySpec("dedup_simhash_hamming1", dedup_simhash_hamming1,
+              DEDUP_SIMHASH_HAMMING1_SQL,
+              "multi-probe SimHash: Hamming<=1 pairs via 17-probe equi-join"),
     QuerySpec("docs_quality_filter", docs_quality_filter, DOCS_QUALITY_FILTER_SQL,
               "adaptive per-lang median-threshold quality filter"),
     QuerySpec("docs_length_quartiles", docs_length_quartiles,

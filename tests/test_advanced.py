@@ -751,3 +751,32 @@ def test_trending_stream_equals_batch(spark):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+
+
+# --------------------------------------------- bitmap / multi-probe
+
+def test_user_bitmap_popcount_equals_exact(spark):
+    rows = _build(spark, "events_user_bitmap").collect()
+    assert rows
+    for r in rows:
+        assert r["bitmap_distinct"] == r["exact_distinct"]
+        assert r["n_words"] <= r["exact_distinct"]  # words <= set bits
+
+
+def test_simhash_hamming1_matches_bruteforce(spark):
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in all_queries()["dedup_simhash_hamming1"].build(spark, SF_DIR).collect()
+    }
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in all_queries()["dedup_simhash"].build(spark, SF_DIR).collect()
+    }
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 1:
+                want[(a, b)] = h
+    assert got == want and got
