@@ -78,6 +78,8 @@ def main() -> None:
     line = encode(3)
     if len(line) > 3400:
         line = encode(2)
+    if len(line) > 3400:
+        line = encode(1)
     sys.stdout.flush()
     print(line)
     sys.stdout.flush()
