@@ -1617,6 +1617,70 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# JSON-lines sink + source round-trip
+# ===========================================================================
+
+def orders_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a first-class sink AND source — the third format of
+    the COPY surface alongside parquet (`/root/reference/examples/
+    parquet.rs:17-31`) and CSV (`orders_csv_roundtrip`): write orders to
+    newline-delimited JSON, read it back through an explicit schema
+    (never inference — at 100 TB inferring JSON schemas means scanning
+    twice), and aggregate.  Timestamps round-trip through an explicit
+    ISO format; the oracle runs on the ORIGINAL parquet table, so any
+    loss in the round trip (type coercion, timestamp skew, dropped
+    fields) fails the value hash.  Write-once per (process, fixture);
+    repartition-before-partitionBy gives one file per priority group,
+    the layout rule every sink gate follows."""
+    import os
+
+    (o,) = _t(spark, sf_dir, "orders")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_orders_json_{os.getpid()}_{tag}"
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            o.repartition(F.col("o_orderpriority"))
+            .write.mode("overwrite")
+            .option("timestampFormat", fmt)
+            .option("timestampNTZFormat", fmt)
+            .partitionBy("o_orderpriority")
+            .json(path)
+        )
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderdate timestamp_ntz, o_orderstatus string, "
+            "o_orderpriority string"
+        )
+        .option("timestampFormat", fmt)
+        .option("timestampNTZFormat", fmt)
+        .json(path)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.max(F.date_format("o_orderdate", fmt)).alias("last_date"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_JSON_ROUNDTRIP_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_date,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ===========================================================================
 # Fact-fact join strategies: sort-merge and shuffle-hash
 # ===========================================================================
 
@@ -2068,5 +2132,10 @@ SPECS = [
         "orders_lineitem_hash_join", orders_lineitem_hash_join,
         ORDERS_LINEITEM_HASH_JOIN_SQL,
         "fact-fact ShuffledHashJoin (hinted, plan-asserted)",
+    ),
+    QuerySpec(
+        "orders_json_roundtrip", orders_json_roundtrip,
+        ORDERS_JSON_ROUNDTRIP_SQL,
+        "JSON-lines sink+source round-trip, explicit schema; oracle on original",
     ),
 ]

@@ -820,10 +820,120 @@ ORDER BY rank
 """
 
 
+# ===========================================================================
+# DSIR-style importance scoring (data selection via importance resampling)
+# ===========================================================================
+
+_DSIR_B = 256           # hashed-feature buckets (DSIR's hashed n-grams)
+_DSIR_TOPK = 50         # selection budget: docs promoted into the target mix
+
+
+def docs_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each out-of-domain
+    document by how much more likely its hashed unigram features are
+    under the target-domain distribution than under the raw pool, and
+    take the top selection budget.
+
+    Both distributions are hashed-feature bag-of-words models with
+    add-one smoothing, estimated in the same plan: target = the ``en``
+    slice, raw pool = everything else.  The per-doc importance weight is
+    the summed probability difference rather than the summed log-ratio —
+    with common denominators it reduces to an exact BIGINT numerator
+    (``(c_t(b)+1)*(R+B) - (c_r(b)+1)*(T+B)`` summed over the doc's
+    feature instances), so the score is order-independent and
+    bit-identical across engines (libm ``log`` is not; same rule as the
+    LM/TF-IDF/PMI gates) while ranking documents identically to the
+    probability-difference weight.
+
+    Scale: one corpus pass explodes words to hash buckets (narrow); the
+    feature table is FIXED at {b} buckets however large the corpus — it
+    broadcasts; totals are one scalar aggregate; scoring is one hash
+    aggregation keyed on doc_id.  No vocabulary-sized state anywhere —
+    the hashing trick is exactly what makes DSIR run at web scale.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(text.words(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id", "is_target",
+        (hashing.md5_int(F.col("w")) % _DSIR_B).alias("bucket"),
+    )
+    buckets = inst.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = buckets.agg(
+        F.sum("c_t").alias("t_total"), F.sum("c_r").alias("r_total")
+    )
+    scored = (
+        inst.filter(~F.col("is_target"))
+        .join(F.broadcast(buckets), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term",
+            (F.col("c_t") + 1) * (F.col("r_total") + _DSIR_B)
+            - (F.col("c_r") + 1) * (F.col("t_total") + _DSIR_B),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("term").alias("dsir_num"),
+        )
+    )
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps, k-row driver
+    # merge), THEN rank the k survivors — a global row_number window over
+    # the full scored corpus would serialize it through one task
+    top = scored.orderBy(F.col("dsir_num").desc(), "doc_id").limit(_DSIR_TOPK)
+    w = Window.orderBy(F.col("dsir_num").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+    )
+
+
+docs_dsir_score.__doc__ = (docs_dsir_score.__doc__ or "").format(b=_DSIR_B)
+
+
+DOCS_DSIR_SCORE_SQL = f"""
+WITH inst AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         ({hashing.md5_int_sql('w')}) % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, lang, unnest({text.words_sql('text')}) AS w
+        FROM documents)),
+buckets AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS c_r
+  FROM inst GROUP BY bucket),
+totals AS (
+  SELECT SUM(c_t) AS t_total, SUM(c_r) AS r_total FROM buckets),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         CAST(SUM((c_t + 1) * (r_total + {_DSIR_B})
+                  - (c_r + 1) * (t_total + {_DSIR_B})) AS BIGINT) AS dsir_num
+  FROM inst JOIN buckets USING (bucket) CROSS JOIN totals
+  WHERE NOT is_target
+  GROUP BY doc_id)
+SELECT doc_id, n_words, dsir_num,
+       CAST(ROW_NUMBER() OVER (ORDER BY dsir_num DESC, doc_id) AS INTEGER)
+         AS rank
+FROM scored
+QUALIFY rank <= {_DSIR_TOPK}
+ORDER BY rank
+"""
+
+
 SPECS = [
     QuerySpec(
         "docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL,
         "benchmark decontamination: n-gram overlap vs held-out eval slice",
+    ),
+    QuerySpec(
+        "docs_dsir_score", docs_dsir_score, DOCS_DSIR_SCORE_SQL,
+        "DSIR importance resampling: hashed-feature domain log-ratio top-k",
     ),
     QuerySpec(
         "docs_token_pack", docs_token_pack, DOCS_TOKEN_PACK_SQL,

@@ -669,6 +669,75 @@ ORDER BY survivor_id
 """
 
 
+_KNN_K = 3              # neighbor budget per node in the kNN graph
+
+
+def embeddings_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-nearest-neighbor graph over the embedding corpus — the
+    sparsified similarity graph semantic-clustering pipelines (SemDeDup,
+    density-based coresets) build before community detection: each
+    vector keeps its top-k cosine neighbors, and an edge survives only
+    if BOTH endpoints keep each other (the mutual filter that strips
+    hub/boilerplate false edges).
+
+    Built on the same banded SRP-LSH candidate pipeline as
+    ``dedup_semantic`` (shared per-session pair materialization): the
+    pair table is already sub-quadratic; ranking is one window per node
+    (rank by cosine desc, neighbor id tie-break — cosines are
+    bit-identical cross-engine, proven by the pair gate's hash), and the
+    mutual filter is a self-join of the two rank-<=k halves on the
+    reversed key.  Scale: shuffle keyed on node id, state per node is k
+    rows; no step touches more than the candidate pair volume.
+    """
+    pairs = _sem_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("id1").alias("a"), F.col("id2").alias("b"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id2").alias("a"), F.col("id1").alias("b"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos_sim").desc(), F.col("b"))
+    ranked = (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+    rev = ranked.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb"),
+        F.col("rank").alias("rank_rev"),
+    )
+    return (
+        ranked.join(rev, (ranked.a == rev.rb) & (ranked.b == rev.ra))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("id1"), F.col("b").alias("id2"), "cos_sim",
+            F.col("rank").alias("rank_fwd"), "rank_rev",
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+EMBEDDINGS_KNN_GRAPH_SQL = f"""
+WITH {_sem_ctes()},
+sym AS (
+  SELECT id1 AS a, id2 AS b, cos_sim FROM sem_pairs
+  UNION ALL
+  SELECT id2, id1, cos_sim FROM sem_pairs),
+ranked AS (
+  SELECT a, b, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a
+                                 ORDER BY cos_sim DESC, b) AS INTEGER)
+           AS rank
+  FROM sym
+  QUALIFY rank <= {_KNN_K})
+SELECT f.a AS id1, f.b AS id2, f.cos_sim,
+       f.rank AS rank_fwd, r.rank AS rank_rev
+FROM ranked f JOIN ranked r ON f.a = r.b AND f.b = r.a
+WHERE f.a < f.b
+ORDER BY id1, id2
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column (class centroids for
     curriculum / coreset selection).  Long-form plan: posexplode to
@@ -3617,6 +3686,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters,
               DEDUP_SEMANTIC_CLUSTERS_SQL,
               "connected-components cluster formation + survivor election"),
+    QuerySpec("embeddings_knn_graph", embeddings_knn_graph,
+              EMBEDDINGS_KNN_GRAPH_SQL,
+              "mutual top-k cosine neighbor graph over LSH candidates"),
     QuerySpec("embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL,
               "per-label embedding centroids (long-form fixed-point mean)"),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_SQL,
