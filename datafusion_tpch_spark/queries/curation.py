@@ -821,6 +821,106 @@ ORDER BY rank
 
 
 # ===========================================================================
+# Pipeline yield funnel
+# ===========================================================================
+
+_YIELD_MIN_TOK = 20     # hard length floor after dedup
+
+
+def docs_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report — docs and tokens surviving each stage
+    of a composed cleaning pipeline (raw → exact dedup → length floor →
+    eval-set decontamination), the yield table every corpus build emits
+    so a mixture plan knows what it actually has left.
+
+    Each stage filters the PREVIOUS stage's survivors (a real composed
+    pipeline, not four independent filters), and the whole funnel is one
+    lazy plan: the union of four scalar aggregates over progressively
+    filtered variants of the same scan, so Spark shares the underlying
+    scan and the funnel costs ~one corpus pass per stage with no driver
+    materialization between stages.  Same stage rules as the standalone
+    gates: survivor = min doc_id per fingerprint (``dedup_exact``),
+    benchmark slice + shingle width from ``docs_decontaminate``.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.token_count(F.col("text")).alias("n_tok"),
+    )
+    keep = toks.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    s2 = toks.join(keep, ["fp", "doc_id"])
+    s3 = s2.filter(F.col("n_tok") >= _YIELD_MIN_TOK)
+    sh = F.explode(text.shingles(F.col("text"), _DECON_N)).alias("shingle")
+    eval_sh = (
+        docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select(sh)
+        .distinct()
+    )
+    train = s3.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    contam = (
+        train.select("doc_id", sh)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = train.join(contam, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        ).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            "n_docs", "n_tokens",
+        )
+
+    return (
+        stage(toks, 1, "raw")
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "length_floor"))
+        .unionByName(stage(s4, 4, "decontaminated"))
+        .orderBy("stage_idx")
+    )
+
+
+DOCS_PIPELINE_YIELD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {text.fingerprint_sql('text')} AS fp,
+         {text.token_count_sql('text')} AS n_tok
+  FROM documents),
+s2 AS (
+  SELECT t.* FROM toks t
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM toks GROUP BY fp) k
+    ON t.fp = k.fp AND t.doc_id = k.doc_id),
+s3 AS (SELECT * FROM s2 WHERE n_tok >= {_YIELD_MIN_TOK}),
+eval_sh AS (
+  SELECT DISTINCT unnest({text.shingles_sql('text', _DECON_N)}) AS shingle
+  FROM documents WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+train AS (SELECT * FROM s3 WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({text.shingles_sql('text', _DECON_N)}) AS shingle
+        FROM train) x
+  JOIN eval_sh USING (shingle)),
+s4 AS (SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT stage_idx, stage, n_docs, n_tokens FROM (
+  SELECT CAST(1 AS INTEGER) AS stage_idx, 'raw' AS stage,
+         COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM toks
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'exact_dedup', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'length_floor', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT CAST(4 AS INTEGER), 'decontaminated', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s4)
+ORDER BY stage_idx
+"""
+
+
+# ===========================================================================
 # DSIR-style importance scoring (data selection via importance resampling)
 # ===========================================================================
 
@@ -934,6 +1034,10 @@ SPECS = [
     QuerySpec(
         "docs_dsir_score", docs_dsir_score, DOCS_DSIR_SCORE_SQL,
         "DSIR importance resampling: hashed-feature domain log-ratio top-k",
+    ),
+    QuerySpec(
+        "docs_pipeline_yield", docs_pipeline_yield, DOCS_PIPELINE_YIELD_SQL,
+        "curation funnel: docs/tokens surviving each composed stage",
     ),
     QuerySpec(
         "docs_token_pack", docs_token_pack, DOCS_TOKEN_PACK_SQL,

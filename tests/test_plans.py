@@ -206,3 +206,39 @@ def test_band_join_no_shuffle_before_agg(spark):
     assert exchange_count(df) <= 2
     plan = _plan_str(df)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_topk_not_global_window(spark):
+    """The selection budget must plan as TakeOrderedAndProject (per-
+    partition heaps), NOT a single-partition global row_number window
+    over the full scored corpus."""
+    plan = _plan_str(_build(spark, "docs_dsir_score"))
+    assert "TakeOrderedAndProject" in plan
+    # the rank window sits ABOVE the limit (plan strings print root-first),
+    # i.e. it only ever sees the k survivors
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_dsir_domain_models_broadcast(spark):
+    """Both hashed-feature domain models are bucket-bounded and must
+    broadcast — a shuffled join against a 256-row side is wrong."""
+    df = _build(spark, "docs_dsir_score")
+    assert broadcast_join_count(df) >= 2
+
+
+def test_knn_graph_no_cartesian(spark):
+    """Mutual-kNN rides the banded LSH candidates: no cartesian/nested-
+    loop pair generation anywhere in the plan."""
+    plan = _plan_str(_build(spark, "embeddings_knn_graph"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_yield_no_cartesian_single_job(spark):
+    """The funnel is one lazy plan: four scalar aggregates unioned, the
+    eval-shingle set broadcast into the decontamination anti-join."""
+    df = _build(spark, "docs_pipeline_yield")
+    plan = _plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Union") >= 1
+    assert broadcast_join_count(df) >= 1
