@@ -50,6 +50,7 @@ def test_driver_state_bounded(spark):
         F.col("k"),
         m_bits=M,
     )
-    # the collected state is m_bits/32 words no matter the build cardinality
-    assert len(words) == M // 32
-    assert all(0 <= w <= 0xFFFFFFFF for w in words)
+    # the collected state is m_bits/64 words no matter the build cardinality
+    assert len(words) == M // 64
+    # packed int64 words (bit 63 may set the sign)
+    assert all(-(1 << 63) <= w < (1 << 63) for w in words)
