@@ -1617,6 +1617,77 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Time-based RANGE window frames (trailing-hour burst features)
+# ===========================================================================
+
+_TW_MS = 3_600_000      # trailing window width: one hour in epoch-ms
+_TW_Q = 1_000_000       # fixed-point quantum for the value sum
+
+
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames — the frame kind the ROWS-based
+    gates can't express: for every event, the count and value-sum of the
+    SAME user's events in the trailing hour (``RANGE BETWEEN 3599999
+    PRECEDING AND CURRENT ROW`` over epoch-ms), reduced to the per-user
+    peak — the burst/velocity feature fraud and rate-limit pipelines
+    compute.
+
+    RANGE frames bound by *value distance* on the ordering key, so
+    same-timestamp peers all share one frame (SQL standard semantics,
+    identical in both engines) — the result is order-independent by
+    construction.  Time enters as integer epoch-ms (``unix_millis`` /
+    ``epoch_ms``) and the value as its floor-quantized integer, so every
+    frame aggregate is exact.  Scale: one user-keyed shuffle; frame
+    state is the trailing hour per user, however long the stream."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        F.floor(F.col("value") * _TW_Q).cast("long").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-(_TW_MS - 1), Window.currentRow)
+    )
+    tw = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("qv").over(w).alias("s"),
+    )
+    return (
+        tw.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("c").alias("peak_1h_events"),
+            (F.max("s").cast("double") / _TW_Q).alias("peak_1h_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_TRAILING_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         CAST(floor(value * {_TW_Q}) AS BIGINT) AS qv
+  FROM events),
+tw AS (
+  SELECT user_id,
+         COUNT(*) OVER w AS c,
+         SUM(qv) OVER w AS s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN {_TW_MS - 1} PRECEDING AND CURRENT ROW))
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS peak_1h_events,
+       CAST(MAX(s) AS DOUBLE) / {_TW_Q} AS peak_1h_value
+FROM tw
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ===========================================================================
 # JSON-lines sink + source round-trip
 # ===========================================================================
 
@@ -2137,5 +2208,10 @@ SPECS = [
         "orders_json_roundtrip", orders_json_roundtrip,
         ORDERS_JSON_ROUNDTRIP_SQL,
         "JSON-lines sink+source round-trip, explicit schema; oracle on original",
+    ),
+    QuerySpec(
+        "events_trailing_window", events_trailing_window,
+        EVENTS_TRAILING_WINDOW_SQL,
+        "time-based RANGE frames: per-user trailing-hour burst peaks",
     ),
 ]
