@@ -1617,6 +1617,147 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Distributed exact OLS (sufficient-statistics regression)
+# ===========================================================================
+
+_OLS_Q = 100            # cent-quantum for both regression variables
+
+
+def lineitem_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed least-squares as a pure aggregation: fit
+    ``extendedprice ~ quantity`` per return flag from sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) — the pattern that turns model
+    fitting into ONE partial→final hash aggregate, no iteration, no
+    driver data movement (closed-form GLMs, covariance/corr matrices,
+    Welford moments all reduce the same way).
+
+    Exactness: both variables are floor-quantized to integers per row;
+    the five statistics accumulate in DECIMAL(38,0) (exact, order-
+    independent); the closed-form slope/intercept then evaluate in
+    double over identical inputs with an identical expression tree on
+    both engines.  Scale: map-side combine does ~all the work — the
+    exchange carries 5 numbers per group, whatever the row count.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_quantity") * _OLS_Q).cast("long")
+    qy = F.floor(F.col("l_extendedprice") * _OLS_Q).cast("long")
+    dec = "decimal(38,0)"
+    stats = (
+        li.select(F.col("l_returnflag"), qx.alias("qx"), qy.alias("qy"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("qx").cast(dec)).alias("sx"),
+            F.sum(F.col("qy").cast(dec)).alias("sy"),
+            F.sum((F.col("qx") * F.col("qy")).cast(dec)).alias("sxy"),
+            F.sum((F.col("qx") * F.col("qx")).cast(dec)).alias("sxx"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return stats.select(
+        "l_returnflag",
+        "n_rows",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n / F.lit(float(_OLS_Q))).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+_OLS_SLOPE_SQL = (
+    "(n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx)"
+)
+
+LINEITEM_PRICE_MODEL_SQL = f"""
+WITH stats AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(qx * qy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+  FROM (SELECT l_returnflag,
+               CAST(floor(l_quantity * {_OLS_Q}) AS BIGINT) AS qx,
+               CAST(floor(l_extendedprice * {_OLS_Q}) AS BIGINT) AS qy
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       {_OLS_SLOPE_SQL} AS slope,
+       (sy - ({_OLS_SLOPE_SQL}) * sx) / n_rows / {float(_OLS_Q)} AS intercept
+FROM stats
+ORDER BY l_returnflag
+"""
+
+
+# ===========================================================================
+# Leakage-free train/test split
+# ===========================================================================
+
+_SPLIT_ARMS = 5         # 1-in-5 of users held out => 80/20 split
+
+
+def events_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/test split: the unit of
+    assignment is the USER (hash-coin on user_id), never the event — a
+    row-level split leaks the same user's behavior into both sides,
+    the classic evaluation bug.  Reports per-split volume plus the
+    leakage audit (users present in both splits — structurally zero,
+    and the oracle re-derives rather than assumes it).
+
+    Scale: assignment is a narrow per-row hash; stats are one hash
+    aggregation; the audit is a user-keyed aggregation whose output is
+    |users in both| = a scalar broadcast back onto two rows."""
+    (ev,) = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id", "value",
+        F.when(
+            hashing.md5_int(F.col("user_id").cast("string")) % _SPLIT_ARMS
+            == 0, "test",
+        ).otherwise("train").alias("split"),
+    )
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked_users")
+        )
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy("split")
+    )
+
+
+EVENTS_TRAIN_TEST_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, value,
+         CASE WHEN ({hashing.md5_int_sql('CAST(user_id AS VARCHAR)')})
+                   % {_SPLIT_ARMS} = 0
+              THEN 'test' ELSE 'train' END AS split
+  FROM events),
+leaked AS (
+  SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked_users
+  FROM (SELECT user_id, COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY user_id))
+SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value,
+       (SELECT n_leaked_users FROM leaked) AS n_leaked_users
+FROM tagged
+GROUP BY split
+ORDER BY split
+"""
+
+
+# ===========================================================================
 # Time-based RANGE window frames (trailing-hour burst features)
 # ===========================================================================
 
@@ -2213,5 +2354,15 @@ SPECS = [
         "events_trailing_window", events_trailing_window,
         EVENTS_TRAILING_WINDOW_SQL,
         "time-based RANGE frames: per-user trailing-hour burst peaks",
+    ),
+    QuerySpec(
+        "lineitem_price_model", lineitem_price_model,
+        LINEITEM_PRICE_MODEL_SQL,
+        "closed-form OLS per group from exact sufficient statistics",
+    ),
+    QuerySpec(
+        "events_train_test_split", events_train_test_split,
+        EVENTS_TRAIN_TEST_SPLIT_SQL,
+        "leakage-free user-hash train/test split with leakage audit",
     ),
 ]
