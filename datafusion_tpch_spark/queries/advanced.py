@@ -1617,6 +1617,196 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Chi-square independence test (contingency-table statistics)
+# ===========================================================================
+
+def events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test, distributed: is event type
+    independent of day-of-week?  The contingency table builds with ONE
+    hash aggregation (cells = |types| x 7, a constant); marginals and
+    the grand total are broadcast re-aggregations of the cell table, so
+    nothing beyond the first aggregation ever touches the fact table —
+    the statistical-testing reduction mirrors the OLS gate's.
+
+    chi2 contributions (obs - exp)^2 / exp evaluate in double from
+    identical integer counts with an identical expression tree on both
+    engines (exp = row_total * col_total / grand), so the statistic is
+    deterministic cross-engine.  Day-of-week aligns on Spark's
+    ``dayofweek`` (1 = Sunday); the oracle uses ``EXTRACT(dow) + 1``.
+    Output: per-type chi2 contribution (summed over its 7 cells).
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type"), F.dayofweek(F.col("ts")).alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    row_tot = cells.groupBy("event_type").agg(F.sum("obs").alias("row_n"))
+    col_tot = cells.groupBy("dow").agg(F.sum("obs").alias("col_n"))
+    grand = cells.agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select("event_type", "row_n", contrib.alias("c"))
+        .groupBy("event_type", "row_n")
+        .agg(
+            # the 7 per-cell doubles are identical cross-engine, but their
+            # sum order is not — reduce through the fixed-point quantizer
+            dsum(F.col("c")).alias("chi2_contrib"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_DOW_CHISQ_SQL = f"""
+WITH cells AS (
+  SELECT event_type, EXTRACT(dow FROM ts) + 1 AS dow, COUNT(*) AS obs
+  FROM events GROUP BY event_type, EXTRACT(dow FROM ts) + 1),
+row_tot AS (
+  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n
+  FROM cells GROUP BY event_type),
+col_tot AS (
+  SELECT dow, CAST(SUM(obs) AS BIGINT) AS col_n FROM cells GROUP BY dow),
+grand AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+scored AS (
+  SELECT c.event_type, r.row_n,
+         (CAST(c.obs AS DOUBLE)
+          - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+            / CAST(g.n AS DOUBLE))
+         * (CAST(c.obs AS DOUBLE)
+            - CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+              / CAST(g.n AS DOUBLE))
+         / (CAST(r.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+            / CAST(g.n AS DOUBLE)) AS c
+  FROM cells c
+  JOIN row_tot r USING (event_type)
+  JOIN col_tot t USING (dow)
+  CROSS JOIN grand g)
+SELECT event_type, row_n, {dsum_sql('c')} AS chi2_contrib,
+       COUNT(*) AS n_cells
+FROM scored
+GROUP BY event_type, row_n
+ORDER BY event_type
+"""
+
+
+# ===========================================================================
+# Market-basket co-occurrence with lift (association mining)
+# ===========================================================================
+
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over per-user-day baskets: which event types
+    co-occur more than chance?  Baskets are the distinct (user, day,
+    type) triples; pair support comes from a basket-keyed self-join
+    whose fan-out is bounded by types-per-basket (vocabulary-sized,
+    never corpus-sized); lift = support(ab) * n_baskets /
+    (support(a) * support(b)) evaluates in double from exact integer
+    counts — identical cross-engine.
+
+    Scale: the distinct pass is one shuffle on (user, day, type); the
+    self-join re-shuffles only the deduplicated basket table (|baskets|
+    x types-per-basket rows); every aggregate after that is
+    |types|^2-bounded.  This is the a-priori first pass — higher-order
+    itemsets iterate the same join shape on the surviving pairs.
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    basket = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .distinct()
+    )
+    n_baskets = (
+        basket.select("user_id", "day").distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    singles = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_single").alias("na"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_single").alias("nb"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select("type_a", "type_b", "n_ab", lift.alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_COOCCURRENCE_LIFT_SQL = """
+WITH basket AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events),
+n_baskets AS (
+  SELECT COUNT(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM basket)),
+singles AS (
+  SELECT event_type, COUNT(*) AS n_single FROM basket GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM basket a
+  JOIN basket b ON a.user_id = b.user_id AND a.day = b.day
+               AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT type_a, type_b, n_ab,
+       CAST(n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)
+       / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE)) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN n_baskets n
+ORDER BY type_a, type_b
+"""
+
+
+# ===========================================================================
 # Distributed exact OLS (sufficient-statistics regression)
 # ===========================================================================
 
@@ -2364,5 +2554,15 @@ SPECS = [
         "events_train_test_split", events_train_test_split,
         EVENTS_TRAIN_TEST_SPLIT_SQL,
         "leakage-free user-hash train/test split with leakage audit",
+    ),
+    QuerySpec(
+        "events_type_dow_chisq", events_type_dow_chisq,
+        EVENTS_TYPE_DOW_CHISQ_SQL,
+        "chi-square independence test over a distributed contingency table",
+    ),
+    QuerySpec(
+        "events_cooccurrence_lift", events_cooccurrence_lift,
+        EVENTS_COOCCURRENCE_LIFT_SQL,
+        "market-basket co-occurrence pairs with lift (association mining)",
     ),
 ]
