@@ -1617,6 +1617,272 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Declarative data-quality constraint suite (Deequ-style validation)
+# ===========================================================================
+
+def orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation — the Deequ/Great-Expectations
+    check suite as one plan: completeness (NOT NULL), uniqueness (key),
+    domain membership, value range, referential integrity, and date
+    bounds over orders, each reported as (check_name, n_checked,
+    n_violations, passed).
+
+    Every check is an aggregate over the same scan (conditional counts),
+    so the suite costs ~one pass however many constraints run; the RI
+    check is the one join — broadcast-anti against the customer key set
+    here, co-partitioned at 100 TB.  A nightly data-quality run executes
+    exactly this shape per partition and alerts on `passed = false`.
+    """
+    o, c = _t(spark, sf_dir, "orders", "customer")
+
+    def check(name: str, n_viol, n_checked) -> DataFrame:
+        return o.agg(
+            n_checked.alias("n_checked"), n_viol.alias("n_violations")
+        ).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+
+    cnt = F.count(F.lit(1))
+    viol_null = F.sum(
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+    ).cast("long")
+    viol_uniq = (cnt - F.count_distinct(F.col("o_orderkey"))).cast("long")
+    viol_price = F.sum(
+        F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+    ).cast("long")
+    viol_status = F.sum(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    ).cast("long")
+    viol_date = F.sum(
+        F.when(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp")),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    orphans = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    )
+    ri = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations")
+    ).crossJoin(o.agg(cnt.alias("n_checked"))).select(
+        F.lit("custkey_references_customer").alias("check_name"),
+        "n_checked", "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    return (
+        check("orderkey_not_null", viol_null, cnt)
+        .unionByName(check("orderkey_unique", viol_uniq, cnt))
+        .unionByName(check("totalprice_positive", viol_price, cnt))
+        .unionByName(check("status_in_domain", viol_status, cnt))
+        .unionByName(check("orderdate_in_range", viol_date, cnt))
+        .unionByName(ri)
+        .orderBy("check_name")
+    )
+
+
+ORDERS_CONSTRAINTS_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0
+                  END) AS BIGINT) AS v_status,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                         OR o_orderdate >= TIMESTAMP '2002-01-01'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders),
+ri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS check_name, n AS n_checked,
+         v_null AS n_violations FROM base
+  UNION ALL
+  SELECT 'orderkey_unique', n, v_uniq FROM base
+  UNION ALL
+  SELECT 'totalprice_positive', n, v_price FROM base
+  UNION ALL
+  SELECT 'status_in_domain', n, v_status FROM base
+  UNION ALL
+  SELECT 'orderdate_in_range', n, v_date FROM base
+  UNION ALL
+  SELECT 'custkey_references_customer', (SELECT n FROM base), v FROM ri)
+ORDER BY check_name
+"""
+
+
+# ===========================================================================
+# Gaps-and-islands: longest categorical streak per user
+# ===========================================================================
+
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over a categorical sequence: each user's longest
+    run of consecutive same-type events (engagement/error-burst streaks
+    — the sequence statistic funnels and sessionization don't give you).
+
+    The islands come from the classic double-row_number difference: rows
+    numbered within the user and within the (user, type) both in time
+    order make ``rn_all - rn_type`` constant exactly along a run of one
+    type — a GROUP BY key, no self-join, no iteration.  Both windows
+    share the user partitioning, so the plan is one exchange + two sorts
+    + one aggregation; ties in ts break on event_id (unique) so the
+    numbering is deterministic in both engines.
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        ev.select(
+            "user_id", "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type))
+            .alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "event_type", "grp"
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w_best))
+        .withColumn(
+            "n_streaks",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("best_type"),
+            F.col("len").alias("best_len"),
+            "n_streaks",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_LONGEST_STREAK_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events),
+islands AS (
+  SELECT user_id, event_type, grp, COUNT(*) AS len
+  FROM runs GROUP BY user_id, event_type, grp),
+best AS (
+  SELECT user_id, event_type, len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, event_type, grp) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+  FROM islands)
+SELECT user_id, event_type AS best_type, CAST(len AS BIGINT) AS best_len,
+       CAST(n_streaks AS BIGINT) AS n_streaks
+FROM best
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+# ===========================================================================
+# Distribution profiling: exact central moments (variance / skewness)
+# ===========================================================================
+
+_PROF_Q = 100           # cent-quantum for the profiled variable
+
+
+def lineitem_profile_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated data-profiling moments — mean, variance, and skewness
+    of extendedprice per return flag — from raw power sums (Σx, Σx²,
+    Σx³): the monitoring aggregate a data-quality system recomputes per
+    partition/day to detect distribution drift.
+
+    Same reduction as the OLS gate: quantize per row, accumulate the
+    three power sums exactly in DECIMAL(38,0) (qx ≤ 1e7 ⇒ Σqx³ ≤ ~1e27
+    at 10^6 rows — inside DECIMAL(38,0) headroom; at 10^12 rows drop the
+    quantum one decade), convert the handful of group rows to double and
+    evaluate the closed forms with one expression tree on both engines.
+    Central moments from raw sums are numerically fragile for
+    *near-zero* variance but deterministic — and determinism is what the
+    gate checks; a production profiler would ship the same three sums
+    and form moments at read time.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_extendedprice") * _PROF_Q).cast("long")
+    dec = "decimal(38,0)"
+    stats = (
+        li.select(F.col("l_returnflag"), qx.alias("qx"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("qx").cast(dec)).alias("s1"),
+            F.sum((F.col("qx") * F.col("qx")).cast(dec)).alias("s2"),
+            F.sum(
+                (F.col("qx").cast(dec) * F.col("qx").cast(dec)
+                 * F.col("qx").cast(dec))
+            ).alias("s3"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    s1, s2, s3 = (F.col(c).cast("double") for c in ("s1", "s2", "s3"))
+    q = float(_PROF_Q)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    return stats.select(
+        "l_returnflag",
+        "n_rows",
+        (mean / q).alias("mean"),
+        (var / (q * q)).alias("variance"),
+        (m3 / F.sqrt(var * var * var)).alias("skewness"),
+    ).orderBy("l_returnflag")
+
+
+_MOM = {
+    "n": "CAST(n_rows AS DOUBLE)",
+    "s1": "CAST(s1 AS DOUBLE)",
+    "s2": "CAST(s2 AS DOUBLE)",
+    "s3": "CAST(s3 AS DOUBLE)",
+}
+_MOM_MEAN = f"({_MOM['s1']} / {_MOM['n']})"
+_MOM_VAR = f"({_MOM['s2']} / {_MOM['n']} - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (
+    f"({_MOM['s3']} / {_MOM['n']} - 3.0 * {_MOM_MEAN} * ({_MOM['s2']} / {_MOM['n']})"
+    f" + 2.0 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+
+LINEITEM_PROFILE_MOMENTS_SQL = f"""
+WITH stats AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         SUM(CAST(qx AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(qx * qx AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(qx AS DECIMAL(38,0)) * CAST(qx AS DECIMAL(38,0))
+             * CAST(qx AS DECIMAL(38,0))) AS s3
+  FROM (SELECT l_returnflag,
+               CAST(floor(l_extendedprice * {_PROF_Q}) AS BIGINT) AS qx
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       {_MOM_MEAN} / {float(_PROF_Q)} AS mean,
+       {_MOM_VAR} / ({float(_PROF_Q)} * {float(_PROF_Q)}) AS variance,
+       {_MOM_M3} / sqrt({_MOM_VAR} * {_MOM_VAR} * {_MOM_VAR}) AS skewness
+FROM stats
+ORDER BY l_returnflag
+"""
+
+
+# ===========================================================================
 # Chi-square independence test (contingency-table statistics)
 # ===========================================================================
 
@@ -2564,5 +2830,19 @@ SPECS = [
         "events_cooccurrence_lift", events_cooccurrence_lift,
         EVENTS_COOCCURRENCE_LIFT_SQL,
         "market-basket co-occurrence pairs with lift (association mining)",
+    ),
+    QuerySpec(
+        "lineitem_profile_moments", lineitem_profile_moments,
+        LINEITEM_PROFILE_MOMENTS_SQL,
+        "drift-profiling moments (mean/var/skew) from exact power sums",
+    ),
+    QuerySpec(
+        "orders_constraints", orders_constraints, ORDERS_CONSTRAINTS_SQL,
+        "Deequ-style constraint suite: completeness/uniqueness/domain/RI",
+    ),
+    QuerySpec(
+        "events_longest_streak", events_longest_streak,
+        EVENTS_LONGEST_STREAK_SQL,
+        "gaps-and-islands: longest same-type run per user, no self-join",
     ),
 ]
