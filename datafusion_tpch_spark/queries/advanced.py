@@ -1617,6 +1617,124 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Parquet schema evolution (mergeSchema across writer generations)
+# ===========================================================================
+
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet writer generations —
+    v1 (orderkey, totalprice) and v2 which ADDED a column
+    (orderstatus) — read back together with ``mergeSchema``, the
+    union-of-schemas read every long-lived dataset eventually needs
+    (v1 rows surface the new column as NULL; no rewrite of old files).
+
+    The oracle replays the generation split on the original table, so
+    the gate fails if the merged read loses rows, mistypes the added
+    column, or backfills anything but NULL.  Write-once per (process,
+    fixture); explicit mergeSchema (never the global conf) because
+    footer-merging costs a pass over file metadata at 100 TB and should
+    be a per-read decision."""
+    import os
+
+    (o,) = _t(spark, sf_dir, "orders")
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/spark_graft_orders_evo_{os.getpid()}_{tag}"
+    p1, p2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    even = F.col("o_orderkey") % 2 == 0
+    if not os.path.exists(os.path.join(p2, "_SUCCESS")):
+        (
+            o.filter(even)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite").parquet(p1)
+        )
+        (
+            o.filter(~even)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite").parquet(p2)
+        )
+    back = spark.read.option("mergeSchema", True).parquet(p1, p2)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>"))
+            .alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+ORDERS_SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+            ELSE o_orderstatus END AS status,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY status
+"""
+
+
+# ===========================================================================
+# Dirty-ingest JSON audit (schema-on-read resilience)
+# ===========================================================================
+
+_CORRUPT_MOD = 13       # every 13th event's payload is mangled
+
+
+def events_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a dirty feed: a deterministic fraction of
+    JSON payloads is mangled in-plan (prefix garbage — the truncated/
+    concatenated-log corruption real ingest sees), then parsed
+    permissively: malformed rows yield NULL instead of failing the job,
+    and the audit reports parse yield and corrupt counts per event type
+    — the ingest-health dashboard a pipeline alerts on.
+
+    Spark's ``get_json_object`` returns NULL on malformed input; the
+    oracle reproduces the same contract as ``CASE WHEN json_valid``.
+    Scale: pure narrow per-row expressions + one aggregation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    dirty = F.when(
+        F.col("event_id") % _CORRUPT_MOD == 0,
+        F.concat(F.lit("x{"), F.col("props")),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(dirty, "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_corrupt"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CORRUPT_JSON_AUDIT_SQL = f"""
+WITH dirty AS (
+  SELECT event_type,
+         CASE WHEN event_id % {_CORRUPT_MOD} = 0 THEN 'x{{' || props
+              ELSE props END AS payload
+  FROM events),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(payload)
+              THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+              ELSE NULL END AS k
+  FROM dirty)
+SELECT event_type, COUNT(*) AS n_rows, COUNT(k) AS n_parsed,
+       COUNT(*) - COUNT(k) AS n_corrupt,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ===========================================================================
 # Declarative data-quality constraint suite (Deequ-style validation)
 # ===========================================================================
 
@@ -2844,5 +2962,15 @@ SPECS = [
         "events_longest_streak", events_longest_streak,
         EVENTS_LONGEST_STREAK_SQL,
         "gaps-and-islands: longest same-type run per user, no self-join",
+    ),
+    QuerySpec(
+        "orders_schema_evolution", orders_schema_evolution,
+        ORDERS_SCHEMA_EVOLUTION_SQL,
+        "mergeSchema read across parquet writer generations (added column)",
+    ),
+    QuerySpec(
+        "events_corrupt_json_audit", events_corrupt_json_audit,
+        EVENTS_CORRUPT_JSON_AUDIT_SQL,
+        "permissive parse of a dirty JSON feed with ingest-health audit",
     ),
 ]
