@@ -1827,6 +1827,127 @@ ORDER BY lang, predicted
 LANG_ID_SQL = _lang_id_sql()
 
 
+def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation metrics, distributed: per-class TP/FP/FN
+    and precision/recall/F1 for the language-ID heuristic against the
+    fixture's gold ``lang`` — the evaluation layer every model-driven
+    curation filter needs next to its predictions (the confusion counts
+    themselves are the ``lang_id`` gate).
+
+    One pass scores and classifies each doc; the per-class pivot is a
+    single |classes|-sized aggregation (TP/FP/FN as conditional counts
+    over the (gold, predicted) pair), and the ratio metrics evaluate in
+    double from identical integers — zero-denominator classes report
+    0.0 by the same CASE on both engines.  Scale: the metric state is
+    3 integers per class, mergeable across any sharding."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    hit_cols = {
+        lang: text.stopword_hits(F.col("text"), words)
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    scored = docs.select(
+        "lang", *[c.alias(f"hit_{k}") for k, c in hit_cols.items()]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"hit_{k}").alias("hits"), F.lit(k).alias("code"))
+            for k in sorted(text.LANG_STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    classes = spark.createDataFrame(
+        [(c,) for c in sorted(text.LANG_STOPWORDS)], "class string"
+    )
+    preds = scored.withColumn("predicted", pred).select("lang", "predicted")
+    counts = (
+        preds.crossJoin(F.broadcast(classes))
+        .groupBy("class")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("class"))
+                    & (F.col("predicted") == F.col("class")), 1
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") != F.col("class"))
+                    & (F.col("predicted") == F.col("class")), 1
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang") == F.col("class"))
+                    & (F.col("predicted") != F.col("class")), 1
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    tp, fp, fn = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        tp / (tp + fp)
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        tp / (tp + fn)
+    )
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") == 0) | (F.col("tp") + F.col("fn") == 0)
+        | (F.col("tp") == 0),
+        F.lit(0.0),
+    ).otherwise(
+        F.lit(2.0) * (tp / (tp + fp)) * (tp / (tp + fn))
+        / (tp / (tp + fp) + tp / (tp + fn))
+    )
+    return counts.select(
+        "class", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    ).orderBy("class")
+
+
+def _lang_id_metrics_sql() -> str:
+    hits = {
+        k: text.stopword_hits_sql("text", w)
+        for k, w in text.LANG_STOPWORDS.items()
+    }
+    structs = ", ".join(
+        f"{{'hits': {hits[k]}, 'code': '{k}'}}"
+        for k in sorted(text.LANG_STOPWORDS)
+    )
+    best = f"list_aggregate([{structs}], 'max')"
+    classes = ", ".join(f"('{c}')" for c in sorted(text.LANG_STOPWORDS))
+    p = "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))"
+    r = "CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))"
+    return f"""
+WITH preds AS (
+  SELECT lang,
+         CASE WHEN ({best}).hits > 0 THEN ({best}).code
+              ELSE 'und' END AS predicted
+  FROM documents),
+classes(class) AS (VALUES {classes}),
+counts AS (
+  SELECT class,
+         CAST(SUM(CASE WHEN lang = class AND predicted = class
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN lang <> class AND predicted = class
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN lang = class AND predicted <> class
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM preds CROSS JOIN classes
+  GROUP BY class)
+SELECT class, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN 0.0 ELSE {p} END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0 ELSE {r} END AS recall,
+       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tp = 0 THEN 0.0
+            ELSE 2.0 * ({p}) * ({r}) / (({p}) + ({r})) END AS f1
+FROM counts
+ORDER BY class
+"""
+
+
+LANG_ID_METRICS_SQL = _lang_id_metrics_sql()
+
+
 # ===========================================================================
 # Set operations + catalog listing (SURVEY §2.7 / §2.1 S4,S7)
 # ===========================================================================
@@ -3704,6 +3825,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
+    QuerySpec("lang_id_metrics", lang_id_metrics, LANG_ID_METRICS_SQL,
+              "per-class precision/recall/F1 of the language-ID heuristic"),
     QuerySpec("doc_winnow", doc_winnow, DOC_WINNOW_SQL,
               "winnowing rolling-hash document fingerprints"),
     QuerySpec("top_docs_per_lang", top_docs_per_lang, TOP_DOCS_PER_LANG_SQL,
