@@ -344,6 +344,108 @@ ORDER BY doc1, doc2
 """
 
 
+# --- Recall audits: approximate paths measured against exact baselines ----
+
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's quality loop closed IN-PLAN: banded-LSH
+    candidate pairs measured against the exact-Jaccard baseline —
+    recall (true near-dup pairs the bands caught) and candidate
+    efficiency (fraction of candidates that are true pairs).  Approx
+    methods at 100 TB are tuned by exactly this audit run on a sampled
+    shard; asserting recall in a doc is not the same as measuring it.
+
+    Both sides are this repo's own gates (`dedup_ngram_jaccard`,
+    `dedup_minhash_lsh`) composed lazily — one plan, no intermediate
+    materialization; counts are exact integers, ratios identical IEEE
+    divides."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
+    hits = exact.join(cand, ["doc1", "doc2"])
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_true_pairs", "n_candidate_pairs", "n_hit",
+            (F.col("n_hit").cast("double")
+             / F.col("n_true_pairs").cast("double")).alias("recall"),
+            (F.col("n_hit").cast("double")
+             / F.col("n_candidate_pairs").cast("double")
+             ).alias("efficiency"),
+        )
+    )
+
+
+_DEDUP_LSH_RECALL_AUDIT_TMPL = f"""
+WITH exact_pairs AS (
+  SELECT doc1, doc2 FROM ({{NGRAM}})),
+cand_pairs AS (
+  SELECT doc1, doc2 FROM ({{LSH}})),
+hit AS (
+  SELECT e.doc1 FROM exact_pairs e
+  JOIN cand_pairs c ON e.doc1 = c.doc1 AND e.doc2 = c.doc2)
+SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_true_pairs,
+       (SELECT COUNT(*) FROM cand_pairs) AS n_candidate_pairs,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM exact_pairs) AS DOUBLE) AS recall,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM cand_pairs) AS DOUBLE) AS efficiency
+"""
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k measured in-plan: the SRP-LSH top-k against the
+    brute-force exact top-k — overall recall plus the per-query
+    worst/best hit counts (the tail is what an ANN SLO is written
+    against, not the mean).  Same closed quality loop as
+    `dedup_lsh_recall_audit`, on the similarity-search side."""
+    gold = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    per_q = (
+        gold.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("cand_id") == F.col("ac")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ac").alias("h"), F.count(F.lit(1)).alias("g"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("g").cast("long").alias("n_gold"),
+        F.sum("h").cast("long").alias("n_hits"),
+        (F.sum("h").cast("double") / F.sum("g").cast("double"))
+        .alias("recall_at_k"),
+        F.min("h").cast("long").alias("min_hits_per_query"),
+        F.max("h").cast("long").alias("max_hits_per_query"),
+    )
+
+
+_ANN_RECALL_AUDIT_TMPL = """
+WITH gold AS (
+  SELECT query_id, cand_id FROM ({BF})),
+approx AS (
+  SELECT query_id, cand_id FROM ({LSH})),
+per_q AS (
+  SELECT g.query_id, COUNT(a.cand_id) AS h, COUNT(*) AS g
+  FROM gold g
+  LEFT JOIN approx a ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+  GROUP BY g.query_id)
+SELECT COUNT(*) AS n_queries,
+       CAST(SUM(g) AS BIGINT) AS n_gold,
+       CAST(SUM(h) AS BIGINT) AS n_hits,
+       CAST(SUM(h) AS DOUBLE) / CAST(SUM(g) AS DOUBLE) AS recall_at_k,
+       CAST(MIN(h) AS BIGINT) AS min_hits_per_query,
+       CAST(MAX(h) AS BIGINT) AS max_hits_per_query
+FROM per_q
+"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 16
@@ -3789,6 +3891,16 @@ ORDER BY table_name, ordinal_position
 """
 
 
+# recall-audit oracles compose the component gates' full SQL bodies as
+# derived tables — substituted here, after every component string exists
+DEDUP_LSH_RECALL_AUDIT_SQL = _DEDUP_LSH_RECALL_AUDIT_TMPL.format(
+    NGRAM=DEDUP_NGRAM_JACCARD_SQL, LSH=DEDUP_MINHASH_LSH_SQL
+)
+ANN_RECALL_AUDIT_SQL = _ANN_RECALL_AUDIT_TMPL.format(
+    BF=ANN_BRUTEFORCE_SQL, LSH=ANN_LSH_SQL
+)
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("info_schema_columns", info_schema_columns, INFO_SCHEMA_COLUMNS_SQL,
               "information_schema.columns metadata view (cross-engine)"),
@@ -3822,6 +3934,11 @@ SPECS: list[QuerySpec] = [
               "IVF-flat top-k (deterministic centroids, nprobe=1)"),
     QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, ANN_IVF_PQ_SQL,
               "IVF-PQ: cell-pruned ADC scan, one-pass fused index build"),
+    QuerySpec("dedup_lsh_recall_audit", dedup_lsh_recall_audit,
+              DEDUP_LSH_RECALL_AUDIT_SQL,
+              "LSH candidate recall/efficiency vs the exact-Jaccard baseline"),
+    QuerySpec("ann_recall_audit", ann_recall_audit, ANN_RECALL_AUDIT_SQL,
+              "ANN recall@k vs brute force, incl. per-query worst case"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
