@@ -1617,6 +1617,181 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Cross-source duplication matrix (provenance analytics)
+# ===========================================================================
+
+def docs_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level dedup analytics: which source shards duplicate
+    each other?  The banded-MinHash near-dup pairs (the
+    `dedup_minhash_lsh` gate, composed lazily) are attributed back to
+    their source shards to form a (source_a <= source_b) overlap matrix
+    — the report that tells a corpus owner two dumps overlap BEFORE
+    they double-count tokens in the mixture plan.  The diagonal
+    (same-source pairs) separates intra-dump boilerplate from genuine
+    cross-dump contamination.
+
+    Plan: the pair table is already sub-quadratic; attribution is two
+    broadcast joins against the (doc_id, source) projection, and the
+    matrix state is |sources|² counts — constant however large the
+    corpus."""
+    from .extensions import dedup_minhash_lsh
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    attributed = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc1"), F.col("source").alias("s1")
+            ),
+            "doc1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc2"), F.col("source").alias("s2")
+            ),
+            "doc2",
+        )
+        .select(
+            F.least(F.col("s1"), F.col("s2")).alias("source_a"),
+            F.greatest(F.col("s1"), F.col("s2")).alias("source_b"),
+        )
+    )
+    return (
+        attributed.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+DOCS_CROSS_SOURCE_DUPS_SQL = """
+WITH pairs AS (
+  SELECT doc1, doc2 FROM ({LSH})),
+attributed AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b
+  FROM pairs
+  JOIN documents a ON a.doc_id = pairs.doc1
+  JOIN documents b ON b.doc_id = pairs.doc2)
+SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+FROM attributed
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ===========================================================================
+# Late-arriving dimension (unknown-member fallback)
+# ===========================================================================
+
+_LATE_MOD = 7           # every 7th supplier "hasn't arrived" in the dim yet
+
+
+def lineitem_late_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts land before their
+    dimension rows do, and the fact load must NOT drop or stall them —
+    the warehouse answer is the reserved UNKNOWN member: a left join
+    with a coalesced fallback key, reconciled when the dimension row
+    finally arrives (the SCD2/PIT gates own that step).
+
+    A deterministic slice of suppliers is withheld to simulate the late
+    rows; the gate reports per-nation fact volume with the UNKNOWN
+    member accumulating the orphans — exactly what a conformed-dim load
+    dashboard shows.  One broadcast left join; fact side never
+    shuffles."""
+    li, s = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = s.filter(F.col("s_suppkey") % _LATE_MOD != 0).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        li.select("l_suppkey", "l_extendedprice")
+        .join(F.broadcast(dim), "l_suppkey", "left")
+        .groupBy(
+            F.coalesce(F.col("s_nationkey"), F.lit(-1)).alias("nationkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+LINEITEM_LATE_DIM_SQL = f"""
+WITH dim AS (
+  SELECT s_suppkey, s_nationkey FROM supplier
+  WHERE s_suppkey % {_LATE_MOD} <> 0)
+SELECT COALESCE(d.s_nationkey, -1) AS nationkey,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+       {dsum_sql('l.l_extendedprice')} AS sum_price
+FROM lineitem l LEFT JOIN dim d ON d.s_suppkey = l.l_suppkey
+GROUP BY 1
+ORDER BY nationkey
+"""
+
+
+# ===========================================================================
+# Engagement KPIs: weekly stickiness (DAU/WAU)
+# ===========================================================================
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: per ISO week, the ratio of average
+    daily active users to weekly active users (DAU/WAU) — the
+    engagement KPI computed from exact distinct counts.
+
+    Two aggregations, both user-keyed: daily distincts collapse to
+    active (day, user) pairs, weekly distincts to (week, user); the
+    ratio is an IEEE division of identical integers.  At 100 TB the
+    daily/weekly distinct tables are the natural incremental state
+    (or the bitmap/KMV sketches the sketch gates maintain)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    daily = days.groupBy("week").agg(
+        F.count(F.lit(1)).alias("user_days"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    weekly = days.select("week", "user_id").distinct().groupBy("week").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        daily.join(weekly, "week")
+        .select(
+            "week", "n_days", "user_days", "wau",
+            (
+                F.col("user_days").cast("double")
+                / (F.col("n_days").cast("double") * F.col("wau").cast("double"))
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_STICKINESS_SQL = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('week', ts) AS week,
+                  date_trunc('day', ts) AS day, user_id
+  FROM events),
+daily AS (
+  SELECT week, COUNT(*) AS user_days, COUNT(DISTINCT day) AS n_days
+  FROM days GROUP BY week),
+weekly AS (
+  SELECT week, COUNT(*) AS wau
+  FROM (SELECT DISTINCT week, user_id FROM days) GROUP BY week)
+SELECT week, n_days, user_days, wau,
+       CAST(user_days AS DOUBLE)
+         / (CAST(n_days AS DOUBLE) * CAST(wau AS DOUBLE)) AS stickiness
+FROM daily JOIN weekly USING (week)
+ORDER BY week
+"""
+
+
+# ===========================================================================
 # Parquet schema evolution (mergeSchema across writer generations)
 # ===========================================================================
 
@@ -2793,6 +2968,11 @@ lineitem_hist_quantile_sketch.__doc__ = (
 ).format(bins=_HQ_BINS)
 
 
+from .extensions import DEDUP_MINHASH_LSH_SQL as _LSH_SQL  # noqa: E402
+
+DOCS_CROSS_SOURCE_DUPS_SQL = DOCS_CROSS_SOURCE_DUPS_SQL.format(LSH=_LSH_SQL)
+
+
 SPECS = [
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
@@ -2972,5 +3152,18 @@ SPECS = [
         "events_corrupt_json_audit", events_corrupt_json_audit,
         EVENTS_CORRUPT_JSON_AUDIT_SQL,
         "permissive parse of a dirty JSON feed with ingest-health audit",
+    ),
+    QuerySpec(
+        "docs_cross_source_dups", docs_cross_source_dups,
+        DOCS_CROSS_SOURCE_DUPS_SQL,
+        "cross-source duplication matrix from exact fingerprints",
+    ),
+    QuerySpec(
+        "lineitem_late_dim", lineitem_late_dim, LINEITEM_LATE_DIM_SQL,
+        "late-arriving dimension: left join with reserved UNKNOWN member",
+    ),
+    QuerySpec(
+        "events_stickiness", events_stickiness, EVENTS_STICKINESS_SQL,
+        "weekly DAU/WAU stickiness KPI from exact distinct counts",
     ),
 ]

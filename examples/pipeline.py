@@ -1,7 +1,8 @@
 """End-to-end training-data pipeline demo over the driver fixtures:
-exact dedup → near-dup (MinHash-LSH) → quality filter → decontamination
-→ mixture resampling → sequence packing, each stage a registered,
-oracle-checked operator from the query registry.
+exact dedup → near-dup (MinHash-LSH, recall-audited vs the exact
+baseline) → quality filter → decontamination → DSIR importance scoring
+→ mixture resampling → sequence packing → yield funnel, each stage a
+registered, oracle-checked operator from the query registry.
 
 This is the composition story the individual gates verify piecewise:
 every stage is a DataFrame → DataFrame plan (no driver materialization),
@@ -25,10 +26,13 @@ from datafusion_tpch_spark.session import build_session
 STAGES = [
     ("dedup_exact", "exact duplicates collapsed to survivors"),
     ("dedup_minhash_lsh", "near-duplicate pairs via banded MinHash-LSH"),
+    ("dedup_lsh_recall_audit", "LSH recall measured vs the exact baseline"),
     ("docs_quality_filter", "adaptive per-language quality threshold"),
     ("docs_decontaminate", "eval-set n-gram contamination flags"),
+    ("docs_dsir_score", "DSIR importance weights toward the target domain"),
     ("docs_mixture_sample", "deterministic resample toward uniform mixture"),
     ("docs_token_pack", "concat-and-chunk training sequences"),
+    ("docs_pipeline_yield", "funnel report: docs/tokens surviving each stage"),
 ]
 
 
