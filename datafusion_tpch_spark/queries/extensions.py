@@ -1239,6 +1239,85 @@ ORDER BY query_id, rank
 """
 
 
+def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-compression quality loop closed in-plan: total / mean /
+    worst-vector quantized reconstruction error of the PQ codebook over
+    the whole corpus — the distortion metric a vector store tracks per
+    index build (recall tells you what the *search* lost;
+    distortion tells you what the *compression* lost, and it degrades
+    first when the codebook goes stale against drifting embeddings).
+
+    Same deterministic codebook as ``ann_pq_topk``; the audit is one
+    narrow encode pass + one global aggregate — per-vector distortions
+    are exact int64 (floor-quantized L2, the shared ``_l2q`` kernel),
+    accumulated in DECIMAL(38,0) so the corpus sum never overflows."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    # identical seed/codebook derivation to ann_pq_topk (kept in lockstep)
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_PQ_K)
+        .collect()
+    ]
+    codebook = [
+        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+    from ..operators.similarity import pq_encode
+
+    coded = pq_encode(emb, codebook)
+    d = coded.select(
+        _l2q(F.col("embedding"), F.col("recon")).alias("d")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("d").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").alias("total_distortion_q"),
+        (F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean_distortion_q"),
+        F.max("d").cast("long").alias("max_distortion_q"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long").alias("n_exact"),
+    )
+
+
+PQ_DISTORTION_AUDIT_SQL = f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         embedding AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, sp.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, sp.s
+             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
+                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
+    CROSS JOIN cent c)
+  WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
+  FROM codes JOIN cent c USING (j)
+  GROUP BY codes.vec_id),
+dist AS (
+  SELECT CAST({_l2q_sql('e.embedding', 'r.recon')} AS BIGINT) AS d
+  FROM embeddings e JOIN recon r ON e.vec_id = r.vec_id)
+SELECT COUNT(*) AS n_vectors,
+       CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+         AS total_distortion_q,
+       CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_distortion_q,
+       CAST(MAX(d) AS BIGINT) AS max_distortion_q,
+       CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM dist
+"""
+
+
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the composition production vector stores actually run
     at scale (the FAISS ``IVFx,PQy`` recipe): a coarse inverted-file
@@ -3939,6 +4018,9 @@ SPECS: list[QuerySpec] = [
               "LSH candidate recall/efficiency vs the exact-Jaccard baseline"),
     QuerySpec("ann_recall_audit", ann_recall_audit, ANN_RECALL_AUDIT_SQL,
               "ANN recall@k vs brute force, incl. per-query worst case"),
+    QuerySpec("pq_distortion_audit", pq_distortion_audit,
+              PQ_DISTORTION_AUDIT_SQL,
+              "PQ reconstruction-error audit: exact corpus distortion stats"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
