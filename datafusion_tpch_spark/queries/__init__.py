@@ -56,8 +56,10 @@ _CHECK_FIRST = [
     "events_sliding_stream",
     "events_dedup_stream", "events_stream_stream_join",
     # -- round-3 addition in the last slot (every other window entry is
-    # also unchecked; the rest of the round-3 additions queue for the
-    # round-4 rotation) --
+    # also unchecked; the rest of the round-3 additions — including the
+    # 21 continuation gates (DSIR, recall/distortion audits, OLS/moments/
+    # chi-square, constraint suite, schema evolution, streaks, stickiness,
+    # ...) — queue for the round-4 rotation) --
     "ann_ivf_pq_topk",
 ]
 
