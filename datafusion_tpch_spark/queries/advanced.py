@@ -1617,6 +1617,75 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Time-series decomposition: ratio-to-moving-average seasonality
+# ===========================================================================
+
+_SEAS_Q = 100           # cent quantum for the monthly revenue series
+
+
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ratio-to-moving-average seasonal decomposition of the
+    monthly revenue series: each month's revenue divided by its centered
+    13-month moving average — the seasonal index a demand-planning
+    pipeline feeds back into forecasts (index > 1 = seasonally high).
+
+    Exactness through the window: monthly revenue is a floor-quantized
+    DECIMAL sum; the moving average stays as its (sum, count) integer
+    pair through the ROWS frame and the index is one IEEE division of
+    identical integers at the end.  Scale: the series is months-long
+    (trivial) — the expensive part is the one partial→final aggregation
+    from fact rows to months; the window runs over the tiny series."""
+    (o,) = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * _SEAS_Q).cast("decimal(38,0)")
+            ).alias("q")
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    return (
+        monthly.select(
+            "month",
+            (F.col("q").cast("double") / _SEAS_Q).alias("revenue"),
+            F.sum("q").over(w).cast("double").alias("_ma_sum"),
+            F.count("q").over(w).cast("double").alias("_ma_n"),
+        )
+        .select(
+            "month",
+            "revenue",
+            (F.col("_ma_sum") / F.col("_ma_n") / _SEAS_Q).alias("trend"),
+            (
+                F.col("revenue")
+                / (F.col("_ma_sum") / F.col("_ma_n") / _SEAS_Q)
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDERS_SEASONALITY_SQL = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(floor(o_totalprice * {_SEAS_Q}) AS DECIMAL(38,0))) AS q
+  FROM orders GROUP BY 1),
+ma AS (
+  SELECT month,
+         CAST(q AS DOUBLE) / {_SEAS_Q} AS revenue,
+         CAST(SUM(q) OVER w AS DOUBLE) AS ma_sum,
+         CAST(COUNT(q) OVER w AS DOUBLE) AS ma_n
+  FROM monthly
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING))
+SELECT month, revenue,
+       ma_sum / ma_n / {_SEAS_Q} AS trend,
+       revenue / (ma_sum / ma_n / {_SEAS_Q}) AS seasonal_index
+FROM ma
+ORDER BY month
+"""
+
+
+# ===========================================================================
 # Cross-source duplication matrix (provenance analytics)
 # ===========================================================================
 
@@ -3165,5 +3234,9 @@ SPECS = [
     QuerySpec(
         "events_stickiness", events_stickiness, EVENTS_STICKINESS_SQL,
         "weekly DAU/WAU stickiness KPI from exact distinct counts",
+    ),
+    QuerySpec(
+        "orders_seasonality", orders_seasonality, ORDERS_SEASONALITY_SQL,
+        "ratio-to-moving-average seasonal decomposition, exact through MA",
     ),
 ]

@@ -840,6 +840,72 @@ ORDER BY id1, id2
 """
 
 
+_SWEEP_TS = (80, 85, 90, 95)   # candidate thresholds, in hundredths
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity analysis over the semantic near-dup pairs —
+    the tuning table a dedup owner reads before picking the cut: for
+    each candidate cosine threshold, how many pairs fire and how many
+    distinct documents they touch.  Sweeping thresholds does NOT re-run
+    the pipeline: all four rows come from one pass over the SAME shared
+    pair materialization (`_sem_pairs`, cached with `dedup_semantic` /
+    the cluster and kNN gates), because the pair table already carries
+    the exact cosine — the expensive part is threshold-independent.
+
+    Scale: |thresholds| × pairs rows after a tiny cross join; both
+    aggregates are threshold-keyed with constant output."""
+    pairs = _sem_pairs(spark, sf_dir)
+    ts = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TS], "threshold_pct int"
+    )
+    hit = pairs.crossJoin(F.broadcast(ts)).filter(
+        F.col("cos_sim") >= F.col("threshold_pct").cast("double") / 100.0
+    )
+    docs_touched = (
+        hit.select(
+            "threshold_pct",
+            F.explode(F.array("id1", "id2")).alias("doc"),
+        )
+        .groupBy("threshold_pct")
+        .agg(F.count_distinct("doc").alias("n_docs_affected"))
+    )
+    n_pairs = hit.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        ts.join(n_pairs, "threshold_pct", "left")
+        .join(docs_touched, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH {_sem_ctes()},
+ts(threshold_pct) AS (VALUES {", ".join(f"({t})" for t in _SWEEP_TS)}),
+hit AS (
+  SELECT ts.threshold_pct, p.id1, p.id2
+  FROM sem_pairs p CROSS JOIN ts
+  WHERE p.cos_sim >= CAST(ts.threshold_pct AS DOUBLE) / 100.0),
+np AS (SELECT threshold_pct, COUNT(*) AS n_pairs FROM hit
+       GROUP BY threshold_pct),
+nd AS (
+  SELECT threshold_pct, COUNT(DISTINCT doc) AS n_docs_affected
+  FROM (SELECT threshold_pct, unnest([id1, id2]) AS doc FROM hit)
+  GROUP BY threshold_pct)
+SELECT CAST(ts.threshold_pct AS INTEGER) AS threshold_pct,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs_affected, 0) AS n_docs_affected
+FROM ts LEFT JOIN np USING (threshold_pct) LEFT JOIN nd USING (threshold_pct)
+ORDER BY threshold_pct
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column (class centroids for
     curriculum / coreset selection).  Long-form plan: posexplode to
@@ -4021,6 +4087,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("pq_distortion_audit", pq_distortion_audit,
               PQ_DISTORTION_AUDIT_SQL,
               "PQ reconstruction-error audit: exact corpus distortion stats"),
+    QuerySpec("dedup_threshold_sweep", dedup_threshold_sweep,
+              DEDUP_THRESHOLD_SWEEP_SQL,
+              "threshold sensitivity sweep over the shared near-dup pairs"),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL, "token/char/punct stats"),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
     QuerySpec("lang_id", lang_id, LANG_ID_SQL, "stopword-based language ID"),
