@@ -102,6 +102,12 @@ _JACCARD_T = 0.35
 _SHINGLE_MAX_DF = 50
 
 
+# several consumers (jaccard, containment, the recall audit) need the same
+# capped shingle table; cache the materialization per (app, fixture) the
+# same way _SEM_PAIRS_CACHE shares the semantic pair table
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """Distinct (doc_id, shingle-hash) pairs with the hot-shingle df cap
     applied as a broadcast anti-join against the df > cap shingle list:
@@ -117,6 +123,11 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
     what a 100 TB pipeline would do before the join.  Tests pass
     ``checkpoint=False`` to audit the pre-checkpoint plan.
     """
+    if checkpoint:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        cached = _SHINGLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     (docs,) = _t(spark, sf_dir, "documents")
     sh_all = (
         docs.select(
@@ -141,7 +152,10 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
         .filter(F.col("df") > _SHINGLE_MAX_DF)
         .select("h")
     )
-    return sh_all.join(F.broadcast(hot), "h", "left_anti")
+    out = sh_all.join(F.broadcast(hot), "h", "left_anti")
+    if checkpoint:
+        _SHINGLE_CACHE[key] = out
+    return out
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,14 +261,24 @@ GROUP BY doc_id
 _LSH_MAX_BUCKET = 50
 
 
+_LSH_BUCKET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _lsh_buckets(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """(doc_id, band, bkey) bucket membership with the hot-bucket cap
     applied as a count window over the bucket key: rides the same
     (band, bkey) shuffle the self-join needs; a hot bucket costs a linear
     count, never the quadratic join.  ``checkpoint=True`` materializes the
     buckets once for both join sides (otherwise the whole
-    shingle→signature pipeline re-runs per side); tests pass
-    ``checkpoint=False`` to audit the pre-checkpoint plan."""
+    shingle→signature pipeline re-runs per side) and caches per
+    (app, fixture) — the LSH gate, the recall audit, and the provenance
+    matrix all consume the same table; tests pass ``checkpoint=False`` to
+    audit the pre-checkpoint plan."""
+    if checkpoint:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        cached = _LSH_BUCKET_CACHE.get(key)
+        if cached is not None:
+            return cached
     sig = _minhash_sig(spark, sf_dir)
     # one band-struct array + explode instead of a 4-way union: the union
     # form re-runs the whole shingle->signature pipeline once per band (and
@@ -283,7 +307,11 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
         .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
         .drop("n_docs")
     )
-    return buckets.localCheckpoint() if checkpoint else buckets
+    if not checkpoint:
+        return buckets
+    out = buckets.localCheckpoint()
+    _LSH_BUCKET_CACHE[key] = out
+    return out
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
