@@ -479,10 +479,16 @@ FROM per_q
 _SIMHASH_BITS = 16
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: bit j is 1 iff the majority of token
-    hashes have bit j set. Computed as 16 conditional sums over exploded
-    tokens — one aggregation, no UDF. Returns (doc_id, simhash)."""
+# the signature table feeds the simhash gate AND both sides of the
+# multi-probe Hamming join — one materialization per (app, fixture)
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
     (docs,) = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
@@ -498,7 +504,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+    out = sums.select(
+        "doc_id", sim.cast("long").alias("simhash")
+    ).localCheckpoint()
+    _SIMHASH_CACHE[key] = out
+    return out
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: bit j is 1 iff the majority of token
+    hashes have bit j set. Computed as 16 conditional sums over exploded
+    tokens — one aggregation, no UDF. Returns (doc_id, simhash)."""
+    return _simhash_table(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_sql() -> str:
@@ -533,7 +550,7 @@ def dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, the join is a hash join on a 64-bit key, and tolerance k costs
     C({b},≤k) probes — a parameter, not a new plan.  Exact bit distance
     rides along for the consumer."""
-    sims = dedup_simhash(spark, sf_dir)
+    sims = _simhash_table(spark, sf_dir)
     a = sims.select(
         F.col("doc_id").alias("doc1"),
         F.col("simhash").alias("s1"),
