@@ -64,12 +64,18 @@ def main() -> None:
     spark.stop()
 
     def encode(ndigits: int) -> str:
+        # values >= 10s degrade to whole seconds ("12" beats "12.3") so
+        # a pathological slow run cannot blow the output-line budget;
+        # the short metric label buys ~24 chars over the long form
+        def fmt(v: float):
+            return round(v) if ndigits <= 1 and v >= 10 else round(v, ndigits)
+
         return json.dumps(
             {
-                "metric": "total query wall time, all registered queries",
+                "metric": "total query wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, ndigits) for k, v in timings.items()},
+                "queries": {k: fmt(v) for k, v in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

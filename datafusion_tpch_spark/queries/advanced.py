@@ -1700,9 +1700,14 @@ def docs_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-dump contamination.
 
     Plan: the pair table is already sub-quadratic; attribution is two
-    broadcast joins against the (doc_id, source) projection, and the
-    matrix state is |sources|² counts — constant however large the
-    corpus."""
+    equi-joins on the doc id against the (doc_id, source) projection
+    (AQE broadcasts the pair side at fixture scale; at 100 TB both
+    sides co-partition on the id), and the matrix state is |sources|²
+    counts — constant however large the corpus.  NOTE these are LSH
+    candidate pairs — approximate by construction (the recall audit
+    quantifies what the bands miss), which is the right input for an
+    overlap *report*; exact-duplicate provenance would swap in the
+    fingerprint groups."""
     from .extensions import dedup_minhash_lsh
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -3225,7 +3230,7 @@ SPECS = [
     QuerySpec(
         "docs_cross_source_dups", docs_cross_source_dups,
         DOCS_CROSS_SOURCE_DUPS_SQL,
-        "cross-source duplication matrix from exact fingerprints",
+        "cross-source overlap matrix of banded-MinHash near-dup pairs",
     ),
     QuerySpec(
         "lineitem_late_dim", lineitem_late_dim, LINEITEM_LATE_DIM_SQL,

@@ -26,6 +26,25 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+# Shared-intermediate materialization: several gate families derive the
+# same expensive table (capped shingle set, LSH buckets, SimHash
+# signatures, semantic near-dup pairs) and Catalyst does not share
+# subplans across separately-submitted queries.  Materialize each once
+# per (application, fixture) — the in-session form of "write the
+# intermediate table once", which is what a 100 TB pipeline does on disk.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_table(spark: SparkSession, sf_dir: str, tag: str,
+                   build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = build().localCheckpoint()
+        _TABLE_CACHE[key] = cached
+    return cached
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================
@@ -102,12 +121,6 @@ _JACCARD_T = 0.35
 _SHINGLE_MAX_DF = 50
 
 
-# several consumers (jaccard, containment, the recall audit) need the same
-# capped shingle table; cache the materialization per (app, fixture) the
-# same way _SEM_PAIRS_CACHE shares the semantic pair table
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """Distinct (doc_id, shingle-hash) pairs with the hot-shingle df cap
     applied as a broadcast anti-join against the df > cap shingle list:
@@ -116,18 +129,16 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
     The hot list is bounded by corpus boilerplate, not corpus size, so the
     broadcast stays small at 100 TB.
 
-    ``checkpoint=True`` materializes the set once on the executors — it
-    feeds four consumers (both join sides + both size lookups) and
-    Catalyst does not reuse the subplan across them; the distributed
-    equivalent of writing the intermediate shingle table, which is exactly
-    what a 100 TB pipeline would do before the join.  Tests pass
-    ``checkpoint=False`` to audit the pre-checkpoint plan.
+    ``checkpoint=True`` materializes the capped set once per (app,
+    fixture) via ``_session_table`` — it feeds jaccard, containment, and
+    the recall audit, each with multiple consumers of both join sides.
+    Tests pass ``checkpoint=False`` to audit the pre-checkpoint plan.
     """
     if checkpoint:
-        key = (spark.sparkContext.applicationId, sf_dir)
-        cached = _SHINGLE_CACHE.get(key)
-        if cached is not None:
-            return cached
+        return _session_table(
+            spark, sf_dir, "shingle_set",
+            lambda: _shingle_set(spark, sf_dir, checkpoint=False),
+        )
     (docs,) = _t(spark, sf_dir, "documents")
     sh_all = (
         docs.select(
@@ -137,10 +148,6 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
         .select("doc_id", "h")
         .distinct()
     )
-    if checkpoint:
-        # materialize the expensive explode+distinct ONCE — it feeds the
-        # hot-list aggregate plus both sides of the downstream self-join
-        sh_all = sh_all.localCheckpoint()
     # hot-shingle list: only shingles with df > cap survive the HAVING, so
     # it is tiny (boilerplate n-grams) however large the corpus — broadcast
     # anti-join beats a count window here because the window would re-sort
@@ -152,10 +159,7 @@ def _shingle_set(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
         .filter(F.col("df") > _SHINGLE_MAX_DF)
         .select("h")
     )
-    out = sh_all.join(F.broadcast(hot), "h", "left_anti")
-    if checkpoint:
-        _SHINGLE_CACHE[key] = out
-    return out
+    return sh_all.join(F.broadcast(hot), "h", "left_anti")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,24 +265,20 @@ GROUP BY doc_id
 _LSH_MAX_BUCKET = 50
 
 
-_LSH_BUCKET_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _lsh_buckets(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> DataFrame:
     """(doc_id, band, bkey) bucket membership with the hot-bucket cap
     applied as a count window over the bucket key: rides the same
     (band, bkey) shuffle the self-join needs; a hot bucket costs a linear
     count, never the quadratic join.  ``checkpoint=True`` materializes the
-    buckets once for both join sides (otherwise the whole
-    shingle→signature pipeline re-runs per side) and caches per
-    (app, fixture) — the LSH gate, the recall audit, and the provenance
-    matrix all consume the same table; tests pass ``checkpoint=False`` to
-    audit the pre-checkpoint plan."""
+    buckets once per (app, fixture) via ``_session_table`` — the LSH
+    gate, the recall audit, and the provenance matrix all consume the
+    same table, each on both join sides; tests pass ``checkpoint=False``
+    to audit the pre-checkpoint plan."""
     if checkpoint:
-        key = (spark.sparkContext.applicationId, sf_dir)
-        cached = _LSH_BUCKET_CACHE.get(key)
-        if cached is not None:
-            return cached
+        return _session_table(
+            spark, sf_dir, "lsh_buckets",
+            lambda: _lsh_buckets(spark, sf_dir, checkpoint=False),
+        )
     sig = _minhash_sig(spark, sf_dir)
     # one band-struct array + explode instead of a 4-way union: the union
     # form re-runs the whole shingle->signature pipeline once per band (and
@@ -307,11 +307,7 @@ def _lsh_buckets(spark: SparkSession, sf_dir: str, checkpoint: bool = True) -> D
         .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
         .drop("n_docs")
     )
-    if not checkpoint:
-        return buckets
-    out = buckets.localCheckpoint()
-    _LSH_BUCKET_CACHE[key] = out
-    return out
+    return buckets
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,13 +383,20 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization; counts are exact integers, ratios identical IEEE
     divides."""
     exact = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc1", "doc2")
-    hits = exact.join(cand, ["doc1", "doc2"])
-    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("_cand")
+    )
+    # ONE left join gives n_true (count *) and n_hit (count of matches)
+    # in a single pass — the exact-Jaccard side (the expensive self-join)
+    # executes once, not once per aggregate
+    marked = exact.join(cand, ["doc1", "doc2"], "left")
+    n_true_hit = marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_cand").alias("n_hit"),
+    )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    n_hit = hits.agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        n_true_hit.crossJoin(n_cand)
         .select(
             "n_true_pairs", "n_candidate_pairs", "n_hit",
             (F.col("n_hit").cast("double")
@@ -479,16 +482,15 @@ FROM per_q
 _SIMHASH_BITS = 16
 
 
-# the signature table feeds the simhash gate AND both sides of the
-# multi-probe Hamming join — one materialization per (app, fixture)
-_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIMHASH_CACHE.get(key)
-    if cached is not None:
-        return cached
+    """Signature table shared by the simhash gate and BOTH sides of the
+    multi-probe Hamming join — one materialization per (app, fixture)."""
+    return _session_table(
+        spark, sf_dir, "simhash", lambda: _simhash_plan(spark, sf_dir)
+    )
+
+
+def _simhash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
@@ -504,11 +506,7 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    out = sums.select(
-        "doc_id", sim.cast("long").alias("simhash")
-    ).localCheckpoint()
-    _SIMHASH_CACHE[key] = out
-    return out
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,20 +647,14 @@ _SEM_CAP = 100          # hot-bucket straggler guard (as in dedup_minhash_lsh)
 _SEM_T = _COS_T
 
 
-# the near-dup pair table feeds two gates (pair listing + cluster
-# formation); materialize it once per session+fixture, exactly as a real
-# pipeline persists the pair table before survivor election
-_SEM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SEM_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    pairs = _sem_pairs_plan(spark, sf_dir).localCheckpoint()
-    _SEM_PAIRS_CACHE[key] = pairs
-    return pairs
+    """The semantic near-dup pair table feeds four gates (pair listing,
+    cluster formation, the kNN graph, the threshold sweep); materialize
+    once per (app, fixture), exactly as a real pipeline persists the
+    pair table before survivor election."""
+    return _session_table(
+        spark, sf_dir, "sem_pairs", lambda: _sem_pairs_plan(spark, sf_dir)
+    )
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,6 +1241,54 @@ def _l2q(a, b):
     )
 
 
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list:
+    """THE deterministic PQ codebook — seeds are the ``_PQ_K`` corpus
+    vectors with smallest md5(vec_id), sliced per subspace.  The ANN
+    gate and the distortion audit must score the SAME codebook or the
+    audit silently measures a different index than the one searched;
+    this helper is the single definition (bounded driver collect:
+    ``_PQ_K`` rows)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_PQ_K)
+        .collect()
+    ]
+    return [
+        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_recon_ctes() -> str:
+    """The cent→codes→recon CTE chain (oracle-side mirror of
+    ``_pq_codebook`` + ``pq_encode``), shared by the PQ ANN oracle and
+    the distortion-audit oracle so both score the same reconstruction."""
+    return f"""cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+         embedding AS ce
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, sp.s, c.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, sp.s
+             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
+                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
+    CROSS JOIN cent c)
+  WHERE rn = 1),
+recon AS (
+  SELECT codes.vec_id,
+         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
+  FROM codes JOIN cent c USING (j)
+  GROUP BY codes.vec_id)"""
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: the compressed-scan path of the ANN family
     (brute force = exact, LSH/IVF = pruned candidate sets, PQ = scan
@@ -1272,18 +1312,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the north star (BASELINE.json).
     """
     (emb,) = _t(spark, sf_dir, "embeddings")
-    seeds = [
-        [float(x) for x in r.embedding]
-        for r in emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_PQ_K)
-        .collect()
-    ]
     # codebook[s][j] = subvector s of seed j, as plan-time double literals
-    codebook = [
-        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
-        for s in range(_PQ_M)
-    ]
+    codebook = _pq_codebook(spark, sf_dir)
 
     # encode in the vectorized numpy kernel (identical fixed-point argmin
     # as the oracle SQL; the equivalent JVM expression tree — 64 nested
@@ -1314,27 +1344,7 @@ ann_pq_topk.__doc__ = (ann_pq_topk.__doc__ or "").format(
 
 
 ANN_PQ_SQL = f"""
-WITH cent AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
-         embedding AS ce
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
-codes AS (
-  SELECT vec_id, s, j FROM (
-    SELECT e.vec_id, sp.s, c.j,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, sp.s
-             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
-                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
-    FROM embeddings e
-    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
-    CROSS JOIN cent c)
-  WHERE rn = 1),
-recon AS (
-  SELECT codes.vec_id,
-         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
-  FROM codes JOIN cent c USING (j)
-  GROUP BY codes.vec_id),
+WITH {_pq_recon_ctes()},
 scored AS (
   SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
          CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
@@ -1363,21 +1373,9 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact int64 (floor-quantized L2, the shared ``_l2q`` kernel),
     accumulated in DECIMAL(38,0) so the corpus sum never overflows."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    # identical seed/codebook derivation to ann_pq_topk (kept in lockstep)
-    seeds = [
-        [float(x) for x in r.embedding]
-        for r in emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_PQ_K)
-        .collect()
-    ]
-    codebook = [
-        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
-        for s in range(_PQ_M)
-    ]
     from ..operators.similarity import pq_encode
 
-    coded = pq_encode(emb, codebook)
+    coded = pq_encode(emb, _pq_codebook(spark, sf_dir))
     d = coded.select(
         _l2q(F.col("embedding"), F.col("recon")).alias("d")
     )
@@ -1394,27 +1392,7 @@ def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_DISTORTION_AUDIT_SQL = f"""
-WITH cent AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
-         embedding AS ce
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}),
-codes AS (
-  SELECT vec_id, s, j FROM (
-    SELECT e.vec_id, sp.s, c.j,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, sp.s
-             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
-                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
-    FROM embeddings e
-    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
-    CROSS JOIN cent c)
-  WHERE rn = 1),
-recon AS (
-  SELECT codes.vec_id,
-         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
-  FROM codes JOIN cent c USING (j)
-  GROUP BY codes.vec_id),
+WITH {_pq_recon_ctes()},
 dist AS (
   SELECT CAST({_l2q_sql('e.embedding', 'r.recon')} AS BIGINT) AS d
   FROM embeddings e JOIN recon r ON e.vec_id = r.vec_id)
@@ -2072,16 +2050,20 @@ ORDER BY doc_id
 """
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: per-language stopword hit counts; predicted
-    language = argmax (ties broken by language code). Compared against the
-    fixture's lang column for an agreement count by (lang, predicted)."""
+def _lang_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (lang, predicted) for the stopword language-ID heuristic:
+    predicted = argmax of per-language stopword hits (ties broken by
+    language code), 'und' when nothing hits.  The ONE definition of the
+    classifier — the lang_id gate and the metrics gate both consume it,
+    so a tie-break or threshold change can never let them diverge."""
     (docs,) = _t(spark, sf_dir, "documents")
     hit_cols = {
         lang: text.stopword_hits(F.col("text"), words)
         for lang, words in text.LANG_STOPWORDS.items()
     }
-    scored = docs.select("doc_id", "lang", *[c.alias(f"hit_{k}") for k, c in hit_cols.items()])
+    scored = docs.select(
+        "doc_id", "lang", *[c.alias(f"hit_{k}") for k, c in hit_cols.items()]
+    )
     pairs = F.array(
         *[
             F.struct(F.col(f"hit_{k}").alias("hits"), F.lit(k).alias("code"))
@@ -2090,8 +2072,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = F.array_max(pairs)  # struct max: hits first, then code
     pred = F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+    return scored.select("lang", pred.alias("predicted"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts; predicted
+    language = argmax (ties broken by language code). Compared against the
+    fixture's lang column for an agreement count by (lang, predicted)."""
     return (
-        scored.withColumn("predicted", pred)
+        _lang_predictions(spark, sf_dir)
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted")
@@ -2126,52 +2115,43 @@ def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation filter needs next to its predictions (the confusion counts
     themselves are the ``lang_id`` gate).
 
-    One pass scores and classifies each doc; the per-class pivot is a
-    single |classes|-sized aggregation (TP/FP/FN as conditional counts
-    over the (gold, predicted) pair), and the ratio metrics evaluate in
-    double from identical integers — zero-denominator classes report
-    0.0 by the same CASE on both engines.  Scale: the metric state is
-    3 integers per class, mergeable across any sharding."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    hit_cols = {
-        lang: text.stopword_hits(F.col("text"), words)
-        for lang, words in text.LANG_STOPWORDS.items()
-    }
-    scored = docs.select(
-        "lang", *[c.alias(f"hit_{k}") for k, c in hit_cols.items()]
+    One corpus pass reduces to the (gold, predicted) confusion matrix —
+    the SAME classifier definition the lang_id gate reports, via the
+    shared ``_lang_predictions`` builder — and the per-class TP/FP/FN
+    pivot then runs over those ~|classes|² rows, not the corpus: the
+    corpus is touched once however many classes are scored.  Ratio
+    metrics evaluate in double from identical integers; zero-denominator
+    classes report 0.0 by the same CASE on both engines.  Scale: the
+    metric state is 3 integers per class, mergeable across any
+    sharding."""
+    conf = (
+        _lang_predictions(spark, sf_dir)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    pairs = F.array(
-        *[
-            F.struct(F.col(f"hit_{k}").alias("hits"), F.lit(k).alias("code"))
-            for k in sorted(text.LANG_STOPWORDS)
-        ]
-    )
-    best = F.array_max(pairs)
-    pred = F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
     classes = spark.createDataFrame(
         [(c,) for c in sorted(text.LANG_STOPWORDS)], "class string"
     )
-    preds = scored.withColumn("predicted", pred).select("lang", "predicted")
     counts = (
-        preds.crossJoin(F.broadcast(classes))
+        conf.crossJoin(F.broadcast(classes))
         .groupBy("class")
         .agg(
             F.sum(
                 F.when(
                     (F.col("lang") == F.col("class"))
-                    & (F.col("predicted") == F.col("class")), 1
+                    & (F.col("predicted") == F.col("class")), F.col("n")
                 ).otherwise(0)
             ).cast("long").alias("tp"),
             F.sum(
                 F.when(
                     (F.col("lang") != F.col("class"))
-                    & (F.col("predicted") == F.col("class")), 1
+                    & (F.col("predicted") == F.col("class")), F.col("n")
                 ).otherwise(0)
             ).cast("long").alias("fp"),
             F.sum(
                 F.when(
                     (F.col("lang") == F.col("class"))
-                    & (F.col("predicted") != F.col("class")), 1
+                    & (F.col("predicted") != F.col("class")), F.col("n")
                 ).otherwise(0)
             ).cast("long").alias("fn"),
         )
@@ -2216,16 +2196,18 @@ WITH preds AS (
          CASE WHEN ({best}).hits > 0 THEN ({best}).code
               ELSE 'und' END AS predicted
   FROM documents),
+conf AS (
+  SELECT lang, predicted, COUNT(*) AS n FROM preds GROUP BY lang, predicted),
 classes(class) AS (VALUES {classes}),
 counts AS (
   SELECT class,
          CAST(SUM(CASE WHEN lang = class AND predicted = class
-                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  THEN n ELSE 0 END) AS BIGINT) AS tp,
          CAST(SUM(CASE WHEN lang <> class AND predicted = class
-                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  THEN n ELSE 0 END) AS BIGINT) AS fp,
          CAST(SUM(CASE WHEN lang = class AND predicted <> class
-                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
-  FROM preds CROSS JOIN classes
+                  THEN n ELSE 0 END) AS BIGINT) AS fn
+  FROM conf CROSS JOIN classes
   GROUP BY class)
 SELECT class, tp, fp, fn,
        CASE WHEN tp + fp = 0 THEN 0.0 ELSE {p} END AS precision,

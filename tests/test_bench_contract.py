@@ -9,21 +9,23 @@ import json
 
 from datafusion_tpch_spark.queries import all_queries
 
-# bench.py degrades per-query precision 3 -> 2 -> 1 digits; the worst
-# surviving line is the 1-digit encoding with every value >= 10 seconds
-# (5 chars like "10.3") — far beyond any observed timing, so the bound
-# here is conservative.
+# bench.py degrades per-query precision 3 -> 2 -> 1 digits, and in the
+# 1-digit fallback any value >= 10s collapses to whole seconds — so the
+# widest possible per-query value is "9.9" (3 chars; a 10-99s value is
+# "10".."99", 2 chars). The model stubs every value at that 3-char
+# maximum, mirroring bench.py's final-fallback encoder exactly.
 _DRIVER_TAIL = 4096
 _HEADROOM = 200  # trailing newline + stray shutdown chatter allowance
 
 
-def _encoded_length(ndigits: int, value_stub: float) -> int:
+def _final_fallback_length(value_stub: float) -> int:
+    v = round(value_stub) if value_stub >= 10 else round(value_stub, 1)
     line = json.dumps(
         {
-            "metric": "total query wall time, all registered queries",
+            "metric": "total query wall time",
             "value": 9999.9999,
             "unit": "sec",
-            "queries": {k: round(value_stub, ndigits) for k in all_queries()},
+            "queries": {k: v for k in all_queries()},
             "sf": 0.1,
         },
         separators=(",", ":"),
@@ -31,16 +33,17 @@ def _encoded_length(ndigits: int, value_stub: float) -> int:
     return len(line)
 
 
-def test_one_digit_line_fits_driver_tail():
-    # realistic worst case: every query at 9.9s (most run in <2s)
-    assert _encoded_length(1, 9.9) <= _DRIVER_TAIL - _HEADROOM
+def test_final_fallback_fits_driver_tail():
+    # hard limit: the 3-char worst case must fit the recorded window
+    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM
 
 
 def test_registry_growth_margin():
-    """Fail loudly when the registry grows enough that even the 1-digit
-    fallback approaches the window — the signal to shorten the metric
-    label or split the bench line, not to lose per-query records."""
-    assert _encoded_length(1, 9.9) <= 3900, (
+    """Early warning, STRICTLY tighter than the hard-limit test: fires
+    ~50 chars (≈7 queries) before the window is actually at risk — the
+    signal to shrink the encoding again (e.g. negotiate integer-ms
+    values with the driver) BEFORE the hard test starts failing."""
+    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM - 50, (
         "bench JSON line is nearing the driver's 4096-char tail window; "
         "shrink the encoding before adding more queries"
     )
