@@ -68,12 +68,15 @@ def main() -> None:
         # a pathological slow run cannot blow the output-line budget;
         # the short metric label buys ~24 chars over the long form
         def fmt(v: float):
-            return round(v) if ndigits <= 1 and v >= 10 else round(v, ndigits)
+            if ndigits <= 1 and v >= 10:
+                return round(v)          # "12" beats "12.3"
+            r = round(v, ndigits)
+            return 0 if ndigits <= 1 and r == 0 else r  # "0" beats "0.0"
 
         return json.dumps(
             {
                 "metric": "total query wall time",
-                "value": total,
+                "value": round(total, 2) if ndigits <= 1 else total,
                 "unit": "sec",
                 "queries": {k: fmt(v) for k, v in timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

