@@ -174,27 +174,51 @@ ORDER BY a, b, c
 # Skyline (Pareto frontier)
 # ===========================================================================
 
+_SKYLINE_RANGES = 32  # range shards for the two-pass prefix-max scan
+
+
 def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline of ``part``: rows not dominated on (minimize
     p_retailprice, maximize p_size).  The classic O(n²) NOT-EXISTS
     dominance test (which the oracle runs) becomes an O(n log n)
     window plan: a row survives iff its size beats the max size over all
     strictly-cheaper rows AND no same-price row is strictly larger.  The
-    strictly-cheaper running max comes from a ROWS frame over the
-    distinct-price table (one global sort of ~|price domain| rows; at
-    100 TB, range-partition the sort and prefix-scan per partition with
-    one boundary-max exchange — same two-pass shape Spark's sort already
-    uses)."""
+    strictly-cheaper running max is a range-partitioned two-pass prefix
+    scan over the distinct-price table: range-repartition by price, run
+    the prefix max locally within each range shard, and combine with the
+    max over all earlier shards (one boundary exchange of #shards rows
+    via a broadcast triangle join) — no task ever sorts more than one
+    price range, so the scan holds at any |price domain|."""
     (p,) = _t(spark, sf_dir, "part")
     base = p.select("p_partkey", "p_retailprice", "p_size")
     same_w = Window.partitionBy("p_retailprice")
     with_max = base.withColumn("pmax", F.max("p_size").over(same_w))
-    prices = with_max.select("p_retailprice", "pmax").distinct()
-    prev_w = (
-        Window.orderBy("p_retailprice")
+    prices = (
+        with_max.select("p_retailprice", "pmax")
+        .distinct()
+        .repartitionByRange(_SKYLINE_RANGES, "p_retailprice")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # pass 1: prefix max over strictly-previous rows WITHIN the shard
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("p_retailprice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prices = prices.withColumn("prevmax", F.max("pmax").over(prev_w))
+    prices = prices.withColumn("localmax", F.max("pmax").over(local_w))
+    # pass 2: boundary max from all earlier shards (#shards rows total)
+    shard_max = prices.groupBy("pid").agg(F.max("pmax").alias("smax"))
+    prior = shard_max.select(
+        F.col("pid").alias("ppid"), F.col("smax").alias("psmax")
+    )
+    boundary = (
+        shard_max.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.max("psmax").alias("priormax"))
+    )
+    prices = prices.join(F.broadcast(boundary), "pid").withColumn(
+        "prevmax", F.greatest("localmax", "priormax")
+    )
     return (
         with_max.join(prices.select("p_retailprice", "prevmax"), "p_retailprice")
         .filter(

@@ -522,6 +522,7 @@ ORDER BY arm
 # ===========================================================================
 
 _NEG_K = 2
+_RING_RANGES = 32  # range shards for the two-pass global-rank ring
 
 
 def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,18 +530,45 @@ def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws {k} deterministic pseudo-random partners by hashing
     (anchor, draw) onto the corpus's dense rank ring — the
     hash-onto-ranks construction that replaces a shuffle-the-corpus
-    random permutation at scale.  One rank window builds the ring once;
-    the draw is an equi-join on the ring position (co-partitioned
-    shuffle, no broadcast of the corpus, no driver sampling).
-    Self-pairs are dropped rather than redrawn (exactly reproducible;
-    the occasional missing draw is the documented trade)."""
+    random permutation at scale.  The ring (global dense rank by doc_id)
+    is built with the two-pass partition-offset index — range-repartition
+    by doc_id, rank locally within each range, add the broadcast prefix
+    sum of partition counts — so no task ever sees more than one range
+    of the corpus (a bare ``row_number() OVER (ORDER BY doc_id)`` would
+    serialize every row through one reducer).  The draw is an equi-join
+    on the ring position (co-partitioned shuffle, no broadcast of the
+    corpus, no driver sampling).  Self-pairs are dropped rather than
+    redrawn (exactly reproducible; the occasional missing draw is the
+    documented trade)."""
     (docs,) = _t(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
-    ring = docs.select(
-        F.col("doc_id").alias("partner_id"),
-        F.row_number()
-        .over(Window.orderBy("doc_id"))
-        .alias("ring_pos"),
+    # pass 1: range-partition (non-overlapping, ascending with partition
+    # id) and rank locally; pass 2: offset each partition by the count of
+    # all earlier partitions (a window over #partitions rows, not #rows).
+    ranged = docs.select(F.col("doc_id").alias("partner_id")).repartitionByRange(
+        _RING_RANGES, "partner_id"
+    ).withColumn("pid", F.spark_partition_id())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = counts.select(
+        F.col("pid").alias("ppid"), F.col("cnt").alias("pcnt")
+    )
+    # prefix sum over #partitions rows via a triangle join (no global
+    # window anywhere in this plan, not even a tiny one)
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("offset"))
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("pid").orderBy("partner_id")
+    )
+    ring = (
+        ranged.withColumn("lrn", local_rn)
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "partner_id",
+            (F.col("offset") + F.col("lrn")).cast("int").alias("ring_pos"),
+        )
     )
     draws = (
         docs.select("doc_id")

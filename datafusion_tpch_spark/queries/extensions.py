@@ -2733,6 +2733,7 @@ ORDER BY day_offset
 
 
 _KMV_K = 64
+_KMV_SALTS = 64  # shard fan-out for the two-level mergeable k-min
 _HASH_SPACE = float(2**63)
 
 
@@ -2985,19 +2986,23 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     h = F.abs(hashing.md5_int(F.col("user_id").cast("string")))
     per = ev.select("event_type", h.alias("h")).distinct()
-    # rank-filter to the k smallest BEFORE collecting, so the gathered
-    # array is bounded at k regardless of group cardinality
-    wrank = Window.partitionBy("event_type").orderBy("h")
-    wall = Window.partitionBy("event_type")
-    agg = (
-        per.withColumn("rn", F.row_number().over(wrank))
-        .withColumn("cnt", F.count(F.lit(1)).over(wall))
-        .filter(F.col("rn") <= _KMV_K)
-        .groupBy("event_type")
-        .agg(
-            F.sort_array(F.collect_list("h")).alias("kmin"),
-            F.max("cnt").alias("exact_distinct"),
-        )
+    # two-level mergeable k-min: pre-truncate to the k smallest hashes per
+    # (event_type, salt) shard, then union-and-re-truncate across shards.
+    # Each distinct hash lands in exactly one shard, so summing the shard
+    # counts gives the exact distinct count, and no group's full key set
+    # ever meets a single reducer — the merge step sees at most
+    # _KMV_SALTS arrays of <= k elements per group.
+    shard = per.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("kmin_part"),
+        F.count(F.lit(1)).alias("cnt_part"),
+    )
+    agg = shard.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("kmin_part"))), 1, _KMV_K
+        ).alias("kmin"),
+        F.sum("cnt_part").alias("exact_distinct"),
     )
     kth = F.element_at(F.col("kmin"), F.size(F.col("kmin")))
     est = F.when(
@@ -3095,15 +3100,19 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(h.alias("h"))
             .distinct()
         )
-        wrank = Window.orderBy("h")
-        return (
-            per.withColumn("rn", F.row_number().over(wrank))
-            .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
-            .filter(F.col("rn") <= _KMV_K)
-            .agg(
-                F.sort_array(F.collect_list("h")).alias(f"{out}_kmin"),
-                F.max("cnt").alias(f"{out}_exact"),
-            )
+        # same two-level k-min as events_kmv_distinct: per-salt truncate,
+        # then union-and-re-truncate — the global sort-window this replaces
+        # funneled every distinct hash through one task.
+        shard = per.groupBy(
+            F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
+        ).agg(
+            F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("kp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        return shard.agg(
+            F.slice(F.sort_array(F.flatten(F.collect_list("kp"))), 1, _KMV_K)
+            .alias(f"{out}_kmin"),
+            F.sum("cnt").alias(f"{out}_exact"),
         )
 
     a, b = sketch("click", "a"), sketch("purchase", "b")
