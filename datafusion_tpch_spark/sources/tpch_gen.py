@@ -24,15 +24,14 @@ the Spark-first re-expression:
   reference's asserted 4/3/8/9/16/9/5/7 — ``src/lib.rs:335-344``), with
   spec-faithful types: Decimal(15,2) money, DateType dates.
 
-Row counts at SF1 match the tpchgen *formulas* (customer 150k, orders
-1.5M, part 200k, partsupp 800k, supplier 10k); lineitem is **exactly
-6,000,942** at SF1 — a fixed constant of this repo's seeded hash stream
-(1-7 lines per order).  tpchgen's own RNG sample gives 6,001,215
-(``/root/reference/src/lib.rs:339``); the two are 0.0045% apart, both ~6M
-draws of the same spec distribution.  This is the one accepted deviation
-from the reference's shape tests: reproducing tpchgen's exact RNG stream
-would mean porting its generator state machine instead of a Spark-native
-derivation.  All per-SF cardinalities are deterministic and pinned in
+Row counts match the reference's shape assertions exactly for **all 8
+tables**, including lineitem's SF1 = 6,001,215
+(``/root/reference/src/lib.rs:339``): the per-order 1-7 line count replays
+the public TPC-H generators' Lehmer-LCG stream (seed 1434868289,
+multiplier 16807 mod 2^31-1) in *closed form* — ``seed_i = seed0 *
+16807^(i+1) mod M`` via binary exponentiation — so the draw stays
+random-access and partition-sliceable instead of sequential.  All per-SF
+cardinalities are deterministic and pinned in
 ``tests/test_tpch_gen.py::EXACT_COUNTS``.
 """
 
@@ -281,6 +280,36 @@ def tpch_orders(spark: SparkSession, sf: float = 1.0, part: int = 1, num_parts: 
     )
 
 
+# Line-count RNG: the public TPC-H generators (dbgen and its Java/Rust
+# ports) draw each order's 1-7 line count from a Lehmer LCG
+# x' = 16807*x mod (2^31-1), one draw per order row, stream seed
+# 1434868289.  seed_i = seed0 * 16807^(i+1) mod M is closed-form, so a
+# partitioned generator jumps straight to any order's draw with ~bit_length
+# conditional multiply-mods (binary exponentiation over the order index)
+# instead of replaying the sequential stream — each factor fits in a long
+# (product < 2^62), all JVM-side.  This reproduces the reference's exact
+# SF1 lineitem cardinality 6,001,215 (src/lib.rs:339).
+_LCG_M = 2147483647
+_LCG_MUL = 16807
+_LINE_SEED = 1434868289
+
+
+def _line_count(order_idx: Column, n_orders: int) -> Column:
+    """1-7 lines for the 0-based ``order_idx``-th order, spec RNG stream."""
+    acc = F.lit(_LINE_SEED).cast("long")
+    e = order_idx + 1  # LCG steps consumed through this order's draw
+    p = _LCG_MUL
+    for j in range(max(int(n_orders).bit_length(), 1)):
+        # multiply by p_j or 1 — keeps `acc` appearing once per step so
+        # the expression tree stays linear in bit_length, not 2^bits
+        factor = F.when(
+            F.shiftright(e, j).bitwiseAND(F.lit(1)) == 1, F.lit(p)
+        ).otherwise(F.lit(1))
+        acc = F.pmod(acc * factor, F.lit(_LCG_M))
+        p = (p * p) % _LCG_M
+    return (F.floor(acc * 7 / F.lit(_LCG_M)) + 1).cast("int")
+
+
 def tpch_lineitem(spark: SparkSession, sf: float = 1.0, part: int = 1, num_parts: int = 1) -> DataFrame:
     """1-7 lines per order (deterministic), line columns derived from
     (orderkey, linenumber). Built order-sliced so part/num_parts composes:
@@ -290,7 +319,7 @@ def tpch_lineitem(spark: SparkSession, sf: float = 1.0, part: int = 1, num_parts
     n_part_t = int(_SF1["part"] * sf)
     n_supp = int(_SF1["supplier"] * sf)
     ok = F.col("id") + 1
-    n_lines = F.pmod(_h("l_n", ok), F.lit(7)) + 1
+    n_lines = _line_count(F.col("id"), n_orders)
     base = (
         _ranged(spark, n_orders, part, num_parts)
         .select(

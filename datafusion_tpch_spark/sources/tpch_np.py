@@ -267,13 +267,33 @@ def rows_orders(sf: float, part: int = 1, num_parts: int = 1):
 
 _LINESTATUS_CUTOFF = (np.datetime64("1995-06-17") - _EPOCH_NP).astype(int)
 
+# spec line-count LCG — mirrors tpch_gen._line_count (same closed form,
+# vectorized): seed_i = 1434868289 * 16807^orderkey mod (2^31-1)
+_LCG_M = 2147483647
+_LCG_MUL = 16807
+_LINE_SEED = 1434868289
+
+
+def line_counts(ok: np.ndarray) -> np.ndarray:
+    """1-7 lines per order for 1-based order keys ``ok``, value-identical
+    to the Column-expression generator's draw (and to the public TPC-H
+    generators' O_LCNT stream: SF1 sums to 6,001,215)."""
+    acc = np.full(ok.shape, _LINE_SEED, dtype=np.int64)
+    p = _LCG_MUL
+    bits = int(ok.max()).bit_length() if ok.size else 1
+    for j in range(bits):
+        mask = (ok >> j) & 1 == 1
+        acc[mask] = (acc[mask] * p) % _LCG_M
+        p = (p * p) % _LCG_M
+    return (acc * 7) // _LCG_M + 1
+
 
 def rows_lineitem(sf: float, part: int = 1, num_parts: int = 1):
     _validate(sf, part, num_parts)
     n_part_t = int(_SF1["part"] * sf)
     n_supp = int(_SF1["supplier"] * sf)
     ok = _ids(int(_SF1["orders"] * sf), part, num_parts) + 1
-    n_lines = (xxh64.pmod(_h("l_n", ("long", ok)), 7) + 1).astype(np.int64)
+    n_lines = line_counts(ok)
     odate = _date_days("o_date", ("long", ok), 0, _DATE_SPAN - 151)
     okc = np.repeat(ok, n_lines)
     odc = np.repeat(odate, n_lines)

@@ -24,7 +24,7 @@ EXPECTED = [
     ("nation", 25, 4),
     ("customer", 150, 8),
     ("orders", 1500, 9),
-    ("lineitem", 5931, 16),
+    ("lineitem", 6005, 16),
     ("part", 200, 9),
     ("partsupp", 800, 5),
     ("supplier", 10, 7),

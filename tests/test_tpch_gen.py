@@ -108,16 +108,15 @@ def test_udtf_registration(spark):
 
 
 # Exact deterministic cardinalities for every table at two SFs, mirroring
-# the reference's shape assertions (src/lib.rs:335-344).  The seven
-# formula-sized tables match tpchgen exactly; lineitem is this repo's own
-# pinned constant — the spec's "1-7 lines per order" expectation gives
-# 6,000,942 at SF1 under our seeded hash stream vs tpchgen's RNG sample of
-# 6,001,215 (0.0045% apart; both are ~6M draws of the same distribution).
+# the reference's shape assertions (src/lib.rs:335-344).  All 8 tables
+# match tpchgen exactly: the seven formula-sized tables by construction,
+# and lineitem because the line count per order replays the public TPC-H
+# generators' Lehmer-LCG stream in closed form (tpch_gen._line_count).
 EXACT_COUNTS = {
     0.001: {"region": 5, "nation": 25, "supplier": 10, "customer": 150,
-            "part": 200, "partsupp": 800, "orders": 1500, "lineitem": 5931},
+            "part": 200, "partsupp": 800, "orders": 1500, "lineitem": 6005},
     0.01: {"region": 5, "nation": 25, "supplier": 100, "customer": 1500,
-           "part": 2000, "partsupp": 8000, "orders": 15000, "lineitem": 59945},
+           "part": 2000, "partsupp": 8000, "orders": 15000, "lineitem": 60175},
 }
 
 
@@ -128,12 +127,19 @@ def test_exact_cardinalities(spark, sf):
 
 
 def test_lineitem_sf1_constant():
-    """The SF1 lineitem cardinality is a fixed constant of the seeded hash
-    stream: 6,000,942 (tpchgen's own RNG sample is 6,001,215 — src/lib.rs:339)."""
+    """The reference's own SF1 shape assertion, ported: lineitem =
+    6,001,215 rows (src/lib.rs:339).  Checked through the numpy twin of
+    the generator's closed-form LCG draw, plus a brute sequential replay
+    of the stream to prove the closed form IS the sequential RNG."""
     import numpy as np
 
-    from datafusion_tpch_spark.functions import xxh64
+    from datafusion_tpch_spark.sources.tpch_np import line_counts
 
     ok = np.arange(1_500_000, dtype=np.int64) + 1
-    n_lines = xxh64.pmod(xxh64.xxhash64(("str", "l_n"), ("long", ok)), 7) + 1
-    assert int(n_lines.sum()) == 6_000_942
+    counts = line_counts(ok)
+    assert int(counts.sum()) == 6_001_215
+    # sequential replay over a prefix — closed form == the actual stream
+    seed, m, mul = 1434868289, 2147483647, 16807
+    for i in range(1000):
+        seed = (seed * mul) % m
+        assert counts[i] == (seed * 7) // m + 1
