@@ -201,7 +201,14 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = sessionize_with_state(read_events_stream(spark, sf_dir))
     observed = run_stream_to_df(
-        spark, stream, "events_stateful_sessions", output_mode="append"
+        spark,
+        stream,
+        "events_stateful_sessions",
+        output_mode="append",
+        # the per-key state machine runs in Python workers; keep enough
+        # partitions for worker parallelism (store-commit cost is minor
+        # next to the Arrow/Python path here)
+        partitions=16,
     )
     sess = observed.groupBy("user_id", "session_start").agg(
         F.max("n_events").alias("n_events")

@@ -211,6 +211,7 @@ def run_stream_to_df(
     name: str,
     timeout_s: int = 300,
     output_mode: str = "complete",
+    partitions: int = 2,
 ) -> DataFrame:
     """Execute a streaming plan over bounded input (AvailableNow) into a
     memory sink; return the completed result as a batch DataFrame.
@@ -234,15 +235,31 @@ def run_stream_to_df(
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=ckpt_base)
     # Stateful operators open one state-store instance per shuffle
-    # partition and fsync each per micro-batch; the fixture state
-    # cardinality (windows × types, active sessions) is thousands of keys,
-    # so 8 partitions carry it easily and cut the fixed store-commit cost
-    # 4x vs the batch setting.  Production sizes this by state volume per
+    # partition and fsync each per micro-batch, so the per-batch fixed cost
+    # is linear in partitions (measured: 32 parts 7.1 s, 8 parts 3.5 s,
+    # 2 parts 1.9 s on the stream-stream join at sf0.1).  The fixture
+    # state cardinality (windows × types, active sessions) is thousands of
+    # keys, so 2 partitions carry it easily; gates whose per-key work runs
+    # in Python (applyInPandasWithState) pass a higher ``partitions`` to
+    # keep worker parallelism.  Production sizes this by state volume per
     # partition instead (state stores shard-scale the same way shuffles
     # do); scoped here via save/restore so batch queries keep their own
     # setting.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev_parts), 8)))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(prev_parts), partitions))
+    )
+    # In complete mode every batch re-emits the full aggregate state, so
+    # the trailing no-data micro-batch (watermark finalization) adds one
+    # more full store open/commit cycle without changing the emitted
+    # result — skip it.  Append-mode plans DO need it (it emits
+    # watermark-closed windows / flushes timed-out state), so it stays on
+    # for them.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    if output_mode == "complete":
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         query = (
             sdf.writeStream.format("memory")
@@ -260,4 +277,7 @@ def run_stream_to_df(
             shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
