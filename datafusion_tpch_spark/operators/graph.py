@@ -57,6 +57,10 @@ def connected_components(
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if num_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+        # the checkpoint above ran at session width; coalesce (narrow, no
+        # shuffle, no recompute) so every round's scan schedules
+        # num_partitions tasks instead of session-width mostly-empty ones
+        both = both.coalesce(num_partitions)
     try:
         return _cc_loop(both, max_iter)
     finally:
@@ -64,10 +68,15 @@ def connected_components(
 
 
 def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
+    # Fused first round: with identity labels the neighbor minimum is just
+    # min(neighbor id) per node, so round 1 is a plain aggregate over the
+    # edge list — one shuffle, no join — instead of a full join round.
     labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        both.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin"))
+        .select(
+            "node", F.least(F.col("node"), F.col("nmin")).alias("component")
+        )
         .localCheckpoint()
     )
     prev_sum = None
@@ -98,7 +107,11 @@ def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
                     F.col("component"), F.coalesce("_parent", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()  # bound lineage; the action below reuses it
+            # eager checkpoint: labels feeds TWO joins next round, so it
+            # must be materialized each round (a lazy persist measured
+            # ~80% slower here — cache-write overhead plus a cached-plan
+            # AQE boundary beat the extra checkpoint job)
+            .localCheckpoint()
         )
         s = labels.agg(F.sum("component")).collect()[0][0]
         if s == prev_sum:
