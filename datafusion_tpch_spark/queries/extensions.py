@@ -1040,13 +1040,18 @@ _LSH_PLANES = 6  # sign-random-projection bits → 64 buckets
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 6 deterministic ±1 hyperplanes bucket
-    every vector into one of 64 cells; top-k runs only within the query's
-    bucket. This is the scale path: the corpus self-join becomes a bucket
-    equi-join (shuffle on 6-bit key) instead of O(n²).
+    """Sign-random-projection LSH with Hamming-1 multi-probe: 6
+    deterministic ±1 hyperplanes bucket every vector into one of 64
+    cells; each query scores its own cell PLUS the 6 cells one sign-flip
+    away (the flipped plane is the one most likely to have split true
+    neighbors).  This is the scale path: the corpus self-join becomes a
+    probe-bucket equi-join — 7/64 of the corpus per query instead of
+    O(n²) — and multi-probe buys back the recall single-probe leaves on
+    the table (ann_recall_audit measures it in-plan; the same trick
+    dedup_simhash_hamming1 uses on the dedup side).
 
-    Recall is partial by construction (the oracle mirrors the same buckets,
-    so results still hash-match exactly).
+    Recall remains partial by construction (the oracle mirrors the same
+    probes, so results still hash-match exactly).
     """
     import hashlib
 
@@ -1068,9 +1073,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketing runs in the vectorized numpy kernel (same quantized
     # arithmetic as the previous JVM expression and the oracle SQL)
     e = srp_bucket(emb, signs)
+    # probe set: own bucket + one-bit flips; distinct probes x one bucket
+    # per candidate means no (query, cand) pair can appear twice
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(_LSH_PLANES)
+        ],
+    )
     q = e.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"),
+        F.explode(probes).alias("qb"),
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
@@ -1105,15 +1119,21 @@ def _bucket_sql(e: str) -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
+_PROBE_LIST_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << p})" for p in range(_LSH_PLANES)
+) + "]"
+
 ANN_LSH_SQL = f"""
 WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, unnest({_PROBE_LIST_SQL}) AS qb
+  FROM e WHERE vec_id < {_NQUERY}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
            / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
               * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
-  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {_NQUERY}),
+  FROM q JOIN e c ON c.bucket = q.qb AND q.vec_id <> c.vec_id),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, cand_id) AS rank
