@@ -64,12 +64,14 @@ def main() -> None:
     spark.stop()
 
     def encode(ndigits: int) -> str:
-        # values >= 10s degrade to whole seconds ("12" beats "12.3") so
-        # a pathological slow run cannot blow the output-line budget;
+        # values >= 10s degrade to whole seconds ("12" beats "12.3") and
+        # clamp at 999 (3 chars — a query that truly takes 1000s+ at this
+        # scale is a hang, and its exact magnitude matters less than
+        # keeping the whole line inside the driver's recorded window);
         # the short metric label buys ~24 chars over the long form
         def fmt(v: float):
             if ndigits <= 1 and v >= 10:
-                return round(v)          # "12" beats "12.3"
+                return min(round(v), 999)  # "12" beats "12.3"; cap 3 chars
             r = round(v, ndigits)
             return 0 if ndigits <= 1 and r == 0 else r  # "0" beats "0.0"
 

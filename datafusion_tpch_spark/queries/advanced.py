@@ -26,6 +26,26 @@ from ..functions.exact import dsum, dsum_sql
 from . import QuerySpec
 from .extensions import _t
 
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def _scratch_path(kind: str, sf_dir: str) -> str:
+    """Per-process scratch dir for the write-roundtrip gates.  The pid
+    keeps concurrent processes (driver gate + a local bench run) from
+    racing on one path; an atexit hook removes the dir so repeated runs
+    don't accumulate fixture-sized copies in /tmp.  Within a process the
+    gates still reuse the written files via their _SUCCESS checks."""
+    import atexit
+    import os
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_{kind}_{os.getpid()}_{tag}"
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, True)
+    return path
+
 # ===========================================================================
 # Snapshot-diff CDC changelog
 # ===========================================================================
@@ -1593,8 +1613,7 @@ def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     (o,) = _t(spark, sf_dir, "orders")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_orders_csv_{os.getpid()}_{tag}"
+    path = _scratch_path("orders_csv", sf_dir)
     fmt = "yyyy-MM-dd HH:mm:ss"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
@@ -1976,8 +1995,7 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     (o,) = _t(spark, sf_dir, "orders")
-    tag = sf_dir.strip("/").replace("/", "_")
-    root = f"/tmp/spark_graft_orders_evo_{os.getpid()}_{tag}"
+    root = _scratch_path("orders_evo", sf_dir)
     p1, p2 = os.path.join(root, "gen1"), os.path.join(root, "gen2")
     even = F.col("o_orderkey") % 2 == 0
     if not os.path.exists(os.path.join(p2, "_SUCCESS")):
@@ -2062,7 +2080,7 @@ WITH dirty AS (
 parsed AS (
   SELECT event_type,
          CASE WHEN json_valid(payload)
-              THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+              THEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
               ELSE NULL END AS k
   FROM dirty)
 SELECT event_type, COUNT(*) AS n_rows, COUNT(k) AS n_parsed,
@@ -2761,8 +2779,7 @@ def orders_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     (o,) = _t(spark, sf_dir, "orders")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_orders_json_{os.getpid()}_{tag}"
+    path = _scratch_path("orders_json", sf_dir)
     fmt = "yyyy-MM-dd HH:mm:ss"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
@@ -3004,8 +3021,7 @@ def orders_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     (o,) = _t(spark, sf_dir, "orders")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_orders_part_{os.getpid()}_{tag}"
+    path = _scratch_path("orders_part", sf_dir)
     # write-once per (process, fixture): the layout is deterministic, so
     # re-running the gate reuses it (as a real warehouse table would be
     # written once and queried many times).  repartition by the partition

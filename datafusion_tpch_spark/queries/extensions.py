@@ -37,7 +37,15 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 def _session_table(spark: SparkSession, sf_dir: str, tag: str,
                    build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    app_id = spark.sparkContext.applicationId
+    # only one SparkContext is live per process, so entries from any other
+    # applicationId belong to a stopped session — drop them instead of
+    # pinning dead checkpoint references for process lifetime (long-lived
+    # multi-session processes such as test runners)
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
+    key = (app_id, sf_dir, tag)
     cached = _TABLE_CACHE.get(key)
     if cached is None:
         cached = build().localCheckpoint()

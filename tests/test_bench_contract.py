@@ -10,16 +10,21 @@ import json
 from datafusion_tpch_spark.queries import all_queries
 
 # bench.py degrades per-query precision 3 -> 2 -> 1 digits, and in the
-# 1-digit fallback any value >= 10s collapses to whole seconds — so the
-# widest possible per-query value is "9.9" (3 chars; a 10-99s value is
-# "10".."99", 2 chars). The model stubs every value at that 3-char
-# maximum, mirroring bench.py's final-fallback encoder exactly.
+# 1-digit fallback any value >= 10s collapses to whole seconds clamped
+# at 999 — so the widest possible per-query value is exactly 3 chars
+# ("9.9", "99", or "999"; nothing can encode wider).  The model stubs
+# every value at that 3-char maximum, mirroring bench.py's
+# final-fallback encoder exactly.
 _DRIVER_TAIL = 4096
 _HEADROOM = 200  # trailing newline + stray shutdown chatter allowance
 
 
 def _final_fallback_length(value_stub: float) -> int:
-    v = round(value_stub) if value_stub >= 10 else round(value_stub, 1)
+    v = (
+        min(round(value_stub), 999)
+        if value_stub >= 10
+        else round(value_stub, 1)
+    )
     line = json.dumps(
         {
             "metric": "total query wall time",
@@ -34,8 +39,9 @@ def _final_fallback_length(value_stub: float) -> int:
 
 
 def test_final_fallback_fits_driver_tail():
-    # hard limit: the 3-char worst case must fit the recorded window
-    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM
+    # hard limit: even a pathological run where every query hits the
+    # 999-second clamp ("999" = the 3-char encoder maximum) must fit
+    assert _final_fallback_length(99999) <= _DRIVER_TAIL - _HEADROOM
 
 
 def test_registry_growth_margin():
