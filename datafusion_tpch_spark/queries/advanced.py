@@ -565,6 +565,7 @@ def customer_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate proves the *results* match the plain-join oracle).  At 100 TB
     this is the move for any join edge used repeatedly: pay the shuffle
     at write time, once, instead of per query."""
+    import atexit
     import os
     import shutil
 
@@ -575,22 +576,29 @@ def customer_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrent Spark processes (verify + pytest racing on the same
     # managed-table location corrupts the write), and a previous session
     # with the same pid may have left directories behind without this
-    # session's catalog knowing the tables — drop AND clear the location
-    tc, to = f"gate_customer_b_{os.getpid()}", f"gate_orders_b_{os.getpid()}"
+    # session's catalog knowing the tables.  Within a process the tables
+    # are written ONCE per fixture and reused — that is the point of
+    # bucketing (pay the shuffle at write time, once, not per query) —
+    # and an atexit hook removes the per-pid dirs so repeated processes
+    # don't accumulate copies in the warehouse.
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tc = f"gate_customer_b_{os.getpid()}_{tag}"
+    to = f"gate_orders_b_{os.getpid()}_{tag}"
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for t in (tc, to):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(
-            os.path.join(wh.removeprefix("file:"), t), ignore_errors=True
+    if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
+        for t in (tc, to):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = os.path.join(wh.removeprefix("file:"), t.lower())
+            shutil.rmtree(loc, ignore_errors=True)
+            atexit.register(shutil.rmtree, loc, True)
+        write_bucketed(
+            c.select(F.col("c_custkey").alias("custkey"), "c_mktsegment"),
+            tc, ["custkey"], 8, sort_cols=["custkey"],
         )
-    write_bucketed(
-        c.select(F.col("c_custkey").alias("custkey"), "c_mktsegment"),
-        tc, ["custkey"], 8, sort_cols=["custkey"],
-    )
-    write_bucketed(
-        o.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
-        to, ["custkey"], 8, sort_cols=["custkey"],
-    )
+        write_bucketed(
+            o.select(F.col("o_custkey").alias("custkey"), "o_totalprice"),
+            to, ["custkey"], 8, sort_cols=["custkey"],
+        )
     j = bucketed_join(spark, tc, to, ["custkey"])
     return (
         j.groupBy("c_mktsegment")

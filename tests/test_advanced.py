@@ -203,8 +203,12 @@ def test_bucketed_join_plan_has_no_join_exchange(spark):
     import os
 
     pid = os.getpid()
+    tag = SF_DIR.strip("/").replace("/", "_").replace(".", "_")
     j = bucketed_join(
-        spark, f"gate_customer_b_{pid}", f"gate_orders_b_{pid}", ["custkey"]
+        spark,
+        f"gate_customer_b_{pid}_{tag}",
+        f"gate_orders_b_{pid}_{tag}",
+        ["custkey"],
     )
     assert exchange_count(j) == 0
 
