@@ -1183,12 +1183,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_K)
         .collect()
     ]
-    assigned = ivf_assign(emb, centroids)
-    q = assigned.filter(F.col("vec_id") < _NQUERY).select(
+    # assign the query side from the pre-filtered rows: a filter cannot
+    # push through mapInPandas, so deriving q from the full `assigned`
+    # frame would run the Arrow assignment kernel over the whole corpus
+    # twice (once per join side)
+    q = ivf_assign(emb.filter(F.col("vec_id") < _NQUERY), centroids).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
     )
-    c = assigned.select(
+    c = ivf_assign(emb, centroids).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         F.col("cell").alias("ccell"),
     )
@@ -1350,7 +1353,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coded = pq_encode(emb, codebook)
 
-    q = coded.filter(F.col("vec_id") < _NQUERY).select(
+    # the query side carries raw embeddings only (ADC reconstructs the
+    # candidate side), so it reads emb directly — routing it through
+    # `coded` would run the encode kernel over the whole corpus twice
+    q = emb.filter(F.col("vec_id") < _NQUERY).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = coded.select(F.col("vec_id").alias("cand_id"), F.col("recon").alias("cr"))
@@ -1470,7 +1476,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_PQ_M)
     ]
     coded = ivf_pq_encode(emb, centroids, codebook)
-    q = coded.filter(F.col("vec_id") < _NQUERY).select(
+    # query side needs (embedding, cell) only — assign the 8 pre-filtered
+    # query rows instead of re-running the full-corpus encode kernel (a
+    # filter cannot push through mapInPandas, so q-from-`coded` would
+    # execute the Arrow pass twice)
+    from ..operators.similarity import ivf_assign
+
+    q = ivf_assign(emb.filter(F.col("vec_id") < _NQUERY), centroids).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
     )
