@@ -784,3 +784,55 @@ def test_simhash_hamming1_matches_bruteforce(spark):
             if h <= 1:
                 want[(a, b)] = h
     assert got == want and got
+
+
+# ------------------------------------------- partition-parallel plan shapes
+
+def _global_window_count(df) -> int:
+    """Windows whose spec has no partition column (first windowspecdefinition
+    argument is an ORDER column) — each one serializes all rows through a
+    single task, the shape the round-4 rewrites removed."""
+    import re
+
+    from datafusion_tpch_spark.plans import plan_string
+
+    plan = plan_string(df)
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
+def test_skyline_and_ring_windows_are_partitioned(spark):
+    for name in ("part_skyline", "docs_negative_pairs"):
+        df = _build(spark, name)
+        assert _global_window_count(df) == 0, name
+
+
+def test_kmv_plans_have_no_windows(spark):
+    """The two-level salted k-min is pure aggregation: the per-group
+    sort-window it replaced must not reappear."""
+    from datafusion_tpch_spark.plans import plan_string
+
+    for name in ("events_kmv_distinct", "events_kmv_setops"):
+        assert "Window" not in plan_string(_build(spark, name)), name
+
+
+def test_two_level_kmin_equals_global_kmin():
+    """Property: per-salt k-min partials, unioned and re-truncated, give
+    exactly the k smallest distinct hashes — the mergeability claim the
+    KMV sketch plans rely on."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    k, nsalt = 64, 64
+    for n in (10, 100, 5000):
+        hashes = np.unique(rng.integers(0, 2**62, size=n))
+        global_kmin = sorted(hashes)[:k]
+        partials = []
+        for s in range(nsalt):
+            shard = sorted(h for h in hashes if h % nsalt == s)[:k]
+            partials.extend(shard)
+        assert sorted(partials)[:k] == global_kmin
