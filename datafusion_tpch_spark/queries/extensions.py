@@ -1090,7 +1090,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(_LSH_PLANES)
         ],
     )
-    q = e.filter(F.col("vec_id") < _NQUERY).select(
+    # bucket the query side from the pre-filtered rows — a filter cannot
+    # push through mapInPandas, so q-from-`e` would run the bucketing
+    # kernel over the whole corpus once per join side
+    q = srp_bucket(emb.filter(F.col("vec_id") < _NQUERY), signs).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.explode(probes).alias("qb"),
     )
