@@ -319,10 +319,10 @@ def events_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
     from ..streaming.pipeline import hourly_agg_stream, run_stream_to_df
+    from .advanced import _scratch_path
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_events_split_{os.getpid()}_{tag}"
+    path = _scratch_path("events_split", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(8).write.mode(
             "overwrite"
