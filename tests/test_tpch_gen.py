@@ -143,3 +143,21 @@ def test_lineitem_sf1_constant():
     for i in range(1000):
         seed = (seed * mul) % m
         assert counts[i] == (seed * 7) // m + 1
+
+
+def test_reference_sf1_shape_assertions(spark):
+    """The reference's own SF1 shape test, ported verbatim: every table's
+    (rows, cols) at SF=1.0 must match the tpchgen assertions at
+    /root/reference/src/lib.rs:335-344 — including lineitem's 6,001,215,
+    which requires the spec LCG line-count stream.  Runs the distributed
+    generators for real (~20 s), the same scale the reference's CI runs."""
+    want = {
+        "nation": (25, 4), "customer": (150_000, 8),
+        "orders": (1_500_000, 9), "lineitem": (6_001_215, 16),
+        "part": (200_000, 9), "partsupp": (800_000, 5),
+        "supplier": (10_000, 7), "region": (5, 3),
+    }
+    for table, (rows, cols) in want.items():
+        df = tpch_gen.call_tpch(spark, table, 1.0)
+        assert len(df.columns) == cols, table
+        assert df.count() == rows, table
