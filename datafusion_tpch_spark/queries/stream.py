@@ -54,9 +54,12 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization, streaming execution."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = session_window_stream(read_events_stream(spark, sf_dir))
-    return run_stream_to_df(spark, stream, "events_session_stream").orderBy(
-        "user_id", "session_start"
-    )
+    # session-merge state is per (user, session) — far more keys than the
+    # window/type aggregates, so it profits from more state partitions
+    # (measured at sf0.1: 2/4/8 parts = 1.19/1.03/0.96 s)
+    return run_stream_to_df(
+        spark, stream, "events_session_stream", partitions=8
+    ).orderBy("user_id", "session_start")
 
 
 # session_window boundary rule: event windows are [ts, ts+gap) and merge on

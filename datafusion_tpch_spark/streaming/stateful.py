@@ -55,7 +55,9 @@ def sessionize_with_state(
         (user_id,) = key
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+            ts_us.extend(
+                (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            )
         ts_us.sort()
         if state.exists:
             start_us, last_us, n_events = state.get
