@@ -651,18 +651,19 @@ def token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in range(_CMS_D)
     ])
+    # counter(r,c) is the sum of term counts hashing to c, so the sketch
+    # builds from the per-term aggregate: the d-fold row expansion and
+    # md5 hashing now run over the vocabulary-sized count table instead
+    # of the full occurrence stream (the previous form exploded every
+    # occurrence d times).  Counters are bit-identical to
+    # occurrence-level accumulation.
+    counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
     sketch = (
-        occ.select(F.explode(rows).alias("rc"))
-        .select("rc.r", "rc.c")
-        .groupBy("r", "c")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        counts.select("exact_count", F.explode(rows).alias("rc"))
+        .groupBy("rc.r", "rc.c")
+        .agg(F.sum("exact_count").alias("cnt"))
     )
-    top = (
-        occ.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), "term")
-        .limit(_CMS_TOPK)
-    )
+    top = counts.orderBy(F.col("exact_count").desc(), "term").limit(_CMS_TOPK)
     probe = top.select(
         "term", "exact_count", F.explode(rows).alias("rc")
     ).select("term", "exact_count", "rc.r", "rc.c")
