@@ -110,30 +110,32 @@ ORDER BY p_brand
 
 def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier treatment by winsorizing: per returnflag, prices are
-    clipped to the exact nearest-rank [p01, p99] band.  Thresholds come
-    from one rank window over the (price, key) order and integer rank
-    targets (ceil(n/100), ceil(99n/100)) — no interpolation, no libm —
-    then broadcast back for the clip pass.  Output audits the treatment:
-    rows, caps applied at each tail, the thresholds, and the
-    quantized-exact clipped sum.  Two window passes + one broadcast
-    join; at 100 TB the flag partitioning carries both."""
+    clipped to the exact nearest-rank [p01, p99] band with integer rank
+    targets (ceil(n/100), ceil(99n/100)) — no interpolation, no libm.
+    The nearest-rank threshold depends only on the price MULTISET, so it
+    comes from a cumulative count over the distinct-(flag, price) table:
+    one hash aggregation, one per-flag window whose reducer carries
+    |price domain| rows — a bounded domain for a DECIMAL(15,2) money
+    column — never the data itself (the row-level rank window this
+    replaces would drag every row of a 100 TB table through 3 reducers;
+    if the value domain ever outgrew a reducer, part_skyline's
+    range-sharded prefix scan is the next rung).  Thresholds broadcast
+    back for the clip pass; output audits the treatment."""
     (li,) = _t(spark, sf_dir, "lineitem")
     base = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    w = Window.partitionBy("flag").orderBy("price", "l_orderkey", "l_linenumber")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("flag"))
-    )
+    counts = base.groupBy("flag", "price").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("flag").agg(F.sum("c").alias("cnt"))
+    cum = counts.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("flag").orderBy("price"))
+    ).join(F.broadcast(tot), "flag")
     lo_target = F.floor((F.col("cnt") + 99) / 100)
     hi_target = F.floor((F.lit(99) * F.col("cnt") + 99) / 100)
-    th = (
-        ranked.filter((F.col("rn") == lo_target) | (F.col("rn") == hi_target))
-        .groupBy("flag")
-        .agg(F.min("price").alias("p01"), F.max("price").alias("p99"))
+    th = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") >= lo_target, F.col("price"))).alias("p01"),
+        F.min(F.when(F.col("cum") >= hi_target, F.col("price"))).alias("p99"),
     )
     clipped = base.join(F.broadcast(th), "flag").select(
         "flag",
