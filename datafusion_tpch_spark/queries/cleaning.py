@@ -31,11 +31,12 @@ def part_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-value repair: prices nulled on a deterministic key modulus
     are imputed with the per-brand exact lower median of the surviving
     values — the classic grouped-median fill.  The median is nearest-rank
-    (position ceil(n/2) in the (price, key) order — integer arithmetic,
-    no interpolation), computed with one rank window over the non-null
-    rows and one tiny broadcast join back; at 100 TB the window
-    partitions by brand exactly like any grouped quantile.  Output
-    audits the repair: rows, nulls imputed, the median used, and the
+    (position ceil(n/2) — integer arithmetic, no interpolation), and the
+    rank threshold depends only on the price multiset, so it comes from
+    a cumulative count over the distinct-(brand, price) table — the same
+    domain-bounded form as lineitem_winsorize: the per-brand reducer
+    carries |price domain| rows, never the data.  Output audits the
+    repair: rows, nulls imputed, the median used, and the
     quantized-exact post-repair sum per brand."""
     (p,) = _t(spark, sf_dir, "part")
     dirty = p.select(
@@ -46,13 +47,18 @@ def part_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     )
     ok = dirty.filter(F.col("price").isNotNull())
-    w = Window.partitionBy("p_brand").orderBy("price", "p_partkey")
-    ranked = ok.withColumn("rn", F.row_number().over(w)).withColumn(
-        "cnt", F.count(F.lit(1)).over(Window.partitionBy("p_brand"))
+    counts = ok.groupBy("p_brand", "price").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("p_brand").agg(F.sum("c").alias("cnt"))
+    cum = counts.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("p_brand").orderBy("price"))
+    ).join(F.broadcast(tot), "p_brand")
+    med = cum.groupBy("p_brand").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("cnt") + 1) / 2), F.col("price")
+            )
+        ).alias("brand_median")
     )
-    med = ranked.filter(
-        F.col("rn") == F.floor((F.col("cnt") + 1) / 2)
-    ).select("p_brand", F.col("price").alias("brand_median"))
     fixed = dirty.join(F.broadcast(med), "p_brand").select(
         "p_brand",
         "price",
