@@ -707,6 +707,7 @@ ORDER BY exact_count DESC, term
 # ===========================================================================
 
 _RKMV_K = 64
+_RKMV_SALTS = 64  # shard fan-out for the two-level per-day k-min
 _RKMV_WIN = 3  # trailing days, inclusive
 _RKMV_SPACE = float(2**63)
 
@@ -726,12 +727,16 @@ def events_rolling_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.abs(hashing.md5_int(F.col("user_id").cast("string"))).alias("h"),
     ).distinct()
-    wrank = Window.partitionBy("day").orderBy("h")
-    per_day = (
-        du.withColumn("rn", F.row_number().over(wrank))
-        .filter(F.col("rn") <= _RKMV_K)
-        .groupBy("day")
-        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    # two-level salted k-min per day (same mergeable form as
+    # events_kmv_distinct) — no day's full distinct-user set ever meets
+    # a single reducer
+    shard = du.groupBy(
+        "day", F.pmod(F.col("h"), F.lit(_RKMV_SALTS)).alias("salt")
+    ).agg(F.slice(F.sort_array(F.collect_list("h")), 1, _RKMV_K).alias("kp"))
+    per_day = shard.groupBy("day").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("kp"))), 1, _RKMV_K
+        ).alias("kmin")
     )
     wroll = Window.orderBy("day").rowsBetween(-(_RKMV_WIN - 1), 0)
     merged = per_day.select(

@@ -1670,14 +1670,22 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
     )
-    med = (
-        toks.groupBy("lang")
-        .agg(
-            F.element_at(
-                F.sort_array(F.collect_list("n_tokens")),
-                F.ceil(F.count(F.lit(1)) / 2).cast("int"),
-            ).alias("median_tokens")
-        )
+    # nearest-rank median from the domain-bounded cumulative count over
+    # distinct (lang, n_tokens) — token counts are small integers, so
+    # the per-lang reducer carries |count domain| rows, never the corpus
+    # (the collect_list form this replaces gathered every doc's count
+    # into one array per language)
+    tc = toks.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("lang").agg(F.sum("c").alias("cnt"))
+    cum = tc.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("n_tokens"))
+    ).join(F.broadcast(tot), "lang")
+    med = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("cnt") / 2), F.col("n_tokens")
+            )
+        ).alias("median_tokens")
     )
     kept = toks.join(F.broadcast(med), "lang").filter(
         F.col("n_tokens") > F.col("median_tokens")
