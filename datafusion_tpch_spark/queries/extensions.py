@@ -1779,20 +1779,44 @@ ORDER BY doc_id
 
 
 _TOP_DOCS_K = 3
+_TOP_SALTS = 16  # shard fan-out for the two-level grouped top-k
 
 
 def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (grouped top-k pattern): the k longest documents per
-    language by token count, ties broken by doc_id.  Partitioned
-    row_number — each group ranks independently; no global sort."""
+    language by token count, ties broken by doc_id.  Two-level salted
+    top-k — per (lang, salt) shard keep the k best as a sorted struct
+    slice, then merge-and-re-truncate per language — so no language's
+    full corpus ever meets one reducer (a per-lang rank window would put
+    corpus/|langs| rows on each task at 100 TB); the merge sees at most
+    salts x k structs per group.  The sort key (-n_tokens, doc_id) makes
+    ascending struct order exactly the (tokens desc, id asc) ranking."""
     (docs,) = _t(spark, sf_dir, "documents")
     n_tok = text.token_count(F.col("text"))
-    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    return (
+    key = F.struct(
+        (-F.col("n_tokens")).alias("nk"), F.col("doc_id").alias("doc_id")
+    )
+    shard = (
         docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_DOCS_K)
-        .select("lang", "rnk", "doc_id", "n_tokens")
+        .groupBy("lang", F.pmod(F.col("doc_id"), F.lit(_TOP_SALTS)).alias("salt"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list(key)), 1, _TOP_DOCS_K)
+            .alias("tk")
+        )
+    )
+    merged = shard.groupBy("lang").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("tk"))), 1, _TOP_DOCS_K
+        ).alias("tk")
+    )
+    return (
+        merged.select("lang", F.posexplode("tk").alias("pos", "s"))
+        .select(
+            "lang",
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+            F.col("s.doc_id").alias("doc_id"),
+            (-F.col("s.nk")).alias("n_tokens"),
+        )
         .orderBy("lang", "rnk")
     )
 
@@ -3123,25 +3147,42 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank quantiles of ``value`` per event_type, on
     floor-quantized integers so both engines select the identical element
     (interpolating quantile definitions differ engine-to-engine; nearest
-    rank on ints cannot).  At 100 TB swap in approx_percentile — same
-    column contract, sketch-merge execution."""
+    rank on ints cannot).  The rank element comes from a cumulative
+    count over distinct (type, quantized value) — reducer input is the
+    |value domain|, never the event stream (the collect-everything form
+    this replaces gathered every event into one array per type).  At
+    extreme domains swap in approx_percentile — same column contract,
+    sketch-merge execution."""
     (ev,) = _t(spark, sf_dir, "events")
     qv = F.floor(F.col("value") * F.lit(1e6)).cast("long")
-    agg = ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(qv)).alias("vals"),
-        F.count(F.lit(1)).alias("n_events"),
+    counts = ev.groupBy("event_type", qv.alias("qv")).agg(
+        F.count(F.lit(1)).alias("c")
     )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n_events"))
+    cum = counts.withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("event_type").orderBy("qv")),
+    ).join(F.broadcast(tot), "event_type")
     cols = [
         (
-            F.element_at(
-                F.col("vals"),
-                F.greatest(F.ceil(F.lit(q) * F.col("n_events")), F.lit(1)).cast("int"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.greatest(
+                        F.ceil(F.lit(q) * F.col("n_events")), F.lit(1)
+                    ),
+                    F.col("qv"),
+                )
             )
             / 1e6
         ).alias(f"p{int(q * 100)}")
         for q in _QUANTILES
     ]
-    return agg.select("event_type", "n_events", *cols).orderBy("event_type")
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n_events").alias("n_events"), *cols)
+        .orderBy("event_type")
+    )
 
 
 _QCOLS_SQL = ",\n       ".join(
