@@ -2955,6 +2955,7 @@ ORDER BY band
 # ===========================================================================
 
 _LATE_MS = 3_600_000  # 1-hour watermark horizon
+_LATE_RANGES = 32  # event_id range shards for the two-pass prefix max
 
 
 def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2964,19 +2965,44 @@ def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-hour horizon; exactly the rows ``withWatermark('ts', '1 hour')``
     would drop from an aggregation.  The tool for choosing a production
     watermark: run the audit over history at several horizons and read
-    the drop rate.  One window pass partitioned by event_type (the
-    per-stream admission boundary); integer epoch-ms arithmetic."""
+    the drop rate.  The running high-water mark is a range-sharded
+    two-pass prefix max over arrival order (local prefix per event_id
+    shard + a broadcast triangle-join boundary max from earlier shards)
+    — a per-type window would drag each stream's full history through
+    one reducer; integer epoch-ms arithmetic."""
     (ev,) = _t(spark, sf_dir, "events")
-    wo = (
-        Window.partitionBy("event_type")
+    ms = F.unix_millis(F.col("ts"))
+    ranged = ev.select(
+        "event_type", "event_id", ms.alias("t")
+    ).repartitionByRange(_LATE_RANGES, "event_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("pid", "event_type")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ms = F.unix_millis(F.col("ts"))
-    flagged = ev.select(
-        "event_type",
-        ms.alias("t"),
-        F.max(ms).over(wo).alias("hwm"),
+    shard_max = ranged.groupBy("pid", "event_type").agg(
+        F.max("t").alias("sm")
+    )
+    prior = shard_max.select(
+        F.col("pid").alias("ppid"), F.col("event_type").alias("ptype"),
+        F.col("sm").alias("psm"),
+    )
+    boundary = (
+        shard_max.join(
+            F.broadcast(prior),
+            (F.col("ppid") < F.col("pid"))
+            & (F.col("ptype") == F.col("event_type")),
+            "left",
+        )
+        .groupBy("pid", "event_type")
+        .agg(F.max("psm").alias("priormax"))
+    )
+    flagged = (
+        ranged.withColumn("localmax", F.max("t").over(local_w))
+        .join(F.broadcast(boundary), ["pid", "event_type"])
+        .withColumn("hwm", F.greatest("localmax", "priormax"))
     ).withColumn(
         "late",
         F.when(

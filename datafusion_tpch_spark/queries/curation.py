@@ -257,22 +257,26 @@ def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain (source) mixture weighting: per-source token share of the
     corpus and the resampling weight that flattens the mixture to uniform
     across sources — the input every mixture-tuned training run needs.
-    One aggregation to |sources| rows; the share/weight arithmetic runs on
-    the aggregated (tiny) frame, so the window over it is free.
+    One aggregation to |sources| rows; the corpus totals re-aggregate
+    that tiny frame and broadcast back (a scalar join, not an
+    unpartitioned window — keeps the no-global-window invariant even
+    where it would be harmless).
     """
     (docs,) = _t(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(text.token_count(F.col("text"))).alias("n_tokens"),
     )
-    w = Window.partitionBy()
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
     return (
-        per_src.withColumn(
-            "corpus_share", F.col("n_tokens") / F.sum("n_tokens").over(w)
-        )
+        per_src.crossJoin(F.broadcast(totals))
         .withColumn(
-            "target_share", F.lit(1.0) / F.count(F.lit(1)).over(w)
+            "corpus_share", F.col("n_tokens") / F.col("tot_tokens")
         )
+        .withColumn("target_share", F.lit(1.0) / F.col("n_sources"))
         .withColumn("weight", F.col("target_share") / F.col("corpus_share"))
         .select(
             "source", "n_docs", "n_tokens", "corpus_share", "target_share",
@@ -417,6 +421,7 @@ ORDER BY event_type
 # ===========================================================================
 
 _RES_K = 20
+_RES_SALTS = 16  # shard fan-out for the mergeable per-group sample
 
 
 def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,18 +432,33 @@ def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged per-shard top-ks), so shards sample independently and
     combine without coordination — unlike classic reservoir state, and
     unlike Bernoulli sampling (`docs_mixture_sample`) this guarantees
-    the sample SIZE.  One window shuffle on lang; at 100 TB the
-    per-shard top-k pre-aggregation bounds what reaches it."""
+    the sample SIZE.  Executed in exactly that mergeable form: per
+    (lang, salt) shard keep the k smallest hashes as a sorted struct
+    slice, then merge-and-re-truncate per language — no language's full
+    corpus ever meets one reducer, and the merge sees at most
+    salts x k structs per group."""
     (docs,) = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    key = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    shard = docs.groupBy(
+        "lang", F.pmod(F.col("doc_id"), F.lit(_RES_SALTS)).alias("salt")
+    ).agg(F.slice(F.sort_array(F.collect_list(key)), 1, _RES_K).alias("tk"))
+    merged = shard.groupBy("lang").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("tk"))), 1, _RES_K
+        ).alias("tk")
     )
     return (
-        docs.select(
-            "lang", "doc_id", "n_chars",
-            F.row_number().over(w).cast("int").alias("rank"),
+        merged.select("lang", F.posexplode("tk").alias("pos", "s"))
+        .select(
+            "lang",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.n_chars").alias("n_chars"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
         )
-        .filter(F.col("rank") <= _RES_K)
         .orderBy("lang", "rank")
     )
 
