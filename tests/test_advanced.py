@@ -836,3 +836,40 @@ def test_two_level_kmin_equals_global_kmin():
             shard = sorted(h for h in hashes if h % nsalt == s)[:k]
             partials.extend(shard)
         assert sorted(partials)[:k] == global_kmin
+
+
+# Global (unpartitioned) windows are allowed ONLY over bounded aggregate
+# tables — vocabulary, day/month grids, dimension aggregates — never over
+# raw data-sized input.  This allowlist pins the audited set; a new query
+# adding a global window must be reviewed for input boundedness and added
+# here explicitly.
+_BOUNDED_GLOBAL_WINDOWS = {
+    "docs_bm25_topk": 2,       # term-df vocabulary table
+    "docs_bpe_pairs": 1,       # adjacent-pair vocabulary table
+    "docs_dsir_score": 1,      # top-k budget rows (rank AFTER TakeOrdered)
+    "embeddings_top_eigvec": 1,  # d-row eigenvector table
+    "events_path_ngrams": 1,   # |types|^3 trigram table
+    "events_rolling_kmv": 2,   # per-day sketch table (bounded day grid)
+    "orders_seasonality": 2,   # month grid (centered moving average)
+    "q15_window": 1,           # per-supplier aggregate (dimension-sized)
+}
+
+
+def test_global_windows_only_on_bounded_inputs(spark):
+    import re
+
+    from datafusion_tpch_spark.plans import plan_string
+
+    got = {}
+    for name, spec in all_queries().items():
+        try:
+            plan = plan_string(spec.build(spark, SF_DIR))
+        except Exception:
+            continue
+        n = 0
+        for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+            if " ASC" in m.group(1) or " DESC" in m.group(1):
+                n += 1
+        if n:
+            got[name] = n
+    assert got == _BOUNDED_GLOBAL_WINDOWS
