@@ -78,6 +78,7 @@ ORDER BY doc_id
 # ===========================================================================
 
 _PACK_LEN = 512         # target training-sequence length in tokens
+_PACK_RANGES = 32       # doc_id range shards for the two-pass prefix sum
 
 
 def docs_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,18 +86,41 @@ def docs_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic order and cut into fixed-length training sequences; a
     doc belongs to the sequence where it starts.
 
-    Partitioned by source so the running-total window parallelizes per
-    shard (a single global cumsum would serialize the corpus through one
-    task) — exactly how a sharded tokenizer run packs in production.
-    Output is the per-sequence manifest: docs packed and tokens filled.
+    The running total is a range-sharded two-pass prefix sum inside each
+    source (local cumsum per doc_id shard + a broadcast triangle-join
+    offset from earlier shards) — a plain per-source window would drag a
+    source's whole corpus through one reducer, since sources number a
+    handful however large the data.  Output is the per-sequence
+    manifest: docs packed and tokens filled.
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
     toks = docs.select(
         "source", "doc_id", text.token_count(F.col("text")).alias("n_tok")
     )
+    ranged = toks.repartitionByRange(_PACK_RANGES, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid", "source").orderBy("doc_id")
+    shard_tot = ranged.groupBy("pid", "source").agg(
+        F.sum("n_tok").alias("st")
+    )
+    prior = shard_tot.select(
+        F.col("pid").alias("ppid"), F.col("source").alias("psrc"),
+        F.col("st").alias("pst"),
+    )
+    offsets = (
+        shard_tot.join(
+            F.broadcast(prior),
+            (F.col("ppid") < F.col("pid")) & (F.col("psrc") == F.col("source")),
+            "left",
+        )
+        .groupBy("pid", "source")
+        .agg(F.coalesce(F.sum("pst"), F.lit(0)).alias("offset"))
+    )
     return (
-        toks.withColumn("cum", F.sum("n_tok").over(w))
+        ranged.withColumn("lcum", F.sum("n_tok").over(local_w))
+        .join(F.broadcast(offsets), ["pid", "source"])
+        .withColumn("cum", F.col("offset") + F.col("lcum"))
         .withColumn(
             "seq_id",
             F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_LEN)),
