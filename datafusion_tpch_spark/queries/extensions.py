@@ -3722,6 +3722,7 @@ EVENTS_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
 
 
 _CONC_MINUTES = 5  # each event holds a resource for 5 minutes
+_CONC_RANGES = 32  # time shards for the sweep-line prefix scan
 
 
 def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3739,9 +3740,13 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sums per group, so MAX is deterministic — the only
     aggregate the gate emits.
 
-    Plan: one narrow 2x explode, one window shuffle keyed on
-    event_type, one hash aggregation.  Linear; at 100 TB the window
-    partitions by (type, day) with per-day carry-in, same plan shape."""
+    Plan: one narrow 2x explode, then the running sum as a range-sharded
+    two-pass prefix scan over the ordered points (local cumsum per time
+    shard + a broadcast triangle-join carry-in from earlier shards) —
+    a plain per-type window would drag each type's full point stream
+    through one reducer.  Linear at any scale; the carry-in IS the
+    per-shard generalization of the per-day carry a production
+    time-partitioned layout uses."""
     (ev,) = _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
@@ -3757,13 +3762,35 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
-    w = (
-        Window.partitionBy("event_type")
+    ranged = pts.repartitionByRange(_CONC_RANGES, "t", "delta").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("pid", "event_type")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    shard_tot = ranged.groupBy("pid", "event_type").agg(
+        F.sum("delta").alias("sd")
+    )
+    prior = shard_tot.select(
+        F.col("pid").alias("ppid"), F.col("event_type").alias("ptype"),
+        F.col("sd").alias("psd"),
+    )
+    offsets = (
+        shard_tot.join(
+            F.broadcast(prior),
+            (F.col("ppid") < F.col("pid"))
+            & (F.col("ptype") == F.col("event_type")),
+            "left",
+        )
+        .groupBy("pid", "event_type")
+        .agg(F.coalesce(F.sum("psd"), F.lit(0)).alias("carry"))
+    )
     return (
-        pts.withColumn("live", F.sum("delta").over(w))
+        ranged.withColumn("lsum", F.sum("delta").over(local_w))
+        .join(F.broadcast(offsets), ["pid", "event_type"])
+        .withColumn("live", F.col("carry") + F.col("lsum"))
         .groupBy("event_type")
         .agg(F.max("live").alias("max_concurrent"))
         .orderBy("event_type")
