@@ -344,7 +344,8 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part), so corruption in the alpha prefix never splits a block; each
     block holds ~100 candidates regardless of corpus size, keeping the
     join linear.  Best match per dirty record = min Levenshtein, ties to
-    the lowest key (a window election, one shuffle)."""
+    the lowest key — elected as min(struct(dist, key)), a plain hash
+    aggregate with map-side combine (no per-group sort window)."""
     (c,) = _t(spark, sf_dir, "customer")
 
     def block(col):
@@ -364,16 +365,17 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.withColumn(
         "dist", F.levenshtein("dirty_name", "c_name")
     )
-    w = Window.partitionBy("dirty_id").orderBy("dist", "c_custkey")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = scored.groupBy("dirty_id", "dirty_nation").agg(
+        F.min(F.struct("dist", "c_custkey")).alias("m")
+    )
     return (
         best.groupBy(F.col("dirty_nation").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_dirty"),
             F.sum(
-                F.when(F.col("c_custkey") == F.col("dirty_id"), 1).otherwise(0)
+                F.when(F.col("m.c_custkey") == F.col("dirty_id"), 1).otherwise(0)
             ).alias("n_recovered"),
-            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.sum("m.dist").cast("bigint").alias("sum_dist"),
         )
         .orderBy("c_nationkey")
     )
