@@ -207,13 +207,11 @@ def label_propagation(
 
     Each round is one hash join (labels onto the doubled edge list) and
     one two-level aggregation (label counts → per-node argmax via
-    row_number) — node-keyed shuffles only, nothing data-sized on the
-    driver, fixed round count → one Catalyst plan.  The same loop at
-    100 TB partitions by node id; the doubled edge list is materialized
-    once and reused by every round.
+    a min(struct) argmax election) — node-keyed shuffles only, nothing
+    data-sized on the driver, fixed round count → one Catalyst plan.
+    The same loop at 100 TB partitions by node id; the doubled edge
+    list is materialized once and reused by every round.
     """
-    from pyspark.sql.window import Window as W
-
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -230,10 +228,16 @@ def label_propagation(
         counts = neigh.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("n")
         )
-        w = W.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+        # argmax(count) with ties to the smallest label, as a hash
+        # aggregate: min of the struct (-n, label) is exactly that
+        # ordering, with map-side combine instead of a per-node sort
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("nn"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
         )
     return labels
