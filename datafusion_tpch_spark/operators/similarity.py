@@ -344,6 +344,9 @@ def srp_bucket(
             out = pdf[[id_col, vec_col]].copy()
             out[out_col] = ((proj >= 0) * weights).sum(axis=1)
             if pair_probe_col is not None:
+                # key = |proj| * 8 + p is lexicographic (|proj|, p) ONLY
+                # while p < 8; the oracle SQL mirrors the same * 8 / % 8
+                assert n_planes <= 8, "margin-probe key encoding caps at 8 planes"
                 key = np.abs(proj) * 8 + np.arange(n_planes, dtype=np.int64)
                 near = np.argsort(key, axis=1)[:, :3]  # 3 closest planes
                 m = 1 << near.astype(np.int64)

@@ -72,7 +72,9 @@ def all_queries() -> dict[str, QuerySpec]:
             merged[spec.name] = spec
     out: dict[str, QuerySpec] = {}
     for name in _CHECK_FIRST:
-        if name in merged:
-            out[name] = merged.pop(name)
+        # a typo here would silently drop the query out of the driver's
+        # first-50 gate window — the exact gap the rotation exists to close
+        assert name in merged, f"_CHECK_FIRST entry {name!r} not in registry"
+        out[name] = merged.pop(name)
     out.update(merged)
     return out

@@ -55,9 +55,12 @@ def sessionize_with_state(
         (user_id,) = key
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend(
-                (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
-            )
+            # pin the unit BEFORE the integer view: pandas 2 preserves
+            # non-ns datetime units, so a bare astype("int64") would
+            # yield microseconds (1000x off) if the Arrow path ever
+            # stops coercing to nanoseconds
+            ts_ns = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+            ts_us.extend((ts_ns.astype("int64") // 1000).tolist())
         ts_us.sort()
         if state.exists:
             start_us, last_us, n_events = state.get

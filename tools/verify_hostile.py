@@ -33,7 +33,7 @@ def main() -> int:
 
     from datafusion_tpch_spark import FIXTURE_TABLES
     from datafusion_tpch_spark.queries import all_queries
-    from tools.verify_oracle import canon, dtype_mismatches
+    from tools.verify_oracle import compare
 
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
@@ -47,20 +47,15 @@ def main() -> int:
         if spec.oracle is None:
             continue
         try:
-            sdf = canon(spec.build(spark, sf_dir).toPandas())
-            odf = canon(con.execute(spec.oracle).df())
+            sdf = spec.build(spark, sf_dir).toPandas()
+            odf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
             failures += 1
             continue
-        bad = (
-            list(sdf.columns) != list(odf.columns)
-            or sdf.shape != odf.shape
-            or dtype_mismatches(sdf, odf)
-            or not (sdf.astype(str).values == odf.astype(str).values).all()
-        )
-        if bad:
-            print(f"FAIL {name}: shape {sdf.shape} vs {odf.shape}")
+        status = compare(sdf, odf)
+        if status:
+            print(f"FAIL {name}: {status}")
             failures += 1
         else:
             print(f"OK   {name}: {len(sdf)} rows")

@@ -40,6 +40,31 @@ def dtype_mismatches(s: pd.DataFrame, o: pd.DataFrame) -> list[str]:
     ]
 
 
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> "str | None":
+    """Driver-style Spark-vs-oracle comparison (schema, dtypes, rows,
+    cell values after canonicalization).  Returns None on match, else a
+    diagnostic string with the first differing cells.  Shared by the
+    hostile-conditions gate (tools/verify_hostile.py) so the two
+    verification paths cannot drift."""
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        return f"schema mismatch: spark={list(s.columns)} oracle={list(o.columns)}"
+    if dtype_mismatches(s, o):
+        return f"dtype mismatch: {dtype_mismatches(s, o)}"
+    if len(s) != len(o):
+        return f"rowcount mismatch: spark={len(s)} oracle={len(o)}"
+    if not s.equals(o):
+        diff = (s != o)
+        ncell = int(diff.to_numpy().sum())
+        badcols = [c for c in s.columns if diff[c].any()]
+        status = f"value mismatch: {ncell} cells in {badcols}"
+        for c in badcols[:2]:
+            idx = diff[c].idxmax()
+            status += f" | {c}[{idx}]: spark={s[c][idx]!r} oracle={o[c][idx]!r}"
+        return status
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -69,27 +94,12 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
             continue
-        s, o = canon(sdf), canon(odf)
-        status = None
-        if list(s.columns) != list(o.columns):
-            status = f"schema mismatch: spark={list(s.columns)} oracle={list(o.columns)}"
-        elif dtype_mismatches(s, o):
-            status = f"dtype mismatch: {dtype_mismatches(s, o)}"
-        elif len(s) != len(o):
-            status = f"rowcount mismatch: spark={len(s)} oracle={len(o)}"
-        elif not s.equals(o):
-            diff = (s != o)
-            ncell = int(diff.to_numpy().sum())
-            badcols = [c for c in s.columns if diff[c].any()]
-            status = f"value mismatch: {ncell} cells in {badcols}"
-            for c in badcols[:2]:
-                idx = diff[c].idxmax()
-                status += f" | {c}[{idx}]: spark={s[c][idx]!r} oracle={o[c][idx]!r}"
+        status = compare(sdf, odf)
         if status:
             print(f"FAIL {name}: {status}")
             failures.append(name)
         else:
-            print(f"OK   {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
