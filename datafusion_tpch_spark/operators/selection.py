@@ -1,0 +1,167 @@
+"""Distributed order-statistics / prefix-scan building blocks.
+
+Three patterns recur across the query surface wherever a naive plan
+would drag a data-sized (or domain-unbounded) row set through a single
+reducer.  Each is implemented once here and reused by every gate; the
+algebraic identities they rely on are property-tested in
+tests/test_selection_algebra.py.
+
+- :func:`sharded_prefix` — range-sharded two-pass prefix aggregate
+  (running sum / max / rank): local prefix per shard + a broadcast
+  triangle-join carry-in from earlier shards.  No task ever holds more
+  than one shard of the order.
+- :func:`salted_topk` — two-level salted per-group top-k: per
+  (group, salt) keep the k lexicographically-smallest key structs as a
+  sorted slice, then union-and-re-truncate per group.  The merge sees
+  at most salts x k structs per group.
+- :func:`rank_thresholds` — nearest-rank selection (quantiles, medians,
+  winsorize bounds) from a cumulative count over DISTINCT values: the
+  rank element depends only on the value multiset, so reducer input is
+  the value domain, never the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_RANGES = 32  # range-shard fan-out for the prefix scans
+
+
+def _carry_join(
+    shard_tot: DataFrame, partition_by: Sequence[str], agg, out: str
+) -> DataFrame:
+    """Per-(pid, group) aggregate of all EARLIER shards' totals — the
+    boundary exchange of the two-pass scans.  #shards x #groups rows,
+    broadcast both sides."""
+    renames = {c: f"_p_{c}" for c in ["pid", *partition_by]}
+    prior = shard_tot.select(
+        *[F.col(c).alias(n) for c, n in renames.items()],
+        F.col("_st").alias("_pst"),
+    )
+    cond = F.col("_p_pid") < F.col("pid")
+    for c in partition_by:
+        cond = cond & (F.col(f"_p_{c}") == F.col(c))
+    return (
+        shard_tot.join(F.broadcast(prior), cond, "left")
+        .groupBy("pid", *partition_by)
+        .agg(agg(F.col("_pst")).alias(out))
+    )
+
+
+def sharded_prefix(
+    df: DataFrame,
+    *,
+    order_by: Sequence[str],
+    value: Column,
+    agg: str,
+    partition_by: Sequence[str] = (),
+    inclusive: bool = True,
+    num_ranges: int = DEFAULT_RANGES,
+    out_col: str = "prefix",
+) -> DataFrame:
+    """Append ``out_col`` = running ``agg`` of ``value`` over rows ordered
+    by ``order_by`` within each ``partition_by`` group, computed as a
+    range-sharded two-pass scan (never a global / low-cardinality-keyed
+    window).
+
+    ``agg``: ``"sum"`` (carry-in added; inclusive sums are never null) or
+    ``"max"`` (carry-in via ``greatest`` — null iff no predecessor exists
+    anywhere, preserving the strictly-previous-row semantics callers
+    filter on).  ``inclusive=False`` excludes the current row.
+    Also appends a ``pid`` shard column (callers may drop it).
+    """
+    ranged = df.repartitionByRange(num_ranges, *order_by).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    frame_end = 0 if inclusive else -1
+    local_w = (
+        Window.partitionBy("pid", *partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    fagg = {"sum": F.sum, "max": F.max}[agg]
+    local = fagg(value).over(local_w)
+    shard_tot = ranged.groupBy("pid", *partition_by).agg(
+        fagg(value).alias("_st")
+    )
+    if agg == "sum":
+        carry = _carry_join(
+            shard_tot, partition_by, lambda c: F.coalesce(F.sum(c), F.lit(0)),
+            "_carry",
+        )
+        combined = F.col("_carry") + F.coalesce(F.col("_local"), F.lit(0))
+    else:
+        carry = _carry_join(shard_tot, partition_by, F.max, "_carry")
+        combined = F.greatest(F.col("_local"), F.col("_carry"))
+    return (
+        ranged.withColumn("_local", local)
+        .join(F.broadcast(carry), ["pid", *partition_by])
+        .withColumn(out_col, combined)
+        .drop("_local", "_carry")
+    )
+
+
+def salted_topk(
+    df: DataFrame,
+    *,
+    group_by: Sequence[str],
+    key: Column,
+    k: int,
+    salt: Column,
+    extras_partial: Sequence[Column] = (),
+    extras_final: Sequence[Column] = (),
+    out_col: str = "topk",
+) -> DataFrame:
+    """Per-group array of the ``k`` lexicographically-smallest ``key``
+    structs, as a two-level salted aggregation: per (group, salt) sorted
+    slice, then union-and-re-truncate.  ``extras_partial`` aggregates
+    ride the level-1 shuffle (e.g. per-salt counts); ``extras_final``
+    reduce them at level 2 (e.g. summing the counts — each row lands in
+    exactly one salt shard)."""
+    shard = df.groupBy(*group_by, salt.alias("_salt")).agg(
+        F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("_tk"),
+        *extras_partial,
+    )
+    return shard.groupBy(*group_by).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_tk"))), 1, k).alias(
+            out_col
+        ),
+        *extras_final,
+    )
+
+
+def rank_thresholds(
+    df: DataFrame,
+    *,
+    group_by: Sequence[str],
+    value_col: str,
+    targets: dict[str, Callable[[Column], Column]],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-group nearest-rank selections over ``value_col``: for each
+    (name, fn) in ``targets``, emit the smallest value whose cumulative
+    count reaches ``fn(total_count)`` — element ``fn(n)`` of the sorted
+    multiset, computed from a cumulative count over DISTINCT values so
+    reducer input is the value domain, never the rows.  ``count_col``
+    optionally emits the per-group total count too."""
+    counts = df.groupBy(*group_by, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = counts.groupBy(*group_by).agg(F.sum("_c").alias("_cnt"))
+    cum_w = Window.partitionBy(*group_by).orderBy(value_col)
+    cum = counts.withColumn("_cum", F.sum("_c").over(cum_w)).join(
+        F.broadcast(tot), list(group_by)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cum") >= fn(F.col("_cnt")), F.col(value_col))
+        ).alias(name)
+        for name, fn in targets.items()
+    ]
+    if count_col is not None:
+        aggs.append(F.max("_cnt").alias(count_col))
+    return cum.groupBy(*group_by).agg(*aggs)

@@ -194,7 +194,6 @@ ORDER BY a, b, c
 # Skyline (Pareto frontier)
 # ===========================================================================
 
-_SKYLINE_RANGES = 32  # range shards for the two-pass prefix-max scan
 
 
 def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,35 +208,19 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     max over all earlier shards (one boundary exchange of #shards rows
     via a broadcast triangle join) — no task ever sorts more than one
     price range, so the scan holds at any |price domain|."""
+    from ..operators.selection import sharded_prefix
+
     (p,) = _t(spark, sf_dir, "part")
     base = p.select("p_partkey", "p_retailprice", "p_size")
     same_w = Window.partitionBy("p_retailprice")
     with_max = base.withColumn("pmax", F.max("p_size").over(same_w))
-    prices = (
-        with_max.select("p_retailprice", "pmax")
-        .distinct()
-        .repartitionByRange(_SKYLINE_RANGES, "p_retailprice")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    # pass 1: prefix max over strictly-previous rows WITHIN the shard
-    local_w = (
-        Window.partitionBy("pid")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prices = prices.withColumn("localmax", F.max("pmax").over(local_w))
-    # pass 2: boundary max from all earlier shards (#shards rows total)
-    shard_max = prices.groupBy("pid").agg(F.max("pmax").alias("smax"))
-    prior = shard_max.select(
-        F.col("pid").alias("ppid"), F.col("smax").alias("psmax")
-    )
-    boundary = (
-        shard_max.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.max("psmax").alias("priormax"))
-    )
-    prices = prices.join(F.broadcast(boundary), "pid").withColumn(
-        "prevmax", F.greatest("localmax", "priormax")
+    prices = sharded_prefix(
+        with_max.select("p_retailprice", "pmax").distinct(),
+        order_by=["p_retailprice"],
+        value=F.col("pmax"),
+        agg="max",
+        inclusive=False,
+        out_col="prevmax",
     )
     return (
         with_max.join(prices.select("p_retailprice", "prevmax"), "p_retailprice")
@@ -729,16 +712,17 @@ def events_rolling_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.abs(hashing.md5_int(F.col("user_id").cast("string"))).alias("h"),
     ).distinct()
-    # two-level salted k-min per day (same mergeable form as
-    # events_kmv_distinct) — no day's full distinct-user set ever meets
-    # a single reducer
-    shard = du.groupBy(
-        "day", F.pmod(F.col("h"), F.lit(_RKMV_SALTS)).alias("salt")
-    ).agg(F.slice(F.sort_array(F.collect_list("h")), 1, _RKMV_K).alias("kp"))
-    per_day = shard.groupBy("day").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("kp"))), 1, _RKMV_K
-        ).alias("kmin")
+    # two-level salted k-min per day (operators/selection.salted_topk) —
+    # no day's full distinct-user set ever meets a single reducer
+    from ..operators.selection import salted_topk
+
+    per_day = salted_topk(
+        du,
+        group_by=["day"],
+        key=F.col("h"),
+        k=_RKMV_K,
+        salt=F.pmod(F.col("h"), F.lit(_RKMV_SALTS)),
+        out_col="kmin",
     )
     wroll = Window.orderBy("day").rowsBetween(-(_RKMV_WIN - 1), 0)
     merged = per_day.select(
@@ -2957,7 +2941,6 @@ ORDER BY band
 # ===========================================================================
 
 _LATE_MS = 3_600_000  # 1-hour watermark horizon
-_LATE_RANGES = 32  # event_id range shards for the two-pass prefix max
 
 
 def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2972,39 +2955,18 @@ def events_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard + a broadcast triangle-join boundary max from earlier shards)
     — a per-type window would drag each stream's full history through
     one reducer; integer epoch-ms arithmetic."""
+    from ..operators.selection import sharded_prefix
+
     (ev,) = _t(spark, sf_dir, "events")
     ms = F.unix_millis(F.col("ts"))
-    ranged = ev.select(
-        "event_type", "event_id", ms.alias("t")
-    ).repartitionByRange(_LATE_RANGES, "event_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local_w = (
-        Window.partitionBy("pid", "event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    shard_max = ranged.groupBy("pid", "event_type").agg(
-        F.max("t").alias("sm")
-    )
-    prior = shard_max.select(
-        F.col("pid").alias("ppid"), F.col("event_type").alias("ptype"),
-        F.col("sm").alias("psm"),
-    )
-    boundary = (
-        shard_max.join(
-            F.broadcast(prior),
-            (F.col("ppid") < F.col("pid"))
-            & (F.col("ptype") == F.col("event_type")),
-            "left",
-        )
-        .groupBy("pid", "event_type")
-        .agg(F.max("psm").alias("priormax"))
-    )
-    flagged = (
-        ranged.withColumn("localmax", F.max("t").over(local_w))
-        .join(F.broadcast(boundary), ["pid", "event_type"])
-        .withColumn("hwm", F.greatest("localmax", "priormax"))
+    flagged = sharded_prefix(
+        ev.select("event_type", "event_id", ms.alias("t")),
+        order_by=["event_id"],
+        value=F.col("t"),
+        agg="max",
+        partition_by=["event_type"],
+        inclusive=False,
+        out_col="hwm",
     ).withColumn(
         "late",
         F.when(

@@ -14,9 +14,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.exact import dsum, dsum_sql
+from ..operators.selection import rank_thresholds
 from . import QuerySpec
 from .extensions import _t
 
@@ -47,17 +47,11 @@ def part_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     )
     ok = dirty.filter(F.col("price").isNotNull())
-    counts = ok.groupBy("p_brand", "price").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.groupBy("p_brand").agg(F.sum("c").alias("cnt"))
-    cum = counts.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("p_brand").orderBy("price"))
-    ).join(F.broadcast(tot), "p_brand")
-    med = cum.groupBy("p_brand").agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.floor((F.col("cnt") + 1) / 2), F.col("price")
-            )
-        ).alias("brand_median")
+    med = rank_thresholds(
+        ok.select("p_brand", "price"),
+        group_by=["p_brand"],
+        value_col="price",
+        targets={"brand_median": lambda cnt: F.floor((cnt + 1) / 2)},
     )
     fixed = dirty.join(F.broadcast(med), "p_brand").select(
         "p_brand",
@@ -132,16 +126,14 @@ def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     )
-    counts = base.groupBy("flag", "price").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.groupBy("flag").agg(F.sum("c").alias("cnt"))
-    cum = counts.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("flag").orderBy("price"))
-    ).join(F.broadcast(tot), "flag")
-    lo_target = F.floor((F.col("cnt") + 99) / 100)
-    hi_target = F.floor((F.lit(99) * F.col("cnt") + 99) / 100)
-    th = cum.groupBy("flag").agg(
-        F.min(F.when(F.col("cum") >= lo_target, F.col("price"))).alias("p01"),
-        F.min(F.when(F.col("cum") >= hi_target, F.col("price"))).alias("p99"),
+    th = rank_thresholds(
+        base,
+        group_by=["flag"],
+        value_col="price",
+        targets={
+            "p01": lambda cnt: F.floor((cnt + 99) / 100),
+            "p99": lambda cnt: F.floor((F.lit(99) * cnt + 99) / 100),
+        },
     )
     clipped = base.join(F.broadcast(th), "flag").select(
         "flag",

@@ -78,7 +78,6 @@ ORDER BY doc_id
 # ===========================================================================
 
 _PACK_LEN = 512         # target training-sequence length in tokens
-_PACK_RANGES = 32       # doc_id range shards for the two-pass prefix sum
 
 
 def docs_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,34 +92,21 @@ def docs_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful however large the data.  Output is the per-sequence
     manifest: docs packed and tokens filled.
     """
+    from ..operators.selection import sharded_prefix
+
     (docs,) = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "source", "doc_id", text.token_count(F.col("text")).alias("n_tok")
     )
-    ranged = toks.repartitionByRange(_PACK_RANGES, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local_w = Window.partitionBy("pid", "source").orderBy("doc_id")
-    shard_tot = ranged.groupBy("pid", "source").agg(
-        F.sum("n_tok").alias("st")
-    )
-    prior = shard_tot.select(
-        F.col("pid").alias("ppid"), F.col("source").alias("psrc"),
-        F.col("st").alias("pst"),
-    )
-    offsets = (
-        shard_tot.join(
-            F.broadcast(prior),
-            (F.col("ppid") < F.col("pid")) & (F.col("psrc") == F.col("source")),
-            "left",
-        )
-        .groupBy("pid", "source")
-        .agg(F.coalesce(F.sum("pst"), F.lit(0)).alias("offset"))
-    )
     return (
-        ranged.withColumn("lcum", F.sum("n_tok").over(local_w))
-        .join(F.broadcast(offsets), ["pid", "source"])
-        .withColumn("cum", F.col("offset") + F.col("lcum"))
+        sharded_prefix(
+            toks,
+            order_by=["doc_id"],
+            value=F.col("n_tok"),
+            agg="sum",
+            partition_by=["source"],
+            out_col="cum",
+        )
         .withColumn(
             "seq_id",
             F.floor((F.col("cum") - F.col("n_tok")) / F.lit(_PACK_LEN)),
@@ -461,19 +447,21 @@ def docs_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, then merge-and-re-truncate per language — no language's full
     corpus ever meets one reducer, and the merge sees at most
     salts x k structs per group."""
+    from ..operators.selection import salted_topk
+
     (docs,) = _t(spark, sf_dir, "documents")
     key = F.struct(
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         F.col("doc_id").alias("doc_id"),
         F.col("n_chars").alias("n_chars"),
     )
-    shard = docs.groupBy(
-        "lang", F.pmod(F.col("doc_id"), F.lit(_RES_SALTS)).alias("salt")
-    ).agg(F.slice(F.sort_array(F.collect_list(key)), 1, _RES_K).alias("tk"))
-    merged = shard.groupBy("lang").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("tk"))), 1, _RES_K
-        ).alias("tk")
+    merged = salted_topk(
+        docs,
+        group_by=["lang"],
+        key=key,
+        k=_RES_K,
+        salt=F.pmod(F.col("doc_id"), F.lit(_RES_SALTS)),
+        out_col="tk",
     )
     return (
         merged.select("lang", F.posexplode("tk").alias("pos", "s"))
@@ -566,7 +554,6 @@ ORDER BY arm
 # ===========================================================================
 
 _NEG_K = 2
-_RING_RANGES = 32  # range shards for the two-pass global-rank ring
 
 
 def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,36 +571,17 @@ def docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, no driver sampling).  Self-pairs are dropped rather than
     redrawn (exactly reproducible; the occasional missing draw is the
     documented trade)."""
+    from ..operators.selection import sharded_prefix
+
     (docs,) = _t(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
-    # pass 1: range-partition (non-overlapping, ascending with partition
-    # id) and rank locally; pass 2: offset each partition by the count of
-    # all earlier partitions (a window over #partitions rows, not #rows).
-    ranged = docs.select(F.col("doc_id").alias("partner_id")).repartitionByRange(
-        _RING_RANGES, "partner_id"
-    ).withColumn("pid", F.spark_partition_id())
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    prior = counts.select(
-        F.col("pid").alias("ppid"), F.col("cnt").alias("pcnt")
-    )
-    # prefix sum over #partitions rows via a triangle join (no global
-    # window anywhere in this plan, not even a tiny one)
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("ppid") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("offset"))
-    )
-    local_rn = F.row_number().over(
-        Window.partitionBy("pid").orderBy("partner_id")
-    )
-    ring = (
-        ranged.withColumn("lrn", local_rn)
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "partner_id",
-            (F.col("offset") + F.col("lrn")).cast("int").alias("ring_pos"),
-        )
-    )
+    ring = sharded_prefix(
+        docs.select(F.col("doc_id").alias("partner_id")),
+        order_by=["partner_id"],
+        value=F.lit(1),
+        agg="sum",
+        out_col="rk",
+    ).select("partner_id", F.col("rk").cast("int").alias("ring_pos"))
     draws = (
         docs.select("doc_id")
         .crossJoin(F.broadcast(n))

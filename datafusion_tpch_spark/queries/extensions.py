@@ -1670,22 +1670,16 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
     )
-    # nearest-rank median from the domain-bounded cumulative count over
-    # distinct (lang, n_tokens) — token counts are small integers, so
-    # the per-lang reducer carries |count domain| rows, never the corpus
-    # (the collect_list form this replaces gathered every doc's count
-    # into one array per language)
-    tc = toks.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
-    tot = tc.groupBy("lang").agg(F.sum("c").alias("cnt"))
-    cum = tc.withColumn(
-        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("n_tokens"))
-    ).join(F.broadcast(tot), "lang")
-    med = cum.groupBy("lang").agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.ceil(F.col("cnt") / 2), F.col("n_tokens")
-            )
-        ).alias("median_tokens")
+    # nearest-rank median via the shared domain-bounded selection
+    # (operators/selection.rank_thresholds): reducer input is the token
+    # count domain, never the corpus
+    from ..operators.selection import rank_thresholds
+
+    med = rank_thresholds(
+        toks.select("lang", "n_tokens"),
+        group_by=["lang"],
+        value_col="n_tokens",
+        targets={"median_tokens": lambda cnt: F.ceil(cnt / 2)},
     )
     kept = toks.join(F.broadcast(med), "lang").filter(
         F.col("n_tokens") > F.col("median_tokens")
@@ -1791,23 +1785,20 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus/|langs| rows on each task at 100 TB); the merge sees at most
     salts x k structs per group.  The sort key (-n_tokens, doc_id) makes
     ascending struct order exactly the (tokens desc, id asc) ranking."""
+    from ..operators.selection import salted_topk
+
     (docs,) = _t(spark, sf_dir, "documents")
     n_tok = text.token_count(F.col("text"))
     key = F.struct(
         (-F.col("n_tokens")).alias("nk"), F.col("doc_id").alias("doc_id")
     )
-    shard = (
-        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
-        .groupBy("lang", F.pmod(F.col("doc_id"), F.lit(_TOP_SALTS)).alias("salt"))
-        .agg(
-            F.slice(F.sort_array(F.collect_list(key)), 1, _TOP_DOCS_K)
-            .alias("tk")
-        )
-    )
-    merged = shard.groupBy("lang").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("tk"))), 1, _TOP_DOCS_K
-        ).alias("tk")
+    merged = salted_topk(
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens")),
+        group_by=["lang"],
+        key=key,
+        k=_TOP_DOCS_K,
+        salt=F.pmod(F.col("doc_id"), F.lit(_TOP_SALTS)),
+        out_col="tk",
     )
     return (
         merged.select("lang", F.posexplode("tk").alias("pos", "s"))
@@ -3090,23 +3081,21 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     h = F.abs(hashing.md5_int(F.col("user_id").cast("string")))
     per = ev.select("event_type", h.alias("h")).distinct()
-    # two-level mergeable k-min: pre-truncate to the k smallest hashes per
-    # (event_type, salt) shard, then union-and-re-truncate across shards.
-    # Each distinct hash lands in exactly one shard, so summing the shard
+    # two-level mergeable k-min (operators/selection.salted_topk): each
+    # distinct hash lands in exactly one salt shard, so summing the shard
     # counts gives the exact distinct count, and no group's full key set
-    # ever meets a single reducer — the merge step sees at most
-    # _KMV_SALTS arrays of <= k elements per group.
-    shard = per.groupBy(
-        "event_type", F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
-    ).agg(
-        F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("kmin_part"),
-        F.count(F.lit(1)).alias("cnt_part"),
-    )
-    agg = shard.groupBy("event_type").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("kmin_part"))), 1, _KMV_K
-        ).alias("kmin"),
-        F.sum("cnt_part").alias("exact_distinct"),
+    # ever meets a single reducer.
+    from ..operators.selection import salted_topk
+
+    agg = salted_topk(
+        per,
+        group_by=["event_type"],
+        key=F.col("h"),
+        k=_KMV_K,
+        salt=F.pmod(F.col("h"), F.lit(_KMV_SALTS)),
+        extras_partial=[F.count(F.lit(1)).alias("cnt_part")],
+        extras_final=[F.sum("cnt_part").alias("exact_distinct")],
+        out_col="kmin",
     )
     kth = F.element_at(F.col("kmin"), F.size(F.col("kmin")))
     est = F.when(
@@ -3153,36 +3142,30 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     this replaces gathered every event into one array per type).  At
     extreme domains swap in approx_percentile — same column contract,
     sketch-merge execution."""
+    from ..operators.selection import rank_thresholds
+
     (ev,) = _t(spark, sf_dir, "events")
     qv = F.floor(F.col("value") * F.lit(1e6)).cast("long")
-    counts = ev.groupBy("event_type", qv.alias("qv")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n_events"))
-    cum = counts.withColumn(
-        "cum",
-        F.sum("c").over(Window.partitionBy("event_type").orderBy("qv")),
-    ).join(F.broadcast(tot), "event_type")
-    cols = [
-        (
-            F.min(
-                F.when(
-                    F.col("cum")
-                    >= F.greatest(
-                        F.ceil(F.lit(q) * F.col("n_events")), F.lit(1)
-                    ),
-                    F.col("qv"),
-                )
+    th = rank_thresholds(
+        ev.select("event_type", qv.alias("qv")),
+        group_by=["event_type"],
+        value_col="qv",
+        targets={
+            f"q{int(q * 100)}": (
+                lambda cnt, q=q: F.greatest(F.ceil(F.lit(q) * cnt), F.lit(1))
             )
-            / 1e6
-        ).alias(f"p{int(q * 100)}")
-        for q in _QUANTILES
-    ]
-    return (
-        cum.groupBy("event_type")
-        .agg(F.max("n_events").alias("n_events"), *cols)
-        .orderBy("event_type")
+            for q in _QUANTILES
+        },
+        count_col="n_events",
     )
+    return th.select(
+        "event_type",
+        "n_events",
+        *[
+            (F.col(f"q{int(q * 100)}") / 1e6).alias(f"p{int(q * 100)}")
+            for q in _QUANTILES
+        ],
+    ).orderBy("event_type")
 
 
 _QCOLS_SQL = ",\n       ".join(
@@ -3221,19 +3204,18 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(h.alias("h"))
             .distinct()
         )
-        # same two-level k-min as events_kmv_distinct: per-salt truncate,
-        # then union-and-re-truncate — the global sort-window this replaces
-        # funneled every distinct hash through one task.
-        shard = per.groupBy(
-            F.pmod(F.col("h"), F.lit(_KMV_SALTS)).alias("salt")
-        ).agg(
-            F.slice(F.sort_array(F.collect_list("h")), 1, _KMV_K).alias("kp"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        return shard.agg(
-            F.slice(F.sort_array(F.flatten(F.collect_list("kp"))), 1, _KMV_K)
-            .alias(f"{out}_kmin"),
-            F.sum("cnt").alias(f"{out}_exact"),
+        # same two-level k-min as events_kmv_distinct, single global group
+        from ..operators.selection import salted_topk
+
+        return salted_topk(
+            per,
+            group_by=[],
+            key=F.col("h"),
+            k=_KMV_K,
+            salt=F.pmod(F.col("h"), F.lit(_KMV_SALTS)),
+            extras_partial=[F.count(F.lit(1)).alias("cnt")],
+            extras_final=[F.sum("cnt").alias(f"{out}_exact")],
+            out_col=f"{out}_kmin",
         )
 
     a, b = sketch("click", "a"), sketch("purchase", "b")
@@ -3722,7 +3704,6 @@ EVENTS_PAGERANK_SQL = _pagerank_sql(_PR_ITERS)
 
 
 _CONC_MINUTES = 5  # each event holds a resource for 5 minutes
-_CONC_RANGES = 32  # time shards for the sweep-line prefix scan
 
 
 def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3762,35 +3743,17 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("event_type", F.col("p.t").alias("t"), F.col("p.delta").alias("delta"))
-    ranged = pts.repartitionByRange(_CONC_RANGES, "t", "delta").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    local_w = (
-        Window.partitionBy("pid", "event_type")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    shard_tot = ranged.groupBy("pid", "event_type").agg(
-        F.sum("delta").alias("sd")
-    )
-    prior = shard_tot.select(
-        F.col("pid").alias("ppid"), F.col("event_type").alias("ptype"),
-        F.col("sd").alias("psd"),
-    )
-    offsets = (
-        shard_tot.join(
-            F.broadcast(prior),
-            (F.col("ppid") < F.col("pid"))
-            & (F.col("ptype") == F.col("event_type")),
-            "left",
-        )
-        .groupBy("pid", "event_type")
-        .agg(F.coalesce(F.sum("psd"), F.lit(0)).alias("carry"))
-    )
+    from ..operators.selection import sharded_prefix
+
     return (
-        ranged.withColumn("lsum", F.sum("delta").over(local_w))
-        .join(F.broadcast(offsets), ["pid", "event_type"])
-        .withColumn("live", F.col("carry") + F.col("lsum"))
+        sharded_prefix(
+            pts,
+            order_by=["t", "delta"],
+            value=F.col("delta"),
+            agg="sum",
+            partition_by=["event_type"],
+            out_col="live",
+        )
         .groupBy("event_type")
         .agg(F.max("live").alias("max_concurrent"))
         .orderBy("event_type")
