@@ -15,9 +15,12 @@ tests/test_selection_algebra.py.
   sorted slice, then union-and-re-truncate per group.  The merge sees
   at most salts x k structs per group.
 - :func:`rank_thresholds` — nearest-rank selection (quantiles, medians,
-  winsorize bounds) from a cumulative count over DISTINCT values: the
-  rank element depends only on the value multiset, so reducer input is
-  the value domain, never the data.
+  winsorize bounds) from a cumulative count over DISTINCT values,
+  itself computed as a deterministically range-bucketed two-pass scan:
+  reducer input is one bucket of the value domain, never the data and
+  never a whole group's domain (continuous-valued columns have
+  data-sized domains, so a per-group sort window would smuggle the
+  single-reducer shape back in).
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_RANGES = 32  # range-shard fan-out for the prefix scans
+_BUCKETS_PER_DECADE = 8  # log-quantization granularity for rank_thresholds
 
 
 def _carry_join(
@@ -145,16 +149,86 @@ def rank_thresholds(
     """Per-group nearest-rank selections over ``value_col``: for each
     (name, fn) in ``targets``, emit the smallest value whose cumulative
     count reaches ``fn(total_count)`` — element ``fn(n)`` of the sorted
-    multiset, computed from a cumulative count over DISTINCT values so
-    reducer input is the value domain, never the rows.  ``count_col``
-    optionally emits the per-group total count too."""
-    counts = df.groupBy(*group_by, value_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    multiset, computed from a cumulative count over DISTINCT values.
+    ``value_col`` must be numeric.  ``count_col`` optionally emits the
+    per-group total count too.
+
+    No reducer ever holds more than one range bucket of one group's
+    value domain (see the module docstring) — at extreme skew (all mass
+    in one bucket) this degrades to the domain-on-one-reducer shape,
+    never worse; the order-statistics swap at that point is
+    ``approx_percentile`` (sketch-merge execution, same column
+    contract)."""
+    # null values are excluded up front (they have no rank); the explicit
+    # filter also keeps every branch's inferred not-null constraints
+    # identical, which is what lets Catalyst plan the aggregate exchange
+    # once and reuse it
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_by, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    tot = counts.groupBy(*group_by).agg(F.sum("_c").alias("_cnt"))
-    cum_w = Window.partitionBy(*group_by).orderBy(value_col)
-    cum = counts.withColumn("_cum", F.sum("_c").over(cum_w)).join(
-        F.broadcast(tot), list(group_by)
+    # The cumulative count must not run as a per-group sort window: for
+    # continuous-valued columns (prices, quantized measures) the distinct
+    # value set is data-sized, and a window would put all of a group's
+    # values on one reducer — the very shape this module exists to avoid.
+    # Shard the order DETERMINISTICALLY instead: bucket = log-quantized
+    # magnitude of the value, a fixed monotone transform computed inline
+    # (no per-group stats pass, no repartitionByRange sampling job — and
+    # because the bucket derives from the value column alone, every
+    # consumer of `counts` prunes to the same columns, so the aggregate's
+    # exchange is planned once and reused instead of re-scanning the
+    # source).  Prefix-sum locally per (group, bucket); carry in earlier
+    # buckets' totals via a broadcast triangle join over the #groups ×
+    # #occupied-buckets rows (bucket count ≤ _BUCKETS_PER_DECADE × value
+    # decades — a few dozen in practice, data-independent).  Values
+    # clustered inside one quantization step share a bucket — degrading
+    # toward the domain-on-one-reducer shape, never worse.
+    v = F.col(value_col).cast("double")
+    # the coalesce is semantically a no-op (both log10 arguments are
+    # strictly positive under their guards, and null values are filtered
+    # above) but marks the bucket non-nullable, so the equi-join on it
+    # infers no extra isnotnull pushdown — which would otherwise make the
+    # two consumers' scan subtrees differ and defeat the exchange reuse
+    bucket = F.coalesce(
+        F.when(v >= 0, F.floor(F.log10(v + 1) * _BUCKETS_PER_DECADE))
+        .otherwise(-1 - F.floor(F.log10(1 - v) * _BUCKETS_PER_DECADE))
+        .cast("int"),
+        F.lit(0),
+    )
+    bucketed = counts.withColumn("_bkt", bucket)
+    local_w = (
+        Window.partitionBy(*group_by, "_bkt")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bkt_tot = bucketed.groupBy(*group_by, "_bkt").agg(
+        F.sum("_c").alias("_bt")
+    )
+    prior = bkt_tot.select(
+        *[F.col(c).alias(f"_p_{c}") for c in group_by],
+        F.col("_bkt").alias("_p_bkt"),
+        F.col("_bt").alias("_pbt"),
+    )
+    cond = F.col("_p_bkt") < F.col("_bkt")
+    for c in group_by:
+        cond = cond & (F.col(f"_p_{c}") == F.col(c))
+    # one pass over the tiny bkt_tot yields the carry (strictly-earlier
+    # buckets) AND, as its running high edge, the per-group total — no
+    # separate `tot` subtree re-reading `counts`
+    carry = (
+        bkt_tot.join(F.broadcast(prior), cond, "left")
+        .groupBy(*group_by, "_bkt", "_bt")
+        .agg(F.coalesce(F.sum("_pbt"), F.lit(0)).alias("_carry"))
+        .withColumn("_hi", F.col("_carry") + F.col("_bt"))
+        .drop("_bt")
+    )
+    grp_tot = carry.groupBy(*group_by).agg(F.max("_hi").alias("_cnt"))
+    cum = (
+        bucketed.withColumn("_lcum", F.sum("_c").over(local_w))
+        .join(F.broadcast(carry), [*group_by, "_bkt"])
+        .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
+        .join(F.broadcast(grp_tot), list(group_by))
     )
     aggs = [
         F.min(

@@ -160,6 +160,34 @@ def test_rank_thresholds_median_and_count(spark):
     assert got == {"a": (3, 5), "b": (10, 2)}
 
 
+def test_rank_thresholds_degenerate_single_value(spark):
+    # span collapses to one bucket (mn == mx): must not divide by zero
+    # or drop rows
+    rows = [("g", 7)] * 5
+    out = rank_thresholds(
+        _df(spark, rows, "g string, v int"),
+        group_by=["g"],
+        value_col="v",
+        targets={"med": lambda n: F.floor((n + 1) / 2)},
+        count_col="n",
+    )
+    assert [(r.med, r.n) for r in out.collect()] == [(7, 5)]
+
+
+def test_rank_thresholds_negative_values(spark):
+    # bucket transform must stay monotone over negative spans
+    rows = [("g", v) for v in [-50, -3, 0, 2, 40]]
+    out = rank_thresholds(
+        _df(spark, rows, "g string, v int"),
+        group_by=["g"],
+        value_col="v",
+        targets={"p20": lambda n: F.ceil(F.lit(0.2) * n),
+                 "p100": lambda n: n},
+    )
+    row = out.collect()[0]
+    assert (row.p20, row.p100) == (-50, 40)
+
+
 def test_rank_thresholds_duplicate_heavy_quantiles(spark):
     rows = [("g", 1)] * 97 + [("g", 100)] * 3
     out = rank_thresholds(
