@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_RANGES = 32  # range-shard fan-out for the prefix scans
-_BUCKETS_PER_DECADE = 8  # log-quantization granularity for rank_thresholds
+_BUCKETS_PER_DECADE = 32  # log-quantization granularity for rank_thresholds
+# (band factor 10^(1/32) ≈ 1.075: even values uniform across a decade put
+# at most ~7% of a group's domain in one bucket)
 
 
 def _carry_join(
