@@ -26,9 +26,19 @@ def plan_string(df: DataFrame, mode: str = "simple") -> str:
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges (each is a full cluster-wide data
-    movement — THE scale-limiting operator count)."""
+    movement — THE scale-limiting operator count).
+
+    A ``ReusedExchange`` line re-prints its target as
+    ``ReusedExchange [...], Exchange hashpartitioning(...)`` — that is a
+    reference to an already-counted shuffle, not a new one, so reuse
+    lines are excluded."""
     plan = plan_string(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", line)
+        and "ReusedExchange" not in line
+    )
 
 
 def broadcast_join_count(df: DataFrame) -> int:
