@@ -162,7 +162,7 @@ def test_stream_stream_join_equals_batch(spark):
 
 
 def test_multibatch_stream_equals_batch_hourly(spark):
-    """The forced 8-micro-batch run must agree with the batch aggregation
+    """The forced 4-micro-batch run must agree with the batch aggregation
     row-for-row — incremental state maintenance across batch boundaries
     changes nothing about the final answer."""
     import os
@@ -172,9 +172,9 @@ def test_multibatch_stream_equals_batch_hourly(spark):
     specs = all_queries()
     got = specs["events_multibatch_stream"].build(spark, SF_DIR).collect()
     tag = SF_DIR.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_events_split_{os.getpid()}_{tag}"
+    path = f"/tmp/spark_graft_events_split4_{os.getpid()}_{tag}"
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-    assert len(files) == 8  # the stream really had 8 single-file triggers
+    assert len(files) == 4  # the stream really had 4 single-file triggers
     batch = specs["events_hourly"].build(spark, SF_DIR).collect()
     key = lambda r: (r[0], r[1])
     assert sorted(map(tuple, got), key=key) == sorted(map(tuple, batch), key=key)
