@@ -1060,7 +1060,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs 30% recall@5 at sf0.1.
 
     Recall remains partial by construction (the oracle mirrors the same
-    probes, so results still hash-match exactly).
+    probes, so results still hash-match exactly).  The ceiling is a DATA
+    property, not a tuning gap: the fixture embeddings are near-uniform,
+    so measured recall tracks ~2-3x the probed candidate fraction at
+    every geometry (6/7/8 planes -> 30%/23%/12% recall at 15.6%/8.6%/
+    4.7% of the corpus probed) — on unclustered vectors no LSH
+    configuration reaches high recall at bounded cost, which is exactly
+    what the audit exists to surface.  Contrast dedup_lsh_recall_audit:
+    98% recall at 2.3% candidates, because near-dup pairs are strongly
+    clustered.  The production paths for weakly-clustered corpora are
+    IVF (partition-prunable cells) and PQ (compressed exhaustive ADC
+    scan) — both live gates with their own audits.
     """
     import hashlib
 
