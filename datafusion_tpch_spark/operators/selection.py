@@ -127,7 +127,14 @@ def salted_topk(
     slice, then union-and-re-truncate.  ``extras_partial`` aggregates
     ride the level-1 shuffle (e.g. per-salt counts); ``extras_final``
     reduce them at level 2 (e.g. summing the counts — each row lands in
-    exactly one salt shard)."""
+    exactly one salt shard).
+
+    Memory contract: the level-1 ``collect_list`` buffers one
+    (group, salt) shard per aggregation state — ~group_size / salts
+    keys — so the salt cardinality is the lever that bounds executor
+    memory, sized in production as group_size / target_shard_rows (the
+    fixture gates use small constants).  The level-2 merge is always
+    bounded at salts x k structs per group regardless."""
     shard = df.groupBy(*group_by, salt.alias("_salt")).agg(
         F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("_tk"),
         *extras_partial,
