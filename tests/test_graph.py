@@ -39,6 +39,27 @@ def test_cycle(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_deep_chain_converges_within_log_rounds(spark):
+    # 64-node chain (diameter 63): pointer jumping must converge well
+    # inside the max_iter guard — this is the O(log diameter) claim the
+    # shallow fixtures never exercise.  max_iter=10 > log2(63)+slack;
+    # plain one-hop propagation would need >60 rounds and hit the guard.
+    n = 64
+    edges = [(i, i + 1) for i in range(1, n)]
+    got = _cc(spark, edges, max_iter=10, num_partitions=4)
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_interlocked_rings_and_isolated_pair(spark):
+    # two rings sharing one node collapse to one component; a separate
+    # edge stays its own component
+    ring1 = [(i, i + 1) for i in range(1, 6)] + [(6, 1)]
+    ring2 = [(i, i + 1) for i in range(6, 11)] + [(11, 6)]
+    got = _cc(spark, ring1 + ring2 + [(100, 101)])
+    assert set(got.values()) == {1, 100}
+    assert all(got[i] == 1 for i in range(1, 12))
+
+
 # ---------------------------------------------------------------------------
 # pagerank
 # ---------------------------------------------------------------------------
