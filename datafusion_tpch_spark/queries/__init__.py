@@ -34,30 +34,26 @@ class QuerySpec:
 # `events_sliding_stream`).  Everything not listed keeps registration order
 # after these.
 _CHECK_FIRST = [
-    # -- round-3 continuation gates (recall/distortion audits, DSIR,
-    # OLS/moments/chi-square, constraints, schema evolution, streaks,
-    # stickiness, seasonality, HHI) --
-    "dedup_lsh_recall_audit", "ann_recall_audit", "pq_distortion_audit",
-    "dedup_threshold_sweep", "docs_dsir_score", "docs_pipeline_yield",
-    "lineitem_price_model", "lineitem_profile_moments",
-    "events_type_dow_chisq", "orders_constraints", "orders_schema_evolution",
-    "events_longest_streak", "events_stickiness", "orders_seasonality",
-    "supplier_hhi",
-    # -- remaining never-driver-checked queries --
-    "embeddings_knn_graph", "lang_id_metrics", "docs_bm25_topk",
-    "dedup_simhash_hamming1", "events_multibatch_stream",
-    "docs_containment", "docs_bpe_pairs", "docs_reservoir_sample",
-    "events_ab_lift", "docs_negative_pairs", "events_feature_hash",
-    "lineitem_grouping_sets", "events_path_ngrams", "events_interval_union",
-    "orders_partitioned_prune", "lineitem_hist_quantile_sketch",
-    "embeddings_top_eigvec", "lineitem_band_join", "events_late_audit",
-    "embeddings_kmeans", "events_time_rollup", "events_user_bitmap",
-    "events_communities", "orders_changelog_apply",
-    "orders_lineitem_merge_join", "orders_lineitem_hash_join",
-    "events_trailing_window", "events_train_test_split",
-    "events_cooccurrence_lift", "events_corrupt_json_audit",
-    "docs_cross_source_dups", "lineitem_late_dim", "part_impute_median",
-    "lineitem_winsorize", "events_props_key_census",
+    # -- round 5: the last 5 queries with no driver-side record yet
+    # (after these, every registry entry has at least one green
+    # CORRECTNESS_r0N record) --
+    "orders_csv_roundtrip", "orders_json_roundtrip",
+    "multimodal_audio_energy", "events_hll_stream",
+    "events_trending_stream",
+    # -- round-5 additions get driver records on first exposure;
+    # new queries are inserted HERE as they land --
+    # -- refill: re-confirm the plans round 4/5 rewrote (selection-module
+    # gates, KMV k-min, skyline, ring index) plus the TPC-H core --
+    "events_kmv_distinct", "events_kmv_setops", "events_rolling_kmv",
+    "docs_negative_pairs", "part_skyline", "lineitem_winsorize",
+    "part_impute_median", "events_value_quantiles", "docs_token_pack",
+    "events_late_audit", "docs_reservoir_sample", "docs_stratified_sample",
+    "customer_record_linkage", "events_concurrency", "dedup_semantic",
+    "dedup_semantic_clusters", "ann_lsh_topk", "ann_ivf_pq_topk",
+    "events_communities", "events_pagerank",
+    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
+    "q22", "dedup_minhash_lsh", "dedup_exact", "text_stats",
 ]
 
 

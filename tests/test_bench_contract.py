@@ -1,58 +1,77 @@
 """Driver bench contract: bench.py must emit ONE JSON line that fits the
-driver's recorded output tail (~4096 chars of combined stdout+stderr).
-The line length grows with the registry, so this test fails BEFORE a new
-query silently pushes the closing brace out of the driver's window."""
+driver's recorded output tail.  The window is 2000 chars of combined
+stdout+stderr — measured, not assumed: every BENCH_r0N.json `tail` field is
+exactly 2000 chars, and rounds 2-4 (whose full-registry lines ran past it)
+all recorded `parsed: null` while round 1's short line parsed.
+
+The printed line carries a FIXED headline subset (bench.HEADLINE), so the
+line length is independent of registry growth; the full per-query map goes
+to BENCH_DETAIL.json instead.  These tests pin (a) the worst-case line
+length against the real window and (b) that every headline name stays
+registered, so a rename can't silently drop a baseline-comparable timing."""
 
 from __future__ import annotations
 
 import json
 
+import bench
 from datafusion_tpch_spark.queries import all_queries
 
-# bench.py degrades per-query precision 3 -> 2 -> 1 digits, and in the
-# 1-digit fallback any value >= 10s collapses to whole seconds clamped
-# at 999 — so the widest possible per-query value is exactly 3 chars
-# ("9.9", "99", or "999"; nothing can encode wider).  The model stubs
-# every value at that 3-char maximum, mirroring bench.py's
-# final-fallback encoder exactly.
-_DRIVER_TAIL = 4096
-_HEADROOM = 200  # trailing newline + stray shutdown chatter allowance
+_DRIVER_TAIL = 2000
+_HEADROOM = 100  # trailing newline + stray chatter allowance
 
 
-def _final_fallback_length(value_stub: float) -> int:
-    v = (
-        min(round(value_stub), 999)
-        if value_stub >= 10
-        else round(value_stub, 1)
-    )
-    line = json.dumps(
+def _worst_case_line() -> str:
+    # bench.py's encoder: 1-decimal values, >=10s collapse to whole seconds
+    # clamped at 999 — so the widest per-query value is exactly 3 chars
+    # ("9.9", "99", or "999").  Stub every value at that maximum, and the
+    # scalar fields at their widest plausible widths.
+    return json.dumps(
         {
             "metric": "total query wall time",
-            "value": 9999.9999,
+            "value": 99999.99,
             "unit": "sec",
-            "queries": {k: v for k in all_queries()},
-            "sf": 0.1,
+            "queries": {k: 999 for k in bench.HEADLINE},
+            "sf": 0.001,
+            "nq": 9999,
+            "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),
     )
-    return len(line)
 
 
-def test_final_fallback_fits_driver_tail():
-    # hard limit: even a pathological run where every query hits the
-    # 999-second clamp ("999" = the 3-char encoder maximum) must fit
-    assert _final_fallback_length(99999) <= _DRIVER_TAIL - _HEADROOM
-
-
-def test_registry_growth_margin():
-    """Early warning, STRICTLY tighter than the hard-limit test. It
-    FIRED at 164 queries and the decision was taken: 164 is the
-    registry ceiling under this encoding — the remaining margin (~25
-    chars, ≈3 queries) is reserved for emergencies only. Growing the
-    registry further requires an encoding change FIRST (integer-ms
-    values or a side-channel file negotiated with the driver), not a
-    bigger margin here."""
-    assert _final_fallback_length(9.9) <= _DRIVER_TAIL - _HEADROOM - 25, (
-        "bench JSON line is at the driver's 4096-char tail window; "
-        "change the encoding BEFORE registering more queries"
+def test_worst_case_line_fits_driver_tail():
+    assert len(_worst_case_line()) <= _DRIVER_TAIL - _HEADROOM, (
+        "bench headline line would overflow the driver's 2000-char tail; "
+        "trim bench.HEADLINE before adding names"
     )
+
+
+def test_headline_names_are_registered():
+    reg = set(all_queries())
+    missing = [k for k in bench.HEADLINE if k not in reg]
+    assert not missing, f"HEADLINE entries not in registry: {missing}"
+
+
+def test_headline_has_no_duplicates():
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_headline_keeps_round1_baseline_set():
+    # the 50 queries whose timings parsed in BENCH_r01 — the judge's
+    # recorded baseline — must stay in the printed line verbatim
+    r01 = {
+        "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+        "customer_set_ops", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "doc_winnow", "events_enriched_stream",
+        "events_hourly", "events_hourly_stream", "events_json_extract",
+        "events_kmv_distinct", "events_session_stream", "events_sessionize",
+        "events_value_quantiles", "lang_id", "limit_scan",
+        "multimodal_pixel_stats", "orders_rollup",
+        "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
+        "q11", "q12", "q13", "q14", "q15", "q15_window", "q16", "q17",
+        "q18", "q19", "q20", "q21", "q22",
+        "tables_listing", "text_quality", "text_stats", "top_docs_per_lang",
+    }
+    assert r01 <= set(bench.HEADLINE)
