@@ -25,14 +25,11 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record: CORRECTNESS_r01+r02+r03 together cover 109 of the 164
-# registered queries, so round 4 front-loads 50 of the 55 queries with no
-# driver-side record yet.  The 5 deferred to round 5 are the ones with the
-# closest already-green siblings (the CSV/JSON roundtrips mirror the parquet
-# roundtrip, `multimodal_audio_energy` mirrors `multimodal_frame_sample`,
-# `events_hll_stream`/`events_trending_stream` mirror `events_hll_distinct`/
-# `events_sliding_stream`).  Everything not listed keeps registration order
-# after these.
+# correctness record: CORRECTNESS_r01..r04 together cover 159 of the 164
+# pre-round-5 queries.  Round 5 front-loads the remaining 5, then the
+# round-5 additions (driver record on first exposure), then re-confirms the
+# plans rounds 4-5 rewrote plus the TPC-H core.  Everything not listed
+# keeps registration order after these.
 _CHECK_FIRST = [
     # -- round 5: the last 5 queries with no driver-side record yet
     # (after these, every registry entry has at least one green
