@@ -67,6 +67,18 @@ DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json")
 
 
+def fmt(v: float):
+    """Per-query value encoder for the headline line: <=3 chars always.
+
+    1-decimal below 10; whole seconds (clamped at 999) at or above.  The
+    threshold tests round(v, 1), not v, so 9.95..10.0 collapses to 10
+    rather than emitting the 4-char "10.0"."""
+    r = round(v, 1)
+    if r >= 10:
+        return min(round(v), 999)
+    return 0 if r == 0 else r  # "0" beats "0.0"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -105,28 +117,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    sfv = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        sfv = float(sf)
+    except ValueError:
+        sfv = sf
 
     # full-precision sidecar with EVERY query — the judge reads the repo,
-    # so this carries what the 2000-char line cannot
-    with open(DETAIL_PATH, "w") as fh:
-        json.dump(
-            {"metric": "total query wall time", "value": total,
-             "unit": "sec", "queries": timings, "sf": sfv},
-            fh, separators=(",", ":"), sort_keys=True)
-        fh.write("\n")
+    # so this carries what the 2000-char line cannot.  A sidecar write
+    # failure (read-only FS, permissions) must not swallow the headline
+    # line: the run already happened, the driver still needs its JSON.
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(
+                {"metric": "total query wall time", "value": total,
+                 "unit": "sec", "queries": timings, "sf": sfv},
+                fh, separators=(",", ":"), sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
 
     # ONE compact JSON line inside the driver's 2000-char tail: stop Spark
     # BEFORE printing so no JVM shutdown chatter lands after the line, keep
     # the headline subset fixed, and encode values at 1 decimal (>=10s
     # degrade to whole seconds, clamped at 999 = the 3-char maximum).
     spark.stop()
-
-    def fmt(v: float):
-        if v >= 10:
-            return min(round(v), 999)
-        r = round(v, 1)
-        return 0 if r == 0 else r  # "0" beats "0.0"
 
     line = json.dumps(
         {

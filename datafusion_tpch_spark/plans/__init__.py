@@ -15,4 +15,5 @@ from .audit import (  # noqa: F401
     plan_string,
     pushed_filters,
     scan_columns,
+    unbounded_global_windows,
 )

@@ -68,6 +68,54 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+_LIMIT_OPS = re.compile(
+    r"\b(TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit)\b"
+)
+
+
+def _tree_depth(line: str) -> int:
+    """Length of the tree-drawing prefix (':', '+', '-', spaces) — the
+    codegen ``*(n)`` marker sits after it, so depth compares cleanly."""
+    m = re.match(r"^[:\s+\-]*", line)
+    return m.end()
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes that would serialize data-sized input through ONE task.
+
+    A physical ``Window`` is *global* (partition-less) iff the first
+    argument of its ``windowspecdefinition(...)`` is an order spec
+    (``col ASC/DESC ...``) rather than a partition column — partitioned
+    windows list partition columns first, and a partitionBy-without-
+    orderBy window has a bare column there.  A global window is still
+    scale-safe when a limit-class operator (TakeOrderedAndProject /
+    GlobalLimit / CollectLimit / LocalLimit) sits in its subtree: then it
+    only ever ranks the <=k survivors (the limit-then-rank pattern).
+    Returns the plan lines of global windows with NO such bound."""
+    plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    lines = plan.splitlines()
+    offenders = []
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        spec = re.search(r"windowspecdefinition\(([^,)]*)", line)
+        first_arg = spec.group(1).strip() if spec else ""
+        if not re.search(r"\s(ASC|DESC)\b", first_arg):
+            continue  # partitioned (partition cols precede order specs)
+        depth = _tree_depth(line)
+        bounded = False
+        for j in range(i + 1, len(lines)):
+            if _tree_depth(lines[j]) <= depth:
+                break  # left the Window's subtree
+            if _LIMIT_OPS.search(lines[j]):
+                bounded = True
+                break
+        if not bounded:
+            offenders.append(line.strip())
+    return offenders
+
+
 @dataclass
 class PlanAudit:
     name: str
@@ -77,6 +125,7 @@ class PlanAudit:
     pushed: list[str] = field(default_factory=list)
     read_schemas: list[list[str]] = field(default_factory=list)
     wholestage_spans: int = 0
+    unbounded_global_windows: int = 0
 
     def summary(self) -> str:
         scans = "; ".join(",".join(cols) for cols in self.read_schemas) or "-"
@@ -104,4 +153,5 @@ def audit(name: str, df: DataFrame) -> PlanAudit:
         read_schemas=scan_columns(df),
         # distinct *(n) markers = whole-stage codegen spans in simple mode
         wholestage_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
+        unbounded_global_windows=len(unbounded_global_windows(df)),
     )

@@ -2487,7 +2487,10 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression trees; the per-doc sum over query terms runs
     through the quantized reducer so it is order-independent.  Plan:
     two aggregations (tf, df), a broadcast of the {nq}-term query and
-    the 1-row corpus stats, one ranking window — no driver collection.
+    the 1-row corpus stats, then TakeOrderedAndProject for both the
+    query-term selection and the final top-k (rank windows run only
+    over the <=k survivors) — no corpus-sized single-reducer stage,
+    no driver collection.
     """
     (docs,) = _t(spark, sf_dir, "documents")
     words = docs.select(
@@ -2496,10 +2499,11 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wq = Window.orderBy(F.col("df").desc(), "term")
+    # vocabulary-sized input: take the top-nq terms with a TakeOrdered
+    # (per-partition heaps, nq-row merge), never a partition-less window
     qterms = (
-        dfreq.withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") <= _BM25_NQ)
+        dfreq.orderBy(F.col("df").desc(), "term")
+        .limit(_BM25_NQ)
         .select("term", "df")
     )
     stats = dl.agg(
@@ -2523,10 +2527,13 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(dsum(F.col("s")).alias("score"))
     )
+    # top-k FIRST (TakeOrderedAndProject), THEN rank the k survivors —
+    # a global row_number over the full scored corpus would serialize it
+    # through one task (the docs_dsir_score pattern, curation.py)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
     wr = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= _BM25_TOPK)
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
         .orderBy("rank")
     )
 

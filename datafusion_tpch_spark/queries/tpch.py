@@ -671,13 +671,25 @@ ORDER BY s_suppkey
 
 
 def q15_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-function variant (SURVEY §2.5): dense_rank over revenue."""
+    """Window-function variant (SURVEY §2.5): dense_rank over revenue.
+
+    Scale-safe form: ``dense_rank() = 1`` is exactly ``total_revenue =
+    max(total_revenue)``, so the max is reduced first (scalar broadcast)
+    and the partition-less rank window runs only over the tie set at the
+    max — never over the supplier-cardinality revenue table, which would
+    serialize through one task at scale."""
     from pyspark.sql.window import Window
 
     li, supp = _t(spark, sf_dir, "lineitem", "supplier")
     rev = _revenue_per_supplier(li)
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    cand = rev.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
+    ).drop("max_revenue")
     w = Window.orderBy(F.col("total_revenue").desc())
-    ranked = rev.withColumn("rnk", F.dense_rank().over(w)).filter(F.col("rnk") == 1)
+    ranked = cand.withColumn("rnk", F.dense_rank().over(w)).filter(
+        F.col("rnk") == 1
+    )
     return (
         supp.join(ranked, supp.s_suppkey == ranked.l_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

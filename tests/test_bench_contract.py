@@ -75,3 +75,14 @@ def test_headline_keeps_round1_baseline_set():
         "tables_listing", "text_quality", "text_stats", "top_docs_per_lang",
     }
     assert r01 <= set(bench.HEADLINE)
+
+
+def test_fmt_never_exceeds_three_chars():
+    # ADVICE r05: v in [9.95, 10) used to emit "10.0" (4 chars) because the
+    # integer-collapse tested v, not round(v, 1)
+    for v in (0.0, 0.04, 0.05, 9.94, 9.95, 9.99, 10.0, 99.4, 999.0, 5000.0):
+        enc = json.dumps(bench.fmt(v))
+        assert len(enc) <= 3, f"fmt({v}) -> {enc} exceeds 3 chars"
+    assert bench.fmt(9.96) == 10  # round(9.96,1)=10.0 -> must collapse
+    assert bench.fmt(9.94) == 9.9
+    assert bench.fmt(5000.0) == 999

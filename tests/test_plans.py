@@ -242,3 +242,47 @@ def test_pipeline_yield_no_cartesian_single_job(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Union") >= 1
     assert broadcast_join_count(df) >= 1
+
+
+# Queries whose global (partition-less) window runs over input that is
+# bounded by CONSTRUCTION rather than by a limit operator the plan can
+# show.  Each exemption names the bound; anything else with an unbounded
+# global window is a scale bug (one task sorts data-sized input).
+_GLOBAL_WINDOW_BOUNDED_BY_CONSTRUCTION = {
+    # dense_rank input = revenue rows joined on equality to the broadcast
+    # global max — the tie set at the maximum, not the supplier table
+    "q15_window": "max-revenue tie set",
+    # rolling window over one row per DAY: calendar-domain-sized input
+    "events_rolling_kmv": "per-day grain (calendar-bounded)",
+    # centered moving average over one row per MONTH
+    "orders_seasonality": "per-month grain (calendar-bounded)",
+}
+
+
+def test_no_unbounded_global_window_registry_wide(spark):
+    """THE single-reducer killer, asserted for every registered query: a
+    partition-less Window must rank only limit-bounded survivors (the
+    limit-then-rank pattern) or construction-bounded input (exemptions
+    above, each with its bound named)."""
+    from datafusion_tpch_spark.plans import unbounded_global_windows
+
+    offenders = {}
+    for name, qspec in sorted(all_queries().items()):
+        if name.endswith("_stream"):
+            continue  # micro-batch plans; windows asserted in stream tests
+        bad = unbounded_global_windows(qspec.build(spark, SF_DIR))
+        if bad and name not in _GLOBAL_WINDOW_BOUNDED_BY_CONSTRUCTION:
+            offenders[name] = bad[0][:160]
+    assert not offenders, offenders
+
+
+def test_bm25_topk_not_global_window(spark):
+    """Round-6 fix: both bm25 windows (query-term selection, final rank)
+    must plan as TakeOrderedAndProject with rank windows only above the
+    limit — never a corpus-sized partition-less sort."""
+    from datafusion_tpch_spark.plans import unbounded_global_windows
+
+    df = _build(spark, "docs_bm25_topk")
+    assert unbounded_global_windows(df) == []
+    plan = _plan_str(df)
+    assert "TakeOrderedAndProject" in plan

@@ -32,8 +32,8 @@ def main() -> None:
         f"Source: `tools/plan_audit.py` on `{sf_dir}` (plan shape is "
         "SF-independent; AQE may re-plan joins at runtime on real stats).",
         "",
-        "| query | exchanges | broadcast joins | sort-merge joins | codegen spans | scans (pruned cols) | pushed filters |",
-        "|---|---|---|---|---|---|---|",
+        "| query | exchanges | broadcast joins | sort-merge joins | codegen spans | unbounded global windows | scans (pruned cols) | pushed filters |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, spec in sorted(all_queries().items()):
         if name.endswith("_stream"):
@@ -46,10 +46,18 @@ def main() -> None:
         pushed = "<br>".join(p.replace("|", "\\|") for p in a.pushed) or "—"
         lines.append(
             f"| {name} | {a.exchanges} | {a.broadcast_joins} | "
-            f"{a.sort_merge_joins} | {a.wholestage_spans} | {scans} | {pushed} |"
+            f"{a.sort_merge_joins} | {a.wholestage_spans} | "
+            f"{a.unbounded_global_windows} | {scans} | {pushed} |"
         )
         print(a.summary(), file=sys.stderr)
     lines += [
+        "",
+        "The `unbounded global windows` column counts partition-less Window "
+        "nodes with no limit operator in their subtree (the single-reducer "
+        "shape).  The only nonzero rows are construction-bounded and "
+        "exempted with named bounds in `tests/test_plans.py`: `q15_window` "
+        "(max-revenue tie set), `events_rolling_kmv` (per-day grain), "
+        "`orders_seasonality` (per-month grain).",
         "",
         "Queries that materialize a shared intermediate with localCheckpoint "
         "(`dedup_semantic`'s pair table, `dedup_ngram_jaccard`'s shingle set) "
