@@ -56,10 +56,10 @@ _CHECK_FIRST = [
 
 def all_queries() -> dict[str, QuerySpec]:
     """Merged registry across the TPC-H core and the extension operators."""
-    from . import advanced, cleaning, curation, extensions, stream, tpch
+    from . import advanced, cleaning, curation, extensions, stream, tpch, tpch_spec
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (tpch, extensions, stream, curation, advanced, cleaning):
+    for mod in (tpch, tpch_spec, extensions, stream, curation, advanced, cleaning):
         for spec in mod.SPECS:
             assert spec.name not in merged, f"duplicate query name {spec.name}"
             merged[spec.name] = spec
