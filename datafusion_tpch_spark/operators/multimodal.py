@@ -2,13 +2,15 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas transforms,
-partition-size control for large blobs) is real and tested; the actual
-codec work is stubbed behind ``_decode_image_bytes`` with a deterministic
-fake, because the image/audio libraries aren't available in this
-environment — swap the stub for PIL/torchvision/ffmpeg calls in
-production.  The operator shapes (one blob in → features/patches out, never
-collect, never a Python loop over rows on the driver) are the part that
-must be right for 100 TB.
+partition-size control for large blobs) is real and tested.  Decode is
+REAL for the uncompressed public formats a pure-numpy kernel can parse —
+binary PGM/PPM and 24-bit BI_RGB BMP (``decode_image``) — and falls back
+to a documented deterministic fake for opaque blobs; compressed codecs
+(JPEG/PNG/video/audio containers) raise NotImplementedError at exactly
+the boundary where PIL/torchvision/ffmpeg slot in, since those libraries
+aren't in this environment.  The operator shapes (one blob in →
+features/patches out, never collect, never a Python loop over rows on
+the driver) are the part that must be right for 100 TB.
 """
 
 from __future__ import annotations
@@ -55,14 +57,118 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
-def _decode_image_bytes(content: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: production would be PIL.Image.open(BytesIO(content)).
+# --- real codecs (pure numpy, public formats) -------------------------------
+#
+# Uncompressed formats need no codec library: PGM (P5) / PPM (P6) are a text
+# header + raw samples, BMP (BI_RGB) is two fixed headers + padded rows.
+# Compressed codecs (JPEG/PNG/...) still raise NotImplementedError — that is
+# the honest production boundary where PIL/libjpeg slots in.
 
-    Deterministic fake so the distributed plumbing is testable: derives a
-    (height, width) uint8 'image' from the blob bytes.
-    """
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Binary PGM (P5): 8-bit grayscale, the simplest real image format."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_pgm expects a 2-D uint8 array")
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from an (h, w, 3) uint8 RGB array:
+    BGR samples, rows 4-byte padded, bottom-up."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after the magic,
+    honoring '#' comments; returns (tokens, offset-of-raster)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i + 1  # exactly one whitespace byte before the raster
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """REAL decode of uncompressed public formats, strictly from the blob
+    bytes (no metadata columns): binary PGM (P5) → (h, w) uint8, binary
+    PPM (P6) → (h, w, 3) uint8, 24-bit BI_RGB BMP → (h, w, 3) uint8
+    (bottom-up or top-down).  Compressed codecs raise — production swaps
+    in PIL/libjpeg at exactly this boundary."""
     if content is None:
-        raise NotImplementedError("real decode requires an image codec library")
+        raise ValueError("null blob")
+    buf = bytes(content)
+    magic = buf[:2]
+    if magic in (b"P5", b"P6"):
+        (w, h, maxval), off = _pnm_tokens(buf, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PNM not supported")
+        ch = 1 if magic == b"P5" else 3
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=off)
+        return px.reshape((h, w) if ch == 1 else (h, w, ch))
+    if magic == b"BM":
+        offset = int.from_bytes(buf[10:14], "little")
+        w = int.from_bytes(buf[18:22], "little", signed=True)
+        h = int.from_bytes(buf[22:26], "little", signed=True)
+        bpp = int.from_bytes(buf[28:30], "little")
+        comp = int.from_bytes(buf[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        bottom_up, h = h > 0, abs(h)
+        row_bytes = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=h * row_bytes, offset=offset
+        ).reshape(h, row_bytes)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return img[::-1] if bottom_up else img
+    raise NotImplementedError(
+        f"no pure-numpy decoder for magic {magic!r} (compressed codecs "
+        "require an image library: swap in PIL here in production)"
+    )
+
+
+def _decode_image_bytes(content: bytes, width: int, height: int) -> np.ndarray:
+    """Decode dispatch: REAL decode (decode_image) when the blob carries a
+    recognized uncompressed format; otherwise the documented deterministic
+    fake (derives a (height, width) uint8 'image' from the first blob
+    bytes) so opaque-blob plumbing stays testable without codec libs."""
+    if content is None:
+        raise ValueError("null blob")
+    if bytes(content[:2]) in (b"P5", b"P6", b"BM"):
+        img = decode_image(content)
+        return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     seed = np.frombuffer(content[:64], dtype=np.uint8).astype(np.uint32)
     grid = np.arange(height * width, dtype=np.uint32).reshape(height, width)
     return ((grid * int(seed.sum() + 1)) % 251).astype(np.uint8)
@@ -214,6 +320,67 @@ def asset_pixel_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def documents_as_pgm_assets(docs: DataFrame) -> DataFrame:
+    """Real-format asset table: per document, a deterministic
+    (8+id%7) × (8+id%9) grayscale raster (``pixel[i] = (id*K + i) % 256``
+    — SQL-recomputable) ENCODED AS BINARY PGM inside the Arrow kernel.
+    The blob is a genuine image file, born distributed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 9, 8 + aid % 7
+                px = (aid * _PX_K + np.arange(h * w, dtype=np.int64)) % 256
+                img = px.astype(np.uint8).reshape(h, w)
+                out.append((aid, "image", "image/x-portable-graymap",
+                            encode_pgm(img)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+DECODED_STATS_SCHEMA = (
+    "asset_id long, n_bytes long, width int, height int, "
+    "mean_px double, max_px long, sum_px long"
+)
+
+
+def decoded_image_stats(assets: DataFrame) -> DataFrame:
+    """REAL end-to-end decode: parse each blob's image format strictly from
+    its bytes (``decode_image`` — header gives width/height, raster gives
+    pixels; no metadata columns consulted) and emit per-asset statistics.
+    Paired with ``documents_as_pgm_assets`` this proves encode → binary
+    column → Arrow → header parse → raster decode → features, with every
+    output SQL-recomputable from the closed-form raster."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.content)
+                if img.ndim == 3:
+                    img = img.mean(axis=2).astype(np.uint8)
+                px = img.astype(np.int64)
+                out.append(
+                    (row.asset_id, len(row.content),
+                     img.shape[1], img.shape[0],
+                     float(px.mean()), int(px.max()), int(px.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_bytes", "width", "height",
+                         "mean_px", "max_px", "sum_px"],
+            )
+
+    return assets.mapInPandas(run, DECODED_STATS_SCHEMA)
 
 
 def documents_as_audio(docs: DataFrame) -> DataFrame:

@@ -2606,6 +2606,47 @@ ORDER BY asset_id
 """
 
 
+def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no codec stub anywhere on this path):
+    documents → deterministic grayscale rasters ENCODED AS BINARY PGM in
+    one Arrow kernel → a second Arrow kernel parses each blob strictly
+    from its bytes (``decode_image``: P5 header → width/height, raster →
+    pixels) → per-asset statistics.  The oracle recomputes everything from
+    the closed-form raster, including ``n_bytes`` = exact PGM header
+    length + w·h — so a decoder that consulted metadata instead of the
+    header, or mis-parsed the raster offset, hash-fails.  Two pipelined
+    narrow passes, no shuffle; compressed codecs enter at the documented
+    ``decode_image`` boundary."""
+    from ..operators.multimodal import (
+        decoded_image_stats,
+        documents_as_pgm_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return decoded_image_stats(documents_as_pgm_assets(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_DECODE_ROUNDTRIP_SQL = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         list_transform(
+           range(0, (8 + doc_id % 9) * (8 + doc_id % 7)),
+           i -> (doc_id * 2654435761 + i) % 256) AS pxs
+  FROM documents)
+SELECT asset_id,
+       CAST(octet_length(encode('P5' || chr(10) || CAST(w AS VARCHAR) || ' '
+                                || CAST(h AS VARCHAR) || chr(10) || '255'
+                                || chr(10))) + w * h AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       list_aggregate(pxs, 'sum') * 1.0 / len(pxs) AS mean_px,
+       CAST(list_aggregate(pxs, 'max') AS BIGINT) AS max_px,
+       CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS sum_px
+FROM px
+ORDER BY asset_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-modality frame sampling: one blob row fans out to
     ceil(duration/interval) frame rows through the Arrow-batched
@@ -4287,6 +4328,9 @@ SPECS: list[QuerySpec] = [
               "catalog listing (tpch() result shape / SHOW TABLES)"),
     QuerySpec("multimodal_pixel_stats", multimodal_pixel_stats, MULTIMODAL_PIXEL_STATS_SQL,
               "binary asset column -> mapInPandas decode stub -> pixel stats"),
+    QuerySpec("multimodal_decode_roundtrip", multimodal_decode_roundtrip,
+              MULTIMODAL_DECODE_ROUNDTRIP_SQL,
+              "PGM encode -> binary column -> REAL header+raster decode -> stats"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

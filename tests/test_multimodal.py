@@ -96,3 +96,88 @@ def test_partition_for_blobs_bounds_partition_rows(spark):
 
     with pytest.raises(ValueError):
         partition_for_blobs(docs, target_rows_per_partition=0)
+
+
+# --- real codecs (pure numpy) ----------------------------------------------
+
+def test_pgm_roundtrip_identity():
+    from datafusion_tpch_spark.operators.multimodal import decode_image, encode_pgm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_pgm(img)), img)
+
+
+def test_pgm_header_comments_and_whitespace():
+    from datafusion_tpch_spark.operators.multimodal import decode_image
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = b"P5 # comment\n# full line comment\n 4\t3 \n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(blob), img)
+
+
+def test_ppm_decode_rgb():
+    from datafusion_tpch_spark.operators.multimodal import decode_image
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = b"P6\n3 2\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(blob), img)
+
+
+def test_bmp_roundtrip_identity_with_row_padding():
+    from datafusion_tpch_spark.operators.multimodal import decode_image, encode_bmp
+
+    rng = np.random.default_rng(11)
+    # width 5 -> 15-byte rows padded to 16: exercises the stride logic
+    img = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    blob = encode_bmp(img)
+    assert blob[:2] == b"BM"
+    assert np.array_equal(decode_image(blob), img)
+
+
+def test_bmp_topdown_negative_height():
+    from datafusion_tpch_spark.operators.multimodal import decode_image, encode_bmp
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, reorder rows accordingly
+    import struct
+
+    h = struct.unpack_from("<i", blob, 22)[0]
+    struct.pack_into("<i", blob, 22, -h)
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    row_bytes = (img.shape[1] * 3 + 3) & ~3
+    rows = bytes(blob[offset:])
+    flipped = b"".join(
+        rows[i * row_bytes:(i + 1) * row_bytes] for i in reversed(range(h))
+    )
+    assert np.array_equal(decode_image(bytes(blob[:offset]) + flipped), img)
+
+
+def test_compressed_codecs_raise():
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_decode_dispatch_prefers_real_formats(spark):
+    """extract_image_features over real PGM blobs must reflect the actual
+    raster (not the metadata-derived fake)."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decoded_image_stats,
+        documents_as_pgm_assets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(8)
+    rows = decoded_image_stats(documents_as_pgm_assets(docs)).orderBy("asset_id").collect()
+    assert len(rows) == 8
+    for r in rows:
+        w, h = 8 + r.asset_id % 9, 8 + r.asset_id % 7
+        assert (r.width, r.height) == (w, h)
+        px = (r.asset_id * _PX_K + np.arange(w * h, dtype=np.int64)) % 256
+        assert r.sum_px == int(px.sum())
+        header = b"P5\n%d %d\n255\n" % (w, h)
+        assert r.n_bytes == len(header) + w * h
