@@ -34,7 +34,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation, streaming execution."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = hourly_agg_stream(read_events_stream(spark, sf_dir))
-    return run_stream_to_df(spark, stream, "events_hourly_stream").orderBy(
+    return run_stream_to_df(spark, stream, "events_hourly_stream", reuse_key=sf_dir).orderBy(
         "hour", "event_type"
     )
 
@@ -58,7 +58,7 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window/type aggregates, so it profits from more state partitions
     # (measured at sf0.1: 2/4/8 parts = 1.19/1.03/0.96 s)
     return run_stream_to_df(
-        spark, stream, "events_session_stream", partitions=8
+        spark, stream, "events_session_stream", partitions=8, reuse_key=sf_dir
     ).orderBy("user_id", "session_start")
 
 
@@ -109,7 +109,7 @@ def events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value")).alias("sum_value"),
         )
     )
-    return run_stream_to_df(spark, enriched, "events_enriched_stream").orderBy(
+    return run_stream_to_df(spark, enriched, "events_enriched_stream", reuse_key=sf_dir).orderBy(
         "c_mktsegment", "event_type"
     )
 
@@ -128,7 +128,7 @@ def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows every hour."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = sliding_agg_stream(read_events_stream(spark, sf_dir))
-    return run_stream_to_df(spark, stream, "events_sliding_stream").orderBy(
+    return run_stream_to_df(spark, stream, "events_sliding_stream", reuse_key=sf_dir).orderBy(
         "win_start", "event_type"
     )
 
@@ -155,7 +155,8 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = dedup_keys_stream(read_events_stream(spark, sf_dir))
     return run_stream_to_df(
-        spark, stream, "events_dedup_stream", output_mode="append"
+        spark, stream, "events_dedup_stream", output_mode="append",
+        reuse_key=sf_dir,
     ).orderBy("user_id", "event_type")
 
 
@@ -173,7 +174,8 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = click_purchase_join_stream(read_events_stream(spark, sf_dir))
     return run_stream_to_df(
-        spark, stream, "events_stream_stream_join", output_mode="append"
+        spark, stream, "events_stream_stream_join", output_mode="append",
+        reuse_key=sf_dir,
     ).orderBy("purchase_id", "click_id")
 
 
@@ -208,6 +210,7 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream,
         "events_stateful_sessions",
         output_mode="append",
+        reuse_key=sf_dir,
         # the per-key state machine runs in Python workers; keep enough
         # partitions for worker parallelism (store-commit cost is minor
         # next to the Arrow/Python path here)
@@ -283,7 +286,7 @@ def events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rank").alias("r"))
     )
-    regs = run_stream_to_df(spark, regs_stream, "events_hll_stream")
+    regs = run_stream_to_df(spark, regs_stream, "events_hll_stream", reuse_key=sf_dir)
     denom = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("m_used"),
         F.sum(
@@ -340,7 +343,7 @@ def events_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = hourly_agg_stream(stream)
     return run_stream_to_df(
-        spark, agg, "events_multibatch_stream"
+        spark, agg, "events_multibatch_stream", reuse_key=sf_dir
     ).orderBy("hour", "event_type")
 
 
@@ -368,7 +371,7 @@ def events_trending_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("win_start"), "event_type", "n_events"
         )
     )
-    counts = run_stream_to_df(spark, agg, "events_trending_stream")
+    counts = run_stream_to_df(spark, agg, "events_trending_stream", reuse_key=sf_dir)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("win_start").orderBy(
