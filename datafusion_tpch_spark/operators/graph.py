@@ -71,15 +71,21 @@ def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
     # Fused first round: with identity labels the neighbor minimum is just
     # min(neighbor id) per node, so round 1 is a plain aggregate over the
     # edge list — one shuffle, no join — instead of a full join round.
+    # Lazy checkpoint + immediate scalar action: the sum collect BOTH
+    # materializes the checkpoint (so next round's two joins scan saved
+    # blocks, same as eager) AND initializes the convergence baseline —
+    # one scheduled job where eager-checkpoint-then-sum took two, and the
+    # baseline lets a star-shaped graph (every near-dup cluster whose
+    # members all touch the min doc) terminate after ONE loop round.
     labels = (
         both.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nmin"))
         .select(
             "node", F.least(F.col("node"), F.col("nmin")).alias("component")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         # neighbor minimum: smallest label among each node's neighbors
         neigh = (
@@ -107,11 +113,11 @@ def _cc_loop(both: DataFrame, max_iter: int) -> DataFrame:
                     F.col("component"), F.coalesce("_parent", "component")
                 ).alias("component"),
             )
-            # eager checkpoint: labels feeds TWO joins next round, so it
-            # must be materialized each round (a lazy persist measured
-            # ~80% slower here — cache-write overhead plus a cached-plan
-            # AQE boundary beat the extra checkpoint job)
-            .localCheckpoint()
+            # lazy checkpoint, materialized by the convergence collect
+            # below: one job per round instead of eager-checkpoint + sum
+            # (persist() instead measured ~80% slower here — cache-write
+            # overhead plus a cached-plan AQE boundary)
+            .localCheckpoint(eager=False)
         )
         s = labels.agg(F.sum("component")).collect()[0][0]
         if s == prev_sum:
@@ -158,7 +164,10 @@ def pagerank(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
     ).localCheckpoint()
     outw = e.groupBy("e_src").agg(F.sum("e_w").alias("e_ow"))
-    e = e.join(outw, "e_src")
+    # checkpoint AFTER the out-weight join: all `iterations` unrolled
+    # rounds (and the node derivation) scan the saved blocks instead of
+    # re-planning the join per branch
+    e = e.join(outw, "e_src").localCheckpoint()
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select("e_dst"))
