@@ -25,32 +25,33 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record: CORRECTNESS_r01..r04 together cover 159 of the 164
-# pre-round-5 queries.  Round 5 front-loads the remaining 5, then the
-# round-5 additions (driver record on first exposure), then re-confirms the
-# plans rounds 4-5 rewrote plus the TPC-H core.  Everything not listed
-# keeps registration order after these.
+# correctness record: by round 5's record every pre-existing query has at
+# least one green CORRECTNESS_r0N row.  Round 6 front-loads its additions
+# (driver record on first exposure), then re-records every query whose
+# plan round 6 rewrote (bm25/q15_window limit-then-rank, CC-loop and
+# pagerank checkpoint changes, the streaming sink-reuse path), then the
+# 7 queries whose latest record dated back to r01, then the TPC-H core.
+# Everything not listed keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round 5: the last 5 queries with no driver-side record yet
-    # (after these, every registry entry has at least one green
-    # CORRECTNESS_r0N record) --
-    "orders_csv_roundtrip", "orders_json_roundtrip",
-    "multimodal_audio_energy", "events_hll_stream",
-    "events_trending_stream",
-    # -- round-5 additions get driver records on first exposure;
+    # -- round-6 additions: spec-typed canonical TPC-H gates + real decode;
     # new queries are inserted HERE as they land --
-    # -- refill: re-confirm the plans round 4/5 rewrote (selection-module
-    # gates, KMV k-min, skyline, ring index) plus the TPC-H core --
-    "events_kmv_distinct", "events_kmv_setops", "events_rolling_kmv",
-    "docs_negative_pairs", "part_skyline", "lineitem_winsorize",
-    "part_impute_median", "events_value_quantiles", "docs_token_pack",
-    "events_late_audit", "docs_reservoir_sample", "docs_stratified_sample",
-    "customer_record_linkage", "events_concurrency", "dedup_semantic",
-    "dedup_semantic_clusters", "ann_lsh_topk", "ann_ivf_pq_topk",
-    "events_communities", "events_pagerank",
+    "q1_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
+    # -- plans rewritten in round 6 --
+    "docs_bm25_topk", "q15_window",
+    "dedup_semantic_clusters", "events_pagerank", "events_communities",
+    "docs_cross_source_dups",
+    "events_sliding_stream", "events_dedup_stream",
+    "events_stream_stream_join", "events_stateful_sessions",
+    "events_multibatch_stream", "events_hll_stream",
+    "events_trending_stream",
+    # -- stalest driver records (latest = r01) --
+    "multimodal_pixel_stats", "events_hourly", "events_sessionize",
+    "events_json_extract", "events_hourly_stream", "events_session_stream",
+    "events_enriched_stream",
+    # -- refill: the TPC-H core + long-standing representatives --
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "dedup_minhash_lsh", "dedup_exact", "text_stats",
+    "q22", "dedup_minhash_lsh", "dedup_exact", "text_stats", "limit_scan",
 ]
 
 

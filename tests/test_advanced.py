@@ -844,7 +844,9 @@ def test_two_level_kmin_equals_global_kmin():
 # adding a global window must be reviewed for input boundedness and added
 # here explicitly.
 _BOUNDED_GLOBAL_WINDOWS = {
-    "docs_bm25_topk": 2,       # term-df vocabulary table
+    "docs_bm25_topk": 1,       # top-k budget rows (rank AFTER TakeOrdered;
+                               # the term-selection window became a
+                               # TakeOrdered in round 6)
     "docs_bpe_pairs": 1,       # adjacent-pair vocabulary table
     "docs_dsir_score": 1,      # top-k budget rows (rank AFTER TakeOrdered)
     "embeddings_top_eigvec": 1,  # d-row eigenvector table
