@@ -93,6 +93,11 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     only ever ranks the <=k survivors (the limit-then-rank pattern).
     Returns the plan lines of global windows with NO such bound."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    # an executed AdaptiveSparkPlan prints the Final Plan followed by the
+    # Initial Plan — audit only the one that ran, or every node counts twice
+    marker = "== Initial Plan =="
+    if marker in plan:
+        plan = plan.split(marker)[0]
     lines = plan.splitlines()
     offenders = []
     for i, line in enumerate(lines):
