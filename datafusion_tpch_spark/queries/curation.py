@@ -643,6 +643,83 @@ ORDER BY dr.doc_id, dr.draw
 _FH_DIM = 32
 
 
+_BUDGET_TOKENS = 20_000   # global token budget B
+_BUDGET_PRIO_SCALE = 10_000  # integer priority = stop_hits*SCALE div n_tokens
+
+
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered corpus selection under a GLOBAL token budget:
+    rank every document by an integer quality priority (stopword density —
+    the fluency proxy — as ``stop_hits*{s} div n_tokens``, floor division
+    so both engines agree exactly), then keep documents in priority order
+    while the running token total stays within B={b} tokens — the "fill a
+    fixed training-token budget with the best data first" step every LLM
+    data pipeline ends with.
+
+    Scale: the running total over the priority order is THE canonical
+    single-reducer trap (a corpus-sized ``SUM OVER (ORDER BY ...)``); here
+    it runs as the range-sharded two-pass prefix scan
+    (``operators/selection.sharded_prefix``): local prefix per priority
+    shard + a broadcast carry-in of #shards boundary rows, so no task ever
+    holds more than one shard of the order at any corpus size.  The
+    per-doc scoring pass is one narrow projection.
+    """
+    from ..operators.selection import sharded_prefix
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    stop = text.stopword_hits(F.col("text"), text.LANG_STOPWORDS["en"]).cast("long")
+    # floor((hits * SCALE) / n): both factors are exact longs, the double
+    # quotient of small-magnitude longs is exact, and floor pins the
+    # integer — identical to DuckDB's integer // division
+    scored = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(stop * _BUDGET_PRIO_SCALE / n_tok).alias("priority"),
+    )
+    ordered = scored.withColumn("nprio", -F.col("priority"))
+    cum = sharded_prefix(
+        ordered,
+        order_by=["nprio", "doc_id"],
+        value=F.col("n_tokens"),
+        agg="sum",
+        inclusive=True,
+        out_col="cum_tokens",
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "n_tokens", "priority", "cum_tokens")
+        .orderBy(F.col("priority").desc(), "doc_id")
+    )
+
+
+docs_token_budget.__doc__ = (docs_token_budget.__doc__ or "").format(
+    s=_BUDGET_PRIO_SCALE, b=_BUDGET_TOKENS
+)
+
+
+_BUDGET_STOP_SQL = text.stopword_hits_sql("text", text.LANG_STOPWORDS["en"])
+DOCS_TOKEN_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {text.token_count_sql('text')} AS n_tokens,
+         ({_BUDGET_STOP_SQL} * {_BUDGET_PRIO_SCALE})
+           // {text.token_count_sql('text')} AS priority
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens, priority,
+         CAST(SUM(n_tokens) OVER (
+              ORDER BY priority DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM scored)
+SELECT doc_id, n_tokens, priority, cum_tokens
+FROM cum
+WHERE cum_tokens <= {_BUDGET_TOKENS}
+ORDER BY priority DESC, doc_id
+"""
+
+
 def events_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization (the linear-model/embedding-input
     prep): every (key=value) pair of the JSON payload plus the event
@@ -1128,5 +1205,10 @@ SPECS = [
     QuerySpec(
         "events_feature_hash", events_feature_hash, EVENTS_FEATURE_HASH_SQL,
         "hashing-trick featurization census over JSON key=value pairs",
+    ),
+    QuerySpec(
+        "docs_token_budget", docs_token_budget, DOCS_TOKEN_BUDGET_SQL,
+        "greedy quality-ordered selection under a global token budget "
+        "(range-sharded prefix scan, no global window)",
     ),
 ]
