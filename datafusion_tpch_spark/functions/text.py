@@ -90,6 +90,25 @@ def stopword_hits_sql(expr: str, words: tuple[str, ...]) -> str:
     )
 
 
+def quality_priority(col: Column, scale: int = 10_000) -> Column:
+    """Integer quality priority: English stopword density scaled to an
+    exact long — ``floor(stop_hits * scale / n_tokens)``.  Both factors
+    are exact longs and the integer quotient is never within 1 ulp of a
+    double integer boundary at these magnitudes (|a/b - k| >= 1/b), so
+    floor(double division) equals integer floor division on BOTH engines.
+    The shared ranking key for quality-ordered curation gates."""
+    n = token_count(col)
+    hits = stopword_hits(col, LANG_STOPWORDS["en"]).cast("long")
+    return F.floor(hits * scale / n)
+
+
+def quality_priority_sql(expr: str, scale: int = 10_000) -> str:
+    return (
+        f"({stopword_hits_sql(expr, LANG_STOPWORDS['en'])} * {scale})"
+        f" // {token_count_sql(expr)}"
+    )
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are punctuation/symbols."""
     stripped = F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))

@@ -667,15 +667,10 @@ def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import sharded_prefix
 
     (docs,) = _t(spark, sf_dir, "documents")
-    n_tok = text.token_count(F.col("text"))
-    stop = text.stopword_hits(F.col("text"), text.LANG_STOPWORDS["en"]).cast("long")
-    # floor((hits * SCALE) / n): both factors are exact longs, the double
-    # quotient of small-magnitude longs is exact, and floor pins the
-    # integer — identical to DuckDB's integer // division
     scored = docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.floor(stop * _BUDGET_PRIO_SCALE / n_tok).alias("priority"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_priority(F.col("text"), _BUDGET_PRIO_SCALE).alias("priority"),
     )
     ordered = scored.withColumn("nprio", -F.col("priority"))
     cum = sharded_prefix(
@@ -698,13 +693,11 @@ docs_token_budget.__doc__ = (docs_token_budget.__doc__ or "").format(
 )
 
 
-_BUDGET_STOP_SQL = text.stopword_hits_sql("text", text.LANG_STOPWORDS["en"])
 DOCS_TOKEN_BUDGET_SQL = f"""
 WITH scored AS (
   SELECT doc_id,
          {text.token_count_sql('text')} AS n_tokens,
-         ({_BUDGET_STOP_SQL} * {_BUDGET_PRIO_SCALE})
-           // {text.token_count_sql('text')} AS priority
+         {text.quality_priority_sql('text', _BUDGET_PRIO_SCALE)} AS priority
   FROM documents),
 cum AS (
   SELECT doc_id, n_tokens, priority,

@@ -816,6 +816,83 @@ ORDER BY survivor_id
 """
 
 
+_ELECT_PRIO_SCALE = 10_000
+
+
+def dedup_cluster_quality_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election over the near-dup clusters — what
+    production dedup actually keeps: NOT the arbitrary min-id member
+    (``dedup_semantic_clusters``' canonical labeling) but the
+    best-quality document per connected component (here the shared
+    integer stopword-density priority, ties to the smallest doc id).
+
+    Plan: the same CC closure as the clusters gate, one broadcast-sized
+    join of the clustered nodes onto per-doc priorities, then the
+    election as a HASH AGGREGATE — ``min(struct(-priority, node))`` is
+    exactly argmax-with-min-tiebreak, map-side combinable, so no
+    per-cluster sort window exists at any corpus size (the same argmax
+    idiom as label propagation's community election)."""
+    from ..operators.graph import connected_components
+
+    pairs = _sem_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="id1", dst="id2", num_partitions=4)
+    (docs,) = _t(spark, sf_dir, "documents")
+    prio = docs.select(
+        "doc_id",
+        text.quality_priority(F.col("text"), _ELECT_PRIO_SCALE).alias("priority"),
+    )
+    return (
+        cc.join(prio, cc.node == prio.doc_id)
+        .groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("priority")).alias("np"),
+                    F.col("node").alias("nid"),
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("m.nid").alias("survivor_id"),
+            (-F.col("m.np")).alias("survivor_priority"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_CLUSTER_QUALITY_ELECT_SQL = f"""
+WITH RECURSIVE {_sem_ctes()},
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM sem_pairs
+  UNION ALL
+  SELECT id2, id1 FROM sem_pairs),
+cc(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a),
+labeled AS (
+  SELECT node, MIN(label) AS component FROM cc GROUP BY node),
+scored AS (
+  SELECT doc_id,
+         {text.quality_priority_sql('text', _ELECT_PRIO_SCALE)} AS priority
+  FROM documents),
+ranked AS (
+  SELECT l.component, l.node, s.priority,
+         ROW_NUMBER() OVER (PARTITION BY l.component
+                            ORDER BY s.priority DESC, l.node) AS rn,
+         COUNT(*) OVER (PARTITION BY l.component) AS n_members
+  FROM labeled l JOIN scored s ON s.doc_id = l.node)
+SELECT component AS cluster_id, node AS survivor_id,
+       priority AS survivor_priority,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 _KNN_K = 3              # neighbor budget per node in the kNN graph
 
 
@@ -4269,6 +4346,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_semantic_clusters", dedup_semantic_clusters,
               DEDUP_SEMANTIC_CLUSTERS_SQL,
               "connected-components cluster formation + survivor election"),
+    QuerySpec("dedup_cluster_quality_elect", dedup_cluster_quality_elect,
+              DEDUP_CLUSTER_QUALITY_ELECT_SQL,
+              "best-quality survivor per near-dup cluster (hash-agg argmax)"),
     QuerySpec("embeddings_knn_graph", embeddings_knn_graph,
               EMBEDDINGS_KNN_GRAPH_SQL,
               "mutual top-k cosine neighbor graph over LSH candidates"),

@@ -181,3 +181,26 @@ def test_decode_dispatch_prefers_real_formats(spark):
         assert r.sum_px == int(px.sum())
         header = b"P5\n%d %d\n255\n" % (w, h)
         assert r.n_bytes == len(header) + w * h
+
+
+def test_codec_roundtrip_property():
+    """Property: encode->decode is the identity for every uint8 raster
+    shape (PGM grayscale) and every (h, w, 3) RGB raster (BMP, including
+    all four row-padding residues)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_pgm,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 32), st.integers(1, 32), st.integers(0, 2**32 - 1))
+    def roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_pgm(gray)), gray)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+
+    roundtrip()
