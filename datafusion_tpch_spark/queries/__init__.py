@@ -38,7 +38,7 @@ _CHECK_FIRST = [
     "q1_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
     "docs_token_budget", "dedup_cluster_quality_elect",
     # -- plans rewritten in round 6 --
-    "docs_bm25_topk", "q15_window",
+    "docs_bm25_topk", "q15_window", "docs_pipeline_yield",
     "dedup_semantic_clusters", "events_pagerank", "events_communities",
     "docs_cross_source_dups",
     "events_sliding_stream", "events_dedup_stream",
@@ -52,7 +52,7 @@ _CHECK_FIRST = [
     # -- refill: the TPC-H core + long-standing representatives --
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "dedup_minhash_lsh", "dedup_exact",
+    "q22", "dedup_minhash_lsh",
 ]
 
 

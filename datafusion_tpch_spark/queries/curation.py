@@ -958,40 +958,59 @@ def docs_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.fingerprint(F.col("text")).alias("fp"),
         text.token_count(F.col("text")).alias("n_tok"),
     )
-    keep = toks.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    s2 = toks.join(keep, ["fp", "doc_id"])
-    s3 = s2.filter(F.col("n_tok") >= _YIELD_MIN_TOK)
+    # per-doc stage-survival FLAGS instead of per-stage re-filtered
+    # branches: the dedup survivor test is a fp-partitioned min window
+    # (one shuffle, replaces the groupBy+self-join), and all four stage
+    # memberships ride the same rows — so the whole funnel reduces in ONE
+    # conditional aggregate over one corpus pass (7 parquet scans in the
+    # per-stage-union form -> 3: flags, the contamination explode branch,
+    # and the tiny eval slice).  What matters at 100 TB is the pass count.
+    fpw = Window.partitionBy("fp")
+    flagged = (
+        toks.withColumn("in_s2", F.col("doc_id") == F.min("doc_id").over(fpw))
+        .withColumn(
+            "in_s3", F.col("in_s2") & (F.col("n_tok") >= _YIELD_MIN_TOK)
+        )
+        .withColumn("is_train", F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    )
     sh = F.explode(text.shingles(F.col("text"), _DECON_N)).alias("shingle")
     eval_sh = (
         docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
         .select(sh)
         .distinct()
     )
-    train = s3.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
     contam = (
-        train.select("doc_id", sh)
+        flagged.filter(F.col("in_s3") & F.col("is_train"))
+        .select("doc_id", sh)
         .join(F.broadcast(eval_sh), "shingle")
         .select("doc_id")
         .distinct()
+        .withColumn("is_contam", F.lit(True))
     )
-    s4 = train.join(contam, "doc_id", "left_anti")
+    final = flagged.join(contam, "doc_id", "left").withColumn(
+        "in_s4",
+        F.col("in_s3") & F.col("is_train") & F.col("is_contam").isNull(),
+    )
 
-    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("n_tokens"),
-        ).select(
-            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
-            "n_docs", "n_tokens",
+    def cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0))
+
+    def tok(flag):
+        return F.sum(F.when(flag, F.col("n_tok")).otherwise(0))
+
+    agg = final.agg(
+        F.count(F.lit(1)).alias("c1"), F.sum("n_tok").alias("t1"),
+        cnt(F.col("in_s2")).alias("c2"), tok(F.col("in_s2")).alias("t2"),
+        cnt(F.col("in_s3")).alias("c3"), tok(F.col("in_s3")).alias("t3"),
+        cnt(F.col("in_s4")).alias("c4"), tok(F.col("in_s4")).alias("t4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 1, 'raw', c1, t1, 2, 'exact_dedup', c2, t2, "
+            "3, 'length_floor', c3, t3, 4, 'decontaminated', c4, t4) "
+            "AS (stage_idx, stage, n_docs, n_tokens)"
         )
-
-    return (
-        stage(toks, 1, "raw")
-        .unionByName(stage(s2, 2, "exact_dedup"))
-        .unionByName(stage(s3, 3, "length_floor"))
-        .unionByName(stage(s4, 4, "decontaminated"))
-        .orderBy("stage_idx")
-    )
+    ).orderBy("stage_idx")
 
 
 DOCS_PIPELINE_YIELD_SQL = f"""

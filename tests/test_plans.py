@@ -234,14 +234,16 @@ def test_knn_graph_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pipeline_yield_no_cartesian_single_job(spark):
-    """The funnel is one lazy plan: four scalar aggregates unioned, the
-    eval-shingle set broadcast into the decontamination anti-join."""
+def test_pipeline_yield_no_cartesian_single_pass(spark):
+    """The funnel is one lazy plan reducing in ONE conditional aggregate
+    over stage-survival flags (round 6: the per-stage union of scalar
+    aggregates cost 7 corpus scans; the flag form costs 3 — flags,
+    contamination explode, eval slice), eval shingles broadcast."""
     df = _build(spark, "docs_pipeline_yield")
     plan = _plan_str(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Union") >= 1
     assert broadcast_join_count(df) >= 1
+    assert plan.count("FileScan parquet") <= 3, plan.count("FileScan parquet")
 
 
 # Queries whose global (partition-less) window runs over input that is
