@@ -178,3 +178,28 @@ def test_multibatch_stream_equals_batch_hourly(spark):
     batch = specs["events_hourly"].build(spark, SF_DIR).collect()
     key = lambda r: (r[0], r[1])
     assert sorted(map(tuple, got), key=key) == sorted(map(tuple, batch), key=key)
+
+
+def test_sink_reuse_returns_identical_results_without_rerun(spark):
+    """Always-on sink reuse (round 6): the first reuse_key call runs the
+    stream and registers completion; the second returns the SAME rows from
+    the completed sink — no new streaming query starts."""
+    from datafusion_tpch_spark.streaming import pipeline as pl
+
+    stream = hourly_agg_stream(read_events_stream(spark, SF_DIR))
+    first = run_stream_to_df(
+        spark, stream, "t_reuse_hourly", reuse_key=SF_DIR
+    ).orderBy("hour", "event_type").collect()
+    app = spark.sparkContext.applicationId
+    sink = [s for (a, s) in pl._SINK_COMPLETE
+            if a == app and s.startswith("t_reuse_hourly__")]
+    assert sink, "first call must register sink completion"
+
+    # second build: would raise/rerun if reuse failed; assert no active
+    # streaming query is ever started for this sink again
+    stream2 = hourly_agg_stream(read_events_stream(spark, SF_DIR))
+    second = run_stream_to_df(
+        spark, stream2, "t_reuse_hourly", reuse_key=SF_DIR
+    ).orderBy("hour", "event_type").collect()
+    assert second == first
+    assert all(q.name != sink[0] for q in spark.streams.active)
