@@ -766,6 +766,21 @@ ORDER BY id1, id2
 """
 
 
+def _sem_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the semantic pair table, shared by
+    the cluster gates (canonical survivor listing + quality election) —
+    materialized once per (app, fixture), exactly as a real pipeline
+    persists cluster assignments before any election policy runs."""
+    from ..operators.graph import connected_components
+
+    return _session_table(
+        spark, sf_dir, "sem_cc",
+        lambda: connected_components(
+            _sem_pairs(spark, sf_dir), src="id1", dst="id2", num_partitions=4
+        ),
+    )
+
+
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup **cluster** formation + survivor election — the step after
     pairwise detection: connected components over the semantic near-dup
@@ -778,12 +793,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same closure as a recursive CTE — label-set enumeration to the same
     min-label fixpoint.
     """
-    from ..operators.graph import connected_components
-
-    pairs = _sem_pairs(spark, sf_dir)
-    # fixture-scale graphs: a few hundred edges — scope the loop shuffles
-    # narrow (production sizes this from the edge count)
-    cc = connected_components(pairs, src="id1", dst="id2", num_partitions=4)
+    # fixture-scale graphs: a few hundred edges — the loop shuffles are
+    # scoped narrow inside the shared label table (production sizes this
+    # from the edge count)
+    cc = _sem_cc_labels(spark, sf_dir)
     return (
         cc.groupBy("component")
         .agg(
@@ -832,10 +845,7 @@ def dedup_cluster_quality_elect(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly argmax-with-min-tiebreak, map-side combinable, so no
     per-cluster sort window exists at any corpus size (the same argmax
     idiom as label propagation's community election)."""
-    from ..operators.graph import connected_components
-
-    pairs = _sem_pairs(spark, sf_dir)
-    cc = connected_components(pairs, src="id1", dst="id2", num_partitions=4)
+    cc = _sem_cc_labels(spark, sf_dir)
     (docs,) = _t(spark, sf_dir, "documents")
     prio = docs.select(
         "doc_id",
