@@ -35,7 +35,7 @@ class QuerySpec:
 _CHECK_FIRST = [
     # -- round-6 additions: spec-typed canonical TPC-H gates + real decode;
     # new queries are inserted HERE as they land --
-    "q1_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
+    "q1_spec", "q4_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
     "docs_token_budget", "dedup_cluster_quality_elect",
     # -- plans rewritten in round 6 --
     "docs_bm25_topk", "q15_window", "docs_pipeline_yield",
@@ -52,7 +52,7 @@ _CHECK_FIRST = [
     # -- refill: the TPC-H core + long-standing representatives --
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
     "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22", "dedup_minhash_lsh",
+    "q22",
 ]
 
 
