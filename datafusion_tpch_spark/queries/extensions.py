@@ -2899,6 +2899,215 @@ ORDER BY user_id
 """
 
 
+# CDC upsert-merge parameters: state before the cutoff is the snapshot,
+# events at/after it are the change feed; users with user_id % 7 == 0 are
+# "not yet snapshotted" so their changes exercise the insert path, and a
+# feed entry whose latest event is an 'error' is a tombstone (delete).
+_CDC_CUTOFF = "2024-01-21"
+_CDC_UNSNAPPED_MOD = 7
+_CDC_TOMBSTONE = "error"
+
+
+def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert-merge (the lakehouse ``MERGE INTO`` shape): compact a
+    change feed to its latest entry per key, then merge it into a base
+    snapshot — insert when the key is new, update when it exists, delete
+    when the latest change is a tombstone, keep otherwise.
+
+    The scale plan is the canonical one: each side is first REDUCED to
+    one row per key with ``max(struct(ts, event_id, ...))`` — a hash
+    aggregate with map-side combine, no per-key sort window — so the
+    full-outer merge join shuffles |keys| rows, not |changelog| rows.
+    At 100 TB the changelog compaction is one shuffle and the merge is
+    one co-partitioned join; nothing in the plan grows with feed length
+    except the pre-reduce scan.  (Here both sides derive from the same
+    fixture table, so Catalyst scans it twice — in production the
+    snapshot and the feed are distinct inputs, which is the shape this
+    gate models.)"""
+    (ev,) = _t(spark, sf_dir, "events")
+    cut = F.lit(_CDC_CUTOFF).cast("timestamp")
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        m = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+        return df.groupBy("user_id").agg(m).select(
+            "user_id",
+            F.col("m.value").alias(f"{prefix}_value"),
+            F.col("m.ts").alias(f"{prefix}_ts"),
+            F.col("m.event_type").alias(f"{prefix}_type"),
+        )
+
+    base = latest(
+        ev.filter(
+            (F.col("ts") < cut)
+            & (F.col("user_id") % _CDC_UNSNAPPED_MOD != 0)
+        ),
+        "base",
+    )
+    chg = latest(ev.filter(F.col("ts") >= cut), "chg")
+
+    merged = base.join(chg, on="user_id", how="full_outer")
+    has_chg = F.col("chg_ts").isNotNull()
+    has_base = F.col("base_ts").isNotNull()
+    return (
+        merged.filter(~(has_chg & (F.col("chg_type") == _CDC_TOMBSTONE)))
+        .select(
+            "user_id",
+            F.when(~has_chg, F.lit("keep"))
+            .when(has_base, F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("action"),
+            F.when(has_chg, F.col("chg_value"))
+            .otherwise(F.col("base_value"))
+            .alias("state_value"),
+            F.when(has_chg, F.col("chg_ts"))
+            .otherwise(F.col("base_ts"))
+            .alias("state_ts"),
+            F.when(has_chg, F.col("chg_type"))
+            .otherwise(F.col("base_type"))
+            .alias("state_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CDC_MERGE_SQL = f"""
+WITH b AS (
+  SELECT user_id, value AS base_value, ts AS base_ts, event_type AS base_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '{_CDC_CUTOFF}'
+          AND user_id % {_CDC_UNSNAPPED_MOD} <> 0)
+  WHERE rn = 1),
+c AS (
+  SELECT user_id, value AS chg_value, ts AS chg_ts, event_type AS chg_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}')
+  WHERE rn = 1)
+SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+       CASE WHEN c.user_id IS NULL THEN 'keep'
+            WHEN b.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       CASE WHEN c.user_id IS NULL THEN b.base_value ELSE c.chg_value END
+         AS state_value,
+       CASE WHEN c.user_id IS NULL THEN b.base_ts ELSE c.chg_ts END
+         AS state_ts,
+       CASE WHEN c.user_id IS NULL THEN b.base_type ELSE c.chg_type END
+         AS state_type
+FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
+WHERE NOT (c.user_id IS NOT NULL AND c.chg_type = '{_CDC_TOMBSTONE}')
+ORDER BY user_id
+"""
+
+
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 historization: turn a per-key change feed into validity
+    intervals — each event's state is valid from its own timestamp until
+    the key's next event (open-ended for the latest version).  The
+    interval derivation is one ``lead`` over a window PARTITIONED by the
+    key (per-key ordering only — no global sort; each partition holds one
+    key's history, bounded by per-key feed depth, so the plan scales with
+    keys, not corpus).  Dwell math is integer microseconds
+    (``unix_micros``) so both engines agree exactly.  Output summarizes
+    the version table per (user, state): version count, open versions,
+    and total closed dwell."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    versions = ev.select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+    )
+    return (
+        versions.groupBy("user_id", "state_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(
+                F.when(F.col("valid_to_us").isNull(), 1).otherwise(0)
+            ).alias("n_open"),
+            F.sum(
+                F.coalesce(
+                    F.col("valid_to_us") - F.col("valid_from_us"), F.lit(0)
+                )
+            ).cast("bigint").alias("closed_dwell_us"),
+        )
+        .orderBy("user_id", "state_type")
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH versions AS (
+  SELECT user_id, event_type AS state_type,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to_us
+  FROM events)
+SELECT user_id, state_type,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(SUM(COALESCE(valid_to_us - valid_from_us, 0)) AS BIGINT)
+         AS closed_dwell_us
+FROM versions
+GROUP BY user_id, state_type
+ORDER BY user_id, state_type
+"""
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute partials →
+    hourly rollup → daily rollup, each grain re-aggregated FROM THE
+    FINER PARTIALS, never from raw — the 100 TB pattern where raw is
+    scanned once and every coarser resolution is a merge of mergeable
+    state (counts and quantized-integer sums compose associatively;
+    the fixed-point sum — functions/exact.py's scheme — stays
+    DECIMAL(38,0) through the cascade and is scaled back to double only
+    at the end, so the three-level reduce is bit-equal to a direct
+    one-level aggregation — which is exactly what the oracle computes).
+    ``n_hours`` / ``n_minutes`` count the partial rows that fed each
+    day, making the cascade observable in the output."""
+    (ev,) = _t(spark, sf_dir, "events")
+    q = F.floor(F.col("value").cast("double") * F.lit(float(10**8))).cast(
+        "decimal(38,0)"
+    )
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("sq"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sq").alias("sq"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    return (
+        hour.groupBy(F.date_trunc("day", F.col("h")).alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            (F.sum("sq").cast("double") / F.lit(float(10**8))).alias("sum_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n_minutes").cast("bigint").alias("n_minutes"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_ROLLUP_CASCADE_SQL = f"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value,
+       CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+       CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
 def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defended enrichment join (operators/skew.salted_join, wired
     into a live query): events join a tiny per-type profile dimension on
@@ -4424,6 +4633,13 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),
+    QuerySpec("events_cdc_merge", events_cdc_merge, EVENTS_CDC_MERGE_SQL,
+              "CDC upsert-merge: compacted changelog into base snapshot"),
+    QuerySpec("events_scd2_history", events_scd2_history, EVENTS_SCD2_SQL,
+              "SCD Type-2: change feed to validity intervals + dwell"),
+    QuerySpec("events_rollup_cascade", events_rollup_cascade,
+              EVENTS_ROLLUP_CASCADE_SQL,
+              "continuous-aggregate cascade: minute -> hour -> day partials"),
     QuerySpec("events_json_extract", events_json_extract, EVENTS_JSON_SQL,
               "JSON prop extraction + agg"),
     QuerySpec("events_pivot", events_pivot, EVENTS_PIVOT_SQL,
