@@ -2903,8 +2903,14 @@ ORDER BY user_id
 # events at/after it are the change feed; users with user_id % 7 == 0 are
 # "not yet snapshotted" so their changes exercise the insert path, and a
 # feed entry whose latest event is an 'error' is a tombstone (delete).
+# A real changelog carries only the keys that changed — the fixture's
+# users are all active every day, so "unchanged" keys are modeled by a
+# deterministic quiet-key predicate (user_id % 5 == 2 emits no changes),
+# which keeps the merge's keep-branch exercised and oracle-checkable.
 _CDC_CUTOFF = "2024-01-21"
 _CDC_UNSNAPPED_MOD = 7
+_CDC_QUIET_MOD = 5
+_CDC_QUIET_REM = 2
 _CDC_TOMBSTONE = "error"
 
 
@@ -2943,7 +2949,13 @@ def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "base",
     )
-    chg = latest(ev.filter(F.col("ts") >= cut), "chg")
+    chg = latest(
+        ev.filter(
+            (F.col("ts") >= cut)
+            & (F.col("user_id") % _CDC_QUIET_MOD != _CDC_QUIET_REM)
+        ),
+        "chg",
+    )
 
     merged = base.join(chg, on="user_id", how="full_outer")
     has_chg = F.col("chg_ts").isNotNull()
@@ -2983,7 +2995,9 @@ c AS (
   SELECT user_id, value AS chg_value, ts AS chg_ts, event_type AS chg_type
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                      ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}')
+        FROM events
+        WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}'
+          AND user_id % {_CDC_QUIET_MOD} <> {_CDC_QUIET_REM})
   WHERE rn = 1)
 SELECT COALESCE(b.user_id, c.user_id) AS user_id,
        CASE WHEN c.user_id IS NULL THEN 'keep'
