@@ -38,6 +38,8 @@ _CHECK_FIRST = [
     "events_cdc_merge", "events_scd2_history", "events_rollup_cascade",
     "q3_spec", "q12_spec",
     "q5_spec", "q7_spec", "q10_spec", "q14_spec", "q19_spec", "q21_spec",
+    "q2_spec", "q8_spec", "q9_spec", "q11_spec", "q13_spec", "q15_spec",
+    "q16_spec", "q17_spec", "q20_spec", "q22_spec",
     "q1_spec", "q4_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
     "docs_token_budget", "dedup_cluster_quality_elect",
     # -- plans rewritten in round 6 --
