@@ -29,9 +29,10 @@ Single-node, fixture-scale (sf0.1 ≈ 600k-row lineitem) measurements.
 DuckDB embeds in-process with microsecond dispatch; Spark pays a fixed
 ~0.3–1 s per query for driver→scheduler→task round-trips, codegen, and
 32-way task startup — at this data size that constant dominates, so DuckDB
-wins most small-query rows (though as of round 4 Spark's total across all
-168 is at parity or better: the dedup/graph/selection plans where Spark's
-formulation is stronger outweigh the fixed costs). The design target is
+wins most small-query rows (though as of round 6 Spark's total across
+all 192 is 0.9x — faster outright: the dedup/graph/selection plans where
+Spark's formulation is stronger, plus streaming sink reuse, outweigh the
+fixed costs). The design target is
 the opposite regime: at 100 TB the
 constant vanishes into scan time, and the properties measured in PLANS.md
 (broadcast joins, pushdown, bounded shuffles, partitioned/bucketed
