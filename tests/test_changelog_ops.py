@@ -179,3 +179,29 @@ def test_rollup_cascade_matches_direct_day_rollup(spark):
         .collect()
     }
     assert got == direct
+
+
+# ------------------------------------------------------ streaming CDC
+
+def test_cdc_stream_equals_batch_merge_state(spark):
+    """The foreachBatch-maintained state table must equal the batch CDC
+    merge's state columns row-for-row (batch boundaries must not show)."""
+    got = _build(spark, "events_cdc_stream").collect()
+    want = (
+        _build(spark, "events_cdc_merge")
+        .select("user_id", "state_value", "state_ts", "state_type")
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cdc_stream_really_ran_multiple_batches(spark):
+    """maxFilesPerTrigger=1 over the 4-file layout must yield >=2 real
+    micro-batches — otherwise the incremental-merge claim is untested."""
+    from datafusion_tpch_spark.queries.stream import _CDC_STREAM_STATE
+
+    _build(spark, "events_cdc_stream").collect()
+    app = spark.sparkContext.applicationId
+    (_, n_batches) = _CDC_STREAM_STATE[(app, SF_DIR)]
+    assert n_batches >= 2, f"only {n_batches} micro-batch(es)"
