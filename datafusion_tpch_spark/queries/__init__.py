@@ -35,7 +35,7 @@ class QuerySpec:
 _CHECK_FIRST = [
     # -- round-6 additions: spec-typed canonical TPC-H gates + real decode;
     # new queries are inserted HERE as they land --
-    "events_cdc_stream",
+    "events_cdc_stream", "multimodal_wav_roundtrip",
     "events_cdc_merge", "events_scd2_history", "events_rollup_cascade",
     "q3_spec", "q12_spec",
     "q5_spec", "q7_spec", "q10_spec", "q14_spec", "q19_spec", "q21_spec",

@@ -2734,6 +2734,39 @@ ORDER BY asset_id
 """
 
 
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode end-to-end: documents → deterministic
+    mono PCM16 streams ENCODED AS GENUINE RIFF/WAVE FILES in one Arrow
+    kernel (incl. a variable odd-sized ``note`` chunk so the decoder must
+    walk the chunk list, not assume the 44-byte layout) → a second Arrow
+    kernel parses each container strictly from its bytes
+    (``decode_wav``: RIFF magic → fmt chunk → sample rate/format → data
+    chunk → samples) → integer-exact per-asset statistics.  The oracle
+    recomputes sample rate, count, Σ s², and max |s| from the closed-form
+    stream, so a decoder that mis-walked a chunk boundary or trusted
+    metadata hash-fails.  Two pipelined narrow passes, no shuffle;
+    compressed codecs enter at the documented ``decode_wav`` boundary."""
+    from ..operators.multimodal import decoded_wav_stats, documents_as_wav_assets
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return decoded_wav_stats(documents_as_wav_assets(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_WAV_ROUNDTRIP_SQL = """
+WITH s AS (
+  SELECT doc_id, ((doc_id * 40503 + i * 269) % 65536) - 32768 AS v
+  FROM documents, UNNEST(range(0, 200 + doc_id % 113)) t(i))
+SELECT doc_id AS asset_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-modality frame sampling: one blob row fans out to
     ceil(duration/interval) frame rows through the Arrow-batched
@@ -4644,6 +4677,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_decode_roundtrip", multimodal_decode_roundtrip,
               MULTIMODAL_DECODE_ROUNDTRIP_SQL,
               "PGM encode -> binary column -> REAL header+raster decode -> stats"),
+    QuerySpec("multimodal_wav_roundtrip", multimodal_wav_roundtrip,
+              MULTIMODAL_WAV_ROUNDTRIP_SQL,
+              "RIFF/WAVE encode -> binary column -> REAL chunk-walk PCM decode"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),
