@@ -439,6 +439,241 @@ ORDER BY event_type
 EVENTS_HLL_STREAM_SQL = _hll_stream_sql()
 
 
+# (applicationId, sf_dir) -> ((agg, open) state DataFrames, batch count)
+_SCD2_STREAM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def _timeordered_week_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write the fixture events as four single-file weekly slices whose
+    file MODIFICATION TIMES increase with event time — Spark's file
+    stream source orders new files by (mtime, path), so streaming this
+    layout with ``maxFilesPerTrigger=1`` delivers micro-batches in event
+    time order, modeling the per-key-ordered changelog a Kafka/CDC feed
+    guarantees.  (A plain repartitionByRange write does NOT stream in
+    range order — measured: batches arrived 2,3,0,1 — hence the explicit
+    per-slice writes.)  Built once per (process, fixture)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from ..catalog import load_table
+    from .advanced import _scratch_path
+
+    layout = _scratch_path("events_weeks4", sf_dir)
+    if os.path.exists(os.path.join(layout, "_SUCCESS")):
+        return layout
+    shutil.rmtree(layout, ignore_errors=True)
+    os.makedirs(layout)
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+            "2024-02-01"]
+    base = _time.time()
+    for i in range(4):
+        sl = (
+            ev.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1]))
+            .coalesce(1)
+            .sortWithinPartitions("ts", "event_id")
+        )
+        stage = f"{layout}.stage"
+        sl.write.mode("overwrite").parquet(stage)
+        dst = os.path.join(layout, f"week{i}.parquet")
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (base + i, base + i))
+    shutil.rmtree(f"{layout}.stage", ignore_errors=True)
+    open(os.path.join(layout, "_SUCCESS"), "w").close()
+    return layout
+
+
+def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance: the incremental-materialized-view form
+    of ``events_scd2_history``.  The change feed streams in event-time
+    order (4 weekly files, ``maxFilesPerTrigger=1`` — see
+    ``_timeordered_week_layout``) and ``foreachBatch`` maintains TWO
+    localCheckpointed state tables: per-(user, type) closed-version
+    aggregates (version count, closed dwell) and the per-user OPEN
+    version.  Each batch closes the previously-open version at the
+    batch's first event for that user (attributing the cross-boundary
+    dwell to the open version's type), folds the batch's internal
+    versions in with one key-partitioned ``lead`` window, and installs
+    the batch's last event as the new open version.  Batch-boundary
+    monotonicity is asserted per batch, and the final read-side join of
+    the two tables must equal the batch SCD2 derivation hash-for-hash —
+    proving the interval bookkeeping survives real incremental
+    maintenance, not just a one-shot window.
+
+    At 100 TB: per batch this is one window over the batch plus
+    key-joins against |keys|-row state; nothing retained grows with
+    stream length (the deployed form of a continuously-maintained
+    dimension-history table)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    app = spark.sparkContext.applicationId
+
+    def finalize(agg: DataFrame, opn: DataFrame) -> DataFrame:
+        marks = opn.select(
+            "user_id",
+            F.col("open_type").alias("state_type"),
+            F.lit(1).cast("bigint").alias("n_open"),
+        )
+        return (
+            agg.join(marks, ["user_id", "state_type"], "left")
+            .select(
+                "user_id",
+                "state_type",
+                F.col("n_versions").cast("bigint").alias("n_versions"),
+                F.coalesce(F.col("n_open"), F.lit(0)).cast("bigint").alias(
+                    "n_open"
+                ),
+                F.col("closed_dwell_us").cast("bigint").alias(
+                    "closed_dwell_us"
+                ),
+            )
+            .orderBy("user_id", "state_type")
+        )
+
+    cached = _SCD2_STREAM_STATE.get((app, sf_dir))
+    if cached is not None:
+        return finalize(cached[0], cached[1])
+
+    from pyspark.sql.window import Window
+
+    empty_agg = spark.createDataFrame(
+        [], "user_id bigint, state_type string, n_versions bigint, "
+            "closed_dwell_us bigint"
+    )
+    empty_open = spark.createDataFrame(
+        [], "user_id bigint, open_us bigint, open_type string"
+    )
+    holder = {
+        "agg": empty_agg.localCheckpoint(),
+        "open": empty_open.localCheckpoint(),
+        "n": 0,
+        "max_us": None,
+    }
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        us = F.unix_micros(F.col("ts"))
+        b = batch_df.select(
+            "user_id", "event_id", F.col("event_type").alias("state_type"),
+            us.alias("us"),
+        ).localCheckpoint()
+        bounds = b.agg(
+            F.min("us").alias("lo"), F.max("us").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return
+        if holder["max_us"] is not None and bounds["lo"] < holder["max_us"]:
+            raise AssertionError(
+                "feed violated event-time order across micro-batches"
+            )
+        holder["max_us"] = bounds["hi"]
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        versions = b.withColumn("next_us", F.lead("us").over(w))
+        batch_agg = versions.groupBy("user_id", "state_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.sum(
+                F.coalesce(F.col("next_us") - F.col("us"), F.lit(0))
+            ).cast("bigint").alias("closed_dwell_us"),
+        )
+        firsts = b.groupBy("user_id").agg(
+            F.min(F.struct("us", "event_id")).alias("f")
+        ).select("user_id", F.col("f.us").alias("first_us"))
+        lasts = b.groupBy("user_id").agg(
+            F.max(F.struct("us", "event_id", "state_type")).alias("l")
+        ).select(
+            "user_id",
+            F.col("l.us").alias("open_us"),
+            F.col("l.state_type").alias("open_type"),
+        )
+        closeouts = (
+            holder["open"]
+            .join(firsts, "user_id", "inner")
+            .select(
+                "user_id",
+                F.col("open_type").alias("state_type"),
+                F.lit(0).cast("bigint").alias("n_versions"),
+                (F.col("first_us") - F.col("open_us"))
+                .cast("bigint")
+                .alias("closed_dwell_us"),
+            )
+        )
+        holder["agg"] = (
+            holder["agg"]
+            .unionByName(batch_agg)
+            .unionByName(closeouts)
+            .groupBy("user_id", "state_type")
+            .agg(
+                F.sum("n_versions").cast("bigint").alias("n_versions"),
+                F.sum("closed_dwell_us").cast("bigint").alias(
+                    "closed_dwell_us"
+                ),
+            )
+            .localCheckpoint()
+        )
+        holder["open"] = (
+            holder["open"]
+            .join(lasts.select("user_id"), "user_id", "left_anti")
+            .unionByName(lasts)
+            .localCheckpoint()
+        )
+        holder["n"] += 1
+
+    layout = _timeordered_week_layout(spark, sf_dir)
+    schema = spark.read.parquet(layout).schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(layout)
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ckpt-scd2-stream-", dir=ckpt_base)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        query = (
+            feed.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("events_scd2_stream did not finish in 300s")
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _SCD2_STREAM_STATE[(app, sf_dir)] = (holder["agg"], holder["open"], holder["n"])
+    return finalize(holder["agg"], holder["open"])
+
+
+# oracle: identical derivation to the batch SCD2 gate — the stream's
+# incrementally-maintained tables must reproduce it exactly
+EVENTS_SCD2_STREAM_SQL = """
+WITH versions AS (
+  SELECT user_id, event_type AS state_type,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to_us
+  FROM events)
+SELECT user_id, state_type,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(SUM(COALESCE(valid_to_us - valid_from_us, 0)) AS BIGINT)
+         AS closed_dwell_us
+FROM versions
+GROUP BY user_id, state_type
+ORDER BY user_id, state_type
+"""
+
+
 # (applicationId, sf_dir) -> (final state DataFrame, micro-batch count);
 # same always-on reuse contract as run_stream_to_df: the first call per
 # process maintains the state table through the real multi-batch stream,
@@ -640,6 +875,12 @@ SPECS: list[QuerySpec] = [
         events_cdc_stream,
         EVENTS_CDC_STREAM_SQL,
         "foreachBatch streaming MERGE upsert state == batch CDC merge",
+    ),
+    QuerySpec(
+        "events_scd2_stream",
+        events_scd2_stream,
+        EVENTS_SCD2_STREAM_SQL,
+        "foreachBatch incremental SCD2 interval maintenance == batch SCD2",
     ),
     QuerySpec(
         "events_hourly_stream",

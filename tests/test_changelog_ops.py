@@ -205,3 +205,23 @@ def test_cdc_stream_really_ran_multiple_batches(spark):
     app = spark.sparkContext.applicationId
     (_, n_batches) = _CDC_STREAM_STATE[(app, SF_DIR)]
     assert n_batches >= 2, f"only {n_batches} micro-batch(es)"
+
+
+# ------------------------------------------------------ streaming SCD2
+
+def test_scd2_stream_equals_batch_history(spark):
+    """The foreachBatch-maintained (closed-aggregate, open-version) state
+    tables must reproduce the batch SCD2 derivation exactly — cross-batch
+    version closure attributes every boundary dwell to the right type."""
+    got = _build(spark, "events_scd2_stream").collect()
+    want = _build(spark, "events_scd2_history").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_scd2_stream_really_ran_multiple_batches(spark):
+    from datafusion_tpch_spark.queries.stream import _SCD2_STREAM_STATE
+
+    _build(spark, "events_scd2_stream").collect()
+    app = spark.sparkContext.applicationId
+    n_batches = _SCD2_STREAM_STATE[(app, SF_DIR)][2]
+    assert n_batches >= 2, f"only {n_batches} micro-batch(es)"
