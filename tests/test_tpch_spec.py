@@ -25,3 +25,61 @@ def test_all_22_canonical_texts_are_gates():
 def test_spec_gate_returns_rows(spark, name):
     spec = {s.name: s for s in tpch_spec.SPECS}[name]
     assert spec.build(spark, "unused").limit(1).count() == 1
+
+
+def _duck(sql: str):
+    import duckdb
+
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_division_free_adaptations_preserve_semantics(spark):
+    """The spec gates clear avg/0.5x comparisons of division so both
+    engines compare exact decimals (q17: 5*cnt*q < sum; q20:
+    2*availqty > sum; q22: acctbal*count > sum).  Prove the algebra on
+    the actual spec data: DuckDB evaluating the LITERAL canonical
+    predicate must select the same rows / value as DuckDB evaluating
+    the division-free gate text."""
+    # ensure the warehouse exists
+    tpch_spec._ensure_spec_tables(spark)
+    refs = tpch_spec._refs("duckdb")
+
+    # q17 — value equality (scalar result)
+    canonical_q17 = f"""
+    SELECT CAST(sum(l_extendedprice) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM {refs['lineitem']}, {refs['part']}
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND p_container = 'MED BOX'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM {refs['lineitem_bare']}
+        WHERE l_partkey = p_partkey)
+    """
+    got = _duck(tpch_spec._Q17_SPEC.format(**refs))[0][0]
+    want = _duck(canonical_q17)[0][0]
+    assert got == want or abs(got - want) <= 1e-9 * max(abs(want), 1.0)
+
+    # q20 — row-set equality
+    canonical_q20 = tpch_spec._Q20_SPEC.replace(
+        "2 * ps_availqty > (", "ps_availqty > (SELECT 0.5 * x FROM (", 1
+    ).replace(
+        "AND l_shipdate >= date '1994-01-01' AND l_shipdate < date '1995-01-01'))",
+        "AND l_shipdate >= date '1994-01-01' AND l_shipdate < date "
+        "'1995-01-01') t(x)))",
+        1,
+    ).format(**refs)
+    assert _duck(canonical_q20) == _duck(tpch_spec._Q20_SPEC.format(**refs))
+
+    # q22 — row-set equality (same 1997 anti-join, literal avg comparison)
+    canonical_q22 = tpch_spec._Q22_SPEC.replace(
+        """    AND c_acctbal * (
+      SELECT count(*) FROM {customer}
+      WHERE c_acctbal > 0.00
+        AND substring(c_phone, 1, 2) IN ('13', '31', '23', '29', '30', '18', '17'))
+      > (
+      SELECT sum(c_acctbal) FROM {customer}""",
+        """    AND c_acctbal > (
+      SELECT avg(c_acctbal) FROM {customer}""",
+        1,
+    ).format(**refs)
+    assert canonical_q22 != tpch_spec._Q22_SPEC.format(**refs)
+    assert _duck(canonical_q22) == _duck(tpch_spec._Q22_SPEC.format(**refs))
