@@ -376,6 +376,75 @@ ORDER BY doc1, doc2
 """
 
 
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (the crawl-ingest deployment shape):
+    an incoming batch probes the existing corpus's PREBUILT LSH bucket
+    index instead of re-deduping the whole corpus — the near-dup
+    counterpart of ``dedup_incremental``'s exact anti-join.  Per incoming
+    doc: how many (band, bucket) cells it shares with any corpus doc, and
+    the admission verdict (kept iff zero collisions).
+
+    The bucket table is computed once per (session, fixture)
+    (``_lsh_buckets`` — in production this IS the stored index table,
+    appended as batches are admitted) with the same hot-bucket cap, so a
+    boilerplate bucket can't make one probe quadratic.  The only
+    per-batch work is hashing the batch and one (band, bkey) join whose
+    build side is the index — at 100 TB the batch never shuffles the
+    corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    buckets = _lsh_buckets(spark, sf_dir)
+    corpus_cells = (
+        buckets.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select("band", "bkey")
+        .distinct()
+    )
+    incoming_b = buckets.filter(F.col("doc_id") >= _INCR_SPLIT)
+    hits = (
+        incoming_b.join(corpus_cells, ["band", "bkey"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_buckets"))
+    )
+    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    return (
+        incoming.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_buckets"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_buckets"),
+            (F.coalesce(F.col("n_hit_buckets"), F.lit(0)) == 0).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_LSH_SQL = f"""
+WITH sig AS ({_minhash_sig_sql()}),
+buckets_all AS ({_band_sql('sig')}),
+hot AS (SELECT band, bkey FROM buckets_all
+        GROUP BY band, bkey HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
+buckets AS (
+  SELECT b.* FROM buckets_all b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bkey = b.bkey)),
+corpus_cells AS (
+  SELECT DISTINCT band, bkey FROM buckets WHERE doc_id < {_INCR_SPLIT}),
+hits AS (
+  SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_buckets
+  FROM buckets i
+  WHERE i.doc_id >= {_INCR_SPLIT}
+    AND EXISTS (SELECT 1 FROM corpus_cells c
+                WHERE c.band = i.band AND c.bkey = i.bkey)
+  GROUP BY i.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hit_buckets, 0) AS n_hit_buckets,
+       COALESCE(h.n_hit_buckets, 0) = 0 AS kept
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {_INCR_SPLIT}
+ORDER BY d.doc_id
+"""
+
+
 # --- Recall audits: approximate paths measured against exact baselines ----
 
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4600,6 +4669,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL,
               "incoming-batch vs corpus anti-join dedup"),
+    QuerySpec("dedup_incremental_lsh", dedup_incremental_lsh,
+              DEDUP_INCREMENTAL_LSH_SQL,
+              "incoming batch probes the prebuilt LSH index (near-dup admission)"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
               "3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,

@@ -100,3 +100,24 @@ def test_semantic_dedup_sound_and_recalls(spark):
     # (a production 0.9+ near-dup threshold recalls far higher — the
     # extensions.py parameter-scaling note derives both)
     assert n_exact == 0 or n_found / n_exact >= 0.3, (n_found, n_exact)
+
+
+def test_incremental_lsh_consistent_with_batch_pairs(spark):
+    """Admission verdicts must agree with the batch LSH candidate set on
+    the same bucket table: an incoming doc is kept iff it forms no LSH
+    pair with any corpus doc."""
+    from datafusion_tpch_spark.queries.extensions import _INCR_SPLIT
+
+    reg = all_queries()
+    verdicts = {
+        r["doc_id"]: (r["kept"], r["n_hit_buckets"])
+        for r in reg["dedup_incremental_lsh"].build(spark, SF_DIR).collect()
+    }
+    assert verdicts and any(k for k, _ in verdicts.values())
+    pairs = reg["dedup_minhash_lsh"].build(spark, SF_DIR).collect()
+    collided = {
+        r["doc2"] for r in pairs if r["doc1"] < _INCR_SPLIT <= r["doc2"]
+    } | {r["doc1"] for r in pairs if r["doc2"] < _INCR_SPLIT <= r["doc1"]}
+    for doc_id, (kept, n_hits) in verdicts.items():
+        assert kept == (doc_id not in collided), (doc_id, kept, n_hits)
+        assert kept == (n_hits == 0)
