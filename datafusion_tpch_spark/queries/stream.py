@@ -444,7 +444,7 @@ _SCD2_STREAM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
 def _timeordered_week_layout(spark: SparkSession, sf_dir: str) -> str:
-    """Write the fixture events as four single-file weekly slices whose
+    """Write the fixture events as four single-file time-quartile slices whose
     file MODIFICATION TIMES increase with event time — Spark's file
     stream source orders new files by (mtime, path), so streaming this
     layout with ``maxFilesPerTrigger=1`` delivers micro-batches in event
@@ -466,12 +466,17 @@ def _timeordered_week_layout(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(layout, ignore_errors=True)
     os.makedirs(layout)
     ev = load_table(spark, sf_dir, "events")
-    cuts = ["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
-            "2024-02-01"]
+    # slice boundaries derived from the data (one cheap agg), so no event
+    # can fall outside the covered range whatever the fixture's window
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cuts = [lo + (hi + 1 - lo) * i // 4 for i in range(4)] + [hi + 1]
     base = _time.time()
+    us = F.unix_micros(F.col("ts"))
     for i in range(4):
         sl = (
-            ev.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1]))
+            ev.filter((us >= cuts[i]) & (us < cuts[i + 1]))
             .coalesce(1)
             .sortWithinPartitions("ts", "event_id")
         )
@@ -488,7 +493,7 @@ def _timeordered_week_layout(spark: SparkSession, sf_dir: str) -> str:
 def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 maintenance: the incremental-materialized-view form
     of ``events_scd2_history``.  The change feed streams in event-time
-    order (4 weekly files, ``maxFilesPerTrigger=1`` — see
+    order (4 time-quartile files, ``maxFilesPerTrigger=1`` — see
     ``_timeordered_week_layout``) and ``foreachBatch`` maintains TWO
     localCheckpointed state tables: per-(user, type) closed-version
     aggregates (version count, closed dwell) and the per-user OPEN
