@@ -83,3 +83,48 @@ def test_division_free_adaptations_preserve_semantics(spark):
     ).format(**refs)
     assert canonical_q22 != tpch_spec._Q22_SPEC.format(**refs)
     assert _duck(canonical_q22) == _duck(tpch_spec._Q22_SPEC.format(**refs))
+
+
+def test_spec_texts_carry_only_documented_deviations():
+    """A transcription typo in a spec text would pass the oracle (both
+    engines run the SAME text), so literal drift is the one failure mode
+    the hash gate can't see.  Diff each gate text's literals against the
+    canonical tpch_full form: every difference must be a documented knob
+    (q11 fraction, q18 quantity, q20 color, q22 lapsed-date) or an
+    artifact of the documented exactness adaptations."""
+    import collections
+    import re
+
+    from datafusion_tpch_spark.queries import tpch_full
+
+    can = tpch_full.queries(0.01)
+    lit = re.compile(r"'[^']*'|\b\d+(?:\.\d+)?\b")
+    # small integers / widths introduced or removed by the documented
+    # CAST / division-clearing rewrites
+    noise = {"10", "7.0", "1", "0", "2", "5", "65536", "32768",
+             "100.0", "100.00", "0.00"}
+    allowed = {
+        "q11": ({"0.01"}, {"0.005"}),          # fraction knob
+        "q17": ({"0.2"}, set()),               # division cleared
+        "q18": ({"300"}, {"240"}),             # quantity knob
+        "q20": ({"'forest%'", "0.5"}, {"'brown%'"}),  # color knob + cleared
+        # lapsed-customer date knob + the IN list appearing a third time
+        # in the division-free count subquery
+        "q22": (set(), {"'13'", "'17'", "'18'", "'1997-01-01'", "'23'",
+                        "'29'", "'30'", "'31'"}),
+    }
+    for i in range(1, 23):
+        name = f"q{i}"
+        spec_t = getattr(tpch_spec, f"_Q{i}_SPEC").replace("{", "").replace(
+            "}", ""
+        )
+        a = collections.Counter(x for x in lit.findall(can[name])
+                                if x not in noise)
+        b = collections.Counter(x for x in lit.findall(spec_t)
+                                if x not in noise)
+        only_can = set((a - b).elements())
+        only_spec = set((b - a).elements())
+        want_can, want_spec = allowed.get(name, (set(), set()))
+        assert only_can == want_can and only_spec == want_spec, (
+            name, sorted(only_can), sorted(only_spec)
+        )
