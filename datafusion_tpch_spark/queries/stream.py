@@ -515,44 +515,20 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..streaming.maintenance import (
+        scd2_apply_batch,
+        scd2_empty_state,
+        scd2_finalize,
+    )
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     app = spark.sparkContext.applicationId
 
-    def finalize(agg: DataFrame, opn: DataFrame) -> DataFrame:
-        marks = opn.select(
-            "user_id",
-            F.col("open_type").alias("state_type"),
-            F.lit(1).cast("bigint").alias("n_open"),
-        )
-        return (
-            agg.join(marks, ["user_id", "state_type"], "left")
-            .select(
-                "user_id",
-                "state_type",
-                F.col("n_versions").cast("bigint").alias("n_versions"),
-                F.coalesce(F.col("n_open"), F.lit(0)).cast("bigint").alias(
-                    "n_open"
-                ),
-                F.col("closed_dwell_us").cast("bigint").alias(
-                    "closed_dwell_us"
-                ),
-            )
-            .orderBy("user_id", "state_type")
-        )
-
     cached = _SCD2_STREAM_STATE.get((app, sf_dir))
     if cached is not None:
-        return finalize(cached[0], cached[1])
+        return scd2_finalize(cached[0], cached[1])
 
-    from pyspark.sql.window import Window
-
-    empty_agg = spark.createDataFrame(
-        [], "user_id bigint, state_type string, n_versions bigint, "
-            "closed_dwell_us bigint"
-    )
-    empty_open = spark.createDataFrame(
-        [], "user_id bigint, open_us bigint, open_type string"
-    )
+    empty_agg, empty_open = scd2_empty_state(spark)
     holder = {
         "agg": empty_agg.localCheckpoint(),
         "open": empty_open.localCheckpoint(),
@@ -576,55 +552,9 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "feed violated event-time order across micro-batches"
             )
         holder["max_us"] = bounds["hi"]
-        w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        versions = b.withColumn("next_us", F.lead("us").over(w))
-        batch_agg = versions.groupBy("user_id", "state_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
-            F.sum(
-                F.coalesce(F.col("next_us") - F.col("us"), F.lit(0))
-            ).cast("bigint").alias("closed_dwell_us"),
-        )
-        firsts = b.groupBy("user_id").agg(
-            F.min(F.struct("us", "event_id")).alias("f")
-        ).select("user_id", F.col("f.us").alias("first_us"))
-        lasts = b.groupBy("user_id").agg(
-            F.max(F.struct("us", "event_id", "state_type")).alias("l")
-        ).select(
-            "user_id",
-            F.col("l.us").alias("open_us"),
-            F.col("l.state_type").alias("open_type"),
-        )
-        closeouts = (
-            holder["open"]
-            .join(firsts, "user_id", "inner")
-            .select(
-                "user_id",
-                F.col("open_type").alias("state_type"),
-                F.lit(0).cast("bigint").alias("n_versions"),
-                (F.col("first_us") - F.col("open_us"))
-                .cast("bigint")
-                .alias("closed_dwell_us"),
-            )
-        )
-        holder["agg"] = (
-            holder["agg"]
-            .unionByName(batch_agg)
-            .unionByName(closeouts)
-            .groupBy("user_id", "state_type")
-            .agg(
-                F.sum("n_versions").cast("bigint").alias("n_versions"),
-                F.sum("closed_dwell_us").cast("bigint").alias(
-                    "closed_dwell_us"
-                ),
-            )
-            .localCheckpoint()
-        )
-        holder["open"] = (
-            holder["open"]
-            .join(lasts.select("user_id"), "user_id", "left_anti")
-            .unionByName(lasts)
-            .localCheckpoint()
-        )
+        new_agg, new_open = scd2_apply_batch(holder["agg"], holder["open"], b)
+        holder["agg"] = new_agg.localCheckpoint()
+        holder["open"] = new_open.localCheckpoint()
         holder["n"] += 1
 
     layout = _timeordered_week_layout(spark, sf_dir)
@@ -655,7 +585,7 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _SCD2_STREAM_STATE[(app, sf_dir)] = (holder["agg"], holder["open"], holder["n"])
-    return finalize(holder["agg"], holder["open"])
+    return scd2_finalize(holder["agg"], holder["open"])
 
 
 # oracle: identical derivation to the batch SCD2 gate — the stream's
@@ -721,74 +651,30 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CDC_UNSNAPPED_MOD,
     )
 
+    from ..streaming.maintenance import cdc_compact, cdc_finalize, cdc_merge_batch
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     app = spark.sparkContext.applicationId
 
-    def finalize(state: DataFrame) -> DataFrame:
-        return (
-            state.filter(
-                ~(F.col("is_feed") & (F.col("state_type") == _CDC_TOMBSTONE))
-            )
-            .select("user_id", "state_value", "state_ts", "state_type")
-            .orderBy("user_id")
-        )
-
     cached = _CDC_STREAM_STATE.get((app, sf_dir))
     if cached is not None:
-        return finalize(cached[0])
+        return cdc_finalize(cached[0], _CDC_TOMBSTONE)
 
     cut = F.lit(_CDC_CUTOFF).cast("timestamp")
-
-    def compact(df: DataFrame, is_feed: bool) -> DataFrame:
-        m = F.max(
-            F.struct(
-                "ts",
-                "event_id",
-                F.lit(is_feed).alias("is_feed"),
-                F.col("event_type").alias("state_type"),
-                F.col("value").alias("state_value"),
-            )
-        ).alias("m")
-        return df.groupBy("user_id").agg(m).select(
-            "user_id",
-            F.col("m.ts").alias("state_ts"),
-            F.col("m.event_id").alias("event_id"),
-            F.col("m.is_feed").alias("is_feed"),
-            F.col("m.state_type").alias("state_type"),
-            F.col("m.state_value").alias("state_value"),
-        )
 
     # base snapshot: compacted pre-cutoff state for the snapshotted keys
     ev = load_table(spark, sf_dir, "events")
     snap = ev.filter(
         (F.col("ts") < cut) & (F.col("user_id") % _CDC_UNSNAPPED_MOD != 0)
     )
-    holder = {"state": compact(snap, is_feed=False).localCheckpoint(), "n": 0}
+    holder = {
+        "state": cdc_compact(snap, is_feed=False).localCheckpoint(),
+        "n": 0,
+    }
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        comp = compact(batch_df, is_feed=True)
-        merged = (
-            holder["state"]
-            .unionByName(comp)
-            .groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        "state_ts", "event_id", "is_feed",
-                        "state_type", "state_value",
-                    )
-                ).alias("m")
-            )
-            .select(
-                "user_id",
-                F.col("m.state_ts").alias("state_ts"),
-                F.col("m.event_id").alias("event_id"),
-                F.col("m.is_feed").alias("is_feed"),
-                F.col("m.state_type").alias("state_type"),
-                F.col("m.state_value").alias("state_value"),
-            )
-        )
-        holder["state"] = merged.localCheckpoint()
+        comp = cdc_compact(batch_df, is_feed=True)
+        holder["state"] = cdc_merge_batch(holder["state"], comp).localCheckpoint()
         holder["n"] += 1
 
     # the same 4-file layout events_multibatch_stream proves batch
@@ -829,7 +715,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _CDC_STREAM_STATE[(app, sf_dir)] = (holder["state"], holder["n"])
-    return finalize(holder["state"])
+    return cdc_finalize(holder["state"], _CDC_TOMBSTONE)
 
 
 def _cdc_stream_oracle() -> str:

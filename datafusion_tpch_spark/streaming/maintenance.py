@@ -1,0 +1,189 @@
+"""Incremental-maintenance algebra for the foreachBatch gates.
+
+The streaming gates (queries/stream.py: ``events_cdc_stream``,
+``events_scd2_stream``) maintain state tables one micro-batch at a time.
+The per-batch merge logic lives HERE, as pure DataFrame→DataFrame
+functions over explicit state, so its defining properties are testable
+without a streaming runtime:
+
+- **CDC upsert state** is an order-INSENSITIVE fold: the state after any
+  partition of the feed into batches — in any order — equals one global
+  argmax-per-key reduction (``max(struct(ts, event_id, …))`` is
+  associative and commutative).
+- **SCD2 interval state** is an order-DEPENDENT fold: batches must
+  arrive in event-time order (the per-key ordering a Kafka/CDC feed
+  guarantees), but WHERE the boundaries fall must not matter.  The
+  property test cuts the same feed at random time-ordered boundaries and
+  requires the final state to be identical.
+
+Both gates call these functions from their foreachBatch closures;
+``tests/test_maintenance_algebra.py`` drives them directly with
+hypothesis-chosen batch boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ----------------------------------------------------------- CDC upsert
+
+CDC_STATE_COLS = (
+    "user_id", "state_ts", "event_id", "is_feed", "state_type",
+    "state_value",
+)
+
+
+def cdc_compact(df: DataFrame, is_feed: bool) -> DataFrame:
+    """Reduce an event set to its latest row per key (argmax by
+    (ts, event_id) — a hash aggregate with map-side combine, never a
+    per-key sort window), tagged with feed provenance."""
+    m = F.max(
+        F.struct(
+            "ts",
+            "event_id",
+            F.lit(is_feed).alias("is_feed"),
+            F.col("event_type").alias("state_type"),
+            F.col("value").alias("state_value"),
+        )
+    ).alias("m")
+    return df.groupBy("user_id").agg(m).select(
+        "user_id",
+        F.col("m.ts").alias("state_ts"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.is_feed").alias("is_feed"),
+        F.col("m.state_type").alias("state_type"),
+        F.col("m.state_value").alias("state_value"),
+    )
+
+
+def cdc_merge_batch(state: DataFrame, batch_compacted: DataFrame) -> DataFrame:
+    """Fold one compacted batch into CDC state: union + the same argmax
+    reduction.  Associative and commutative, so the result is independent
+    of batch boundaries AND batch order."""
+    return (
+        state.unionByName(batch_compacted)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "state_ts", "event_id", "is_feed", "state_type",
+                    "state_value",
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.state_ts").alias("state_ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.is_feed").alias("is_feed"),
+            F.col("m.state_type").alias("state_type"),
+            F.col("m.state_value").alias("state_value"),
+        )
+    )
+
+
+def cdc_finalize(state: DataFrame, tombstone: str) -> DataFrame:
+    """Read-side view of CDC state: drop keys whose latest FEED row is a
+    tombstone (provenance-flagged, so a snapshot row whose own type
+    collides with the marker is never dropped)."""
+    return (
+        state.filter(
+            ~(F.col("is_feed") & (F.col("state_type") == tombstone))
+        )
+        .select("user_id", "state_value", "state_ts", "state_type")
+        .orderBy("user_id")
+    )
+
+
+# -------------------------------------------------------- SCD2 intervals
+
+def scd2_empty_state(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """(closed-aggregate table, open-version table) — both empty."""
+    agg = spark.createDataFrame(
+        [], "user_id bigint, state_type string, n_versions bigint, "
+            "closed_dwell_us bigint"
+    )
+    opn = spark.createDataFrame(
+        [], "user_id bigint, open_us bigint, open_type string"
+    )
+    return agg, opn
+
+
+def scd2_apply_batch(
+    agg: DataFrame, opn: DataFrame, batch: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fold one event-time-ordered batch into SCD2 state.
+
+    ``batch`` carries (user_id, event_id, state_type, us).  Closes the
+    previously-open version of every key present in the batch at the
+    batch's first event for that key (attributing the cross-boundary
+    dwell to the OPEN version's type), folds the batch's internal
+    versions with one key-partitioned ``lead`` window, and installs each
+    key's last event as the new open version.  Correct whenever every
+    event in ``batch`` is later than every already-applied event for the
+    same key — the caller asserts the (stronger) global-time ordering."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    versions = batch.withColumn("next_us", F.lead("us").over(w))
+    batch_agg = versions.groupBy("user_id", "state_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+        F.sum(
+            F.coalesce(F.col("next_us") - F.col("us"), F.lit(0))
+        ).cast("bigint").alias("closed_dwell_us"),
+    )
+    firsts = batch.groupBy("user_id").agg(
+        F.min(F.struct("us", "event_id")).alias("f")
+    ).select("user_id", F.col("f.us").alias("first_us"))
+    lasts = batch.groupBy("user_id").agg(
+        F.max(F.struct("us", "event_id", "state_type")).alias("l")
+    ).select(
+        "user_id",
+        F.col("l.us").alias("open_us"),
+        F.col("l.state_type").alias("open_type"),
+    )
+    closeouts = opn.join(firsts, "user_id", "inner").select(
+        "user_id",
+        F.col("open_type").alias("state_type"),
+        F.lit(0).cast("bigint").alias("n_versions"),
+        (F.col("first_us") - F.col("open_us"))
+        .cast("bigint")
+        .alias("closed_dwell_us"),
+    )
+    new_agg = (
+        agg.unionByName(batch_agg)
+        .unionByName(closeouts)
+        .groupBy("user_id", "state_type")
+        .agg(
+            F.sum("n_versions").cast("bigint").alias("n_versions"),
+            F.sum("closed_dwell_us").cast("bigint").alias("closed_dwell_us"),
+        )
+    )
+    new_opn = (
+        opn.join(lasts.select("user_id"), "user_id", "left_anti")
+        .unionByName(lasts)
+    )
+    return new_agg, new_opn
+
+
+def scd2_finalize(agg: DataFrame, opn: DataFrame) -> DataFrame:
+    """Read-side join of the two SCD2 state tables into the per-(key,
+    type) summary the batch derivation produces."""
+    marks = opn.select(
+        "user_id",
+        F.col("open_type").alias("state_type"),
+        F.lit(1).cast("bigint").alias("n_open"),
+    )
+    return (
+        agg.join(marks, ["user_id", "state_type"], "left")
+        .select(
+            "user_id",
+            "state_type",
+            F.col("n_versions").cast("bigint").alias("n_versions"),
+            F.coalesce(F.col("n_open"), F.lit(0)).cast("bigint").alias(
+                "n_open"
+            ),
+            F.col("closed_dwell_us").cast("bigint").alias("closed_dwell_us"),
+        )
+        .orderBy("user_id", "state_type")
+    )

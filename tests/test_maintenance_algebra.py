@@ -1,0 +1,106 @@
+"""Property tests for the foreachBatch maintenance algebra
+(streaming/maintenance.py), driven with hypothesis-chosen batch
+boundaries — the property the single 4-way streaming run can't pin:
+the final state is identical for EVERY way of cutting the feed into
+micro-batches (any cuts and any batch ORDER for CDC; any time-ordered
+cuts for SCD2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_tpch_spark.streaming.maintenance import (
+    cdc_compact,
+    cdc_finalize,
+    cdc_merge_batch,
+    scd2_apply_batch,
+    scd2_empty_state,
+    scd2_finalize,
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+_TYPES = ["click", "view", "purchase", "error"]
+
+
+def _events(spark, seed: int, n: int):
+    """Deterministic little event table: (event_id, ts, user_id,
+    event_type, value) with unique (ts, event_id)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                _EPOCH + dt.timedelta(minutes=rng.randrange(10_000)),
+                rng.randrange(6),
+                _TYPES[rng.randrange(len(_TYPES))],
+                round(rng.uniform(-5, 5), 3),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+
+
+def _cuts_to_slices(n: int, cuts: list[int]) -> list[tuple[int, int]]:
+    bounds = sorted({0, n, *[c % (n + 1) for c in cuts]})
+    return [(a, b) for a, b in zip(bounds, bounds[1:]) if a < b]
+
+
+def test_cdc_state_is_boundary_and_order_independent(spark):
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 80), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        ev = _events(spark, seed, 80).localCheckpoint()
+        rows = ev.orderBy("event_id").collect()
+        slices = _cuts_to_slices(len(rows), cuts)
+        rnd.shuffle(slices)  # CDC must tolerate ANY batch order
+        state = cdc_compact(ev.limit(0), is_feed=False)
+        for a, b in slices:
+            batch = spark.createDataFrame(rows[a:b], ev.schema)
+            state = cdc_merge_batch(state, cdc_compact(batch, is_feed=True))
+        got = cdc_finalize(state, "error").collect()
+        want = cdc_finalize(
+            cdc_compact(ev, is_feed=True), "error"
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    prop()
+
+
+def test_scd2_state_is_boundary_independent(spark):
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 80), min_size=0, max_size=3),
+    )
+    def prop(seed, cuts):
+        ev = _events(spark, seed, 80)
+        b_all = ev.select(
+            "user_id", "event_id",
+            F.col("event_type").alias("state_type"),
+            F.unix_micros("ts").alias("us"),
+        ).localCheckpoint()
+        rows = b_all.orderBy("us", "event_id").collect()  # time-ordered feed
+        agg, opn = scd2_empty_state(spark)
+        for a, b in _cuts_to_slices(len(rows), cuts):
+            batch = spark.createDataFrame(rows[a:b], b_all.schema)
+            agg, opn = scd2_apply_batch(agg, opn, batch)
+            agg, opn = agg.localCheckpoint(), opn.localCheckpoint()
+        got = scd2_finalize(agg, opn).collect()
+        agg1, opn1 = scd2_apply_batch(*scd2_empty_state(spark), b_all)
+        want = scd2_finalize(agg1, opn1).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    prop()
