@@ -241,7 +241,9 @@ def sample_frames(
     assets: DataFrame, every_ms: int = 1000, frame_bytes: int = 64
 ) -> DataFrame:
     """Frame-sampling for video-modality blobs: one input row fans out to
-    ceil(duration_ms / every_ms) frame rows.  The codec is stubbed (frames
+    ceil(duration_ms / every_ms) frame rows (min 1) — a sample is taken at
+    every t = i*every_ms strictly inside the duration.  The codec is
+    stubbed (frames
     are deterministic slices of the blob); the distributed shape — blob in,
     multiple frame rows out via the same Arrow-batched iterator, fan-out
     bounded by duration metadata — is the real thing.  Production swaps the
@@ -253,7 +255,10 @@ def sample_frames(
             for row in pdf.itertuples(index=False):
                 if row.duration_ms is None or row.content is None:
                     continue
-                n_frames = max(int(row.duration_ms) // every_ms, 1)
+                # ceil: sample at every t = i*every_ms with t < duration
+                # (the old floor dropped the last partial interval's frame
+                # whenever duration wasn't an exact multiple)
+                n_frames = max(-(-int(row.duration_ms) // every_ms), 1)
                 blob = bytes(row.content)
                 for i in range(n_frames):
                     off = (i * frame_bytes) % max(len(blob), 1)
@@ -497,6 +502,11 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
         cid = content[pos : pos + 4]
         size = int.from_bytes(content[pos + 4 : pos + 8], "little")
         body = content[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise NotImplementedError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(body)} remain"
+            )
         if cid == b"fmt ":
             audio_fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")

@@ -88,10 +88,11 @@ def cdc_finalize(state: DataFrame, tombstone: str) -> DataFrame:
     """Read-side view of CDC state: drop keys whose latest FEED row is a
     tombstone (provenance-flagged, so a snapshot row whose own type
     collides with the marker is never dropped)."""
+    # coalesce: a NULL state_type must compare as NOT-tombstone — without
+    # it, true & NULL = NULL and ~NULL = NULL silently drops the row
+    is_tomb = F.coalesce(F.col("state_type") == tombstone, F.lit(False))
     return (
-        state.filter(
-            ~(F.col("is_feed") & (F.col("state_type") == tombstone))
-        )
+        state.filter(~(F.col("is_feed") & is_tomb))
         .select("user_id", "state_value", "state_ts", "state_type")
         .orderBy("user_id")
     )
