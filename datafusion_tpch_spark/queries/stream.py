@@ -323,18 +323,10 @@ def events_multibatch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness (3 batch boundaries prove it as firmly as any larger
     count, at half the trigger overhead of the earlier 8-batch form).
     Layout is written once per (process, fixture)."""
-    import os
-
-    from ..catalog import load_table
     from ..streaming.pipeline import hourly_agg_stream, run_stream_to_df
-    from .advanced import _scratch_path
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = _scratch_path("events_split4", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(path)
+    path = _split4_layout(spark, sf_dir)
     schema = spark.read.parquet(path).schema
     stream = (
         spark.readStream.schema(schema)
@@ -443,6 +435,32 @@ EVENTS_HLL_STREAM_SQL = _hll_stream_sql()
 _SCD2_STREAM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
 
 
+def _sweep_stale_apps(cache: dict, app_id: str) -> None:
+    """Drop cache entries from stopped Spark applications (only one
+    SparkContext is live per process) so localCheckpointed state from a
+    dead session isn't pinned for process lifetime — same hygiene as
+    extensions._session_table."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
+def _split4_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The 4-file arbitrary-split events layout used to force real
+    micro-batch boundaries (events_multibatch_stream, events_cdc_stream);
+    written once per (process, fixture)."""
+    import os
+
+    from ..catalog import load_table
+    from .advanced import _scratch_path
+
+    path = _scratch_path("events_split4", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def _timeordered_week_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write the fixture events as four single-file time-quartile slices whose
     file MODIFICATION TIMES increase with event time — Spark's file
@@ -511,11 +529,8 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-joins against |keys|-row state; nothing retained grows with
     stream length (the deployed form of a continuously-maintained
     dimension-history table)."""
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.maintenance import (
+        run_foreach_batch,
         scd2_apply_batch,
         scd2_empty_state,
         scd2_finalize,
@@ -523,6 +538,7 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     app = spark.sparkContext.applicationId
+    _sweep_stale_apps(_SCD2_STREAM_STATE, app)
 
     cached = _SCD2_STREAM_STATE.get((app, sf_dir))
     if cached is not None:
@@ -564,26 +580,7 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(layout)
     )
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt = tempfile.mkdtemp(prefix="ckpt-scd2-stream-", dir=ckpt_base)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
-        query = (
-            feed.writeStream.foreachBatch(apply_batch)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not query.awaitTermination(300):
-                raise TimeoutError("events_scd2_stream did not finish in 300s")
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    run_foreach_batch(spark, feed, apply_batch, "events_scd2_stream")
     _SCD2_STREAM_STATE[(app, sf_dir)] = (holder["agg"], holder["open"], holder["n"])
     return scd2_finalize(holder["agg"], holder["open"])
 
@@ -637,12 +634,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` truncates the lineage so the plan does not grow
     with stream length (production would target a keyed table format's
     MERGE with the same compact-then-merge shape)."""
-    import os
-    import shutil
-    import tempfile
-
     from ..catalog import load_table
-    from .advanced import _scratch_path
     from .extensions import (
         _CDC_CUTOFF,
         _CDC_QUIET_MOD,
@@ -651,10 +643,16 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CDC_UNSNAPPED_MOD,
     )
 
-    from ..streaming.maintenance import cdc_compact, cdc_finalize, cdc_merge_batch
+    from ..streaming.maintenance import (
+        cdc_compact,
+        cdc_finalize,
+        cdc_merge_batch,
+        run_foreach_batch,
+    )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     app = spark.sparkContext.applicationId
+    _sweep_stale_apps(_CDC_STREAM_STATE, app)
 
     cached = _CDC_STREAM_STATE.get((app, sf_dir))
     if cached is not None:
@@ -673,17 +671,17 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # don't count no-op batches: the >=2-batch test must prove
+            # the incremental merge really ran across boundaries
+            return
         comp = cdc_compact(batch_df, is_feed=True)
         holder["state"] = cdc_merge_batch(holder["state"], comp).localCheckpoint()
         holder["n"] += 1
 
     # the same 4-file layout events_multibatch_stream proves batch
-    # boundaries with; written once per (process, fixture)
-    path = _scratch_path("events_split4", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(path)
+    # boundaries with
+    path = _split4_layout(spark, sf_dir)
     schema = spark.read.parquet(path).schema
     feed = (
         spark.readStream.schema(schema)
@@ -694,26 +692,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("user_id") % _CDC_QUIET_MOD != _CDC_QUIET_REM)
         )
     )
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt = tempfile.mkdtemp(prefix="ckpt-cdc-stream-", dir=ckpt_base)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try:
-        query = (
-            feed.writeStream.foreachBatch(apply_batch)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not query.awaitTermination(300):
-                raise TimeoutError("events_cdc_stream did not finish in 300s")
-        finally:
-            query.stop()
-            shutil.rmtree(ckpt, ignore_errors=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    run_foreach_batch(spark, feed, apply_batch, "events_cdc_stream")
     _CDC_STREAM_STATE[(app, sf_dir)] = (holder["state"], holder["n"])
     return cdc_finalize(holder["state"], _CDC_TOMBSTONE)
 
@@ -831,6 +810,6 @@ SPECS: list[QuerySpec] = [
         "events_multibatch_stream",
         events_multibatch_stream,
         EVENTS_MULTIBATCH_STREAM_SQL,
-        "8 forced micro-batches (maxFilesPerTrigger=1) == batch answer",
+        "4 forced micro-batches (maxFilesPerTrigger=1) == batch answer",
     ),
 ]

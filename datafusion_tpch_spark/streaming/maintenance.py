@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+def run_foreach_batch(
+    spark: SparkSession, feed: DataFrame, apply_batch, name: str,
+    timeout_s: int = 300, partitions: int = 2,
+) -> None:
+    """Drive a bounded foreachBatch maintenance stream to completion:
+    RAM-backed checkpoint dir, state-sized shuffle-partition override
+    (restored after), AvailableNow trigger, checkpoint cleanup.  Shared
+    by the CDC and SCD2 gates so the runner plumbing can't drift between
+    them."""
+    import os
+    import shutil
+    import tempfile
+
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt-{name}-", dir=ckpt_base)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        query = (
+            feed.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"{name} did not finish in {timeout_s}s"
+                )
+        finally:
+            query.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 # ----------------------------------------------------------- CDC upsert
 
 CDC_STATE_COLS = (
