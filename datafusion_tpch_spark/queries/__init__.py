@@ -36,7 +36,7 @@ _CHECK_FIRST = [
     # -- round-6 additions: spec-typed canonical TPC-H gates + real decode;
     # new queries are inserted HERE as they land --
     "events_cdc_stream", "events_scd2_stream", "multimodal_wav_roundtrip",
-    "dedup_incremental_lsh",
+    "dedup_incremental_lsh", "events_distribution_drift",
     "events_cdc_merge", "events_scd2_history", "events_rollup_cascade",
     "q3_spec", "q12_spec",
     "q5_spec", "q7_spec", "q10_spec", "q14_spec", "q19_spec", "q21_spec",
@@ -48,14 +48,13 @@ _CHECK_FIRST = [
     "docs_bm25_topk", "q15_window", "docs_pipeline_yield",
     "dedup_semantic_clusters", "events_pagerank", "events_communities",
     "docs_cross_source_dups",
-    "events_sliding_stream",
     "events_stream_stream_join", "events_stateful_sessions",
     "events_multibatch_stream",
-    # events_dedup_stream / events_hll_stream / events_trending_stream share
-    # the sink-reuse path re-recorded by the four gates above plus the three
-    # stale streaming gates below, and hold green r04/r05 records — they
-    # yield their window slots so every round-6 addition AND all 7
-    # stale-since-r01 queries fit in the first 50
+    # events_sliding_stream / events_dedup_stream / events_hll_stream /
+    # events_trending_stream share the sink-reuse path re-recorded by the
+    # three gates above plus the three stale streaming gates below, and
+    # hold green r04/r05 records — they yield their window slots so every
+    # round-6 addition AND all 7 stale-since-r01 queries fit in the first 50
     # -- stalest driver records (latest = r01) --
     "multimodal_pixel_stats", "events_hourly", "events_sessionize",
     "events_json_extract", "events_hourly_stream", "events_session_stream",

@@ -4254,6 +4254,86 @@ ORDER BY event_type
 """
 
 
+# drift-monitor parameters: the month splits at this instant into the
+# reference window A and the comparison window B
+_DRIFT_SPLIT = "2024-01-16"
+
+
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the data-ops gate a training pipeline
+    runs between corpus snapshots): per event type, the total-variation
+    distance between the value distribution before and after a split
+    instant, over integer value buckets (``floor(value)``).
+
+    TVD = ½·Σ_b |cA_b/nA − cB_b/nB| is computed DIVISION-FREE inside the
+    aggregation — Σ_b |cA_b·nB − cB_b·nA| is an exact BIGINT (order-
+    independent sum), divided once by 2·nA·nB at the end — so both
+    engines produce bit-identical doubles and the gate hash-matches with
+    no epsilon.  At 100 TB this is two map-side-combined aggregations
+    (bucket counts, then per-type reduce) — one shuffle each, state
+    bounded by types × buckets, never by events."""
+    (ev,) = _t(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    bucketed = ev.select(
+        "event_type",
+        F.floor(F.col("value")).cast("long").alias("bucket"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("in_a"),
+    )
+    cells = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum("in_a").cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("c_b"),
+    )
+    totals = bucketed.groupBy("event_type").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+    )
+    return (
+        cells.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            ).cast("bigint").alias("tvd_num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        )
+        .select(
+            "event_type", "n_a", "n_b", "n_buckets",
+            (
+                F.col("tvd_num").cast("double")
+                / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("tvd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DISTRIBUTION_DRIFT_SQL = f"""
+WITH bucketed AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END AS in_a
+  FROM events),
+cells AS (
+  SELECT event_type, bucket,
+         CAST(SUM(in_a) AS BIGINT) AS c_a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS c_b
+  FROM bucketed GROUP BY event_type, bucket),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+  FROM bucketed GROUP BY event_type)
+SELECT c.event_type, t.n_a, t.n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(ABS(c.c_a * t.n_b - c.c_b * t.n_a)) AS DOUBLE)
+         / (2.0 * t.n_a * t.n_b) AS tvd
+FROM cells c JOIN totals t ON c.event_type = t.event_type
+GROUP BY c.event_type, t.n_a, t.n_b
+ORDER BY c.event_type
+"""
+
+
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection: flag hours whose event count deviates
     more than 2 sigma from that event type's hourly mean.
@@ -4811,6 +4891,9 @@ SPECS: list[QuerySpec] = [
               "incremental MV maintenance: mergeable partial state vs full recompute"),
     QuerySpec("events_anomaly", events_anomaly, EVENTS_ANOMALY_SQL,
               "2-sigma hourly volume anomalies, division-free integer algebra"),
+    QuerySpec("events_distribution_drift", events_distribution_drift,
+              EVENTS_DISTRIBUTION_DRIFT_SQL,
+              "snapshot drift monitor: exact-integer TVD per event type"),
     QuerySpec("events_concurrency", events_concurrency, EVENTS_CONCURRENCY_SQL,
               "sweep-line peak concurrency per event type (interval algebra)"),
     QuerySpec("lineitem_pit_supplier", lineitem_pit_supplier, LINEITEM_PIT_SUPPLIER_SQL,
