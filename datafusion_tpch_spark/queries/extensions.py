@@ -4282,10 +4282,12 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = bucketed.groupBy("event_type", "bucket").agg(
         F.sum("in_a").cast("bigint").alias("c_a"),
         F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("c_b"),
-    )
-    totals = bucketed.groupBy("event_type").agg(
-        F.sum("in_a").cast("bigint").alias("n_a"),
-        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+    ).localCheckpoint()
+    # totals re-aggregate FROM the cells (mergeable partials — the rollup
+    # pattern), so raw events are scanned once, not once per aggregation
+    totals = cells.groupBy("event_type").agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
     )
     return (
         cells.join(totals, "event_type")
