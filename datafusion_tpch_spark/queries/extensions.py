@@ -376,6 +376,37 @@ ORDER BY doc1, doc2
 """
 
 
+def _lsh_buckets_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED (doc_id, band, bkey) bucket membership, session-cached.
+    The incremental-admission gate derives its corpus-capped index from
+    this; the batch self-join gate keeps its own jointly-capped table
+    (``_lsh_buckets``) because a self-join must cap the cells it joins."""
+    def build() -> DataFrame:
+        sig = _minhash_sig(spark, sf_dir)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{band * _MH_ROWS + r}").cast("string")
+                                for r in range(_MH_ROWS)
+                            ],
+                        )
+                    ).alias("bkey"),
+                )
+                for band in range(_MH_BANDS)
+            ]
+        )
+        return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+        )
+
+    return _session_table(spark, sf_dir, "lsh_buckets_raw", build)
+
+
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission (the crawl-ingest deployment shape):
     an incoming batch probes the existing corpus's PREBUILT LSH bucket
@@ -384,19 +415,23 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc: how many (band, bucket) cells it shares with any corpus doc, and
     the admission verdict (kept iff zero collisions).
 
-    The bucket table is computed once per (session, fixture)
-    (``_lsh_buckets`` — in production this IS the stored index table,
-    appended as batches are admitted) with the same hot-bucket cap, so a
-    boilerplate bucket can't make one probe quadratic.  The only
-    per-batch work is hashing the batch and one (band, bkey) join whose
-    build side is the index — at 100 TB the batch never shuffles the
-    corpus."""
+    The index cells are capped on CORPUS occupancy only (a cell already
+    holding more than {cap} corpus docs is boilerplate — dropped from
+    the index, its members handled by exact dedup first), so a probe's
+    fan-out is bounded AND a verdict never depends on what else happens
+    to be in the same incoming batch — the same verdict the stored,
+    batch-appended index of a real pipeline would give.  The only
+    per-batch work is hashing the batch and one (band, bkey) semi-join
+    whose build side is the index — at 100 TB the batch never shuffles
+    the corpus."""
     (docs,) = _t(spark, sf_dir, "documents")
-    buckets = _lsh_buckets(spark, sf_dir)
+    buckets = _lsh_buckets_raw(spark, sf_dir)
     corpus_cells = (
         buckets.filter(F.col("doc_id") < _INCR_SPLIT)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
         .select("band", "bkey")
-        .distinct()
     )
     incoming_b = buckets.filter(F.col("doc_id") >= _INCR_SPLIT)
     hits = (
@@ -418,20 +453,20 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+dedup_incremental_lsh.__doc__ = (dedup_incremental_lsh.__doc__ or "").format(
+    cap=_LSH_MAX_BUCKET
+)
+
+
 DEDUP_INCREMENTAL_LSH_SQL = f"""
 WITH sig AS ({_minhash_sig_sql()}),
 buckets_all AS ({_band_sql('sig')}),
-hot AS (SELECT band, bkey FROM buckets_all
-        GROUP BY band, bkey HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
-buckets AS (
-  SELECT b.* FROM buckets_all b
-  WHERE NOT EXISTS (SELECT 1 FROM hot h
-                    WHERE h.band = b.band AND h.bkey = b.bkey)),
 corpus_cells AS (
-  SELECT DISTINCT band, bkey FROM buckets WHERE doc_id < {_INCR_SPLIT}),
+  SELECT band, bkey FROM buckets_all WHERE doc_id < {_INCR_SPLIT}
+  GROUP BY band, bkey HAVING COUNT(*) <= {_LSH_MAX_BUCKET}),
 hits AS (
   SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_buckets
-  FROM buckets i
+  FROM buckets_all i
   WHERE i.doc_id >= {_INCR_SPLIT}
     AND EXISTS (SELECT 1 FROM corpus_cells c
                 WHERE c.band = i.band AND c.bkey = i.bkey)
@@ -4266,12 +4301,17 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant, over integer value buckets (``floor(value)``).
 
     TVD = ½·Σ_b |cA_b/nA − cB_b/nB| is computed DIVISION-FREE inside the
-    aggregation — Σ_b |cA_b·nB − cB_b·nA| is an exact BIGINT (order-
-    independent sum), divided once by 2·nA·nB at the end — so both
-    engines produce bit-identical doubles and the gate hash-matches with
-    no epsilon.  At 100 TB this is two map-side-combined aggregations
-    (bucket counts, then per-type reduce) — one shuffle each, state
-    bounded by types × buckets, never by events."""
+    aggregation — Σ_b |cA_b·nB − cB_b·nA| is an exact DECIMAL(38,0)
+    (order-independent sum; BIGINT would overflow once per-type window
+    counts pass ~2·10⁹, i.e. exactly at the scale this gate targets),
+    divided once by 2·nA·nB at the end — so both engines produce
+    bit-identical doubles and the gate hash-matches with no epsilon.  A
+    type seen in only one window reports tvd = 1.0 (fully shifted — the
+    strongest drift signal, which a naive ratio would turn into a silent
+    NULL via 0-division).  At 100 TB this is two map-side-combined
+    aggregations (bucket counts, then per-type reduce from the cell
+    partials) — one shuffle each, state bounded by types × buckets,
+    never by events."""
     (ev,) = _t(spark, sf_dir, "events")
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
     bucketed = ev.select(
@@ -4296,13 +4336,18 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
             F.sum(
-                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
-            ).cast("bigint").alias("tvd_num"),
+                F.abs(
+                    F.col("c_a").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("c_b").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).cast("decimal(38,0)").alias("tvd_num"),
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         )
         .select(
             "event_type", "n_a", "n_b", "n_buckets",
-            (
+            F.when(
+                (F.col("n_a") == 0) | (F.col("n_b") == 0), F.lit(1.0)
+            ).otherwise(
                 F.col("tvd_num").cast("double")
                 / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("tvd"),
@@ -4328,8 +4373,11 @@ totals AS (
   FROM bucketed GROUP BY event_type)
 SELECT c.event_type, t.n_a, t.n_b,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       CAST(SUM(ABS(c.c_a * t.n_b - c.c_b * t.n_a)) AS DOUBLE)
-         / (2.0 * t.n_a * t.n_b) AS tvd
+       CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 1.0
+            ELSE CAST(SUM(ABS(CAST(c.c_a AS DECIMAL(38,0)) * t.n_b
+                              - CAST(c.c_b AS DECIMAL(38,0)) * t.n_a))
+                      AS DOUBLE)
+                 / (2.0 * t.n_a * t.n_b) END AS tvd
 FROM cells c JOIN totals t ON c.event_type = t.event_type
 GROUP BY c.event_type, t.n_a, t.n_b
 ORDER BY c.event_type
