@@ -16,6 +16,7 @@ the driver) are the part that must be right for 100 TB.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -118,7 +119,19 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
             j += 1
         toks.append(int(buf[i:j]))
         i = j
-    return toks, i + 1  # exactly one whitespace byte before the raster
+    # The P5/P6 spec mandates EXACTLY one whitespace byte between the
+    # maxval token and the raster.  Validate it instead of assuming: a
+    # non-whitespace byte here (or a non-conforming "\r\n" separator,
+    # which would silently shift the raster by one byte) must fail loudly
+    # rather than corrupt every pixel.
+    if i >= len(buf) or not buf[i : i + 1].isspace():
+        raise ValueError("PNM: missing single whitespace byte before raster")
+    if buf[i : i + 2] == b"\r\n":
+        # ambiguous: either a CRLF-written (non-conforming) header, or a
+        # raster whose first sample happens to be 0x0A — refuse rather
+        # than risk silently shifting every pixel by one byte
+        raise ValueError("PNM: CRLF after maxval is not a valid raster separator")
+    return toks, i + 1
 
 
 def decode_image(content: bytes) -> np.ndarray:
@@ -153,9 +166,12 @@ def decode_image(content: bytes) -> np.ndarray:
         ).reshape(h, row_bytes)
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
         return img[::-1] if bottom_up else img
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
     raise NotImplementedError(
-        f"no pure-numpy decoder for magic {magic!r} (compressed codecs "
-        "require an image library: swap in PIL here in production)"
+        f"no pure-numpy decoder for magic {magic!r} (remaining compressed "
+        "codecs — JPEG/WebP/… — require an image library: swap in PIL here "
+        "in production)"
     )
 
 
@@ -166,7 +182,8 @@ def _decode_image_bytes(content: bytes, width: int, height: int) -> np.ndarray:
     bytes) so opaque-blob plumbing stays testable without codec libs."""
     if content is None:
         raise ValueError("null blob")
-    if bytes(content[:2]) in (b"P5", b"P6", b"BM"):
+    head = bytes(content[:8])
+    if head[:2] in (b"P5", b"P6", b"BM") or head == _PNG_SIG:
         img = decode_image(content)
         return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     seed = np.frombuffer(content[:64], dtype=np.uint8).astype(np.uint32)
@@ -590,6 +607,230 @@ def decoded_wav_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------- PNG codec
+# Real compressed-image handling, pure stdlib zlib + numpy (no PIL in this
+# environment; the algorithm — DEFLATE streams of per-scanline-filtered
+# samples — is public: RFC 2083 / the W3C PNG spec).  8-bit depth, color
+# types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace; palette,
+# 16-bit and Adam7 stay honest NotImplementedError boundaries.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
+    """Encode an 8-bit image as a genuine PNG: (h, w) uint8 → grayscale
+    (color type 0), (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
+    (h, w, 4) → RGBA (6).  Scanlines are filter-type-0 by default;
+    ``filter_per_line=True`` applies filter ``y % 5`` to scanline ``y``
+    (None/Sub/Up/Average/Paeth in rotation) so a paired decoder must
+    implement ALL five unfilters, not just the trivial one.  Output is a
+    spec-conforming file any PNG reader opens."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects a 2-D or 3-D uint8 array")
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y]
+        ft = y % 5 if filter_per_line else 0
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        up_left = np.zeros_like(prior)
+        up_left[ch:] = prior[:-ch]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prior
+        elif ft == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = cur - pred
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])  # depth 8, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """REAL PNG decode strictly from the blob bytes: signature check,
+    CRC-verified chunk walk, IHDR parse, concatenated-IDAT zlib inflate,
+    then per-scanline unfilter of all five filter types
+    (None/Sub/Up/Average/Paeth).  Returns (h, w) uint8 for grayscale,
+    (h, w, ch) otherwise.  Palette (type 3), bit depths ≠ 8 and Adam7
+    interlace raise NotImplementedError rather than guessing."""
+    buf = bytes(content)
+    if buf[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        crc = int.from_bytes(buf[pos + 8 + size : pos + 12 + size], "big")
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype_n not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype_n} interlace={interlace} "
+            "not supported (8-bit non-interlaced gray/RGB/alpha only)"
+        )
+    ch = _PNG_CHANNELS[ctype_n]
+    stride = w * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("decompressed size does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = data[off]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: cumulative sum per channel lane
+            cur = line.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
+            cur = cur.reshape(stride).astype(np.int32)
+        elif ft == 2:  # Up
+            cur = (line + prior) % 256
+        elif ft in (3, 4):  # Average/Paeth: left-dependency → per-pixel walk
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(w):
+                s = x * ch
+                for c in range(ch):
+                    left = cur[s + c - ch] if x else 0
+                    up = prior[s + c]
+                    ul = prior[s + c - ch] if x else 0
+                    pred = (left + up) // 2 if ft == 3 else _paeth(left, up, ul)
+                    cur[s + c] = (line[s + c] + pred) % 256
+        else:
+            raise ValueError(f"invalid filter type {ft}")
+        out[y] = cur
+        prior = cur
+    img = out.astype(np.uint8)
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
+_PNG_PX_K = 2654435761  # raster closed form: v[i] = (id*K + i) % 256
+
+
+def documents_as_png_assets(docs: DataFrame) -> DataFrame:
+    """Compressed-format asset table: per document, a deterministic
+    (8+id%7) × (8+id%9) RGB raster (``v[i] = (id*K + i) % 256`` over the
+    flattened h·w·3 samples — SQL-recomputable) ENCODED AS A GENUINE PNG
+    in the Arrow kernel, with ``filter_per_line=True`` so every blob
+    exercises all five scanline filters.  The blob is a real compressed
+    image file, born distributed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 9, 8 + aid % 7
+                v = (aid * _PNG_PX_K + np.arange(h * w * 3, dtype=np.int64)) % 256
+                img = v.astype(np.uint8).reshape(h, w, 3)
+                out.append((aid, "image", "image/png",
+                            encode_png(img, filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+PNG_STATS_SCHEMA = (
+    "asset_id long, width int, height int, mean_px double, max_px long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decoded_png_stats(assets: DataFrame) -> DataFrame:
+    """REAL end-to-end compressed decode: inflate + unfilter each PNG
+    strictly from its bytes (``decode_png``) and emit integer-exact
+    per-channel statistics.  Paired with ``documents_as_png_assets`` this
+    proves encode → DEFLATE → binary column → Arrow → chunk walk →
+    inflate → unfilter (all five types) → features, every output
+    SQL-recomputable from the closed-form raster — a decoder that
+    mis-unfilters a single Paeth scanline hash-fails."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_png(row.content)
+                px = img.astype(np.int64)
+                out.append(
+                    (row.asset_id, img.shape[1], img.shape[0],
+                     float(px.mean()), int(px.max()),
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "mean_px",
+                         "max_px", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return assets.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 def partition_for_blobs(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:

@@ -25,44 +25,35 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record: by round 5's record every pre-existing query has at
-# least one green CORRECTNESS_r0N row.  Round 6 front-loads its additions
-# (driver record on first exposure), then re-records every query whose
-# plan round 6 rewrote (bm25/q15_window limit-then-rank, CC-loop and
-# pagerank checkpoint changes, the streaming sink-reuse path), then the
-# 7 queries whose latest record dated back to r01, then the TPC-H core.
+# correctness record.  Round 7 (per the round-6 verdict): new round-7 gates
+# first (driver record on first exposure), then the 20 queries whose latest
+# record dated to r02, then 29 of the 40-query r03 cohort.  The remaining
+# 11 r03 queries (lineitem_bloom_semi, lineitem_delta_agg,
+# lineitem_pit_supplier, lineitem_running_total, lineitem_zorder,
+# multimodal_frame_sample, orders_changelog, orders_cube,
+# orders_merge_upsert, supplier_scd2, token_cms_topk) rotate in round 8.
 # Everything not listed keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round-6 additions: spec-typed canonical TPC-H gates + real decode;
-    # new queries are inserted HERE as they land --
-    "events_cdc_stream", "events_scd2_stream", "multimodal_wav_roundtrip",
-    "dedup_incremental_lsh", "events_distribution_drift",
-    "events_cdc_merge", "events_scd2_history", "events_rollup_cascade",
-    "q3_spec", "q12_spec",
-    "q5_spec", "q7_spec", "q10_spec", "q14_spec", "q19_spec", "q21_spec",
-    "q2_spec", "q8_spec", "q9_spec", "q11_spec", "q13_spec", "q15_spec",
-    "q16_spec", "q17_spec", "q20_spec", "q22_spec",
-    "q1_spec", "q4_spec", "q6_spec", "q18_spec", "multimodal_decode_roundtrip",
-    "docs_token_budget", "dedup_cluster_quality_elect",
-    # -- plans rewritten in round 6 --
-    "docs_bm25_topk", "q15_window", "docs_pipeline_yield",
-    "dedup_semantic_clusters", "events_pagerank", "events_communities",
-    "docs_cross_source_dups",
-    "events_stream_stream_join", "events_stateful_sessions",
-    "events_multibatch_stream",
-    # events_sliding_stream / events_dedup_stream / events_hll_stream /
-    # events_trending_stream share the sink-reuse path re-recorded by the
-    # three gates above plus the three stale streaming gates below, and
-    # hold green r04/r05 records — they yield their window slots so every
-    # round-6 addition AND all 7 stale-since-r01 queries fit in the first 50
-    # -- stalest driver records (latest = r01) --
-    "multimodal_pixel_stats", "events_hourly", "events_sessionize",
-    "events_json_extract", "events_hourly_stream", "events_session_stream",
-    "events_enriched_stream",
-    # -- refill: the TPC-H core + long-standing representatives --
-    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-    "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
-    "q22",
+    # -- round-7 additions; new queries are inserted HERE as they land --
+    "multimodal_png_roundtrip",
+    # -- stalest driver records (latest = r02) --
+    "ann_bruteforce_topk", "ann_ivf_topk", "customer_set_ops",
+    "dedup_embedding_cosine", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_winnow", "docs_length_quartiles",
+    "docs_quality_filter", "embedding_centroids", "info_schema_columns",
+    "lang_id", "limit_scan", "orders_rollup", "tables_listing",
+    "text_quality", "tfidf_top_terms", "token_topk", "top_docs_per_lang",
+    # -- backfill from the r03 cohort (29 of 40) --
+    "ann_pq_topk", "customer_orders_bucketed", "customer_orders_full_outer",
+    "customer_window_suite", "dedup_canonical", "docs_boilerplate_strip",
+    "docs_chunk_dedup", "docs_decontaminate", "docs_lm_score",
+    "docs_mixture_sample", "docs_mixture_weights", "docs_pmi_bigrams",
+    "docs_repetition", "embeddings_gram", "events_anomaly",
+    "events_asof_join", "events_dedup_stream", "events_funnel",
+    "events_gapfill", "events_histogram", "events_hll_distinct",
+    "events_moving_avg", "events_pii_scrub", "events_pivot",
+    "events_range_join", "events_salted_enrich", "events_sliding_stream",
+    "events_triangle_count", "events_user_retention",
 ]
 
 

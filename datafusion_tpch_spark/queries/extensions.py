@@ -2769,6 +2769,44 @@ ORDER BY rank
 """
 
 
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: documents → deterministic
+    RGB rasters ENCODED AS GENUINE PNG FILES in one Arrow kernel (DEFLATE
+    via stdlib zlib, scanline filter ``y % 5`` so every blob exercises
+    None/Sub/Up/Average/Paeth) → a second Arrow kernel parses each blob
+    strictly from its bytes (``decode_png``: signature → CRC-verified
+    chunk walk → IHDR → inflate → unfilter) → integer-exact per-channel
+    statistics.  The oracle recomputes width, height and the per-channel
+    sums from the closed-form raster, so a decoder that mis-unfilters a
+    single scanline or mis-walks a chunk hash-fails.  Two pipelined
+    narrow passes, no shuffle; this closes the compressed-codec boundary
+    the PGM/BMP gate documents (palette/16-bit/interlace remain the
+    honest NotImplementedError edge)."""
+    from ..operators.multimodal import decoded_png_stats, documents_as_png_assets
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return decoded_png_stats(documents_as_png_assets(docs)).orderBy("asset_id")
+
+
+MULTIMODAL_PNG_ROUNDTRIP_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 9) * (8 + doc_id % 7) * 3)) t(i))
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 9 AS INTEGER) AS width,
+       CAST(8 + doc_id % 7 AS INTEGER) AS height,
+       SUM(v) * 1.0 / COUNT(*) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -4882,6 +4920,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_wav_roundtrip", multimodal_wav_roundtrip,
               MULTIMODAL_WAV_ROUNDTRIP_SQL,
               "RIFF/WAVE encode -> binary column -> REAL chunk-walk PCM decode"),
+    QuerySpec("multimodal_png_roundtrip", multimodal_png_roundtrip,
+              MULTIMODAL_PNG_ROUNDTRIP_SQL,
+              "PNG encode (zlib deflate, all 5 filters) -> REAL inflate+unfilter decode"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),
