@@ -14,6 +14,8 @@ extensions.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -431,17 +433,16 @@ ORDER BY event_type
 EVENTS_HLL_STREAM_SQL = _hll_stream_sql()
 
 
-# (applicationId, sf_dir) -> ((agg, open) state DataFrames, batch count)
-_SCD2_STREAM_STATE: dict[tuple[str, str], tuple[DataFrame, DataFrame, int]] = {}
-
-
-def _sweep_stale_apps(cache: dict, app_id: str) -> None:
-    """Drop cache entries from stopped Spark applications (only one
-    SparkContext is live per process) so localCheckpointed state from a
-    dead session isn't pinned for process lifetime — same hygiene as
-    extensions._session_table."""
-    for k in [k for k in cache if k[0] != app_id]:
-        del cache[k]
+# SparkSession -> {sf_dir: ((agg, open) state DataFrames, batch count)}.
+# Keyed WEAKLY by the session object, not applicationId: the cached frames
+# (localCheckpointed in that session) are session-bound, and
+# ``spark.newSession()`` shares the applicationId without sharing them —
+# an app-keyed cache would serve another session's frames.  Weak keys give
+# the stale-state hygiene the old applicationId sweep provided: a dropped
+# session releases its entry.
+_SCD2_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
 
 
 def _split4_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -537,10 +538,8 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    app = spark.sparkContext.applicationId
-    _sweep_stale_apps(_SCD2_STREAM_STATE, app)
-
-    cached = _SCD2_STREAM_STATE.get((app, sf_dir))
+    states = _SCD2_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
     if cached is not None:
         return scd2_finalize(cached[0], cached[1])
 
@@ -581,7 +580,7 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(layout)
     )
     run_foreach_batch(spark, feed, apply_batch, "events_scd2_stream")
-    _SCD2_STREAM_STATE[(app, sf_dir)] = (holder["agg"], holder["open"], holder["n"])
+    states[sf_dir] = (holder["agg"], holder["open"], holder["n"])
     return scd2_finalize(holder["agg"], holder["open"])
 
 
@@ -606,12 +605,15 @@ ORDER BY user_id, state_type
 """
 
 
-# (applicationId, sf_dir) -> (final state DataFrame, micro-batch count);
+# SparkSession -> {sf_dir: (final state DataFrame, micro-batch count)};
 # same always-on reuse contract as run_stream_to_df: the first call per
-# process maintains the state table through the real multi-batch stream,
+# session maintains the state table through the real multi-batch stream,
 # later calls read the maintained table — how production consumers hit a
-# continuously-merged lakehouse table
-_CDC_STREAM_STATE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+# continuously-merged lakehouse table.  Weak session keys, same rationale
+# as _SCD2_STREAM_STATE.
+_CDC_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
 
 
 def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,10 +653,8 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    app = spark.sparkContext.applicationId
-    _sweep_stale_apps(_CDC_STREAM_STATE, app)
-
-    cached = _CDC_STREAM_STATE.get((app, sf_dir))
+    states = _CDC_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
     if cached is not None:
         return cdc_finalize(cached[0], _CDC_TOMBSTONE)
 
@@ -693,7 +693,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     run_foreach_batch(spark, feed, apply_batch, "events_cdc_stream")
-    _CDC_STREAM_STATE[(app, sf_dir)] = (holder["state"], holder["n"])
+    states[sf_dir] = (holder["state"], holder["n"])
     return cdc_finalize(holder["state"], _CDC_TOMBSTONE)
 
 

@@ -21,6 +21,7 @@ Scale notes (100 TB / unbounded):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -205,7 +206,16 @@ def click_purchase_join_stream(
     )
 
 
-_SINK_COMPLETE: set[tuple[str, str]] = set()  # (applicationId, sink table)
+# SparkSession -> {completed sink table names}.  Keyed by the SESSION
+# object (weakly, so a dropped session frees its entry), not by
+# applicationId: memory-sink tables are session-scoped temp views, and
+# ``spark.newSession()`` shares the applicationId while NOT sharing the
+# view registry — an app-keyed cache would "hit" on the new session and
+# then fail with TABLE_OR_VIEW_NOT_FOUND (same aliasing tpch_spec.py
+# guards with its WeakKeyDictionary of registered sessions).
+_SINK_COMPLETE: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def run_stream_to_df(
@@ -246,8 +256,8 @@ def run_stream_to_df(
         if reuse_key is not None
         else name
     )
-    app = spark.sparkContext.applicationId
-    if reuse_key is not None and (app, sink) in _SINK_COMPLETE:
+    done = _SINK_COMPLETE.setdefault(spark, set())
+    if reuse_key is not None and sink in done:
         return spark.table(sink)
     for q in spark.streams.active:
         if q.name == sink:
@@ -305,5 +315,5 @@ def run_stream_to_df(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
     if reuse_key is not None:
-        _SINK_COMPLETE.add((app, sink))
+        done.add(sink)
     return spark.table(sink)

@@ -190,9 +190,8 @@ def test_sink_reuse_returns_identical_results_without_rerun(spark):
     first = run_stream_to_df(
         spark, stream, "t_reuse_hourly", reuse_key=SF_DIR
     ).orderBy("hour", "event_type").collect()
-    app = spark.sparkContext.applicationId
-    sink = [s for (a, s) in pl._SINK_COMPLETE
-            if a == app and s.startswith("t_reuse_hourly__")]
+    sink = [s for s in pl._SINK_COMPLETE.get(spark, set())
+            if s.startswith("t_reuse_hourly__")]
     assert sink, "first call must register sink completion"
 
     # second build: would raise/rerun if reuse failed; assert no active
@@ -203,3 +202,22 @@ def test_sink_reuse_returns_identical_results_without_rerun(spark):
     ).orderBy("hour", "event_type").collect()
     assert second == first
     assert all(q.name != sink[0] for q in spark.streams.active)
+
+
+def test_sink_reuse_is_session_scoped_not_app_scoped(spark):
+    """ADVICE r06: memory-sink tables are session-scoped temp views, but
+    applicationId is shared by spark.newSession() — an app-keyed completion
+    cache would 'hit' on the new session and fail with
+    TABLE_OR_VIEW_NOT_FOUND.  The session-keyed cache must instead re-run
+    the stream in the new session and return identical rows."""
+    stream = hourly_agg_stream(read_events_stream(spark, SF_DIR))
+    first = run_stream_to_df(
+        spark, stream, "t_reuse_scope", reuse_key=SF_DIR
+    ).orderBy("hour", "event_type").collect()
+
+    fresh = spark.newSession()
+    stream2 = hourly_agg_stream(read_events_stream(fresh, SF_DIR))
+    second = run_stream_to_df(
+        fresh, stream2, "t_reuse_scope", reuse_key=SF_DIR
+    ).orderBy("hour", "event_type").collect()
+    assert second == first
