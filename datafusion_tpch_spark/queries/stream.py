@@ -437,12 +437,31 @@ EVENTS_HLL_STREAM_SQL = _hll_stream_sql()
 # Keyed WEAKLY by the session object, not applicationId: the cached frames
 # (localCheckpointed in that session) are session-bound, and
 # ``spark.newSession()`` shares the applicationId without sharing them —
-# an app-keyed cache would serve another session's frames.  Weak keys give
-# the stale-state hygiene the old applicationId sweep provided: a dropped
-# session releases its entry.
+# an app-keyed cache would serve another session's frames.  The cached
+# DataFrames back-reference the key session, so weak keys alone never
+# collect an entry — ``_sweep_stopped_sessions`` evicts stopped sessions'
+# entries on each access instead.
 _SCD2_STREAM_STATE: (
     "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, DataFrame, int]]]"
 ) = weakref.WeakKeyDictionary()
+
+
+def _sweep_stopped_sessions(cache) -> None:
+    """Evict cache entries whose session's SparkContext has stopped.
+
+    Weak keys alone cannot collect these entries: the cached value holds
+    DataFrames whose ``_session`` strongly references the key session, so
+    the weakref never clears.  Sweeping on each access restores the
+    hygiene the old applicationId sweep provided — a stopped session's
+    localCheckpointed state is released instead of pinned for process
+    lifetime."""
+    for sess in list(cache.keys()):
+        try:
+            stopped = sess._sc._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            cache.pop(sess, None)
 
 
 def _split4_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -538,6 +557,7 @@ def events_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _sweep_stopped_sessions(_SCD2_STREAM_STATE)
     states = _SCD2_STREAM_STATE.setdefault(spark, {})
     cached = states.get(sf_dir)
     if cached is not None:
@@ -653,6 +673,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _sweep_stopped_sessions(_CDC_STREAM_STATE)
     states = _CDC_STREAM_STATE.setdefault(spark, {})
     cached = states.get(sf_dir)
     if cached is not None:

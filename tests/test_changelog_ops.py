@@ -202,8 +202,7 @@ def test_cdc_stream_really_ran_multiple_batches(spark):
     from datafusion_tpch_spark.queries.stream import _CDC_STREAM_STATE
 
     _build(spark, "events_cdc_stream").collect()
-    app = spark.sparkContext.applicationId
-    (_, n_batches) = _CDC_STREAM_STATE[(app, SF_DIR)]
+    (_, n_batches) = _CDC_STREAM_STATE[spark][SF_DIR]
     assert n_batches >= 2, f"only {n_batches} micro-batch(es)"
 
 
@@ -222,6 +221,29 @@ def test_scd2_stream_really_ran_multiple_batches(spark):
     from datafusion_tpch_spark.queries.stream import _SCD2_STREAM_STATE
 
     _build(spark, "events_scd2_stream").collect()
-    app = spark.sparkContext.applicationId
-    n_batches = _SCD2_STREAM_STATE[(app, SF_DIR)][2]
+    n_batches = _SCD2_STREAM_STATE[spark][SF_DIR][2]
     assert n_batches >= 2, f"only {n_batches} micro-batch(es)"
+
+
+def test_stream_state_sweep_evicts_stopped_sessions(spark):
+    """The stream-state caches' values hold DataFrames that back-reference
+    their key session, so WeakKeyDictionary alone never collects an entry;
+    _sweep_stopped_sessions must evict stopped sessions while keeping live
+    ones."""
+    import weakref
+
+    from datafusion_tpch_spark.queries.stream import _sweep_stopped_sessions
+
+    class _FakeSC:
+        _jsc = None
+
+    class _FakeSession:
+        _sc = _FakeSC()
+
+    cache = weakref.WeakKeyDictionary()
+    dead = _FakeSession()
+    cache[dead] = {"sf": ("state", 2)}
+    cache[spark] = {"sf": ("state", 3)}
+    _sweep_stopped_sessions(cache)
+    assert dead not in cache, "stopped session's entry must be evicted"
+    assert spark in cache, "live session's entry must survive the sweep"
