@@ -25,35 +25,35 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 7 (per the round-6 verdict): new round-7 gates
-# first (driver record on first exposure), then the 20 queries whose latest
-# record dated to r02, then 29 of the 40-query r03 cohort.  The remaining
-# 11 r03 queries (lineitem_bloom_semi, lineitem_delta_agg,
-# lineitem_pit_supplier, lineitem_running_total, lineitem_zorder,
-# multimodal_frame_sample, orders_changelog, orders_cube,
-# orders_merge_upsert, supplier_scd2, token_cms_topk) rotate in round 8.
-# Everything not listed keeps registration order after these.
+# correctness record.  Round 8 (per the round-7 verdict): new round-8 gates
+# first (driver record on first exposure), then the last 11 r03-cohort
+# queries, then backfill from the 40-query r04 cohort.  Any r04 queries
+# displaced by round-8 additions (the window is exactly 50) rotate in
+# round 9.  Everything not listed keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round-7 additions; new queries are inserted HERE as they land --
-    "multimodal_png_roundtrip",
-    # -- stalest driver records (latest = r02) --
-    "ann_bruteforce_topk", "ann_ivf_topk", "customer_set_ops",
-    "dedup_embedding_cosine", "dedup_incremental", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_winnow", "docs_length_quartiles",
-    "docs_quality_filter", "embedding_centroids", "info_schema_columns",
-    "lang_id", "limit_scan", "orders_rollup", "tables_listing",
-    "text_quality", "tfidf_top_terms", "token_topk", "top_docs_per_lang",
-    # -- backfill from the r03 cohort (29 of 40) --
-    "ann_pq_topk", "customer_orders_bucketed", "customer_orders_full_outer",
-    "customer_window_suite", "dedup_canonical", "docs_boilerplate_strip",
-    "docs_chunk_dedup", "docs_decontaminate", "docs_lm_score",
-    "docs_mixture_sample", "docs_mixture_weights", "docs_pmi_bigrams",
-    "docs_repetition", "embeddings_gram", "events_anomaly",
-    "events_asof_join", "events_dedup_stream", "events_funnel",
-    "events_gapfill", "events_histogram", "events_hll_distinct",
-    "events_moving_avg", "events_pii_scrub", "events_pivot",
-    "events_range_join", "events_salted_enrich", "events_sliding_stream",
-    "events_triangle_count", "events_user_retention",
+    # -- round-8 additions; new queries are inserted HERE as they land --
+    # -- last of the r03 cohort --
+    "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_pit_supplier",
+    "lineitem_running_total", "lineitem_zorder", "multimodal_frame_sample",
+    "orders_changelog", "orders_cube", "orders_merge_upsert",
+    "supplier_scd2", "token_cms_topk",
+    # -- backfill from the r04 cohort (39 of 40; supplier_hhi -> round 9) --
+    "ann_recall_audit", "dedup_lsh_recall_audit", "dedup_simhash_hamming1",
+    "dedup_threshold_sweep", "docs_bpe_pairs", "docs_containment",
+    "docs_dsir_score", "embeddings_kmeans", "embeddings_knn_graph",
+    "embeddings_top_eigvec", "events_ab_lift", "events_cooccurrence_lift",
+    "events_corrupt_json_audit", "events_feature_hash",
+    "events_interval_union", "events_longest_streak", "events_path_ngrams",
+    "events_props_key_census", "events_stickiness", "events_time_rollup",
+    "events_trailing_window", "events_train_test_split",
+    "events_type_dow_chisq", "events_user_bitmap", "lang_id_metrics",
+    "lineitem_band_join", "lineitem_grouping_sets",
+    "lineitem_hist_quantile_sketch", "lineitem_late_dim",
+    "lineitem_price_model", "lineitem_profile_moments",
+    "orders_changelog_apply", "orders_constraints",
+    "orders_lineitem_hash_join", "orders_lineitem_merge_join",
+    "orders_partitioned_prune", "orders_schema_evolution",
+    "orders_seasonality", "pq_distortion_audit",
 ]
 
 
