@@ -2778,14 +2778,25 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk walk → IHDR → inflate → unfilter) → integer-exact per-channel
     statistics.  The oracle recomputes width, height and the per-channel
     sums from the closed-form raster, so a decoder that mis-unfilters a
-    single scanline or mis-walks a chunk hash-fails.  Two pipelined
-    narrow passes, no shuffle; this closes the compressed-codec boundary
+    single scanline or mis-walks a chunk hash-fails.  The doc_ids are
+    range-partitioned BEFORE the codec kernels: the fixture documents
+    parquet is one small file (one input partition), so without the
+    exchange all codec work runs single-threaded, and a downstream
+    ``orderBy`` would re-execute both kernels in the range-sampling job —
+    sorting the cheap id column upstream keeps the output globally
+    ordered (mapInPandas preserves per-partition order) while the codec
+    runs once, in parallel.  This closes the compressed-codec boundary
     the PGM/BMP gate documents (palette/16-bit/interlace remain the
     honest NotImplementedError edge)."""
     from ..operators.multimodal import decoded_png_stats, documents_as_png_assets
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return decoded_png_stats(documents_as_png_assets(docs)).orderBy("asset_id")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_png_stats(documents_as_png_assets(ids))
 
 
 MULTIMODAL_PNG_ROUNDTRIP_SQL = """
