@@ -68,8 +68,16 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
-_LIMIT_OPS = re.compile(
-    r"\b(TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit)\b"
+_LIMIT_OPS = re.compile(r"\b(TakeOrderedAndProject|GlobalLimit|CollectLimit)\b")
+
+# Nodes whose output cardinality can EXCEED any child's: a limit found
+# below one of these does not bound the data reaching a window above it
+# (e.g. a LocalLimit on the other side of a join).  Everything else on a
+# window's input chain (project/filter/sort/exchange/aggregate) is
+# cardinality-non-increasing, so a total-row limit below it still bounds
+# the window.
+_EXPANDING_OPS = re.compile(
+    r"\b(\w*Join\b|CartesianProduct|Generate|Expand|Union)"
 )
 
 
@@ -88,10 +96,14 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     (``col ASC/DESC ...``) rather than a partition column — partitioned
     windows list partition columns first, and a partitionBy-without-
     orderBy window has a bare column there.  A global window is still
-    scale-safe when a limit-class operator (TakeOrderedAndProject /
-    GlobalLimit / CollectLimit / LocalLimit) sits in its subtree: then it
-    only ever ranks the <=k survivors (the limit-then-rank pattern).
-    Returns the plan lines of global windows with NO such bound."""
+    scale-safe when a TOTAL-row limit (TakeOrderedAndProject /
+    GlobalLimit / CollectLimit) sits on its input chain: then it only
+    ever ranks the <=k survivors (the limit-then-rank pattern).  A limit
+    hidden below a cardinality-expanding node (join/Generate/Expand/
+    Union) does NOT count — it bounds one input, not what reaches the
+    window — and a bare ``LocalLimit`` never counts (it caps rows per
+    partition, not in total).  Returns the plan lines of global windows
+    with NO such bound."""
     plan = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
     # an executed AdaptiveSparkPlan prints the Final Plan followed by the
     # Initial Plan — audit only the one that ran, or every node counts twice
@@ -110,9 +122,18 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             continue  # partitioned (partition cols precede order specs)
         depth = _tree_depth(line)
         bounded = False
+        skip_below: int | None = None  # inside an expanding node's subtree
         for j in range(i + 1, len(lines)):
-            if _tree_depth(lines[j]) <= depth:
+            dj = _tree_depth(lines[j])
+            if dj <= depth:
                 break  # left the Window's subtree
+            if skip_below is not None:
+                if dj > skip_below:
+                    continue
+                skip_below = None
+            if _EXPANDING_OPS.search(lines[j]):
+                skip_below = dj
+                continue
             if _LIMIT_OPS.search(lines[j]):
                 bounded = True
                 break
