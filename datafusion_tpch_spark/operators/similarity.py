@@ -74,12 +74,23 @@ def _prefilter_eps(dim: int, min_norm2: float) -> float:
     return 3.0 * dim * 1e-9 / max(min_norm2, 1e-12) + 1e-7
 
 
+#: Mechanical blast-radius bound for the exact all-pairs baseline: a
+#: single block-pair task refuses to score more than this many candidate
+#: pairs (64M pairs ≈ one 0.5 GB float64 dgemm output — cache-sized).
+#: The check runs inside the task (no extra driver-side count job).  At
+#: corpus scale the right move is NOT raising the cap: generate
+#: candidates with LSH/MinHash banding (queries.extensions.ann_lsh_topk,
+#: dedup_minhash_lsh) and verify pairs with this same quantized kernel.
+_BASELINE_CAP = 64_000_000
+
+
 def pairwise_cosine(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     n_blocks: int = 8,
+    max_pairs_per_task: int = _BASELINE_CAP,
 ) -> DataFrame:
     """All-pairs (id1 < id2) cosine similarity ≥ threshold — fully
     distributed blocked formulation, nothing on the driver.
@@ -94,6 +105,12 @@ def pairwise_cosine(
     generation moves to LSH/MinHash banding and this same kernel verifies
     candidate pairs.  n_blocks scales with sqrt(cluster cores) so each task
     stays cache-sized.
+
+    ``max_pairs_per_task`` is the mechanical guard that keeps this a
+    LABELED BASELINE rather than an accidental production path: any task
+    asked to score more than that many pairs raises with the pointer to
+    the LSH/banding candidate generators instead of silently grinding
+    through a corpus-squared dgemm.
     """
     e = df.select(id_col, vec_col).withColumn(
         "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
@@ -122,6 +139,15 @@ def pairwise_cosine(
         b_pdf = a_pdf if t1 == t2 else pdf[pdf["_blk"] == t2]
         if len(a_pdf) == 0 or len(b_pdf) == 0:
             return empty
+        if len(a_pdf) * len(b_pdf) > max_pairs_per_task:
+            raise ValueError(
+                f"pairwise_cosine block-pair task ({t1},{t2}) would score "
+                f"{len(a_pdf)}x{len(b_pdf)} pairs (> max_pairs_per_task="
+                f"{max_pairs_per_task}). This exact all-pairs kernel is a "
+                "verification baseline; at this scale generate candidates "
+                "with LSH/MinHash banding (ann_lsh_topk, dedup_minhash_lsh) "
+                "and verify pairs, or raise n_blocks."
+            )
         ids_a = a_pdf[id_col].to_numpy(dtype=np.int64)
         ids_b = b_pdf[id_col].to_numpy(dtype=np.int64)
         mat_a = np.asarray([np.asarray(v, np.float64) for v in a_pdf[vec_col]], np.float64)

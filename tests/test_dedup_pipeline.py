@@ -141,3 +141,21 @@ def test_incremental_lsh_consistent_with_raw_buckets(spark):
     for doc_id, (kept, n_hits) in verdicts.items():
         assert n_hits == expected_hits.get(doc_id, 0), (doc_id, n_hits)
         assert kept == (n_hits == 0)
+
+
+def test_pairwise_cosine_baseline_cap_enforced(spark):
+    """The exact all-pairs baseline must refuse oversized block-pair
+    tasks (the mechanical guard that keeps it a labeled verification
+    baseline, not an accidental production path) — and pass untouched
+    when under the cap."""
+    import pytest
+
+    from datafusion_tpch_spark.operators.similarity import pairwise_cosine
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(64)
+    ok = pairwise_cosine(emb, "vec_id", "embedding", 0.4, n_blocks=2)
+    assert ok.count() >= 0  # under the default cap: runs fine
+    with pytest.raises(Exception, match="max_pairs_per_task"):
+        pairwise_cosine(
+            emb, "vec_id", "embedding", 0.4, n_blocks=2, max_pairs_per_task=10
+        ).count()
