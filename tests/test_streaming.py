@@ -221,3 +221,136 @@ def test_sink_reuse_is_session_scoped_not_app_scoped(spark):
         fresh, stream2, "t_reuse_scope", reuse_key=SF_DIR
     ).orderBy("hour", "event_type").collect()
     assert second == first
+
+
+def test_cdc_stream_recovers_from_checkpoint_after_crash(spark, tmp_path):
+    """Kill-and-restart recovery proof for the foreachBatch CDC
+    maintenance: the state table is persisted durably per COMMITTED
+    micro-batch, the stream is crashed mid-flight (apply_batch raises on
+    its second non-empty batch), and a fresh query over the SAME
+    checkpoint — with its in-memory holder rebuilt only from the durable
+    snapshot, as a restarted process would — must (a) not replay any
+    committed batch, (b) resume at exactly the failed batch id, and
+    (c) finish with state equal to the uninterrupted batch CDC merge."""
+    import glob
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_tpch_spark.queries.extensions import (
+        _CDC_CUTOFF,
+        _CDC_QUIET_MOD,
+        _CDC_QUIET_REM,
+        _CDC_TOMBSTONE,
+        _CDC_UNSNAPPED_MOD,
+    )
+    from datafusion_tpch_spark.queries.stream import _split4_layout
+    from datafusion_tpch_spark.streaming.maintenance import (
+        cdc_compact,
+        cdc_finalize,
+        cdc_merge_batch,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cut = F.lit(_CDC_CUTOFF).cast("timestamp")
+    ev = load_table(spark, SF_DIR, "events")
+    snap = ev.filter(
+        (F.col("ts") < cut) & (F.col("user_id") % _CDC_UNSNAPPED_MOD != 0)
+    )
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot_path(batch_id: int) -> str:
+        return f"{state_dir}/b{batch_id:05d}"
+
+    def latest_snapshot():
+        snaps = sorted(glob.glob(f"{state_dir}/b*"))
+        return snaps[-1] if snaps else None
+
+    def make_feed():
+        path = _split4_layout(spark, SF_DIR)
+        schema = spark.read.parquet(path).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .filter(
+                (F.col("ts") >= cut)
+                & (F.col("user_id") % _CDC_QUIET_MOD != _CDC_QUIET_REM)
+            )
+        )
+
+    def run_phase(holder, crash_on_nth_nonempty=None):
+        seen = []
+        crashed = {}
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                seen.append((batch_id, False))
+                return
+            if (
+                crash_on_nth_nonempty is not None
+                and sum(1 for _, ne in seen if ne) + 1 >= crash_on_nth_nonempty
+            ):
+                crashed["bid"] = batch_id
+                raise RuntimeError("injected crash before applying batch")
+            comp = cdc_compact(batch_df, is_feed=True)
+            holder["state"] = cdc_merge_batch(
+                holder["state"], comp
+            ).localCheckpoint()
+            # durable per-batch snapshot: what a lakehouse MERGE target
+            # gives you for free; written BEFORE the batch commits, so a
+            # crash between write and commit replays the batch — safe,
+            # because the argmax merge is idempotent
+            holder["state"].write.mode("overwrite").parquet(
+                snapshot_path(batch_id)
+            )
+            seen.append((batch_id, True))
+
+        q = (
+            make_feed()
+            .writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        err = None
+        try:
+            q.awaitTermination(300)
+        except StreamingQueryException as e:
+            err = e
+        finally:
+            q.stop()
+        return seen, crashed.get("bid"), err
+
+    # phase 1: crash on the second non-empty batch
+    holder = {"state": cdc_compact(snap, is_feed=False).localCheckpoint()}
+    seen1, crashed_bid, err1 = run_phase(holder, crash_on_nth_nonempty=2)
+    assert err1 is not None, "injected crash did not surface"
+    assert crashed_bid is not None
+    committed1 = {bid for bid, _ in seen1}  # every applied batch committed
+
+    # phase 2: a "restarted process" — holder rebuilt ONLY from the
+    # durable snapshot, same checkpoint; committed batches must not replay
+    last = latest_snapshot()
+    assert last is not None, "no durable snapshot before the crash"
+    holder2 = {"state": spark.read.parquet(last).localCheckpoint()}
+    seen2, _, err2 = run_phase(holder2)
+    assert err2 is None
+    assert seen2, "restart processed nothing"
+    replayed = committed1 & {bid for bid, _ in seen2}
+    assert not replayed, f"committed batches replayed: {replayed}"
+    assert min(bid for bid, _ in seen2) == crashed_bid
+
+    # recovered state == uninterrupted batch CDC merge (the oracle shape)
+    got = cdc_finalize(holder2["state"], _CDC_TOMBSTONE).collect()
+    feed_batch = ev.filter(
+        (F.col("ts") >= cut)
+        & (F.col("user_id") % _CDC_QUIET_MOD != _CDC_QUIET_REM)
+    )
+    want_state = cdc_merge_batch(
+        cdc_compact(snap, is_feed=False),
+        cdc_compact(feed_batch, is_feed=True),
+    )
+    want = cdc_finalize(want_state, _CDC_TOMBSTONE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
