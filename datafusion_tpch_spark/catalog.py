@@ -112,8 +112,11 @@ def register_tables(
 
 def listing(spark: SparkSession, tables: tuple[str, ...] = FIXTURE_TABLES) -> DataFrame:
     """1-column ``table_name`` listing DataFrame — the reference's ``tpch()``
-    result shape (``src/lib.rs:294-306``)."""
-    return spark.createDataFrame([(t,) for t in tables], "table_name string")
+    result shape (``src/lib.rs:294-306``).  Inline VALUES (LocalRelation),
+    not a parallelized RDD: catalog metadata should cost zero tasks."""
+    from .inline import inline_table
+
+    return inline_table(spark, [(t,) for t in tables], "table_name string")
 
 
 # Spark simpleString -> ANSI/DuckDB information_schema type spelling, so the
@@ -159,12 +162,15 @@ def information_schema_columns(
     use the ANSI spelling DuckDB's information_schema reports, making the
     view value-comparable across engines.
     """
+    from .inline import inline_table
+
     rows = []
     for t in tables:
         df = load_table(spark, sf_dir, t)
         for i, (cname, dtype) in enumerate(df.dtypes, 1):
             rows.append((t, cname, i, _ansi_type(dtype)))
-    return spark.createDataFrame(
+    return inline_table(
+        spark,
         rows,
         "table_name string, column_name string, ordinal_position int, data_type string",
     )
@@ -177,7 +183,9 @@ def information_schema_tables(
 ) -> DataFrame:
     """``information_schema.tables`` equivalent: name + column count per
     registered table."""
+    from .inline import inline_table
+
     rows = [
         (t, len(load_table(spark, sf_dir, t).columns)) for t in tables
     ]
-    return spark.createDataFrame(rows, "table_name string, n_columns int")
+    return inline_table(spark, rows, "table_name string, n_columns int")

@@ -1,0 +1,94 @@
+"""Inline literal tables: driver-side metadata rows as a LocalRelation.
+
+``spark.createDataFrame(rows, ...)`` from a Python list parallelizes the
+rows into an RDD — every downstream action then schedules real tasks
+(default-parallelism slices), and a sort on top adds a range-sampling
+job.  For the handful-of-rows literal tables the query layer builds
+(catalog listings, threshold grids, band tables, k-means centroids)
+that is pure scheduler overhead: measured 634ms -> 144ms for a sorted
+10-row listing on local[32].
+
+``inline_table`` renders the rows as an inline ``VALUES`` clause
+instead, which Catalyst parses straight into a ``LocalRelation``: no
+RDD, no job to materialize, constant-foldable, and free to broadcast.
+Every column is CAST to the caller's declared type so the result schema
+is byte-identical to the ``createDataFrame`` form (VALUES alone would
+infer bigint for ints and decimal for fractional literals).
+
+Only literal-safe values are supported (str/bool/int/float/None and
+flat lists of those) — this is for metadata-sized tables built on the
+driver, not a data path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["inline_table"]
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        # repr is shortest-round-trip: parsed as an exact decimal literal
+        # (38 digits covers the 17 significant digits a double carries),
+        # the column-level CAST back to double recovers the value exactly
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
+    raise TypeError(f"inline_table: unsupported literal type {type(v).__name__}")
+
+
+def _split_schema(schema: str) -> list[tuple[str, str]]:
+    """Split a DDL schema string on top-level commas into (name, type)
+    pairs — commas inside decimal(38,0) / array<...> don't split."""
+    cols, depth, cur = [], 0, []
+    for c in schema:
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        if c == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    cols.append("".join(cur))
+    out = []
+    for col in cols:
+        name, typ = col.strip().split(None, 1)
+        out.append((name, typ.strip()))
+    return out
+
+
+def inline_table(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Literal rows -> LocalRelation with exactly the declared schema.
+
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on small
+    driver-side literal tables; see module docstring for why.
+    """
+    cols = _split_schema(schema)
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    if not rows:
+        nulls = ", ".join("NULL" for _ in cols)
+        return spark.sql(
+            f"SELECT {casts} FROM (VALUES ({nulls})) AS t({names}) WHERE 1=0"
+        )
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")

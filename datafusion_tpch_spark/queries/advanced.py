@@ -1531,7 +1531,9 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeds_rows]
     cents, assigned = kmeans_refine(emb8, seeds, iters=_KM_ITERS, exact=True)
-    cent_df = spark.createDataFrame(cents, "cell long, cvec array<double>")
+    from ..inline import inline_table
+
+    cent_df = inline_table(spark, cents, "cell long, cvec array<double>")
     return (
         assigned.join(F.broadcast(cent_df), "cell")
         .groupBy("cell")
@@ -2910,7 +2912,9 @@ def lineitem_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle anywhere; a band table too big to broadcast graduates to
     the bucketized `events_range_join` shape instead."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo double, hi double")
+    from ..inline import inline_table
+
+    bands = inline_table(spark, _QTY_BANDS, "band string, lo double, hi double")
     j = li.join(
         F.broadcast(bands),
         (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),

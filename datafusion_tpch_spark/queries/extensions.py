@@ -1092,9 +1092,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: |thresholds| × pairs rows after a tiny cross join; both
     aggregates are threshold-keyed with constant output."""
     pairs = _sem_pairs(spark, sf_dir)
-    ts = spark.createDataFrame(
-        [(t,) for t in _SWEEP_TS], "threshold_pct int"
-    )
+    from ..inline import inline_table
+
+    ts = inline_table(spark, [(t,) for t in _SWEEP_TS], "threshold_pct int")
     hit = pairs.crossJoin(F.broadcast(ts)).filter(
         F.col("cos_sim") >= F.col("threshold_pct").cast("double") / 100.0
     )
@@ -2425,8 +2425,10 @@ def lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    classes = spark.createDataFrame(
-        [(c,) for c in sorted(text.LANG_STOPWORDS)], "class string"
+    from ..inline import inline_table
+
+    classes = inline_table(
+        spark, [(c,) for c in sorted(text.LANG_STOPWORDS)], "class string"
     )
     counts = (
         conf.crossJoin(F.broadcast(classes))

@@ -397,4 +397,6 @@ def register_tpch(spark: SparkSession, sf: float = 1.0) -> DataFrame:
     exactly where DataFusion does it (plan time)."""
     for name in TPCH_TABLES:
         GENERATORS[name](spark, sf).createOrReplaceTempView(name)
-    return spark.createDataFrame([(t,) for t in TPCH_TABLES], "table_name string")
+    from ..inline import inline_table
+
+    return inline_table(spark, [(t,) for t in TPCH_TABLES], "table_name string")

@@ -1,0 +1,58 @@
+"""inline_table must be a drop-in for createDataFrame on literal rows:
+identical schema and values, but a LocalRelation (no parallelized RDD)."""
+
+from __future__ import annotations
+
+import math
+
+from datafusion_tpch_spark.inline import inline_table
+
+
+def _same(spark, rows, schema):
+    got = inline_table(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    # names + types must match exactly; nullability may be TIGHTER for the
+    # inline form (VALUES proves non-null), which no consumer can observe
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ], (got.schema, want.schema)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    return got
+
+
+def test_inline_matches_createdataframe_scalars(spark):
+    _same(
+        spark,
+        [("a", 1, 1.5, True), ("it's", -2, 0.1, False), ("c\\d", 0, 2.0, None)],
+        "s string, i int, d double, b boolean",
+    )
+
+
+def test_inline_matches_createdataframe_arrays_and_nulls(spark):
+    _same(
+        spark,
+        [(1, [1.0, 0.25, -3.5]), (2, None), (3, [])],
+        "k long, v array<double>",
+    )
+
+
+def test_inline_float_roundtrip_exact(spark):
+    vals = [0.1, 2.0 / 3.0, 1e-300, 1.7976931348623157e308, float("nan")]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    got = {r.i: r.v for r in inline_table(spark, rows, "i int, v double").collect()}
+    for i, v in enumerate(vals):
+        if math.isnan(v):
+            assert math.isnan(got[i])
+        else:
+            assert got[i] == v, (got[i], v)
+
+
+def test_inline_empty_rows(spark):
+    df = inline_table(spark, [], "a string, b int")
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+def test_inline_is_local_relation(spark):
+    plan = inline_table(spark, [(1,)], "x int")._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
