@@ -107,9 +107,15 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + data
 
 
-def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
+def _pnm_tokens(
+    buf: bytes, n: int, channels: int | None = None
+) -> tuple[list[int], int]:
     """First ``n`` whitespace-separated integer tokens after the magic,
-    honoring '#' comments; returns (tokens, offset-of-raster)."""
+    honoring '#' comments; returns (tokens, offset-of-raster).
+
+    ``channels`` enables the CRLF disambiguation below: with it, a
+    spec-valid file whose maxval separator is ``\\r`` and whose first
+    raster sample is 0x0A decodes correctly instead of being rejected."""
     toks: list[int] = []
     i = 2  # past magic
     while len(toks) < n:
@@ -133,9 +139,17 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
         raise ValueError("PNM: missing single whitespace byte before raster")
     if buf[i : i + 2] == b"\r\n":
         # ambiguous: either a CRLF-written (non-conforming) header, or a
-        # raster whose first sample happens to be 0x0A — refuse rather
-        # than risk silently shifting every pixel by one byte
-        raise ValueError("PNM: CRLF after maxval is not a valid raster separator")
+        # spec-valid '\r'-separated header whose first raster sample
+        # happens to be 0x0A.  The header itself promises the raster
+        # size, so exactly one candidate offset can be right — pick it;
+        # refuse only when neither fits rather than risk silently
+        # shifting every pixel by one byte.
+        if channels is not None and len(toks) >= 2:
+            expected = toks[0] * toks[1] * channels
+            fits = [k for k in (i + 1, i + 2) if len(buf) - k == expected]
+            if len(fits) == 1:
+                return toks, fits[0]
+        raise ValueError("PNM: ambiguous CRLF after maxval (raster size fits neither offset)")
     return toks, i + 1
 
 
@@ -150,10 +164,10 @@ def decode_image(content: bytes) -> np.ndarray:
     buf = bytes(content)
     magic = buf[:2]
     if magic in (b"P5", b"P6"):
-        (w, h, maxval), off = _pnm_tokens(buf, 3)
+        ch = 1 if magic == b"P5" else 3
+        (w, h, maxval), off = _pnm_tokens(buf, 3, channels=ch)
         if maxval > 255:
             raise NotImplementedError("16-bit PNM not supported")
-        ch = 1 if magic == b"P5" else 3
         px = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=off)
         return px.reshape((h, w) if ch == 1 else (h, w, ch))
     if magic == b"BM":

@@ -365,3 +365,28 @@ def test_wav_assets_are_real_files(spark):
         rate, s = decode_wav(blob)
         assert rate in (8000, 12000, 16000)
         assert len(s) == 200 + row.asset_id % 113
+
+
+def test_pnm_crlf_disambiguated_by_raster_size():
+    """A spec-valid PNM whose maxval separator is '\\r' and whose first
+    raster sample is 0x0A must decode (the header's promised raster size
+    picks the right offset); a CRLF-written header must also decode; only
+    a file where neither offset fits the promised size is refused."""
+    import numpy as np
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import decode_image
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    img[0, 0] = 0x0A  # first raster byte is '\n'
+    raster = img.tobytes()
+    # '\r'-separated header, first sample 0x0A -> raster starts right
+    # after the '\r' (the old guard hard-failed this conforming file)
+    valid_cr = b"P5\n4 3\n255\r" + raster
+    assert (decode_image(valid_cr) == img).all()
+    # non-conforming CRLF header: raster starts after the '\n'
+    crlf = b"P5\n4 3\n255\r\n" + raster
+    assert (decode_image(crlf) == img).all()
+    # neither offset fits the promised 4x3 raster -> loud refusal
+    with pytest.raises(ValueError, match="ambiguous CRLF"):
+        decode_image(b"P5\n4 3\n255\r\n" + raster + b"xx")

@@ -3,9 +3,15 @@ DuckDB oracle running the equivalent SQL on the same parquet.
 
 Usage: python tools/perf_compare.py [sf_dir]
 
-Both sides get a warm-up and best-of-2. This is a single-node comparison
-at fixture scale — see the analysis block in PERF.md for why the constants
-differ and where the crossover is.
+Both sides get a warm-up and best-of-2.  Streaming gates are timed COLD:
+the always-on sink-reuse caches (memory-sink registry, CDC/SCD2 state
+tables) are cleared before every timed Spark run, so the number is a full
+stream execution — the same work DuckDB's batch-equivalent re-does each
+run.  The steady-state sink-read cost (what an always-on deployment's
+consumers actually pay) is reported in its own column, never folded into
+the ratio.  This is a single-node comparison at fixture scale — see the
+analysis block in PERF.md for why the constants differ and where the
+crossover is.
 """
 
 from __future__ import annotations
@@ -27,20 +33,53 @@ ANALYSIS = """
 
 Single-node, fixture-scale (sf0.1 ≈ 600k-row lineitem) measurements.
 DuckDB embeds in-process with microsecond dispatch; Spark pays a fixed
-~0.3–1 s per query for driver→scheduler→task round-trips, codegen, and
-32-way task startup — at this data size that constant dominates, so DuckDB
-wins most small-query rows (though as of round 6 Spark's total across
-all 192 is 0.9x — faster outright: the dedup/graph/selection plans where
-Spark's formulation is stronger, plus streaming sink reuse, outweigh the
-fixed costs). The design target is
-the opposite regime: at 100 TB the
-constant vanishes into scan time, and the properties measured in PLANS.md
-(broadcast joins, pushdown, bounded shuffles, partitioned/bucketed
-layouts) decide throughput — per-core work is what matters, and both
-engines here execute the same relational plans over the same columnar
-format. Streaming rows carry additional fixed checkpoint/trigger overhead
-by construction.
+~0.1–1 s per query for driver→scheduler→task round-trips, codegen, and
+32-way task startup — at this data size that constant dominates, so
+DuckDB wins most small-query rows, while the dedup/graph/selection gates
+where Spark's formulation is stronger go the other way.  The design
+target is the opposite regime: at 100 TB the constant vanishes into scan
+time, and the properties measured in PLANS.md (broadcast joins,
+pushdown, bounded shuffles, partitioned/bucketed layouts) decide
+throughput — per-core work is what matters, and both engines here
+execute the same relational plans over the same columnar format.
+
+Streaming rows ("spark s" = COLD) time a full stream execution —
+checkpoint + trigger + state-store overhead included — with the
+always-on sink-reuse caches cleared before every timed run, so the
+spark/duckdb ratio compares equivalent work.  The "sink s" column is the
+steady-state read of the completed sink (what consumers of an always-on
+deployment pay per query); it is informational and excluded from every
+total and ratio.
 """
+
+
+def clear_stream_reuse(spark) -> None:
+    """Drop the always-on reuse state so the next streaming-gate build
+    replays its full stream: the memory-sink completion registry and the
+    CDC/SCD2 maintained-state caches (all session-keyed)."""
+    from datafusion_tpch_spark.queries.stream import (
+        _CDC_STREAM_STATE,
+        _SCD2_STREAM_STATE,
+    )
+    from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
+
+    _SINK_COMPLETE.pop(spark, None)
+    _CDC_STREAM_STATE.pop(spark, None)
+    _SCD2_STREAM_STATE.pop(spark, None)
+
+
+def _stream_caches_populated(spark) -> bool:
+    from datafusion_tpch_spark.queries.stream import (
+        _CDC_STREAM_STATE,
+        _SCD2_STREAM_STATE,
+    )
+    from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
+
+    return bool(
+        _SINK_COMPLETE.get(spark)
+        or _CDC_STREAM_STATE.get(spark)
+        or _SCD2_STREAM_STATE.get(spark)
+    )
 
 
 def main() -> None:
@@ -58,32 +97,59 @@ def main() -> None:
     rows = []
     for name, spec in sorted(specs.items()):
         s_best = d_best = float("inf")
+        sink_s = None
+        n = 0
         for _ in range(2):
+            # cold for streaming gates: no sink/state reuse inside the
+            # timed window — batch gates don't consult these caches
+            clear_stream_reuse(spark)
             t0 = time.perf_counter()
             n = len(spec.build(spark, sf_dir).collect())
             s_best = min(s_best, time.perf_counter() - t0)
+        if _stream_caches_populated(spark):
+            # steady-state: read the completed sink the last run left
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()
+            sink_s = time.perf_counter() - t0
         if spec.oracle:
             for _ in range(2):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
                 d_best = min(d_best, time.perf_counter() - t0)
-        ratio = s_best / d_best if d_best > 0 else float("nan")
-        rows.append((name, n, s_best, d_best, ratio))
-        print(f"{name}: spark {s_best:.2f}s duckdb {d_best:.2f}s", file=sys.stderr)
+        else:
+            d_best = None  # rows-only gate: no SQL-expressible oracle
+        ratio = s_best / d_best if d_best else None
+        rows.append((name, n, s_best, d_best, ratio, sink_s))
+        extra = f" sink {sink_s:.2f}s" if sink_s is not None else ""
+        d_txt = f"{d_best:.2f}s" if d_best is not None else "-"
+        print(
+            f"{name}: spark {s_best:.2f}s duckdb {d_txt}{extra}",
+            file=sys.stderr,
+        )
 
     lines = [
         "# PERF — this engine vs the DuckDB oracle, identical queries, identical parquet",
         "",
-        f"Source: `tools/perf_compare.py` on `{sf_dir}`, best of 2 runs per side.",
+        f"Source: `tools/perf_compare.py` on `{sf_dir}`, best of 2 runs per side; "
+        "streaming gates timed cold (reuse caches cleared per run).",
         ANALYSIS,
-        "| query | rows | spark s | duckdb s | spark/duckdb |",
-        "|---|---|---|---|---|",
+        "| query | rows | spark s | duckdb s | spark/duckdb | sink s |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, n, s, d, r in rows:
-        lines.append(f"| {name} | {n} | {s:.2f} | {d:.2f} | {r:.1f}x |")
-    tot_s = sum(r[2] for r in rows)
-    tot_d = sum(r[3] for r in rows)
-    lines.append(f"| **total** | | **{tot_s:.1f}** | **{tot_d:.1f}** | **{tot_s / tot_d:.1f}x** |")
+    for name, n, s, d, r, sink_s in rows:
+        sink = f"{sink_s:.2f}" if sink_s is not None else ""
+        d_txt = f"{d:.2f}" if d is not None else "-"
+        r_txt = f"{r:.1f}x" if r is not None else "-"
+        lines.append(f"| {name} | {n} | {s:.2f} | {d_txt} | {r_txt} | {sink} |")
+    # totals over the oracle-comparable rows only (rows-only gates have
+    # nothing to compare against)
+    comp = [r for r in rows if r[3] is not None]
+    tot_s = sum(r[2] for r in comp)
+    tot_d = sum(r[3] for r in comp)
+    lines.append(
+        f"| **total ({len(comp)} oracle-comparable of {len(rows)})** | "
+        f"| **{tot_s:.1f}** | **{tot_d:.1f}** | **{tot_s / tot_d:.1f}x** | |"
+    )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PERF.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
