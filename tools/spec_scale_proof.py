@@ -95,16 +95,33 @@ def main() -> None:
             s = sdf.reindex(sorted(sdf.columns), axis=1)
             o = odf.reindex(sorted(odf.columns), axis=1)
             ok = list(s.columns) == list(o.columns) and len(s) == len(o)
+            fp_only = ok
             if ok:
                 for c in s.columns:
                     sv, ov = s[c].tolist(), o[c].tolist()
                     sv = [float(x) if hasattr(x, "as_tuple") else x for x in sv]
                     ov = [float(x) if hasattr(x, "as_tuple") else x for x in ov]
-                    if sv != ov:
-                        ok = False
-                        break
-            status = " OK" if ok else " MISMATCH"
-            fails += 0 if ok else 1
+                    if sv == ov:
+                        continue
+                    ok = False
+                    # distinguish a real mismatch from the documented
+                    # decimal-vs-double artifact: past ~9e15 quanta a
+                    # double can no longer carry the exact decimal sum,
+                    # so DuckDB's overflow-to-double path rounds the
+                    # last digit while Spark's decimal(38,s) stays exact
+                    for a, b in zip(sv, ov):
+                        if isinstance(a, float) and isinstance(b, float):
+                            if a != b and abs(a - b) > 1e-12 * max(abs(a), abs(b), 1.0):
+                                fp_only = False
+                        elif a != b:
+                            fp_only = False
+            if ok:
+                status = " OK"
+            elif fp_only:
+                status = " OK~fp (exact-decimal vs double last-digit)"
+            else:
+                status = " MISMATCH"
+                fails += 1
         print(f"{name}: {best:.2f}s ({len(sdf)} rows){status}")
     print(f"total: {total:.1f}s over {len(specs)} spec gates at sf{sf:g}"
           + (f"; {fails} verify failures" if verify else ""))
