@@ -1232,6 +1232,157 @@ ORDER BY query_id, rank
 """
 
 
+def embeddings_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) with an in-plan recall audit — the
+    standard cheap ANN compression (4× smaller than float32 per vector,
+    the default "fast" tier next to PQ): per-dimension [min, max] over
+    the corpus, each component coded to floor((x-mn)/(mx-mn)*255+0.5),
+    candidates scored ASYMMETRICALLY (raw query vs reconstructed
+    candidate, the higher-accuracy form).  Output: per query, how many
+    of the exact cosine top-k survive in the SQ8 top-k.
+
+    Plan: the per-dimension stats are one narrow posexplode aggregate
+    whose result (≤512 doubles) is collected and inlined as literals —
+    the same bounded driver traffic as the IVF centroids / PQ codebook;
+    reconstruction is a ``transform`` inside the corpus scan (no
+    shuffle, no extra pass).  Like ann_bruteforce_topk this audit scores
+    query×corpus — the labeled exact-baseline shape; the production
+    path pairs SQ8 with IVF cell pruning so only probed cells are
+    scanned.  Both ranking orders are floor-quantized fixed-point, so
+    the oracle hash-matches bit-for-bit."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("mn"),
+            F.max(F.col("val").cast("double")).alias("mx"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    mn_arr = F.array(*[F.lit(float(r.mn)) for r in stats])
+    mx_arr = F.array(*[F.lit(float(r.mx)) for r in stats])
+
+    def sq8_reconstruct(col):
+        def f(x, i):
+            lo = F.element_at(mn_arr, i + 1)
+            hi = F.element_at(mx_arr, i + 1)
+            span = hi - lo
+            code = F.least(
+                F.greatest(
+                    F.floor((x.cast("double") - lo) / span * F.lit(255.0) + F.lit(0.5)),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            )
+            return F.when(span == F.lit(0.0), lo).otherwise(
+                lo + code / F.lit(255.0) * span
+            )
+
+        return F.transform(col, f)
+
+    # norms are per-VECTOR, so compute them before the query×corpus join
+    # (3 norm lambdas per pair would otherwise dominate the scan)
+    q = emb.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        vectors.norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        sq8_reconstruct(F.col("embedding")).alias("re"),
+    ).select(
+        "cand_id", "ce", "re",
+        vectors.norm(F.col("ce")).alias("cn"),
+        vectors.norm(F.col("re")).alias("rn"),
+    )
+    exact_cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        F.col("qn") * F.col("cn")
+    )
+    sq_cos = vectors.exact_dot(F.col("qe"), F.col("re")) / (
+        F.col("qn") * F.col("rn")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("exact_cos").desc(), F.col("cand_id")
+    )
+    w_sq = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cos").desc(), F.col("cand_id")
+    )
+    hit = (F.col("exact_rank") <= _TOPK) & (F.col("sq_rank") <= _TOPK)
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("exact_cos", exact_cos)
+        .withColumn("sq_cos", sq_cos)
+        .withColumn("exact_rank", F.row_number().over(w_exact))
+        .withColumn("sq_rank", F.row_number().over(w_sq))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("int").alias("n_hits"),
+            (
+                F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+                / F.lit(float(_TOPK))
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMBEDDINGS_SQ8_RECALL_SQL = f"""
+WITH elem AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM elem GROUP BY dim),
+rec AS (
+  SELECT e.vec_id, e.dim, e.val,
+         CASE WHEN s.mx - s.mn = 0.0 THEN s.mn
+              ELSE s.mn + LEAST(GREATEST(
+                     floor((e.val - s.mn) / (s.mx - s.mn) * 255.0 + 0.5),
+                     0.0), 255.0) / 255.0 * (s.mx - s.mn)
+         END AS rv
+  FROM elem e JOIN stats s USING (dim)),
+dots AS (
+  SELECT qr.vec_id AS query_id, cr.vec_id AS cand_id,
+         CAST(SUM(CAST(floor(qr.val * cr.val * {vectors._Q:.1f}) AS BIGINT)) AS DOUBLE)
+           / {vectors._Q:.1f} AS dot_exact,
+         CAST(SUM(CAST(floor(qr.val * cr.rv * {vectors._Q:.1f}) AS BIGINT)) AS DOUBLE)
+           / {vectors._Q:.1f} AS dot_sq
+  FROM rec qr
+  JOIN rec cr ON cr.dim = qr.dim AND cr.vec_id <> qr.vec_id
+  WHERE qr.vec_id < {_NQUERY}
+  GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(floor(val * val * {vectors._Q:.1f}) AS BIGINT)) AS DOUBLE)
+              / {vectors._Q:.1f}) AS n_raw,
+         sqrt(CAST(SUM(CAST(floor(rv * rv * {vectors._Q:.1f}) AS BIGINT)) AS DOUBLE)
+              / {vectors._Q:.1f}) AS n_rec
+  FROM rec GROUP BY vec_id),
+ranked AS (
+  SELECT d.query_id, d.cand_id,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot_exact / (nq.n_raw * nc.n_raw) DESC,
+                                     d.cand_id) AS exact_rank,
+         ROW_NUMBER() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot_sq / (nq.n_raw * nc.n_rec) DESC,
+                                     d.cand_id) AS sq_rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.cand_id)
+SELECT query_id,
+       CAST(SUM(CASE WHEN exact_rank <= {_TOPK} AND sq_rank <= {_TOPK}
+                     THEN 1 ELSE 0 END) AS INTEGER) AS n_hits,
+       CAST(SUM(CASE WHEN exact_rank <= {_TOPK} AND sq_rank <= {_TOPK}
+                     THEN 1 ELSE 0 END) AS DOUBLE) / {float(_TOPK)!r} AS recall
+FROM ranked
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 _LSH_PLANES = 6  # sign-random-projection bits → 64 buckets
 # Hyperplanes are deterministic pseudo-random ±1 vectors: component d of
 # plane p has sign +1 iff md5(f"{p}_{d}") is even — the identical pattern is
@@ -4888,6 +5039,9 @@ SPECS: list[QuerySpec] = [
               "LSH candidate recall/efficiency vs the exact-Jaccard baseline"),
     QuerySpec("ann_recall_audit", ann_recall_audit, ANN_RECALL_AUDIT_SQL,
               "ANN recall@k vs brute force, incl. per-query worst case"),
+    QuerySpec("embeddings_sq8_recall", embeddings_sq8_recall,
+              EMBEDDINGS_SQ8_RECALL_SQL,
+              "int8 scalar-quantization compression with recall@k audit"),
     QuerySpec("pq_distortion_audit", pq_distortion_audit,
               PQ_DISTORTION_AUDIT_SQL,
               "PQ reconstruction-error audit: exact corpus distortion stats"),
