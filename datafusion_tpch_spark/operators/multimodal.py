@@ -8,7 +8,7 @@ PGM/PPM and 24-bit BI_RGB BMP (``decode_image``), RIFF/WAVE PCM
 (``decode_wav``), and 8-bit non-interlaced PNG (``decode_png``:
 CRC-verified chunk walk, stdlib-zlib inflate, all five scanline
 unfilters) — and falls back to a documented deterministic fake for
-opaque blobs; the remaining codecs (JPEG, palette/16-bit/Adam7 PNG,
+opaque blobs; the remaining codecs (JPEG, 16-bit/Adam7 PNG,
 video/audio containers) raise NotImplementedError at exactly the
 boundary where PIL/torchvision/ffmpeg slot in, since those libraries
 aren't in this environment.  The operator shapes (one blob in →
@@ -65,10 +65,10 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 #
 # Uncompressed formats need no codec library: PGM (P5) / PPM (P6) are a text
 # header + raw samples, BMP (BI_RGB) is two fixed headers + padded rows.
-# PNG (8-bit non-interlaced) is real too — stdlib zlib + the five scanline
-# filters (see encode_png/decode_png below).  JPEG and the exotic PNG modes
-# (palette/16-bit/Adam7) still raise NotImplementedError — that is the
-# honest production boundary where PIL/libjpeg slots in.
+# PNG (8-bit non-interlaced, incl. paletted type 3) is real too — stdlib
+# zlib + the five scanline filters (see encode_png/decode_png below).  JPEG
+# and the exotic PNG modes (16-bit/Adam7) still raise NotImplementedError —
+# that is the honest production boundary where PIL/libjpeg slots in.
 
 
 def encode_pgm(img: np.ndarray) -> bytes:
@@ -632,8 +632,8 @@ def decoded_wav_stats(assets: DataFrame) -> DataFrame:
 # Real compressed-image handling, pure stdlib zlib + numpy (no PIL in this
 # environment; the algorithm — DEFLATE streams of per-scanline-filtered
 # samples — is public: RFC 2083 / the W3C PNG spec).  8-bit depth, color
-# types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace; palette,
-# 16-bit and Adam7 stay honest NotImplementedError boundaries.
+# types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA),
+# no interlace; 16-bit and Adam7 stay honest NotImplementedError boundaries.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -711,17 +711,76 @@ def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
     )
 
 
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, filter_per_line: bool = False
+) -> bytes:
+    """Encode a paletted image as a genuine color-type-3 PNG: ``idx`` is
+    an (h, w) uint8 index raster, ``palette`` an (n, 3) uint8 RGB table
+    emitted as the PLTE chunk.  Scanlines filter exactly like
+    :func:`encode_png` (``filter_per_line=True`` rotates ``y % 5``), with
+    bpp = 1 byte since the filter unit is the index byte, not the mapped
+    color."""
+    if idx.dtype != np.uint8 or idx.ndim != 2:
+        raise ValueError("encode_png_palette expects a 2-D uint8 index array")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with 1 <= n <= 256")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("index raster references a color past the palette")
+    h, w = idx.shape
+    raw = idx.astype(np.int32)
+    lines = []
+    prior = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y]
+        ft = y % 5 if filter_per_line else 0
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        up_left = np.zeros_like(prior)
+        up_left[1:] = prior[:-1]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prior
+        elif ft == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = cur - pred
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 0])  # depth 8, palette, deflate, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(content: bytes) -> np.ndarray:
     """REAL PNG decode strictly from the blob bytes: signature check,
     CRC-verified chunk walk, IHDR parse, concatenated-IDAT zlib inflate,
     then per-scanline unfilter of all five filter types
     (None/Sub/Up/Average/Paeth).  Returns (h, w) uint8 for grayscale,
-    (h, w, ch) otherwise.  Palette (type 3), bit depths ≠ 8 and Adam7
-    interlace raise NotImplementedError rather than guessing."""
+    (h, w, 3) for palette (type 3, indices mapped through the PLTE
+    chunk), (h, w, ch) otherwise.  Bit depths ≠ 8 and Adam7 interlace
+    raise NotImplementedError rather than guessing."""
     buf = bytes(content)
     if buf[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG stream")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(buf):
         size = int.from_bytes(buf[pos : pos + 4], "big")
         ctype = buf[pos + 4 : pos + 8]
@@ -733,6 +792,10 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"CRC mismatch in chunk {ctype!r}")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            if size % 3 != 0 or size == 0:
+                raise ValueError("PLTE length not a positive multiple of 3")
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -743,12 +806,15 @@ def decode_png(content: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or ctype_n not in _PNG_CHANNELS or interlace != 0:
+    paletted = ctype_n == 3
+    if depth != 8 or (ctype_n not in _PNG_CHANNELS and not paletted) or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype_n} interlace={interlace} "
-            "not supported (8-bit non-interlaced gray/RGB/alpha only)"
+            "not supported (8-bit non-interlaced gray/RGB/alpha/palette only)"
         )
-    ch = _PNG_CHANNELS[ctype_n]
+    if paletted and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    ch = 1 if paletted else _PNG_CHANNELS[ctype_n]
     stride = w * ch
     data = zlib.decompress(b"".join(idat))
     if len(data) != h * (stride + 1):
@@ -787,6 +853,12 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"invalid filter type {ft}")
         out[y] = cur
         prior = cur
+    if paletted:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]  # (h, w, 3)
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
@@ -811,6 +883,45 @@ def documents_as_png_assets(docs: DataFrame) -> DataFrame:
                 img = v.astype(np.uint8).reshape(h, w, 3)
                 out.append((aid, "image", "image/png",
                             encode_png(img, filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+# Closed-form 16-color palette for the paletted gate: channel c of entry
+# p is (p*m_c + b_c) % 256 — SQL-recomputable without a palette table.
+_PNG_PAL_N = 16
+_PNG_PAL_MULS = (37, 59, 83)
+_PNG_PAL_ADDS = (11, 7, 3)
+
+
+def documents_as_palette_png_assets(docs: DataFrame) -> DataFrame:
+    """Color-type-3 asset table: per document, a deterministic
+    (8+id%5) × (8+id%8) INDEX raster (``idx[i] = (id*K + i) % 16``) and
+    the closed-form 16-color palette, encoded as a genuine paletted PNG
+    (PLTE chunk + filtered index scanlines, ``filter_per_line=True``)."""
+    pal = np.stack(
+        [
+            (np.arange(_PNG_PAL_N) * m + b) % 256
+            for m, b in zip(_PNG_PAL_MULS, _PNG_PAL_ADDS)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 8, 8 + aid % 5
+                v = (aid * _PNG_PX_K + np.arange(h * w, dtype=np.int64)) % _PNG_PAL_N
+                idx = v.astype(np.uint8).reshape(h, w)
+                out.append((aid, "image", "image/png",
+                            encode_png_palette(idx, pal, filter_per_line=True)))
             yield pd.DataFrame(
                 out, columns=["asset_id", "modality", "mime", "content"]
             )

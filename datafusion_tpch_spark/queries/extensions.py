@@ -2939,7 +2939,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting the cheap id column upstream keeps the output globally
     ordered (mapInPandas preserves per-partition order) while the codec
     runs once, in parallel.  This closes the compressed-codec boundary
-    the PGM/BMP gate documents (palette/16-bit/interlace remain the
+    the PGM/BMP gate documents (16-bit/interlace remain the
     honest NotImplementedError edge)."""
     from ..operators.multimodal import decoded_png_stats, documents_as_png_assets
 
@@ -2966,6 +2966,59 @@ SELECT doc_id AS asset_id,
        CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
        CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
 FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
+def multimodal_png_palette_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paletted (color-type-3) PNG decode end-to-end: documents →
+    deterministic 16-color INDEX rasters + closed-form PLTE palette,
+    encoded as genuine paletted PNGs (``encode_png_palette``,
+    ``filter_per_line=True`` so every blob filters index scanlines with
+    all five types at bpp=1) → ``decode_png`` parses each blob strictly
+    from its bytes (chunk walk now carries PLTE; unfilter runs on index
+    bytes; indices map through the palette) → the same integer-exact
+    per-channel statistics kernel as the RGB gate.  The oracle
+    recomputes palette colors and index raster in closed form, so a
+    decoder that mis-unfilters an index scanline or mis-maps the palette
+    hash-fails.  Same parallel plan shape as multimodal_png_roundtrip:
+    range-partitioned ids upstream, two pipelined Arrow kernels, no
+    shuffle after the ids exchange."""
+    from ..operators.multimodal import (
+        decoded_png_stats,
+        documents_as_palette_png_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_png_stats(documents_as_palette_png_assets(ids))
+
+
+MULTIMODAL_PNG_PALETTE_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 16 AS p
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 8) * (8 + doc_id % 5))) t(i)),
+c AS (
+  SELECT doc_id,
+         (p * 37 + 11) % 256 AS r,
+         (p * 59 + 7) % 256 AS g,
+         (p * 83 + 3) % 256 AS b
+  FROM s)
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 8 AS INTEGER) AS width,
+       CAST(8 + doc_id % 5 AS INTEGER) AS height,
+       SUM(r + g + b) * 1.0 / (COUNT(*) * 3) AS mean_px,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM c
 GROUP BY doc_id
 ORDER BY asset_id
 """
@@ -5090,6 +5143,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_png_roundtrip", multimodal_png_roundtrip,
               MULTIMODAL_PNG_ROUNDTRIP_SQL,
               "PNG encode (zlib deflate, all 5 filters) -> REAL inflate+unfilter decode"),
+    QuerySpec("multimodal_png_palette_roundtrip", multimodal_png_palette_roundtrip,
+              MULTIMODAL_PNG_PALETTE_SQL,
+              "paletted (color-type-3) PNG: PLTE chunk walk + index unfilter + palette map"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -390,3 +390,71 @@ def test_pnm_crlf_disambiguated_by_raster_size():
     # neither offset fits the promised 4x3 raster -> loud refusal
     with pytest.raises(ValueError, match="ambiguous CRLF"):
         decode_image(b"P5\n4 3\n255\r\n" + raster + b"xx")
+
+
+def test_png_palette_roundtrip_property():
+    """encode_png_palette -> decode_png is identity through the palette
+    map for arbitrary index rasters and palettes, under both all-None
+    filtering and the all-5-filters rotation."""
+    import numpy as np
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        n = int(rng.randint(1, 257))
+        h, w = int(rng.randint(1, 18)), int(rng.randint(1, 18))
+        pal = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+        for fpl in (False, True):
+            img = decode_png(encode_png_palette(idx, pal, filter_per_line=fpl))
+            assert img.shape == (h, w, 3)
+            assert (img == pal[idx]).all()
+
+
+def test_png_palette_rejects_bad_inputs():
+    import numpy as np
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png_palette,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(12, dtype=np.uint8) % 16).reshape(3, 4)
+    # index past the palette refuses at encode time
+    with pytest.raises(ValueError, match="past the palette"):
+        encode_png_palette(np.full((2, 2), 20, dtype=np.uint8), pal)
+    # a type-3 stream without PLTE refuses at decode time
+    blob = bytearray(encode_png_palette(idx, pal))
+    # rebuild the file with the PLTE chunk dropped
+    out, pos = bytes(blob[:8]), 8
+    while pos + 8 <= len(blob):
+        size = int.from_bytes(blob[pos : pos + 4], "big")
+        ctype = bytes(blob[pos + 4 : pos + 8])
+        chunk = bytes(blob[pos : pos + 12 + size])
+        if ctype != b"PLTE":
+            out += chunk
+        pos += 12 + size
+    with pytest.raises(ValueError, match="without a PLTE"):
+        decode_png(out)
+    # decode-side out-of-range index (palette truncated to 8 entries)
+    import zlib
+
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", (4).to_bytes(4, "big") + (3).to_bytes(4, "big")
+                     + bytes([8, 3, 0, 0, 0]))
+        + _png_chunk(b"PLTE", pal[:2].tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(short)
