@@ -5,10 +5,11 @@ The Spark-side plumbing (schemas, Arrow-batched mapInPandas transforms,
 partition-size control for large blobs) is real and tested.  Decode is
 REAL for the public formats a pure-stdlib kernel can parse — binary
 PGM/PPM and 24-bit BI_RGB BMP (``decode_image``), RIFF/WAVE PCM
-(``decode_wav``), and 8-bit non-interlaced PNG (``decode_png``:
-CRC-verified chunk walk, stdlib-zlib inflate, all five scanline
-unfilters) — and falls back to a documented deterministic fake for
-opaque blobs; the remaining codecs (JPEG, 16-bit/Adam7 PNG,
+(``decode_wav``), and non-interlaced PNG at depths 8 and 16 including
+paletted type 3 (``decode_png``: CRC-verified chunk walk, stdlib-zlib
+inflate, all five scanline unfilters at byte-level bpp offsets) — and
+falls back to a documented deterministic fake for opaque blobs; the
+remaining codecs (JPEG, Adam7-interlaced PNG,
 video/audio containers) raise NotImplementedError at exactly the
 boundary where PIL/torchvision/ffmpeg slot in, since those libraries
 aren't in this environment.  The operator shapes (one blob in →
@@ -65,10 +66,10 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 #
 # Uncompressed formats need no codec library: PGM (P5) / PPM (P6) are a text
 # header + raw samples, BMP (BI_RGB) is two fixed headers + padded rows.
-# PNG (8-bit non-interlaced, incl. paletted type 3) is real too — stdlib
-# zlib + the five scanline filters (see encode_png/decode_png below).  JPEG
-# and the exotic PNG modes (16-bit/Adam7) still raise NotImplementedError —
-# that is the honest production boundary where PIL/libjpeg slots in.
+# PNG (non-interlaced, depths 8 and 16, incl. paletted type 3) is real too
+# — stdlib zlib + the five scanline filters (see encode_png/decode_png
+# below).  JPEG and Adam7 interlace still raise NotImplementedError — that
+# is the honest production boundary where PIL/libjpeg slots in.
 
 
 def encode_pgm(img: np.ndarray) -> bytes:
@@ -631,9 +632,10 @@ def decoded_wav_stats(assets: DataFrame) -> DataFrame:
 # --------------------------------------------------------------- PNG codec
 # Real compressed-image handling, pure stdlib zlib + numpy (no PIL in this
 # environment; the algorithm — DEFLATE streams of per-scanline-filtered
-# samples — is public: RFC 2083 / the W3C PNG spec).  8-bit depth, color
-# types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA),
-# no interlace; 16-bit and Adam7 stay honest NotImplementedError boundaries.
+# samples — is public: RFC 2083 / the W3C PNG spec).  Depths 8 and 16,
+# color types 0 (gray), 2 (RGB), 3 (palette via PLTE, depth 8), 4
+# (gray+alpha), 6 (RGBA), no interlace; Adam7 stays the honest
+# NotImplementedError boundary.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -657,30 +659,41 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
-    """Encode an 8-bit image as a genuine PNG: (h, w) uint8 → grayscale
+    """Encode an 8- or 16-bit image as a genuine PNG: (h, w) → grayscale
     (color type 0), (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
-    (h, w, 4) → RGBA (6).  Scanlines are filter-type-0 by default;
-    ``filter_per_line=True`` applies filter ``y % 5`` to scanline ``y``
-    (None/Sub/Up/Average/Paeth in rotation) so a paired decoder must
-    implement ALL five unfilters, not just the trivial one.  Output is a
-    spec-conforming file any PNG reader opens."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_png expects a 2-D or 3-D uint8 array")
+    (h, w, 4) → RGBA (6); dtype uint8 → depth 8, uint16 → depth 16
+    (big-endian samples per the spec).  Scanlines are filter-type-0 by
+    default; ``filter_per_line=True`` applies filter ``y % 5`` to
+    scanline ``y`` (None/Sub/Up/Average/Paeth in rotation) so a paired
+    decoder must implement ALL five unfilters, not just the trivial one.
+    Filtering operates on BYTES with a bytes-per-pixel left offset, as
+    the spec requires for depth 16.  Output is a spec-conforming file
+    any PNG reader opens."""
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects a 2-D or 3-D uint8/uint16 array")
     ch = 1 if img.ndim == 2 else img.shape[2]
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
     if ctype is None:
         raise ValueError(f"unsupported channel count {ch}")
     h, w = img.shape[:2]
-    raw = img.reshape(h, w * ch).astype(np.int32)
+    depth = 8 if img.dtype == np.uint8 else 16
+    bpp = ch * depth // 8
+    if depth == 8:
+        byte_rows = img.reshape(h, w * ch)
+    else:  # network byte order: each u16 sample becomes 2 raw bytes
+        byte_rows = (
+            img.reshape(h, w * ch).astype(">u2").view(np.uint8).reshape(h, w * bpp)
+        )
+    raw = byte_rows.astype(np.int32)
     lines = []
-    prior = np.zeros(w * ch, dtype=np.int32)
+    prior = np.zeros(raw.shape[1], dtype=np.int32)
     for y in range(h):
         cur = raw[y]
         ft = y % 5 if filter_per_line else 0
         left = np.zeros_like(cur)
-        left[ch:] = cur[:-ch]
+        left[bpp:] = cur[:-bpp]
         up_left = np.zeros_like(prior)
-        up_left[ch:] = prior[:-ch]
+        up_left[bpp:] = prior[:-bpp]
         if ft == 0:
             filt = cur
         elif ft == 1:
@@ -701,7 +714,7 @@ def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])  # depth 8, deflate, adaptive, no interlace
+        + bytes([depth, ctype, 0, 0, 0])  # deflate, adaptive, no interlace
     )
     return (
         _PNG_SIG
@@ -773,10 +786,12 @@ def decode_png(content: bytes) -> np.ndarray:
     """REAL PNG decode strictly from the blob bytes: signature check,
     CRC-verified chunk walk, IHDR parse, concatenated-IDAT zlib inflate,
     then per-scanline unfilter of all five filter types
-    (None/Sub/Up/Average/Paeth).  Returns (h, w) uint8 for grayscale,
+    (None/Sub/Up/Average/Paeth), on bytes with a bytes-per-pixel left
+    offset as the spec defines.  Returns (h, w) for grayscale,
     (h, w, 3) for palette (type 3, indices mapped through the PLTE
-    chunk), (h, w, ch) otherwise.  Bit depths ≠ 8 and Adam7 interlace
-    raise NotImplementedError rather than guessing."""
+    chunk), (h, w, ch) otherwise — uint8 for depth 8, uint16 for
+    depth 16 (big-endian samples reassembled).  Other bit depths and
+    Adam7 interlace raise NotImplementedError rather than guessing."""
     buf = bytes(content)
     if buf[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG stream")
@@ -807,15 +822,22 @@ def decode_png(content: bytes) -> np.ndarray:
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
     paletted = ctype_n == 3
-    if depth != 8 or (ctype_n not in _PNG_CHANNELS and not paletted) or interlace != 0:
+    if (
+        (ctype_n not in _PNG_CHANNELS and not paletted)
+        or (depth not in (8, 16))
+        or (paletted and depth != 8)
+        or interlace != 0
+    ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype_n} interlace={interlace} "
-            "not supported (8-bit non-interlaced gray/RGB/alpha/palette only)"
+            "not supported (8/16-bit non-interlaced gray/RGB/alpha, "
+            "8-bit palette only)"
         )
     if paletted and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     ch = 1 if paletted else _PNG_CHANNELS[ctype_n]
-    stride = w * ch
+    bpp = ch * depth // 8  # the filter left-offset is BYTES per pixel
+    stride = w * bpp
     data = zlib.decompress(b"".join(idat))
     if len(data) != h * (stride + 1):
         raise ValueError("decompressed size does not match dimensions")
@@ -833,21 +855,21 @@ def decode_png(content: bytes) -> np.ndarray:
             cur = list(line)
         elif ft == 1:  # Sub
             cur = list(line)
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 255
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
         elif ft == 2:  # Up
             cur = [(line[i] + prior[i]) & 255 for i in range(stride)]
         elif ft == 3:  # Average
             cur = [0] * stride
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
+                left = cur[i - bpp] if i >= bpp else 0
                 cur[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
         elif ft == 4:  # Paeth
             cur = [0] * stride
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
+                left = cur[i - bpp] if i >= bpp else 0
                 up = prior[i]
-                ul = prior[i - ch] if i >= ch else 0
+                ul = prior[i - bpp] if i >= bpp else 0
                 cur[i] = (line[i] + _paeth(left, up, ul)) & 255
         else:
             raise ValueError(f"invalid filter type {ft}")
@@ -859,6 +881,10 @@ def decode_png(content: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
         return pal[idx]  # (h, w, 3)
+    if depth == 16:  # reassemble big-endian u16 samples
+        img16 = out.reshape(h * stride).view(">u2").astype(np.uint16)
+        img16 = img16.reshape(h, w * ch)
+        return img16.reshape(h, w) if ch == 1 else img16.reshape(h, w, ch)
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
@@ -922,6 +948,32 @@ def documents_as_palette_png_assets(docs: DataFrame) -> DataFrame:
                 idx = v.astype(np.uint8).reshape(h, w)
                 out.append((aid, "image", "image/png",
                             encode_png_palette(idx, pal, filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def documents_as_png16_assets(docs: DataFrame) -> DataFrame:
+    """Depth-16 asset table: per document, a deterministic
+    (8+id%10) × (8+id%6) RGB raster of FULL-RANGE 16-bit samples
+    (``v[i] = (id*K + i) % 65536`` over the flattened h·w·3 samples —
+    SQL-recomputable) encoded as a genuine 16-bit PNG
+    (``filter_per_line=True``: the byte-level filters run at bpp=6)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 6, 8 + aid % 10
+                v = (aid * _PNG_PX_K + np.arange(h * w * 3, dtype=np.int64)) % 65536
+                img = v.astype(np.uint16).reshape(h, w, 3)
+                out.append((aid, "image", "image/png",
+                            encode_png(img, filter_per_line=True)))
             yield pd.DataFrame(
                 out, columns=["asset_id", "modality", "mime", "content"]
             )

@@ -3024,6 +3024,49 @@ ORDER BY asset_id
 """
 
 
+def multimodal_png16_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-16 PNG decode end-to-end: documents → deterministic
+    full-range 16-bit RGB rasters encoded as genuine 16-bit PNGs
+    (big-endian samples, byte-level scanline filters at bpp=6,
+    ``filter_per_line=True``) → ``decode_png`` inflates, unfilters on
+    bytes, and reassembles the u16 samples → the same integer-exact
+    stats kernel.  The oracle recomputes everything from the
+    ``v[i] = (id*K + i) % 65536`` closed form, so a decoder that
+    mis-offsets the byte-level filter or byte-swaps a sample
+    hash-fails.  Same parallel plan shape as the other PNG gates."""
+    from ..operators.multimodal import (
+        decoded_png_stats,
+        documents_as_png16_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_png_stats(documents_as_png16_assets(ids))
+
+
+MULTIMODAL_PNG16_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 65536 AS v
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 6) * (8 + doc_id % 10) * 3)) t(i))
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 6 AS INTEGER) AS width,
+       CAST(8 + doc_id % 10 AS INTEGER) AS height,
+       SUM(v) * 1.0 / COUNT(*) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5146,6 +5189,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_png_palette_roundtrip", multimodal_png_palette_roundtrip,
               MULTIMODAL_PNG_PALETTE_SQL,
               "paletted (color-type-3) PNG: PLTE chunk walk + index unfilter + palette map"),
+    QuerySpec("multimodal_png16_roundtrip", multimodal_png16_roundtrip,
+              MULTIMODAL_PNG16_SQL,
+              "depth-16 PNG: byte-level bpp-6 filters + big-endian sample reassembly"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -458,3 +458,26 @@ def test_png_palette_rejects_bad_inputs():
     )
     with pytest.raises(ValueError, match="index out of range"):
         decode_png(short)
+
+
+def test_png16_roundtrip_property():
+    """encode_png -> decode_png is identity for uint16 images (big-endian
+    samples, byte-level filters at bpp = 2*ch), all channel counts, both
+    filter modes — and the 8-bit path is unchanged by the generalization."""
+    import numpy as np
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        for ch in (None, 2, 3, 4):
+            for fpl in (False, True):
+                h, w = int(rng.randint(1, 16)), int(rng.randint(1, 16))
+                shape = (h, w) if ch is None else (h, w, ch)
+                img = rng.randint(0, hi, size=shape).astype(dt)
+                out = decode_png(encode_png(img, filter_per_line=fpl))
+                assert out.dtype == img.dtype and out.shape == img.shape
+                assert (out == img).all()
