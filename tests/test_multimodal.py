@@ -212,10 +212,19 @@ def test_png_decoder_rejects_what_it_cannot_parse():
     bad[idat + 5] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # 16-bit depth is a documented honest boundary
-    deep = good.copy()
-    deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    # Adam7 interlace is the documented honest boundary (depth 16 is a
+    # real decode path as of round 8)
     import zlib as _zlib
+
+    lace = good.copy()
+    lace[16 + 12] = 1  # IHDR interlace byte
+    body = bytes(lace[16 : 16 + 13])
+    lace[16 + 13 : 16 + 17] = (_zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(lace))
+    # an unsupported depth (e.g. 4) still refuses loudly
+    deep = good.copy()
+    deep[8 + 8 + 8] = 4  # IHDR bit-depth byte
     body = bytes(deep[16 : 16 + 13])
     deep[16 + 13 : 16 + 17] = (_zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
     with _pytest.raises(NotImplementedError):
