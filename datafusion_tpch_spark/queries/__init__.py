@@ -33,7 +33,7 @@ class QuerySpec:
 _CHECK_FIRST = [
     # -- round-8 additions; new queries are inserted HERE as they land --
     "embeddings_sq8_recall", "multimodal_png_palette_roundtrip",
-    "multimodal_png16_roundtrip",
+    "multimodal_png16_roundtrip", "events_ewma_daily",
     # -- last of the r03 cohort --
     "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_pit_supplier",
     "lineitem_running_total", "lineitem_zorder", "multimodal_frame_sample",

@@ -2741,6 +2741,86 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Truncated EWMA: 8 taps of alpha=1/4 decay.  Weight j is the EXACT
+# rational (3/4)^j scaled by 4^7, i.e. 3^j * 4^(7-j) — integer weights, so
+# the weighted sum stays in integer arithmetic and both engines agree
+# bit-for-bit (a recursive float EWMA would hinge on accumulation order).
+_EWMA_TAPS = 8
+_EWMA_W = [3**j * 4 ** (_EWMA_TAPS - 1 - j) for j in range(_EWMA_TAPS)]
+_EWMA_Q = 10**8
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily value sum per
+    event type — the smoothing feature monitoring/trend pipelines
+    compute.  The recursion ewma_t = α·x_t + (1-α)·ewma_{t-1} (α=1/4) is
+    truncated at 8 taps and rewritten as a lag-weighted sum with EXACT
+    integer weights 3^j·4^(7-j): the daily x is a floor-quantized
+    integer, the numerator a decimal(38,0) dot product over the
+    available lags, the denominator the matching weight sum — so the
+    result is deterministic across engines (no float recursion whose
+    accumulation order could differ) and the leading edge (fewer than 8
+    prior days) renormalizes over the taps that exist, the standard
+    adjusted-EWMA convention.
+
+    Scale: one |types|×|days| aggregate (map-side combined), then a
+    type-keyed window over that tiny series — nothing data-sized ever
+    enters a window."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value").cast("double") * F.lit(float(_EWMA_Q))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("xq")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("xq", j).over(w) for j in range(_EWMA_TAPS)]
+    num = None
+    den = None
+    for j, lj in enumerate(lags):
+        term = F.coalesce(lj, F.lit(0).cast("decimal(38,0)")) * F.lit(_EWMA_W[j])
+        wgt = F.when(lj.isNotNull(), F.lit(_EWMA_W[j])).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            (
+                num.cast("double") / den.cast("double") / F.lit(float(_EWMA_Q))
+            ).alias("ewma_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(LAG(xq, {j}) OVER w, 0) * {_EWMA_W[j]}" for j in range(_EWMA_TAPS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN LAG(xq, {j}) OVER w IS NOT NULL THEN {_EWMA_W[j]} ELSE 0 END"
+    for j in range(_EWMA_TAPS)
+)
+
+EVENTS_EWMA_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(floor(CAST(value AS DOUBLE) * {float(_EWMA_Q)!r}) AS HUGEINT))
+           AS xq
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts))
+SELECT event_type, day,
+       CAST({_EWMA_NUM_SQL} AS DOUBLE)
+         / CAST({_EWMA_DEN_SQL} AS DOUBLE) / {float(_EWMA_Q)!r} AS ewma_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+"""
+
+
 EVENTS_TRAILING_WINDOW_SQL = f"""
 WITH e AS (
   SELECT user_id, epoch_ms(ts) AS ms,
@@ -3297,6 +3377,11 @@ SPECS = [
         "events_trailing_window", events_trailing_window,
         EVENTS_TRAILING_WINDOW_SQL,
         "time-based RANGE frames: per-user trailing-hour burst peaks",
+    ),
+    QuerySpec(
+        "events_ewma_daily", events_ewma_daily,
+        EVENTS_EWMA_DAILY_SQL,
+        "truncated EWMA via integer-exact weighted lags (alpha=1/4, 8 taps)",
     ),
     QuerySpec(
         "lineitem_price_model", lineitem_price_model,

@@ -871,3 +871,45 @@ def test_global_windows_only_on_bounded_inputs(spark):
     # a query whose build fails must FAIL the audit, not vanish from it
     assert not errors, errors
     assert got == _BOUNDED_GLOBAL_WINDOWS
+
+
+def test_ewma_matches_reference_recursion(spark):
+    """The lag-weighted integer formulation must equal the textbook
+    truncated adjusted EWMA computed independently in Python over the
+    same daily series."""
+    from datafusion_tpch_spark.queries.advanced import (
+        _EWMA_Q,
+        _EWMA_TAPS,
+        _EWMA_W,
+    )
+
+    got = {
+        (r.event_type, r.day): r.ewma_value
+        for r in _build(spark, "events_ewma_daily").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * float(_EWMA_Q)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("xq")
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append((r.day, int(r.xq)))
+    assert got and series
+    for etype, pts in series.items():
+        for t, (day, _) in enumerate(pts):
+            num = sum(
+                _EWMA_W[j] * pts[t - j][1]
+                for j in range(_EWMA_TAPS)
+                if t - j >= 0
+            )
+            den = sum(_EWMA_W[j] for j in range(_EWMA_TAPS) if t - j >= 0)
+            want = float(num) / float(den) / float(_EWMA_Q)
+            assert got[(etype, day)] == want, (etype, day)
