@@ -5,12 +5,12 @@ The Spark-side plumbing (schemas, Arrow-batched mapInPandas transforms,
 partition-size control for large blobs) is real and tested.  Decode is
 REAL for the public formats a pure-stdlib kernel can parse — binary
 PGM/PPM and 24-bit BI_RGB BMP (``decode_image``), RIFF/WAVE PCM
-(``decode_wav``), and non-interlaced PNG at depths 8 and 16 including
-paletted type 3 (``decode_png``: CRC-verified chunk walk, stdlib-zlib
-inflate, all five scanline unfilters at byte-level bpp offsets) — and
-falls back to a documented deterministic fake for opaque blobs; the
-remaining codecs (JPEG, Adam7-interlaced PNG,
-video/audio containers) raise NotImplementedError at exactly the
+(``decode_wav``), and PNG at depths 8 and 16 including paletted type 3
+and Adam7 interlace (``decode_png``: CRC-verified chunk walk,
+stdlib-zlib inflate, all five scanline unfilters at byte-level bpp
+offsets, per-pass unfilter + scatter for interlace) — and falls back
+to a documented deterministic fake for opaque blobs; the remaining
+codecs (JPEG, video/audio containers) raise NotImplementedError at exactly the
 boundary where PIL/torchvision/ffmpeg slot in, since those libraries
 aren't in this environment.  The operator shapes (one blob in →
 features/patches out, never collect, never a Python loop over rows on
@@ -66,10 +66,10 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 #
 # Uncompressed formats need no codec library: PGM (P5) / PPM (P6) are a text
 # header + raw samples, BMP (BI_RGB) is two fixed headers + padded rows.
-# PNG (non-interlaced, depths 8 and 16, incl. paletted type 3) is real too
-# — stdlib zlib + the five scanline filters (see encode_png/decode_png
-# below).  JPEG and Adam7 interlace still raise NotImplementedError — that
-# is the honest production boundary where PIL/libjpeg slots in.
+# PNG (depths 8 and 16, paletted type 3, Adam7 interlace) is real too —
+# stdlib zlib + the five scanline filters (see encode_png/decode_png
+# below).  JPEG still raises NotImplementedError — that is the honest
+# production boundary where PIL/libjpeg slots in.
 
 
 def encode_pgm(img: np.ndarray) -> bytes:
@@ -634,8 +634,7 @@ def decoded_wav_stats(assets: DataFrame) -> DataFrame:
 # environment; the algorithm — DEFLATE streams of per-scanline-filtered
 # samples — is public: RFC 2083 / the W3C PNG spec).  Depths 8 and 16,
 # color types 0 (gray), 2 (RGB), 3 (palette via PLTE, depth 8), 4
-# (gray+alpha), 6 (RGBA), no interlace; Adam7 stays the honest
-# NotImplementedError boundary.
+# (gray+alpha), 6 (RGBA); both no-interlace and Adam7.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -658,36 +657,32 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
-    """Encode an 8- or 16-bit image as a genuine PNG: (h, w) → grayscale
-    (color type 0), (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
-    (h, w, 4) → RGBA (6); dtype uint8 → depth 8, uint16 → depth 16
-    (big-endian samples per the spec).  Scanlines are filter-type-0 by
-    default; ``filter_per_line=True`` applies filter ``y % 5`` to
-    scanline ``y`` (None/Sub/Up/Average/Paeth in rotation) so a paired
-    decoder must implement ALL five unfilters, not just the trivial one.
-    Filtering operates on BYTES with a bytes-per-pixel left offset, as
-    the spec requires for depth 16.  Output is a spec-conforming file
-    any PNG reader opens."""
-    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
-        raise ValueError("encode_png expects a 2-D or 3-D uint8/uint16 array")
-    ch = 1 if img.ndim == 2 else img.shape[2]
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
-    if ctype is None:
-        raise ValueError(f"unsupported channel count {ch}")
-    h, w = img.shape[:2]
-    depth = 8 if img.dtype == np.uint8 else 16
-    bpp = ch * depth // 8
-    if depth == 8:
-        byte_rows = img.reshape(h, w * ch)
-    else:  # network byte order: each u16 sample becomes 2 raw bytes
-        byte_rows = (
-            img.reshape(h, w * ch).astype(">u2").view(np.uint8).reshape(h, w * bpp)
-        )
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per the
+# W3C spec.  Each pass is an independently-filtered sub-image; a pass
+# with zero pixels contributes no bytes at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(w: int, h: int, x0: int, y0: int, xs: int, ys: int):
+    wp = (w - x0 + xs - 1) // xs if w > x0 else 0
+    hp = (h - y0 + ys - 1) // ys if h > y0 else 0
+    return wp, hp
+
+
+def _filter_byte_rows(
+    byte_rows: np.ndarray, bpp: int, filter_per_line: bool
+) -> list[bytes]:
+    """Filter an image's raw byte rows into PNG scanlines (filter byte +
+    filtered bytes).  ``prior`` starts at zero — per the spec each
+    interlace pass filters independently, so callers invoke this once
+    per pass."""
     raw = byte_rows.astype(np.int32)
-    lines = []
+    lines: list[bytes] = []
     prior = np.zeros(raw.shape[1], dtype=np.int32)
-    for y in range(h):
+    for y in range(raw.shape[0]):
         cur = raw[y]
         ft = y % 5 if filter_per_line else 0
         left = np.zeros_like(cur)
@@ -711,10 +706,104 @@ def encode_png(img: np.ndarray, filter_per_line: bool = False) -> bytes:
             filt = cur - pred
         lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
         prior = cur
+    return lines
+
+
+def _unfilter_byte_rows(
+    data: bytes, off: int, n_rows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``off``; returns the (n_rows, stride) uint8 byte grid and the offset
+    past the consumed bytes.  Plain-int lists: Sub/Average/Paeth carry a
+    left (x-1) dependency, so the scan is inherently sequential per
+    scanline — bytes-indexing + int arithmetic runs ~8× faster than
+    elementwise numpy indexing (measured on 16×14 gate rasters and
+    1920×1080).  ``prior`` starts at zero: each interlace pass
+    unfilters independently."""
+    if len(data) - off < n_rows * (stride + 1):
+        raise ValueError("decompressed size does not match dimensions")
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    prior = [0] * stride
+    for y in range(n_rows):
+        ft = data[off]
+        line = data[off + 1 : off + 1 + stride]
+        off += stride + 1
+        if ft == 0:
+            cur = list(line)
+        elif ft == 1:  # Sub
+            cur = list(line)
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
+        elif ft == 2:  # Up
+            cur = [(line[i] + prior[i]) & 255 for i in range(stride)]
+        elif ft == 3:  # Average
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + _paeth(left, up, ul)) & 255
+        else:
+            raise ValueError(f"invalid filter type {ft}")
+        out[y] = cur
+        prior = cur
+    return out, off
+
+
+def encode_png(
+    img: np.ndarray, filter_per_line: bool = False, interlace: bool = False
+) -> bytes:
+    """Encode an 8- or 16-bit image as a genuine PNG: (h, w) → grayscale
+    (color type 0), (h, w, 2) → gray+alpha (4), (h, w, 3) → RGB (2),
+    (h, w, 4) → RGBA (6); dtype uint8 → depth 8, uint16 → depth 16
+    (big-endian samples per the spec).  Scanlines are filter-type-0 by
+    default; ``filter_per_line=True`` applies filter ``y % 5`` to
+    scanline ``y`` (None/Sub/Up/Average/Paeth in rotation) so a paired
+    decoder must implement ALL five unfilters, not just the trivial one.
+    Filtering operates on BYTES with a bytes-per-pixel left offset, as
+    the spec requires for depth 16.  ``interlace=True`` emits Adam7:
+    the seven pass sub-images each filter independently, in pass order.
+    Output is a spec-conforming file any PNG reader opens."""
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_png expects a 2-D or 3-D uint8/uint16 array")
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    h, w = img.shape[:2]
+    depth = 8 if img.dtype == np.uint8 else 16
+    bpp = ch * depth // 8
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        hs, ws = sub.shape[:2]
+        flat = sub.reshape(hs, ws * ch)
+        if depth == 8:
+            return flat
+        # network byte order: each u16 sample becomes 2 raw bytes
+        return flat.astype(">u2").view(np.uint8).reshape(hs, ws * bpp)
+
+    lines: list[bytes] = []
+    if interlace:
+        px = img.reshape(h, w, ch)
+        for x0, y0, xs, ys in _ADAM7:
+            wp, hp = _adam7_dims(w, h, x0, y0, xs, ys)
+            if wp == 0 or hp == 0:
+                continue
+            lines += _filter_byte_rows(
+                byte_rows(px[y0::ys, x0::xs]), bpp, filter_per_line
+            )
+    else:
+        lines = _filter_byte_rows(byte_rows(img.reshape(h, w, ch)), bpp,
+                                  filter_per_line)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([depth, ctype, 0, 0, 0])  # deflate, adaptive, no interlace
+        + bytes([depth, ctype, 0, 0, int(interlace)])  # deflate, adaptive
     )
     return (
         _PNG_SIG
@@ -741,33 +830,7 @@ def encode_png_palette(
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("index raster references a color past the palette")
     h, w = idx.shape
-    raw = idx.astype(np.int32)
-    lines = []
-    prior = np.zeros(w, dtype=np.int32)
-    for y in range(h):
-        cur = raw[y]
-        ft = y % 5 if filter_per_line else 0
-        left = np.zeros_like(cur)
-        left[1:] = cur[:-1]
-        up_left = np.zeros_like(prior)
-        up_left[1:] = prior[:-1]
-        if ft == 0:
-            filt = cur
-        elif ft == 1:
-            filt = cur - left
-        elif ft == 2:
-            filt = cur - prior
-        elif ft == 3:
-            filt = cur - (left + prior) // 2
-        else:  # Paeth
-            p = left + prior - up_left
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
-            )
-            filt = cur - pred
-        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
-        prior = cur
+    lines = _filter_byte_rows(idx, 1, filter_per_line)
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
@@ -787,11 +850,13 @@ def decode_png(content: bytes) -> np.ndarray:
     CRC-verified chunk walk, IHDR parse, concatenated-IDAT zlib inflate,
     then per-scanline unfilter of all five filter types
     (None/Sub/Up/Average/Paeth), on bytes with a bytes-per-pixel left
-    offset as the spec defines.  Returns (h, w) for grayscale,
-    (h, w, 3) for palette (type 3, indices mapped through the PLTE
-    chunk), (h, w, ch) otherwise — uint8 for depth 8, uint16 for
-    depth 16 (big-endian samples reassembled).  Other bit depths and
-    Adam7 interlace raise NotImplementedError rather than guessing."""
+    offset as the spec defines.  Adam7-interlaced streams unfilter each
+    of the seven passes independently and scatter them into the pixel
+    grid.  Returns (h, w) for grayscale, (h, w, 3) for palette (type 3,
+    indices mapped through the PLTE chunk), (h, w, ch) otherwise —
+    uint8 for depth 8, uint16 for depth 16 (big-endian samples
+    reassembled).  Other bit depths raise NotImplementedError rather
+    than guessing."""
     buf = bytes(content)
     if buf[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG stream")
@@ -826,12 +891,12 @@ def decode_png(content: bytes) -> np.ndarray:
         (ctype_n not in _PNG_CHANNELS and not paletted)
         or (depth not in (8, 16))
         or (paletted and depth != 8)
-        or interlace != 0
+        or interlace not in (0, 1)
     ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype_n} interlace={interlace} "
-            "not supported (8/16-bit non-interlaced gray/RGB/alpha, "
-            "8-bit palette only)"
+            "not supported (8/16-bit gray/RGB/alpha, 8-bit palette, "
+            "no-interlace or Adam7 only)"
         )
     if paletted and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
@@ -839,42 +904,22 @@ def decode_png(content: bytes) -> np.ndarray:
     bpp = ch * depth // 8  # the filter left-offset is BYTES per pixel
     stride = w * bpp
     data = zlib.decompress(b"".join(idat))
-    if len(data) != h * (stride + 1):
-        raise ValueError("decompressed size does not match dimensions")
-    # Unfilter on plain-int lists: Sub/Average/Paeth carry a left (x-1)
-    # dependency, so the scan is inherently sequential per scanline —
-    # bytes-indexing + int arithmetic runs ~8× faster than elementwise
-    # numpy indexing (measured on 16×14 gate rasters and 1920×1080).
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prior = [0] * stride
-    for y in range(h):
-        off = y * (stride + 1)
-        ft = data[off]
-        line = data[off + 1 : off + 1 + stride]
-        if ft == 0:
-            cur = list(line)
-        elif ft == 1:  # Sub
-            cur = list(line)
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 255
-        elif ft == 2:  # Up
-            cur = [(line[i] + prior[i]) & 255 for i in range(stride)]
-        elif ft == 3:  # Average
-            cur = [0] * stride
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
-        elif ft == 4:  # Paeth
-            cur = [0] * stride
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                up = prior[i]
-                ul = prior[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + _paeth(left, up, ul)) & 255
-        else:
-            raise ValueError(f"invalid filter type {ft}")
-        out[y] = cur
-        prior = cur
+    if interlace == 0:
+        out, end = _unfilter_byte_rows(data, 0, h, stride, bpp)
+        if end != len(data):
+            raise ValueError("decompressed size does not match dimensions")
+    else:  # Adam7: unfilter each pass independently, scatter into the grid
+        grid = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            wp, hp = _adam7_dims(w, h, x0, y0, xs, ys)
+            if wp == 0 or hp == 0:
+                continue
+            rows, off = _unfilter_byte_rows(data, off, hp, wp * bpp, bpp)
+            grid[y0::ys, x0::xs, :] = rows.reshape(hp, wp, bpp)
+        if off != len(data):
+            raise ValueError("decompressed size does not match dimensions")
+        out = grid.reshape(h, stride)
     if paletted:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)
@@ -974,6 +1019,34 @@ def documents_as_png16_assets(docs: DataFrame) -> DataFrame:
                 img = v.astype(np.uint16).reshape(h, w, 3)
                 out.append((aid, "image", "image/png",
                             encode_png(img, filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def documents_as_adam7_png_assets(docs: DataFrame) -> DataFrame:
+    """Adam7-interlaced asset table: per document, a deterministic
+    (8+id%13) × (8+id%3) RGB raster (``v[i] = (id*K + i) % 256`` —
+    SQL-recomputable) encoded as a genuine INTERLACED PNG
+    (``interlace=True``, ``filter_per_line=True``: all seven passes
+    present for these dims, each pass filtering independently with the
+    full five-type rotation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 13, 8 + aid % 3
+                v = (aid * _PNG_PX_K + np.arange(h * w * 3, dtype=np.int64)) % 256
+                img = v.astype(np.uint8).reshape(h, w, 3)
+                out.append((aid, "image", "image/png",
+                            encode_png(img, filter_per_line=True,
+                                       interlace=True)))
             yield pd.DataFrame(
                 out, columns=["asset_id", "modality", "mime", "content"]
             )

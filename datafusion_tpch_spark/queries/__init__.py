@@ -34,6 +34,7 @@ _CHECK_FIRST = [
     # -- round-8 additions; new queries are inserted HERE as they land --
     "embeddings_sq8_recall", "multimodal_png_palette_roundtrip",
     "multimodal_png16_roundtrip", "events_ewma_daily",
+    "multimodal_png_adam7_roundtrip",
     # -- last of the r03 cohort --
     "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_pit_supplier",
     "lineitem_running_total", "lineitem_zorder", "multimodal_frame_sample",

@@ -3067,6 +3067,49 @@ ORDER BY asset_id
 """
 
 
+def multimodal_png_adam7_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode end-to-end: documents → deterministic
+    RGB rasters encoded with ``interlace=True`` (seven independently
+    filtered pass sub-images, full five-filter rotation per pass) →
+    ``decode_png`` unfilters each pass and scatters it back into the
+    pixel grid → the same integer-exact stats kernel.  The oracle
+    recomputes everything from the closed-form raster, so a decoder
+    that mis-walks the pass geometry, mis-resets the per-pass prior
+    scanline, or mis-scatters a single pixel hash-fails.  Same parallel
+    plan shape as the other PNG gates."""
+    from ..operators.multimodal import (
+        decoded_png_stats,
+        documents_as_adam7_png_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_png_stats(documents_as_adam7_png_assets(ids))
+
+
+MULTIMODAL_PNG_ADAM7_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 256 AS v
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 13) * (8 + doc_id % 3) * 3)) t(i))
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 13 AS INTEGER) AS width,
+       CAST(8 + doc_id % 3 AS INTEGER) AS height,
+       SUM(v) * 1.0 / COUNT(*) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5192,6 +5235,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_png16_roundtrip", multimodal_png16_roundtrip,
               MULTIMODAL_PNG16_SQL,
               "depth-16 PNG: byte-level bpp-6 filters + big-endian sample reassembly"),
+    QuerySpec("multimodal_png_adam7_roundtrip", multimodal_png_adam7_roundtrip,
+              MULTIMODAL_PNG_ADAM7_SQL,
+              "Adam7-interlaced PNG: per-pass unfilter + pixel-grid scatter"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

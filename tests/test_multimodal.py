@@ -212,12 +212,18 @@ def test_png_decoder_rejects_what_it_cannot_parse():
     bad[idat + 5] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # Adam7 interlace is the documented honest boundary (depth 16 is a
-    # real decode path as of round 8)
+    # Adam7 decodes for real as of round 8 — but re-labeling a
+    # NON-interlaced stream as interlaced must fail the pass-geometry
+    # size check, and an invalid interlace value must refuse outright
     import zlib as _zlib
 
     lace = good.copy()
-    lace[16 + 12] = 1  # IHDR interlace byte
+    lace[16 + 12] = 1  # IHDR interlace byte, data still sequential-layout
+    body = bytes(lace[16 : 16 + 13])
+    lace[16 + 13 : 16 + 17] = (_zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    with _pytest.raises(ValueError):
+        decode_png(bytes(lace))
+    lace[16 + 12] = 2  # not a defined interlace method
     body = bytes(lace[16 : 16 + 13])
     lace[16 + 13 : 16 + 17] = (_zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
     with _pytest.raises(NotImplementedError):
@@ -490,3 +496,28 @@ def test_png16_roundtrip_property():
                 out = decode_png(encode_png(img, filter_per_line=fpl))
                 assert out.dtype == img.dtype and out.shape == img.shape
                 assert (out == img).all()
+
+
+def test_png_adam7_roundtrip_property():
+    """Adam7 encode -> decode is identity across dtypes, channel counts,
+    filter modes, and edge dims (including rasters small enough that
+    some passes are empty)."""
+    import numpy as np
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(13)
+    for dt, hi in [(np.uint8, 256), (np.uint16, 65536)]:
+        for ch in (None, 3):
+            for fpl in (False, True):
+                for h, w in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 17)]:
+                    shape = (h, w) if ch is None else (h, w, ch)
+                    img = rng.randint(0, hi, size=shape).astype(dt)
+                    out = decode_png(
+                        encode_png(img, filter_per_line=fpl, interlace=True)
+                    )
+                    assert out.dtype == img.dtype and out.shape == img.shape
+                    assert (out == img).all(), (dt, ch, fpl, h, w)
