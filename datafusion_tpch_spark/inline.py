@@ -41,6 +41,10 @@ def _sql_lit(v) -> str:
             return "CAST('NaN' AS DOUBLE)"
         if math.isinf(v):
             return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # repr(-0.0) would parse as a decimal literal, which has no
+            # signed zero — the sign survives only through a double cast
+            return "CAST('-0.0' AS DOUBLE)"
         # repr is shortest-round-trip: parsed as an exact decimal literal
         # (38 digits covers the 17 significant digits a double carries),
         # the column-level CAST back to double recovers the value exactly

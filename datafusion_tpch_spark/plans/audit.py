@@ -75,7 +75,12 @@ _LIMIT_OPS = re.compile(r"\b(TakeOrderedAndProject|GlobalLimit|CollectLimit)\b")
 # (e.g. a LocalLimit on the other side of a join).  Everything else on a
 # window's input chain (project/filter/sort/exchange/aggregate) is
 # cardinality-non-increasing, so a total-row limit below it still bounds
-# the window.
+# the window.  Deliberately CONSERVATIVE: semi/anti joins emit at most
+# their left input and a Union of all-limited branches is bounded, but
+# honoring either needs per-child bookkeeping the string walk doesn't
+# have (a limit on a semi-join's BUILD side bounds nothing) — they stay
+# here, erring toward a false FLAG (loud, fixable with an exemption)
+# rather than the false PASS this detector exists to prevent.
 _EXPANDING_OPS = re.compile(
     r"\b(\w*Join\b|CartesianProduct|Generate|Expand|Union)"
 )

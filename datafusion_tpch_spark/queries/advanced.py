@@ -2754,18 +2754,20 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of the daily value sum per
     event type — the smoothing feature monitoring/trend pipelines
     compute.  The recursion ewma_t = α·x_t + (1-α)·ewma_{t-1} (α=1/4) is
-    truncated at 8 taps and rewritten as a lag-weighted sum with EXACT
-    integer weights 3^j·4^(7-j): the daily x is a floor-quantized
-    integer, the numerator a decimal(38,0) dot product over the
-    available lags, the denominator the matching weight sum — so the
+    truncated at 8 taps and rewritten as a day-distance-weighted sum
+    with EXACT integer weights 3^gap·4^(7-gap), where gap is the REAL
+    calendar distance (a day with no events contributes nothing but
+    still decays its neighbors — a row-offset lag would mis-weight
+    gapped series): the daily x is a floor-quantized integer, the
+    numerator a decimal(38,0) dot product over the prior days within
+    the horizon, the denominator the matching weight sum — so the
     result is deterministic across engines (no float recursion whose
-    accumulation order could differ) and the leading edge (fewer than 8
-    prior days) renormalizes over the taps that exist, the standard
-    adjusted-EWMA convention.
+    accumulation order could differ) and sparse edges renormalize over
+    the days present, the standard adjusted-EWMA convention.
 
     Scale: one |types|×|days| aggregate (map-side combined), then a
-    type-keyed window over that tiny series — nothing data-sized ever
-    enters a window."""
+    type-keyed self-join of that tiny series with ≤8 matches per row —
+    nothing data-sized ever shuffles twice."""
     (ev,) = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -2776,34 +2778,38 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xq")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    lags = [F.lag("xq", j).over(w) for j in range(_EWMA_TAPS)]
-    num = None
-    den = None
-    for j, lj in enumerate(lags):
-        term = F.coalesce(lj, F.lit(0).cast("decimal(38,0)")) * F.lit(_EWMA_W[j])
-        wgt = F.when(lj.isNotNull(), F.lit(_EWMA_W[j])).otherwise(F.lit(0))
-        num = term if num is None else num + term
-        den = wgt if den is None else den + wgt
+    t = daily.select(
+        F.col("event_type").alias("t_type"), F.col("day").alias("t_day")
+    )
+    s = daily.select(
+        F.col("event_type").alias("s_type"),
+        F.col("day").alias("s_day"),
+        F.col("xq").alias("s_xq"),
+    )
+    gap = F.datediff(F.col("t_day"), F.col("s_day"))
+    w_arr = F.array(*[F.lit(w) for w in _EWMA_W])
+    wgt = F.element_at(w_arr, gap + 1)
     return (
-        daily.select(
-            "event_type",
-            "day",
+        t.join(
+            s,
+            (F.col("t_type") == F.col("s_type"))
+            & gap.between(0, _EWMA_TAPS - 1),
+        )
+        .groupBy(F.col("t_type").alias("event_type"), F.col("t_day").alias("day"))
+        .agg(
             (
-                num.cast("double") / den.cast("double") / F.lit(float(_EWMA_Q))
-            ).alias("ewma_value"),
+                F.sum(wgt.cast("decimal(38,0)") * F.col("s_xq")).cast("double")
+                / F.sum(wgt).cast("double")
+                / F.lit(float(_EWMA_Q))
+            ).alias("ewma_value")
         )
         .orderBy("event_type", "day")
     )
 
 
-_EWMA_NUM_SQL = " + ".join(
-    f"COALESCE(LAG(xq, {j}) OVER w, 0) * {_EWMA_W[j]}" for j in range(_EWMA_TAPS)
-)
-_EWMA_DEN_SQL = " + ".join(
-    f"CASE WHEN LAG(xq, {j}) OVER w IS NOT NULL THEN {_EWMA_W[j]} ELSE 0 END"
-    for j in range(_EWMA_TAPS)
-)
+_EWMA_W_CASE = "CASE date_diff('day', s.day, t.day) " + " ".join(
+    f"WHEN {j} THEN {_EWMA_W[j]}" for j in range(_EWMA_TAPS)
+) + " END"
 
 EVENTS_EWMA_DAILY_SQL = f"""
 WITH daily AS (
@@ -2812,12 +2818,15 @@ WITH daily AS (
            AS xq
   FROM events
   GROUP BY event_type, date_trunc('day', ts))
-SELECT event_type, day,
-       CAST({_EWMA_NUM_SQL} AS DOUBLE)
-         / CAST({_EWMA_DEN_SQL} AS DOUBLE) / {float(_EWMA_Q)!r} AS ewma_value
-FROM daily
-WINDOW w AS (PARTITION BY event_type ORDER BY day)
-ORDER BY event_type, day
+SELECT t.event_type, t.day,
+       CAST(SUM(CAST({_EWMA_W_CASE} AS HUGEINT) * s.xq) AS DOUBLE)
+         / CAST(SUM({_EWMA_W_CASE}) AS DOUBLE) / {float(_EWMA_Q)!r} AS ewma_value
+FROM daily t
+JOIN daily s
+  ON s.event_type = t.event_type
+ AND date_diff('day', s.day, t.day) BETWEEN 0 AND {_EWMA_TAPS - 1}
+GROUP BY t.event_type, t.day
+ORDER BY t.event_type, t.day
 """
 
 

@@ -2939,8 +2939,9 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorting the cheap id column upstream keeps the output globally
     ordered (mapInPandas preserves per-partition order) while the codec
     runs once, in parallel.  This closes the compressed-codec boundary
-    the PGM/BMP gate documents (16-bit/interlace remain the
-    honest NotImplementedError edge)."""
+    the PGM/BMP gate documents; depth 16 and Adam7 interlace have their
+    own gates (multimodal_png16_roundtrip, multimodal_png_adam7_roundtrip),
+    leaving JPEG as the honest NotImplementedError edge."""
     from ..operators.multimodal import decoded_png_stats, documents_as_png_assets
 
     (docs,) = _t(spark, sf_dir, "documents")

@@ -37,7 +37,7 @@ def test_inline_matches_createdataframe_arrays_and_nulls(spark):
 
 
 def test_inline_float_roundtrip_exact(spark):
-    vals = [0.1, 2.0 / 3.0, 1e-300, 1.7976931348623157e308, float("nan")]
+    vals = [0.1, 2.0 / 3.0, 1e-300, 1.7976931348623157e308, float("nan"), -0.0]
     rows = [(i, v) for i, v in enumerate(vals)]
     got = {r.i: r.v for r in inline_table(spark, rows, "i int, v double").collect()}
     for i, v in enumerate(vals):
@@ -45,6 +45,9 @@ def test_inline_float_roundtrip_exact(spark):
             assert math.isnan(got[i])
         else:
             assert got[i] == v, (got[i], v)
+            # signed zero must survive (a bare decimal literal would lose it)
+            if v == 0.0:
+                assert math.copysign(1.0, got[i]) == math.copysign(1.0, v)
 
 
 def test_inline_empty_rows(spark):

@@ -109,9 +109,19 @@ def main() -> None:
                     # double can no longer carry the exact decimal sum,
                     # so DuckDB's overflow-to-double path rounds the
                     # last digit while Spark's decimal(38,s) stays exact
+                    import math as _math
+
                     for a, b in zip(sv, ov):
                         if isinstance(a, float) and isinstance(b, float):
-                            if a != b and abs(a - b) > 1e-12 * max(abs(a), abs(b), 1.0):
+                            if _math.isnan(a) or _math.isnan(b):
+                                # NaN == NaN counts as agreement; NaN vs
+                                # value is a REAL divergence (plain
+                                # comparisons against NaN are all False,
+                                # which would otherwise slip through as
+                                # the benign fp artifact)
+                                if _math.isnan(a) != _math.isnan(b):
+                                    fp_only = False
+                            elif a != b and abs(a - b) > 1e-12 * max(abs(a), abs(b), 1.0):
                                 fp_only = False
                         elif a != b:
                             fp_only = False
