@@ -188,6 +188,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return img[::-1] if bottom_up else img
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(buf)
     raise NotImplementedError(
         f"no pure-numpy decoder for magic {magic!r} (remaining compressed "
         "codecs — JPEG/WebP/… — require an image library: swap in PIL here "
@@ -933,6 +935,221 @@ def decode_png(content: bytes) -> np.ndarray:
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
+# ------------------------------------------------------------- GIF codec
+# Real LZW-compressed GIF87a, pure stdlib (the algorithm is public: the
+# CompuServe GIF87a spec).  A second genuine compression family next to
+# PNG's DEFLATE: variable-width LZW codes (clear/end codes, dictionary
+# growth to 4096 then reset), LSB-first bit packing, <=255-byte data
+# sub-blocks.  Single image, global color table, no interlace, no
+# extensions — GIF89a animation/extensions stay an honest boundary.
+
+_GIF_MAGIC = b"GIF87a"
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """LZW-compress an index sequence the way GIF defines it: start one
+    bit wider than ``min_code_size``, emit a clear code first, grow the
+    code width when the next code to be assigned would not fit, reset
+    the dictionary at 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = bitlen = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitlen
+        bitbuf |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for sym in indices:
+        cur = prefix + bytes([sym])
+        if cur in table:
+            prefix = cur
+            continue
+        emit(table[prefix], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = bytes([sym])
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if bitlen:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_encode`, including the KwKwK case
+    (a code one past the table refers to prefix+prefix[0])."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = bitbuf = bitlen = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, bitlen
+        while bitlen < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            bitbuf |= data[pos] << bitlen
+            pos += 1
+            bitlen += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitlen -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} out of range")
+        if prev is not None and len(table) >= (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("GIF: LZW output exceeds raster size")
+    if len(out) != expected:
+        raise ValueError("GIF: LZW output does not match raster size")
+    return bytes(out)
+
+
+def encode_gif(idx, palette) -> bytes:
+    """Encode a paletted image as a genuine GIF87a: (h, w) uint8 index
+    raster + (n, 3) uint8 RGB palette (n a power of two, 2..256) →
+    header, logical screen descriptor with global color table, one image
+    descriptor, REAL LZW-compressed raster in <=255-byte sub-blocks,
+    trailer.  Any GIF reader opens the output."""
+    idx = np.asarray(idx)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.dtype != np.uint8 or idx.ndim != 2:
+        raise ValueError("encode_gif expects a 2-D uint8 index array")
+    n = len(palette)
+    if palette.ndim != 2 or palette.shape[1] != 3 or n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with n a power of two in [2, 256]")
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("index raster references a color past the palette")
+    h, w = idx.shape
+    depth = max(n.bit_length() - 1, 1)  # bits per color index
+    screen = (
+        w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    )
+    image_desc = b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code_size = max(depth, 2)
+    lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), min_code_size)
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        _GIF_MAGIC + screen + palette.tobytes() + image_desc + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif(content: bytes) -> np.ndarray:
+    """REAL GIF87a/89a single-image decode strictly from the blob bytes:
+    header + screen descriptor parse, global color table, image
+    descriptor (local table honored if present), sub-block reassembly,
+    LZW decompression, palette map to (h, w, 3) uint8.  Interlaced
+    images and 89a extensions raise NotImplementedError."""
+    buf = bytes(content)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF stream")
+    sw = int.from_bytes(buf[6:8], "little")
+    sh = int.from_bytes(buf[8:10], "little")
+    flags = buf[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            raise ValueError("GIF: no image data before trailer")
+        if b0 == 0x21:  # 89a extension block — skip is possible, but the
+            raise NotImplementedError("GIF extensions not supported")
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        break
+    pos += 1
+    w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+    h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+    iflags = buf[pos + 8]
+    pos += 9
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    pal = gct
+    if iflags & 0x80:  # local color table
+        n = 2 << (iflags & 0x07)
+        pal = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("GIF: no color table")
+    if pos >= len(buf):
+        raise ValueError("GIF: truncated before LZW minimum code size")
+    min_code_size = buf[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated inside data sub-blocks")
+        size = buf[pos]
+        pos += 1
+        if size == 0:
+            break
+        if pos + size > len(buf):
+            raise ValueError("GIF: truncated data sub-block")
+        lzw += buf[pos : pos + size]
+        pos += size
+    idx = np.frombuffer(
+        _gif_lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8
+    ).reshape(h, w)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("GIF: palette index out of range")
+    del sw, sh
+    return pal[idx]
+
+
 _PNG_PX_K = 2654435761  # raster closed form: v[i] = (id*K + i) % 256
 
 
@@ -1054,6 +1271,63 @@ def documents_as_adam7_png_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         run, "asset_id long, modality string, mime string, content binary"
     )
+
+
+def documents_as_gif_assets(docs: DataFrame) -> DataFrame:
+    """GIF87a asset table: per document, a deterministic (8+id%4) ×
+    (8+id%12) INDEX raster (``idx[i] = (id*K + i) % 16``) and the same
+    closed-form 16-color palette as the paletted-PNG gate, encoded as a
+    genuine LZW-compressed GIF87a."""
+    pal = np.stack(
+        [
+            (np.arange(_PNG_PAL_N) * m + b) % 256
+            for m, b in zip(_PNG_PAL_MULS, _PNG_PAL_ADDS)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 12, 8 + aid % 4
+                v = (aid * _PNG_PX_K + np.arange(h * w, dtype=np.int64)) % _PNG_PAL_N
+                idx = v.astype(np.uint8).reshape(h, w)
+                out.append((aid, "image", "image/gif", encode_gif(idx, pal)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_gif_stats(assets: DataFrame) -> DataFrame:
+    """GIF twin of :func:`decoded_png_stats`: LZW-decompress + palette-map
+    each blob strictly from its bytes (``decode_gif``) and emit the same
+    integer-exact per-channel statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_gif(row.content)
+                px = img.astype(np.int64)
+                out.append(
+                    (row.asset_id, img.shape[1], img.shape[0],
+                     float(px.mean()), int(px.max()),
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "mean_px",
+                         "max_px", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return assets.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 PNG_STATS_SCHEMA = (

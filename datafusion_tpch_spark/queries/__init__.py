@@ -34,18 +34,19 @@ _CHECK_FIRST = [
     # -- round-8 additions; new queries are inserted HERE as they land --
     "embeddings_sq8_recall", "multimodal_png_palette_roundtrip",
     "multimodal_png16_roundtrip", "events_ewma_daily",
-    "multimodal_png_adam7_roundtrip",
+    "multimodal_png_adam7_roundtrip", "multimodal_gif_roundtrip",
     # -- last of the r03 cohort --
     "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_pit_supplier",
     "lineitem_running_total", "lineitem_zorder", "multimodal_frame_sample",
     "orders_changelog", "orders_cube", "orders_merge_upsert",
     "supplier_scd2", "token_cms_topk",
     # -- backfill from the r04 cohort.  The driver checks the FIRST 50
-    # registry keys only, and the 5 round-8 additions above push the
-    # LAST FIVE entries below (orders_lineitem_merge_join,
-    # orders_partitioned_prune, orders_schema_evolution,
-    # orders_seasonality, pq_distortion_audit) past the window: they and
-    # supplier_hhi still carry r04 records and MUST front-load round 9 --
+    # registry keys only, and the 6 round-8 additions above push the
+    # LAST SIX entries below (orders_lineitem_hash_join,
+    # orders_lineitem_merge_join, orders_partitioned_prune,
+    # orders_schema_evolution, orders_seasonality, pq_distortion_audit)
+    # past the window: they and supplier_hhi still carry r04 records and
+    # MUST front-load round 9 --
     "ann_recall_audit", "dedup_lsh_recall_audit", "dedup_simhash_hamming1",
     "dedup_threshold_sweep", "docs_bpe_pairs", "docs_containment",
     "docs_dsir_score", "embeddings_kmeans", "embeddings_knn_graph",

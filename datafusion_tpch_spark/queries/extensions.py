@@ -3111,6 +3111,57 @@ ORDER BY asset_id
 """
 
 
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode end-to-end — a second genuine compression family
+    next to PNG's DEFLATE: documents → deterministic 16-color index
+    rasters + closed-form palette encoded as GIF87a files (variable-width
+    LZW codes with clear/end handling, dictionary growth to 4096 and
+    reset, LSB-first bit packing pinned to hand-derived spec bytes,
+    ≤255-byte sub-blocks) → ``decode_gif`` reassembles the sub-blocks,
+    LZW-decompresses (including the KwKwK case) and palette-maps strictly
+    from blob bytes → the same integer-exact stats kernel.  The oracle
+    recomputes everything from the closed form, so a decoder that drops
+    a dictionary entry or misreads a code width hash-fails.  Same
+    parallel plan shape as the PNG gates."""
+    from ..operators.multimodal import (
+        decoded_gif_stats,
+        documents_as_gif_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_gif_stats(documents_as_gif_assets(ids))
+
+
+MULTIMODAL_GIF_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 16 AS p
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 12) * (8 + doc_id % 4))) t(i)),
+c AS (
+  SELECT doc_id,
+         (p * 37 + 11) % 256 AS r,
+         (p * 59 + 7) % 256 AS g,
+         (p * 83 + 3) % 256 AS b
+  FROM s)
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 12 AS INTEGER) AS width,
+       CAST(8 + doc_id % 4 AS INTEGER) AS height,
+       SUM(r + g + b) * 1.0 / (COUNT(*) * 3) AS mean_px,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM c
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5239,6 +5290,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_png_adam7_roundtrip", multimodal_png_adam7_roundtrip,
               MULTIMODAL_PNG_ADAM7_SQL,
               "Adam7-interlaced PNG: per-pass unfilter + pixel-grid scatter"),
+    QuerySpec("multimodal_gif_roundtrip", multimodal_gif_roundtrip,
+              MULTIMODAL_GIF_SQL,
+              "GIF87a: real LZW compress/decompress + palette map"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),
