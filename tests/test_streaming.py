@@ -354,3 +354,130 @@ def test_cdc_stream_recovers_from_checkpoint_after_crash(spark, tmp_path):
     )
     want = cdc_finalize(want_state, _CDC_TOMBSTONE).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_scd2_stream_recovers_from_checkpoint_after_crash(spark, tmp_path):
+    """SCD2 twin of the CDC recovery proof — with a twist that matters:
+    the SCD2 fold is NOT replay-idempotent (re-applying a batch would
+    double-count versions and dwell), so recovery correctness rests on
+    the durable snapshot being written for COMMITTED batches only and
+    the restart resuming at exactly the first uncommitted batch, which
+    is precisely what the file source's checkpointed offsets guarantee.
+    The restarted run must not replay any committed batch and must
+    finish with state equal to the uninterrupted batch SCD2 history."""
+    import glob
+    import json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_tpch_spark.queries.stream import _timeordered_week_layout
+    from datafusion_tpch_spark.streaming.maintenance import (
+        scd2_apply_batch,
+        scd2_empty_state,
+        scd2_finalize,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snapshot(batch_id, holder):
+        base = f"{state_dir}/b{batch_id:05d}"
+        holder["agg"].write.mode("overwrite").parquet(f"{base}/agg")
+        holder["open"].write.mode("overwrite").parquet(f"{base}/open")
+        with open(f"{base}/meta.json", "w") as fh:
+            json.dump({"max_us": holder["max_us"]}, fh)
+
+    def latest_snapshot():
+        snaps = sorted(glob.glob(f"{state_dir}/b*"))
+        return snaps[-1] if snaps else None
+
+    def make_feed():
+        layout = _timeordered_week_layout(spark, SF_DIR)
+        schema = spark.read.parquet(layout).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(layout)
+        )
+
+    def run_phase(holder, crash_on_nth_nonempty=None):
+        seen, crashed = [], {}
+
+        def apply_batch(batch_df, batch_id):
+            us = F.unix_micros(F.col("ts"))
+            b = batch_df.select(
+                "user_id", "event_id",
+                F.col("event_type").alias("state_type"), us.alias("us"),
+            ).localCheckpoint()
+            bounds = b.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+            if bounds["lo"] is None:
+                seen.append((batch_id, False))
+                return
+            if (
+                crash_on_nth_nonempty is not None
+                and sum(1 for _, ne in seen if ne) + 1 >= crash_on_nth_nonempty
+            ):
+                crashed["bid"] = batch_id
+                raise RuntimeError("injected crash before applying batch")
+            if holder["max_us"] is not None and bounds["lo"] < holder["max_us"]:
+                raise AssertionError("feed out of order")
+            holder["max_us"] = bounds["hi"]
+            new_agg, new_open = scd2_apply_batch(holder["agg"], holder["open"], b)
+            holder["agg"] = new_agg.localCheckpoint()
+            holder["open"] = new_open.localCheckpoint()
+            snapshot(batch_id, holder)
+            seen.append((batch_id, True))
+
+        q = (
+            make_feed()
+            .writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        err = None
+        try:
+            q.awaitTermination(300)
+        except StreamingQueryException as e:
+            err = e
+        finally:
+            q.stop()
+        return seen, crashed.get("bid"), err
+
+    empty_agg, empty_open = scd2_empty_state(spark)
+    holder = {
+        "agg": empty_agg.localCheckpoint(),
+        "open": empty_open.localCheckpoint(),
+        "max_us": None,
+    }
+    seen1, crashed_bid, err1 = run_phase(holder, crash_on_nth_nonempty=2)
+    assert err1 is not None and crashed_bid is not None
+    committed1 = {bid for bid, _ in seen1}
+
+    last = latest_snapshot()
+    assert last is not None, "no durable snapshot before the crash"
+    import json as _json
+
+    meta = _json.load(open(f"{last}/meta.json"))
+    holder2 = {
+        "agg": spark.read.parquet(f"{last}/agg").localCheckpoint(),
+        "open": spark.read.parquet(f"{last}/open").localCheckpoint(),
+        "max_us": meta["max_us"],
+    }
+    seen2, _, err2 = run_phase(holder2)
+    assert err2 is None and seen2
+    replayed = committed1 & {bid for bid, _ in seen2}
+    assert not replayed, f"committed batches replayed: {replayed}"
+    assert min(bid for bid, _ in seen2) == crashed_bid
+
+    got = scd2_finalize(holder2["agg"], holder2["open"]).collect()
+    want = _build_q(spark, "events_scd2_history").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def _build_q(spark, name):
+    from datafusion_tpch_spark.queries import all_queries
+
+    return all_queries()[name].build(spark, SF_DIR)
