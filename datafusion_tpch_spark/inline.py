@@ -35,7 +35,13 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
-        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        # Quote-doubling ('') parses identically whether or not the session
+        # sets spark.sql.parser.escapedStringLiterals, so quotes are safe
+        # in both modes.  Backslashes are only an escape character in the
+        # default mode; ``inline_table`` asserts that conf before rendering
+        # any backslash-bearing string so the doubled form below is never
+        # misparsed as two literal backslashes.
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, float):
         if math.isnan(v):
             return "CAST('NaN' AS DOUBLE)"
@@ -87,6 +93,23 @@ def inline_table(spark: SparkSession, rows, schema: str) -> DataFrame:
     cols = _split_schema(schema)
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+
+    def _has_backslash(v) -> bool:
+        if isinstance(v, str):
+            return "\\" in v
+        if isinstance(v, (list, tuple)):
+            return any(_has_backslash(x) for x in v)
+        return False
+
+    if any(_has_backslash(v) for row in rows for v in row):
+        # _sql_lit doubles backslashes, which only round-trips in the
+        # default (escaping) parser mode — see the comment there.
+        conf = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        if str(conf).lower() == "true":
+            raise ValueError(
+                "inline_table: backslash in a string literal is ambiguous "
+                "under spark.sql.parser.escapedStringLiterals=true"
+            )
     if not rows:
         nulls = ", ".join("NULL" for _ in cols)
         return spark.sql(

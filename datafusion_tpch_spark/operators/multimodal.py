@@ -1093,6 +1093,8 @@ def decode_gif(content: bytes) -> np.ndarray:
     buf = bytes(content)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF stream")
+    if len(buf) < 13:
+        raise ValueError("GIF: truncated header/screen descriptor")
     sw = int.from_bytes(buf[6:8], "little")
     sh = int.from_bytes(buf[8:10], "little")
     flags = buf[10]
@@ -1100,18 +1102,22 @@ def decode_gif(content: bytes) -> np.ndarray:
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(buf):
+            raise ValueError("GIF: truncated global color table")
         gct = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
-    while pos < len(buf):
-        b0 = buf[pos]
-        if b0 == 0x3B:  # trailer
-            raise ValueError("GIF: no image data before trailer")
-        if b0 == 0x21:  # 89a extension block — skip is possible, but the
-            raise NotImplementedError("GIF extensions not supported")
-        if b0 != 0x2C:
-            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
-        break
+    if pos >= len(buf):
+        raise ValueError("GIF: truncated before image descriptor")
+    b0 = buf[pos]
+    if b0 == 0x3B:  # trailer
+        raise ValueError("GIF: no image data before trailer")
+    if b0 == 0x21:  # 89a extension block — skip is possible, but the
+        raise NotImplementedError("GIF extensions not supported")
+    if b0 != 0x2C:
+        raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
     pos += 1
+    if pos + 9 > len(buf):
+        raise ValueError("GIF: truncated image descriptor")
     w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
     h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
     iflags = buf[pos + 8]
@@ -1121,6 +1127,8 @@ def decode_gif(content: bytes) -> np.ndarray:
     pal = gct
     if iflags & 0x80:  # local color table
         n = 2 << (iflags & 0x07)
+        if pos + 3 * n > len(buf):
+            raise ValueError("GIF: truncated local color table")
         pal = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     if pal is None:

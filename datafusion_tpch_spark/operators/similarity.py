@@ -139,10 +139,17 @@ def pairwise_cosine(
         b_pdf = a_pdf if t1 == t2 else pdf[pdf["_blk"] == t2]
         if len(a_pdf) == 0 or len(b_pdf) == 0:
             return empty
-        if len(a_pdf) * len(b_pdf) > max_pairs_per_task:
+        # diagonal tasks only score the upper triangle — cap on the pair
+        # count actually computed, not the full n×n rectangle
+        n_pairs = (
+            len(a_pdf) * (len(a_pdf) - 1) // 2
+            if t1 == t2
+            else len(a_pdf) * len(b_pdf)
+        )
+        if n_pairs > max_pairs_per_task:
             raise ValueError(
                 f"pairwise_cosine block-pair task ({t1},{t2}) would score "
-                f"{len(a_pdf)}x{len(b_pdf)} pairs (> max_pairs_per_task="
+                f"{n_pairs} pairs (> max_pairs_per_task="
                 f"{max_pairs_per_task}). This exact all-pairs kernel is a "
                 "verification baseline; at this scale generate candidates "
                 "with LSH/MinHash banding (ann_lsh_topk, dedup_minhash_lsh) "

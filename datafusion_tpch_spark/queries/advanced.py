@@ -2795,7 +2795,18 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gap = F.datediff(F.col("t_day"), F.col("s_day"))
     w_arr = F.array(*[F.lit(w) for w in _EWMA_W])
-    wgt = F.element_at(w_arr, gap + 1)
+    wgt = F.element_at(w_arr, gap + 1)  # bigint: max weight 4^7 = 16384
+    # bigint × decimal(38,0) is still decimal(38,0)-capped, so an
+    # overflowing product would be NULL with ANSI off and SUM would
+    # silently skip it while DuckDB's HUGEINT path errors.  Guard the
+    # term: a NULL product from a non-NULL xq raises instead of
+    # diverging quietly (CASE branches evaluate lazily, so raise_error
+    # only fires on actual overflow).
+    prod = wgt * F.col("s_xq")
+    term = F.when(
+        prod.isNull() & F.col("s_xq").isNotNull(),
+        F.raise_error(F.lit("events_ewma_daily: weighted sum overflowed decimal(38,0)")),
+    ).otherwise(prod)
     return (
         t.join(
             s,
@@ -2805,7 +2816,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t_type").alias("event_type"), F.col("t_day").alias("day"))
         .agg(
             (
-                F.sum(wgt.cast("decimal(38,0)") * F.col("s_xq")).cast("double")
+                F.sum(term).cast("double")
                 / F.sum(wgt).cast("double")
                 / F.lit(float(_EWMA_Q))
             ).alias("ewma_value")
