@@ -25,44 +25,35 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 8 (per the round-7 verdict): new round-8 gates
-# first (driver record on first exposure), then the last 11 r03-cohort
-# queries, then backfill from the 40-query r04 cohort.  Any r04 queries
-# displaced by round-8 additions (the window is exactly 50) rotate in
-# round 9.  Everything not listed keeps registration order after these.
+# correctness record.  Round 9 (per the round-8 verdict): new round-9 gates
+# first (driver record on first exposure), then the 7 queries whose latest
+# record is still r04 (supplier_hhi + the six the round-8 additions
+# displaced), then re-confirms of the queries this round's code changes
+# touched, then backfill by staleness (r05-cohort next).  Everything not
+# listed keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round-8 additions; new queries are inserted HERE as they land --
-    "embeddings_sq8_recall", "multimodal_png_palette_roundtrip",
-    "multimodal_png16_roundtrip", "events_ewma_daily",
-    "multimodal_png_adam7_roundtrip", "multimodal_gif_roundtrip",
-    # -- last of the r03 cohort --
-    "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_pit_supplier",
-    "lineitem_running_total", "lineitem_zorder", "multimodal_frame_sample",
-    "orders_changelog", "orders_cube", "orders_merge_upsert",
-    "supplier_scd2", "token_cms_topk",
-    # -- backfill from the r04 cohort.  The driver checks the FIRST 50
-    # registry keys only, and the 6 round-8 additions above push the
-    # LAST SIX entries below (orders_lineitem_hash_join,
-    # orders_lineitem_merge_join, orders_partitioned_prune,
-    # orders_schema_evolution, orders_seasonality, pq_distortion_audit)
-    # past the window: they and supplier_hhi still carry r04 records and
-    # MUST front-load round 9 --
-    "ann_recall_audit", "dedup_lsh_recall_audit", "dedup_simhash_hamming1",
-    "dedup_threshold_sweep", "docs_bpe_pairs", "docs_containment",
-    "docs_dsir_score", "embeddings_kmeans", "embeddings_knn_graph",
-    "embeddings_top_eigvec", "events_ab_lift", "events_cooccurrence_lift",
-    "events_corrupt_json_audit", "events_feature_hash",
-    "events_interval_union", "events_longest_streak", "events_path_ngrams",
-    "events_props_key_census", "events_stickiness", "events_time_rollup",
-    "events_trailing_window", "events_train_test_split",
-    "events_type_dow_chisq", "events_user_bitmap", "lang_id_metrics",
-    "lineitem_band_join", "lineitem_grouping_sets",
-    "lineitem_hist_quantile_sketch", "lineitem_late_dim",
-    "lineitem_price_model", "lineitem_profile_moments",
-    "orders_changelog_apply", "orders_constraints",
-    "orders_lineitem_hash_join", "orders_lineitem_merge_join",
+    # -- round-9 additions; new queries are inserted HERE as they land --
+    "docs_bpe_encode",
+    # -- the 7 rotation-debt queries (latest record r04) --
+    "supplier_hhi", "orders_lineitem_hash_join", "orders_lineitem_merge_join",
     "orders_partitioned_prune", "orders_schema_evolution",
     "orders_seasonality", "pq_distortion_audit",
+    # -- backfill: the full r05 cohort (47 queries), oldest records next
+    # in line.  Only the first 50 keys total are driver-checked; entries
+    # pushed past the window by later round-9 additions above simply wait
+    # for round 10 --
+    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
+    "q21", "q22",
+    "ann_ivf_pq_topk", "ann_lsh_topk", "customer_record_linkage",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_semantic",
+    "docs_negative_pairs", "docs_reservoir_sample", "docs_stratified_sample",
+    "docs_token_pack", "events_concurrency", "events_hll_stream",
+    "events_kmv_distinct", "events_kmv_setops", "events_late_audit",
+    "events_rolling_kmv", "events_trending_stream", "events_value_quantiles",
+    "lineitem_winsorize", "multimodal_audio_energy", "orders_csv_roundtrip",
+    "orders_json_roundtrip", "part_impute_median", "part_skyline",
+    "text_stats",
 ]
 
 

@@ -931,6 +931,187 @@ ORDER BY rank
 
 
 # ===========================================================================
+# BPE encode: apply the learned merge table
+# ===========================================================================
+
+_BPE_ENC_K = 8  # merge-table size applied by the encoder
+
+
+def _bpe_merges(vocab: DataFrame) -> list[str]:
+    """The top-K merge table, learned exactly as ``docs_bpe_pairs`` learns
+    it (char pairs over the word-frequency table, ranked weight desc then
+    pair asc) and collected — a ≤K-row bounded collect, the same pattern
+    as the k-means / IVF centroid seeds.  The oracle replays the identical
+    deterministic learning in SQL, so both engines apply the same table.
+    ``vocab`` is the (word, freq) frequency table."""
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    # global window over the char-pair table — bounded by |charset|^2,
+    # not the corpus (same exemption as docs_bpe_pairs)
+    w = Window.orderBy(F.col("weight").desc(), F.col("pair"))
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("weight"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_ENC_K)
+        .orderBy("rank")
+    )
+    return [r["pair"] for r in ranked.collect()]
+
+
+def _bpe_token_count(word, merges: list[str]):
+    """Tokens left after applying ``merges`` in rank order: each merge is
+    one left fold over the symbol array (merge the leftmost eligible
+    adjacent pair, continue after it — the canonical non-overlapping BPE
+    scan; a symbol merged this round is 2 chars long, so it can never
+    re-match a single-char pair within the same fold).  Pure JVM
+    higher-order expressions — no UDF, no shuffle, O(K·len) per word."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    def make_step(a: str, b: str, p: str):
+        def step(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (s == b),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(p))),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return step
+
+    for p in merges:
+        arr = F.aggregate(
+            arr, F.array().cast("array<string>"), make_step(p[0], p[1], p)
+        )
+    return F.size(arr).cast("long")
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the tokenizer loop: ENCODE the corpus with the merge table
+    ``docs_bpe_pairs`` learns — per-document token counts under the
+    tokenizer plus the corpus token total, the number a training-data
+    budget actually needs (whitespace counts drift 20–40% from
+    tokenizer counts; mixtures and packing plans are sized in tokens).
+
+    Merges apply in rank order; each is a left fold over the word's
+    symbol array (leftmost non-overlapping, the canonical BPE apply).
+    The folds run over the DISTINCT vocabulary — the Zipf-bounded
+    (word, freq) table a tokenizer trainer already materializes, encoded
+    once however often each word repeats — and token counts join back to
+    the exploded corpus (broadcast while the vocab fits, shuffle-join on
+    word beyond that).  At 100 TB that is the whole point: encode cost
+    scales with |vocab|, not |corpus words|; the corpus pays only its
+    per-doc aggregation shuffle.  The merge table itself is a ≤8-row
+    bounded collect; the oracle re-learns the identical table in SQL and
+    replays the same folds as one position-stepping recursive CTE over
+    the distinct vocabulary."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    # single-file fixtures scan as 1 partition — spread before the explode
+    spread = docs.select("doc_id", "text").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wpd = spread.select(
+        "doc_id", F.explode(text.words(F.col("text"))).alias("word")
+    )
+    # tiny after the map-side combine; checkpointed so merge learning and
+    # vocab encoding don't each re-run the corpus explode
+    vocab = (
+        wpd.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    merges = _bpe_merges(vocab)
+    vocab_tok = vocab.select(
+        "word", "freq", _bpe_token_count(F.col("word"), merges).alias("n_tok")
+    )
+    per = (
+        wpd.join(F.broadcast(vocab_tok.drop("freq")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    # corpus total from the vocab side (Σ freq·n_tok ≡ Σ per-doc n_tokens
+    # by construction) — no second corpus pass
+    total = vocab_tok.agg(
+        F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("corpus_tokens")
+    )
+    return out.crossJoin(F.broadcast(total)).orderBy("doc_id")
+
+
+DOCS_BPE_ENCODE_SQL = f"""
+WITH RECURSIVE
+docw AS (SELECT doc_id, {text.words_sql('text')} AS ws FROM documents),
+vocab0 AS (SELECT word, COUNT(*) AS freq
+           FROM (SELECT unnest(ws) AS word FROM docw) GROUP BY word
+           HAVING length(word) >= 2),
+bpairs AS (SELECT freq, unnest(list_transform(range(1, length(word)),
+                               i -> substring(word, i, 2))) AS pair
+           FROM vocab0),
+merges AS (
+  SELECT pair,
+         CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, pair) AS INTEGER) AS rank
+  FROM (SELECT pair, SUM(freq) AS weight FROM bpairs GROUP BY pair)
+  QUALIFY rank <= {_BPE_ENC_K}),
+mlist AS (SELECT list(pair ORDER BY rank) AS ps FROM merges),
+vocab AS (SELECT DISTINCT unnest(ws) AS word FROM docw),
+enc AS (
+  SELECT word,
+         list_transform(range(1, length(word)+1),
+                        i -> substring(word, i, 1)) AS syms,
+         1 AS k, CAST(1 AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS acc
+  FROM vocab
+  UNION ALL
+  SELECT word,
+    CASE WHEN i > len(syms) THEN acc ELSE syms END,
+    CASE WHEN i > len(syms) THEN k + 1 ELSE k END,
+    CASE WHEN i > len(syms) THEN CAST(1 AS BIGINT) ELSE i + 1 END,
+    CASE WHEN i > len(syms) THEN CAST([] AS VARCHAR[])
+         WHEN len(acc) > 0 AND acc[-1] = substring(ps[k], 1, 1)
+              AND syms[CAST(i AS INT)] = substring(ps[k], 2, 1)
+           THEN acc[:len(acc)-1] || [ps[k]]
+         ELSE acc || [syms[CAST(i AS INT)]] END
+  FROM enc, mlist
+  WHERE k <= len(ps) AND NOT (k = len(ps) AND i > len(syms))
+),
+tok AS (
+  SELECT word, CAST(len(acc) AS BIGINT) AS n_tok
+  FROM enc, mlist WHERE k = len(ps) AND i = len(syms) + 1),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, unnest(ws) AS word FROM docw) JOIN tok USING (word)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       t.corpus_tokens
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN perdoc p USING (doc_id)
+CROSS JOIN (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens
+            FROM perdoc) t
+ORDER BY d.doc_id
+"""
+
+
+# ===========================================================================
 # Pipeline yield funnel
 # ===========================================================================
 
@@ -1200,6 +1381,10 @@ SPECS = [
     QuerySpec(
         "docs_bpe_pairs", docs_bpe_pairs, DOCS_BPE_PAIRS_SQL,
         "BPE merge-candidate induction over the word-frequency table",
+    ),
+    QuerySpec(
+        "docs_bpe_encode", docs_bpe_encode, DOCS_BPE_ENCODE_SQL,
+        "apply the learned BPE merge table: per-doc + corpus token counts",
     ),
     QuerySpec(
         "docs_reservoir_sample", docs_reservoir_sample,

@@ -180,3 +180,83 @@ def test_feature_hash_census_accounts_all_pairs(spark):
     for r in rows:
         assert 0 <= r["bucket"] < 32
         assert 1 <= r["n_types"] <= 5
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The Spark fold-encode must equal an independent pure-Python BPE
+    apply (learn top-K char-pair merges over the word-frequency table,
+    apply in rank order with the leftmost non-overlapping scan)."""
+    import collections
+    import re
+
+    from datafusion_tpch_spark.queries.curation import _BPE_ENC_K
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    freq = collections.Counter()
+    for _, t in rows:
+        for w in words(t):
+            freq[w] += 1
+    pair_w = collections.Counter()
+    for w, f in freq.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pair_w[w[i : i + 2]] += f
+    merges = [
+        p for p, _ in sorted(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:_BPE_ENC_K]
+
+    def encode(w):
+        syms = list(w)
+        for p in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == p[0] and s == p[1]:
+                    out[-1] = p  # merge the leftmost eligible pair
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    expect = {
+        did: (len(words(t)), sum(len(encode(w)) for w in words(t)))
+        for did, t in rows
+    }
+    corpus = sum(v[1] for v in expect.values())
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["corpus_tokens"])
+        for r in _q(spark, "docs_bpe_encode").collect()
+    }
+    assert set(got) == set(expect)
+    for did, (nw, nt) in expect.items():
+        assert got[did][:2] == (nw, nt), (did, got[did], (nw, nt))
+        assert got[did][2] == corpus
+
+
+def test_bpe_fold_semantics_hand_worked(spark):
+    """Pin the Spark fold expression itself on hand-worked words: rank
+    order (not positional order) decides which of two blocking merges
+    wins, and same-char runs merge leftmost non-overlapping."""
+    from datafusion_tpch_spark.inline import inline_table
+    from datafusion_tpch_spark.queries.curation import _bpe_token_count
+
+    cases = [
+        # (word, merges, expected token count)
+        ("abc", ["bc", "ab"], 2),      # [a, bc]
+        ("abc", ["ab", "bc"], 2),      # [ab, c]
+        ("aabb", ["ab", "aa", "bb"], 3),  # ab first blocks both: [a, ab, b]
+        ("aabb", ["aa", "bb", "ab"], 2),  # [aa, bb]
+        ("aaaa", ["aa"], 2),           # leftmost non-overlap: [aa, aa]
+        ("aaa", ["aa"], 2),            # [aa, a]
+        ("abab", ["ab"], 2),           # [ab, ab]
+        ("x", ["ab"], 1),              # 1-char word: 1 token
+    ]
+    for word, merges, want in cases:
+        df = inline_table(spark, [(word,)], "w string").select(
+            _bpe_token_count(F.col("w"), merges).alias("n")
+        )
+        assert df.collect()[0]["n"] == want, (word, merges, want)
