@@ -237,8 +237,10 @@ _MH_BANDS = 4       # bands of 4 rows each
 _MH_ROWS = _MH_K // _MH_BANDS
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (docs,) = _t(spark, sf_dir, "documents")
+def _minhash_sig_of(docs: DataFrame) -> DataFrame:
+    """MinHash signature rows for ANY (doc_id, text) frame — the same
+    transform whether the frame is the whole fixture table or one
+    streamed micro-batch of newly crawled documents."""
     sh = docs.select(
         "doc_id", F.explode(text.shingles(F.col("text"), _SHINGLE_N)).alias("shingle")
     ).withColumn("h", hashing.md5_int(F.col("shingle"))).select("doc_id", "h").distinct()
@@ -247,6 +249,11 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(hashing.perm_params(_MH_K))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return _minhash_sig_of(docs)
 
 
 def _minhash_sig_sql() -> str:
@@ -381,30 +388,37 @@ def _lsh_buckets_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     The incremental-admission gate derives its corpus-capped index from
     this; the batch self-join gate keeps its own jointly-capped table
     (``_lsh_buckets``) because a self-join must cap the cells it joins."""
-    def build() -> DataFrame:
-        sig = _minhash_sig(spark, sf_dir)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"m{band * _MH_ROWS + r}").cast("string")
-                                for r in range(_MH_ROWS)
-                            ],
-                        )
-                    ).alias("bkey"),
-                )
-                for band in range(_MH_BANDS)
-            ]
-        )
-        return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-        )
+    return _session_table(
+        spark, sf_dir, "lsh_buckets_raw",
+        lambda: _buckets_of(_t(spark, sf_dir, "documents")[0]),
+    )
 
-    return _session_table(spark, sf_dir, "lsh_buckets_raw", build)
+
+def _buckets_of(docs: DataFrame) -> DataFrame:
+    """UNCAPPED (doc_id, band, bkey) LSH bucket membership for ANY
+    (doc_id, text) frame — shared by the session-cached corpus index and
+    the streaming-ingest gate's per-micro-batch hashing."""
+    sig = _minhash_sig_of(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{band * _MH_ROWS + r}").cast("string")
+                            for r in range(_MH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for band in range(_MH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
 
 
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,32 +438,26 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch work is hashing the batch and one (band, bkey) semi-join
     whose build side is the index — at 100 TB the batch never shuffles
     the corpus."""
+    from ..streaming.maintenance import admit_batch
+
     (docs,) = _t(spark, sf_dir, "documents")
     buckets = _lsh_buckets_raw(spark, sf_dir)
-    corpus_cells = (
+    corpus_cells = _corpus_index_cells(buckets)
+    incoming_b = buckets.filter(F.col("doc_id") >= _INCR_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
+    return admit_batch(incoming_b, incoming, corpus_cells).orderBy("doc_id")
+
+
+def _corpus_index_cells(buckets: DataFrame) -> DataFrame:
+    """The corpus-capped (band, bkey) admission index: cells from corpus
+    docs only, hot cells (boilerplate) dropped on CORPUS occupancy so a
+    probe's fan-out is bounded and verdicts are batch-independent."""
+    return (
         buckets.filter(F.col("doc_id") < _INCR_SPLIT)
         .groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
         .select("band", "bkey")
-    )
-    incoming_b = buckets.filter(F.col("doc_id") >= _INCR_SPLIT)
-    hits = (
-        incoming_b.join(corpus_cells, ["band", "bkey"], "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_buckets"))
-    )
-    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select("doc_id")
-    return (
-        incoming.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_hit_buckets"), F.lit(0))
-            .cast("bigint")
-            .alias("n_hit_buckets"),
-            (F.coalesce(F.col("n_hit_buckets"), F.lit(0)) == 0).alias("kept"),
-        )
-        .orderBy("doc_id")
     )
 
 

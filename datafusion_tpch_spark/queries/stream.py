@@ -760,7 +760,110 @@ ORDER BY user_id
 EVENTS_CDC_STREAM_SQL = _cdc_stream_oracle()
 
 
+# Streaming near-dup admission: maintained verdict table per session, keyed
+# like _CDC_STREAM_STATE (first call per session runs the real multi-batch
+# stream; later calls read the maintained table).
+_INGEST_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _docs_incoming_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The incoming-crawl slice (doc_id >= split) written as 4 arbitrary
+    parquet files so ``maxFilesPerTrigger=1`` forces ≥4 real micro-batch
+    boundaries; written once per (process, fixture)."""
+    import os
+
+    from ..catalog import load_table
+    from .advanced import _scratch_path
+    from .extensions import _INCR_SPLIT
+
+    path = _scratch_path("docs_incoming4", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= _INCR_SPLIT)
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION — the continuously-ingesting-corpus
+    path the batch dedup family lacks: newly crawled documents arrive as
+    a real multi-batch stream (4-file layout, ``maxFilesPerTrigger=1``)
+    and ``foreachBatch`` probes each micro-batch against the corpus's
+    prebuilt, corpus-capped LSH bucket index
+    (``dedup_incremental_lsh``'s session-cached index), appending the
+    per-doc admission verdicts to a maintained table.  Verdicts depend
+    only on (doc, index) — the cap is on corpus occupancy, so the table
+    is provably independent of how the crawl is cut into batches
+    (hypothesis-tested in tests/test_maintenance_algebra.py) and must
+    equal the batch admission query hash-for-hash, which is what the
+    oracle checks.
+
+    At 100 TB: the index is built once and shared (here: session-cached
+    + localCheckpoint); each micro-batch costs hashing the batch plus
+    one (band, bkey) semi-join against the index — the corpus is never
+    reshuffled per batch, which is what lets admission run continuously
+    at crawl scale."""
+    from ..streaming.maintenance import admit_batch, admit_merge, run_foreach_batch
+    from .extensions import _buckets_of, _corpus_index_cells, _lsh_buckets_raw
+
+    _sweep_stopped_sessions(_INGEST_STREAM_STATE)
+    states = _INGEST_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
+    if cached is not None:
+        return cached[0].orderBy("doc_id")
+
+    corpus_cells = _corpus_index_cells(
+        _lsh_buckets_raw(spark, sf_dir)
+    ).localCheckpoint()
+    holder: dict = {"verdicts": None, "n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = admit_batch(
+            _buckets_of(batch_df), batch_df.select("doc_id"), corpus_cells
+        ).localCheckpoint()
+        holder["verdicts"] = admit_merge(holder["verdicts"], v)
+        holder["n"] += 1
+
+    path = _docs_incoming_layout(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_foreach_batch(spark, feed, apply_batch, "docs_dedup_ingest_stream")
+    if holder["verdicts"] is None:  # empty incoming slice
+        holder["verdicts"] = spark.createDataFrame(
+            [], "doc_id bigint, n_hit_buckets bigint, kept boolean"
+        )
+    final = holder["verdicts"].localCheckpoint()
+    states[sf_dir] = (final, holder["n"])
+    return final.orderBy("doc_id")
+
+
+from .extensions import DEDUP_INCREMENTAL_LSH_SQL as _DEDUP_INCR_LSH_SQL  # noqa: E402
+
+# the stream maintains exactly the batch admission table — one oracle text,
+# shared so the two can't drift
+DOCS_DEDUP_INGEST_STREAM_SQL = _DEDUP_INCR_LSH_SQL
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "docs_dedup_ingest_stream",
+        docs_dedup_ingest_stream,
+        DOCS_DEDUP_INGEST_STREAM_SQL,
+        "foreachBatch near-dup admission vs corpus LSH index (== batch)",
+    ),
     QuerySpec(
         "events_cdc_stream",
         events_cdc_stream,

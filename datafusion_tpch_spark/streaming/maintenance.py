@@ -225,3 +225,41 @@ def scd2_finalize(agg: DataFrame, opn: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "state_type")
     )
+
+
+# ------------------------------------------- near-dup ingest admission
+
+def admit_batch(
+    batch_buckets: DataFrame, batch_ids: DataFrame, corpus_cells: DataFrame
+) -> DataFrame:
+    """Admission verdicts for one micro-batch of incoming documents
+    probed against the corpus's prebuilt (band, bkey) LSH index:
+    ``n_hit_buckets`` = how many of the doc's bucket cells the index
+    already holds, ``kept`` iff zero.  The index is corpus-capped
+    upstream, so a verdict depends only on (doc, index) — NEVER on what
+    else shares the micro-batch — which is what makes the maintained
+    verdict table provably independent of batch boundaries (the
+    hypothesis property in tests/test_maintenance_algebra.py)."""
+    hits = (
+        batch_buckets.join(corpus_cells, ["band", "bkey"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_buckets"))
+    )
+    return batch_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hit_buckets"), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit_buckets"),
+        (F.coalesce(F.col("n_hit_buckets"), F.lit(0)) == 0).alias("kept"),
+    )
+
+
+def admit_merge(state: DataFrame | None, batch_verdicts: DataFrame) -> DataFrame:
+    """Fold one batch's verdicts into the maintained table.  Incoming
+    doc_ids are unique across batches (a file feed delivers each doc
+    once), so the merge is a pure append — associative and commutative,
+    the trivial end of the maintenance algebra spectrum, kept explicit
+    so the property test pins the contract."""
+    if state is None:
+        return batch_verdicts
+    return state.unionByName(batch_verdicts)

@@ -104,3 +104,74 @@ def test_scd2_state_is_boundary_independent(spark):
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
     prop()
+
+
+def _docs(spark, seed: int, n: int):
+    """Deterministic little document table with enough shared phrases
+    that some incoming docs near-dup against the corpus."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "query", "table", "join", "scan", "batch", "row"]
+    rows = []
+    for did in range(n):
+        if rng.random() < 0.4 and did > 0:
+            # near-copy of an earlier doc: likely shares LSH buckets
+            base = rows[rng.randrange(len(rows))][1]
+            words = base.split()
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+            t = " ".join(words)
+        else:
+            t = " ".join(rng.choice(vocab) for _ in range(12))
+        rows.append((did, t))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ingest_admission_is_boundary_and_order_independent(spark):
+    """The streaming near-dup admission verdicts must be identical for
+    EVERY way of cutting the incoming crawl into micro-batches, in any
+    order — the property docs_dedup_ingest_stream's single 4-way run
+    can't pin."""
+    from datafusion_tpch_spark.queries.extensions import (
+        _buckets_of,
+        _corpus_index_cells,
+        _INCR_SPLIT,
+    )
+    from datafusion_tpch_spark.streaming.maintenance import (
+        admit_batch,
+        admit_merge,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 60), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        n = _INCR_SPLIT + 60
+        docs = _docs(spark, seed, n).localCheckpoint()
+        cells = _corpus_index_cells(_buckets_of(docs)).localCheckpoint()
+        incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+        rows = incoming.orderBy("doc_id").collect()
+        slices = _cuts_to_slices(len(rows), cuts)
+        rnd.shuffle(slices)  # admission must tolerate ANY batch order
+        state = None
+        for a, b in slices:
+            batch = spark.createDataFrame(rows[a:b], incoming.schema)
+            state = admit_merge(
+                state,
+                admit_batch(
+                    _buckets_of(batch), batch.select("doc_id"), cells
+                ).localCheckpoint(),
+            )
+        got = sorted(tuple(r) for r in state.collect()) if state else []
+        want = sorted(
+            tuple(r)
+            for r in admit_batch(
+                _buckets_of(incoming), incoming.select("doc_id"), cells
+            ).collect()
+        )
+        assert got == want
+
+    prop()

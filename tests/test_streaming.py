@@ -481,3 +481,26 @@ def _build_q(spark, name):
     from datafusion_tpch_spark.queries import all_queries
 
     return all_queries()[name].build(spark, SF_DIR)
+
+
+def test_ingest_stream_is_multibatch_and_equals_batch_admission(spark):
+    """docs_dedup_ingest_stream must (a) really run ≥4 micro-batches
+    (4-file incoming layout, maxFilesPerTrigger=1), and (b) maintain
+    exactly the batch admission table (dedup_incremental_lsh)."""
+    import os
+
+    from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.stream import _INGEST_STREAM_STATE
+
+    specs = all_queries()
+    got = specs["docs_dedup_ingest_stream"].build(spark, SF_DIR).collect()
+    tag = SF_DIR.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_docs_incoming4_{os.getpid()}_{tag}"
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4  # the stream really had 4 single-file triggers
+    assert _INGEST_STREAM_STATE[spark][SF_DIR][1] >= 4  # ≥4 non-empty batches
+    batch = specs["dedup_incremental_lsh"].build(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    # admission did both things at least once on this fixture
+    kept = {r["kept"] for r in got}
+    assert kept == {True, False}, f"degenerate fixture verdicts: {kept}"
