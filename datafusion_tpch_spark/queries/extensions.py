@@ -3170,6 +3170,59 @@ ORDER BY asset_id
 """
 
 
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end — the DCT transform-coding
+    family next to PNG's DEFLATE and GIF's LZW, closing the codec matrix:
+    documents → deterministic block-constant grayscale rasters encoded as
+    genuine Huffman-coded JFIF streams (forward DCT, all-ones quant,
+    zig-zag, RLE + canonical Huffman with byte stuffing, real
+    partial-block padding on every image) → ``decode_jpeg`` re-derives
+    the Huffman tables from DHT, entropy-decodes, dequantizes and runs
+    the IDCT strictly from blob bytes → integer-exact pixel stats.
+    Block-constant rasters have exactly-integer DCT coefficients, so the
+    roundtrip is bit-exact and the oracle recomputes the stats
+    closed-form over the 8×8 block grid — a decoder that mis-reads one
+    Huffman code, one run length, or one padded block hash-fails.  Same
+    parallel plan shape as the PNG/GIF gates."""
+    from ..operators.multimodal import (
+        decoded_jpeg_stats,
+        documents_as_jpeg_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_jpeg_stats(documents_as_jpeg_assets(ids))
+
+
+MULTIMODAL_JPEG_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 17 AS w,
+         6 + doc_id % 13 AS h,
+         (6 + doc_id % 17 + 7) // 8 AS nbx
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         (doc_id * 2654435761 + c) % 256 AS v,
+         LEAST(8, h - (c // nbx) * 8) AS ch,
+         LEAST(8, w - (c % nbx) * 8) AS cw
+  FROM g, UNNEST(range(0, nbx * ((h + 7) // 8))) t(c))
+SELECT doc_id AS asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       SUM(v * ch * cw) * 1.0 / (w * h) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_px
+FROM cells
+GROUP BY doc_id, w, h
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5301,6 +5354,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_gif_roundtrip", multimodal_gif_roundtrip,
               MULTIMODAL_GIF_SQL,
               "GIF87a: real LZW compress/decompress + palette map"),
+    QuerySpec("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
+              MULTIMODAL_JPEG_SQL,
+              "baseline JPEG: DCT + Huffman encode/decode, bit-exact"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

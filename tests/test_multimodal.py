@@ -159,10 +159,12 @@ def test_compressed_codecs_raise():
 
     from datafusion_tpch_spark.operators.multimodal import decode_image
 
-    # JPEG is the remaining honest NotImplementedError boundary (PNG is a
-    # real decoder as of round 7)
-    with pytest.raises(NotImplementedError):
+    # JPEG decodes for real as of round 9; a TRUNCATED JPEG must refuse
+    # loudly, and library-grade codecs (WebP) stay NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
 
 
 def test_png_roundtrip_property():
@@ -592,3 +594,186 @@ def test_gif_decoder_rejects_what_it_cannot_parse():
         encode_gif(idx, np.arange(9, dtype=np.uint8).reshape(3, 3))
     with pytest.raises(ValueError):
         encode_gif(np.full((2, 2), 7, dtype=np.uint8), pal)
+
+
+def _block_const_gray(did: int) -> np.ndarray:
+    """The gate's closed-form raster: constant per 8x8 block grid cell."""
+    w, h = 6 + did % 17, 6 + did % 13
+    nbx = (w + 7) // 8
+    bi = np.arange(h, dtype=np.int64)[:, None] // 8
+    bj = np.arange(w, dtype=np.int64)[None, :] // 8
+    return ((did * 2654435761 + bi * nbx + bj) % 256).astype(np.uint8)
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    """All-ones quant + block-constant rasters: DCT coefficients are exact
+    integers (DC = 8*(c-128), AC = 0), so decode == source bit-for-bit —
+    the property the oracle gate relies on, across every (w%17, h%13)
+    partial-block geometry."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    for did in list(range(0, 300, 7)) + [221, 4999]:
+        img = _block_const_gray(did)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert np.array_equal(out, img), did
+
+
+def test_jpeg_roundtrip_error_bound_random():
+    """Arbitrary rasters with all-ones quant: the only loss is coefficient
+    rounding, bounded by a couple of gray levels; gray stays within 2,
+    4:4:4 color (double color-space rounding) within 5.  Exercises the
+    full AC path: runs, ZRL, EOB, both Huffman table classes."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(6):
+        g = rng.integers(0, 256, (21, 34), dtype=np.uint8)
+        err = np.abs(decode_jpeg(encode_jpeg(g)).astype(int) - g.astype(int))
+        assert err.max() <= 2, err.max()
+    for _ in range(4):
+        c = rng.integers(0, 256, (19, 25, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(c))
+        assert out.shape == c.shape
+        err = np.abs(out.astype(int) - c.astype(int))
+        assert err.max() <= 5, err.max()
+
+
+def test_jpeg_lossy_tables_still_decode():
+    """A genuinely lossy quant table (not all-ones) must produce a valid
+    stream the decoder reads back with bounded quantization error."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    img = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=q))
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 16 * 4  # well inside the per-table quantization budget
+
+
+def test_jpeg_entropy_bits_pinned_to_spec():
+    """Hand-derived Annex K codes: an 8x8 all-128 gray block is DC
+    category 0 (luma DC code '00') + EOB (luma AC code '1010'), padded
+    with 1-bits -> the entropy segment is the single byte 0b00101011.
+    Pins OUR canonical-table construction to the real standard."""
+    from datafusion_tpch_spark.operators.multimodal import encode_jpeg
+
+    b = encode_jpeg(np.full((8, 8), 128, np.uint8))
+    sos = b.rfind(b"\xff\xda")
+    seglen = int.from_bytes(b[sos + 2 : sos + 4], "big")
+    entropy = b[sos + 2 + seglen : -2]
+    assert entropy == bytes([0b00101011]), entropy.hex()
+    # and a nonzero DC: c=129 -> diff 8, category 4 (code '101'), bits
+    # '1000', EOB '1010' -> 101 1000 1010 + '1' pad = 0b10110001 0b01011111
+    b2 = encode_jpeg(np.full((8, 8), 129, np.uint8))
+    sos = b2.rfind(b"\xff\xda")
+    seglen = int.from_bytes(b2[sos + 2 : sos + 4], "big")
+    assert b2[sos + 2 + seglen : -2] == bytes([0b10110001, 0b01011111])
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """A raster tuned so the entropy stream contains 0xFF bytes must
+    round-trip through the 0xFF00 stuffing/unstuffing path."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    hit = False
+    for _ in range(40):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        blob = encode_jpeg(img)
+        sos = blob.rfind(b"\xff\xda")
+        seglen = int.from_bytes(blob[sos + 2 : sos + 4], "big")
+        if b"\xff\x00" in blob[sos + 2 + seglen : -2]:
+            hit = True
+        out = decode_jpeg(blob)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    assert hit, "no stuffed byte ever produced — test raster too tame"
+
+
+def test_jpeg_decoder_rejects_what_it_cannot_parse():
+    """Boundary contract, mirroring the PNG/GIF boundary tests: every
+    unimplemented corner raises NotImplementedError BY NAME; corruption
+    raises ValueError."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(b"not a jpeg")
+    good = bytearray(encode_jpeg(_block_const_gray(5)))
+
+    def _patched(marker_from, marker_to, mutate=None):
+        b = good.copy()
+        i = bytes(b).index(bytes([0xFF, marker_from]))
+        b[i + 1] = marker_to
+        if mutate:
+            mutate(b, i)
+        return bytes(b)
+
+    # SOF0 -> SOF2: progressive
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(_patched(0xC0, 0xC2))
+    # SOF0 -> SOF9: arithmetic coding
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(_patched(0xC0, 0xC9))
+    # 12-bit precision
+    prec = good.copy()
+    i = bytes(prec).index(b"\xff\xc0")
+    prec[i + 4] = 12
+    with _pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(prec))
+    # chroma subsampling (sampling factor 2x2)
+    samp = good.copy()
+    i = bytes(samp).index(b"\xff\xc0")
+    samp[i + 11] = 0x22
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(samp))
+    # 16-bit quant tables
+    dqt = good.copy()
+    i = bytes(dqt).index(b"\xff\xdb")
+    dqt[i + 4] = 0x10
+    with _pytest.raises(NotImplementedError, match="quant"):
+        decode_jpeg(bytes(dqt))
+    # restart intervals
+    dri = bytes(good[:2]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[2:])
+    with _pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
+    # truncation inside the entropy stream
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) - 4]))
+
+
+def test_jpeg_huffman_tables_are_valid_canonical():
+    """Structural validity of the Annex K tables we emit: lengths match,
+    canonical codes never overflow their bit length, and every symbol the
+    encoder can emit is present."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _JPG_AC_C, _JPG_AC_L, _JPG_DC_C, _JPG_DC_L, _huff_encode_table,
+    )
+
+    for bits, values in (_JPG_DC_L, _JPG_DC_C, _JPG_AC_L, _JPG_AC_C):
+        assert sum(bits) == len(values)
+        assert len(set(values)) == len(values)
+        table = _huff_encode_table(bits, values)
+        for sym, (code, ln) in table.items():
+            assert 0 <= code < (1 << ln), (sym, code, ln)
+    for _, values in (_JPG_AC_L, _JPG_AC_C):
+        syms = set(values)
+        assert 0x00 in syms and 0xF0 in syms  # EOB + ZRL
+        for run in range(16):
+            for size in range(1, 11):
+                assert (run << 4) | size in syms, (run, size)
+    for _, values in (_JPG_DC_L, _JPG_DC_C):
+        assert set(values) == set(range(12))
