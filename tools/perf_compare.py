@@ -59,6 +59,7 @@ def clear_stream_reuse(spark) -> None:
     CDC/SCD2 maintained-state caches (all session-keyed)."""
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
+        _INGEST_STREAM_STATE,
         _SCD2_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
@@ -66,11 +67,13 @@ def clear_stream_reuse(spark) -> None:
     _SINK_COMPLETE.pop(spark, None)
     _CDC_STREAM_STATE.pop(spark, None)
     _SCD2_STREAM_STATE.pop(spark, None)
+    _INGEST_STREAM_STATE.pop(spark, None)
 
 
 def _stream_caches_populated(spark) -> bool:
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
+        _INGEST_STREAM_STATE,
         _SCD2_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
@@ -79,6 +82,7 @@ def _stream_caches_populated(spark) -> bool:
         _SINK_COMPLETE.get(spark)
         or _CDC_STREAM_STATE.get(spark)
         or _SCD2_STREAM_STATE.get(spark)
+        or _INGEST_STREAM_STATE.get(spark)
     )
 
 
