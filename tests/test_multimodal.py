@@ -577,13 +577,17 @@ def test_gif_decoder_rejects_what_it_cannot_parse():
     pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
     idx = (np.arange(6, dtype=np.uint8) % 4).reshape(2, 3)
     good = bytearray(encode_gif(idx, pal))
-    # interlace flag on the image descriptor must refuse
-    # layout: 6 header + 7 screen + 12 palette + [0x2C + 8] + flags byte
-    iflags_off = 6 + 7 + 12 + 9
-    lace = good.copy()
-    lace[iflags_off] |= 0x40
+    # a GCE carrying a TRANSPARENCY index has no RGB answer — refuse
+    gce_transparent = (
+        bytes(good[: 6 + 7 + 12])
+        + b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        + bytes(good[6 + 7 + 12 :])
+    )
     with pytest.raises(NotImplementedError):
-        decode_gif(bytes(lace))
+        decode_gif(gce_transparent)
+    # a truncated extension block must fail loudly
+    with pytest.raises(ValueError):
+        decode_gif(bytes(good[: 6 + 7 + 12]) + b"\x21\xfe\x05ab")
     # truncated LZW stream must fail loudly, not return garbage
     with pytest.raises(ValueError):
         decode_gif(bytes(good[:-4]) + b"\x00\x3b")
@@ -777,3 +781,54 @@ def test_jpeg_huffman_tables_are_valid_canonical():
                 assert (run << 4) | size in syms, (run, size)
     for _, values in (_JPG_DC_L, _JPG_DC_C):
         assert set(values) == set(range(12))
+
+
+def test_gif89a_interlace_roundtrip():
+    """89a + interlace: the encoder writes the four-pass row order behind
+    a Graphic Control Extension; the decoder must skip the extension and
+    scatter the passes back — identity for every height 1..13 (each
+    exercising a different pass mix)."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _gif_interlace_order,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for h in range(1, 14):
+        idx = rng.integers(0, 16, (h, 9), dtype=np.uint8)
+        blob = encode_gif(idx, pal, interlace=True, gif89a=True)
+        assert blob[:6] == b"GIF89a"
+        assert b"\x21\xf9" in blob  # GCE present
+        assert np.array_equal(decode_gif(blob), pal[idx]), h
+    # the pass order itself, pinned for h=10:
+    assert _gif_interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    # and a NON-interlaced 89a stream with a comment extension decodes too
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+    plain = bytearray(encode_gif(idx, pal, gif89a=True))
+    head = 6 + 7 + 16 * 3
+    commented = (
+        bytes(plain[:head]) + b"\x21\xfe\x02hi\x00" + bytes(plain[head:])
+    )
+    assert np.array_equal(decode_gif(commented), pal[idx])
+
+
+def test_gif_interlace_is_on_the_hash_path():
+    """Mis-labeling sequential data as interlaced must decode to a
+    DIFFERENT (permuted) raster for h >= 3 — the property the gate's
+    position-weighted checksum relies on."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(8 * 5, dtype=np.uint8) % 16).reshape(8, 5)
+    seq = bytearray(encode_gif(idx, pal))
+    iflags_off = 6 + 7 + 16 * 3 + 9
+    assert seq[iflags_off - 9] == 0x2C  # descriptor where we expect it
+    seq[iflags_off] |= 0x40
+    got = decode_gif(bytes(seq))
+    assert got.shape == (8, 5, 3)
+    assert not np.array_equal(got, pal[idx])
