@@ -72,7 +72,8 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 # four-pass interlace) and baseline sequential JPEG (DCT + quantization
 # + Huffman, see encode_jpeg/decode_jpeg).  The remaining honest
 # boundaries, each raising NotImplementedError by name:
-# progressive/arithmetic/12-bit/subsampled JPEG, GIF transparency and
+# progressive/arithmetic/12-bit JPEG and sampling factors beyond 2,
+# GIF transparency and
 # frames past the first, WebP/AVIF and every other library-grade codec.
 
 
@@ -1367,18 +1368,6 @@ class _JpgBitWriter:
             self.write(1, 1)  # pad final byte with 1-bits (T.81 convention)
 
 
-def _jpg_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Edge-replicate ``plane`` to 8-multiples and return (blocks[n,8,8]
-    float64 level-shifted, blocks_down, blocks_across)."""
-    h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
-    p -= 128.0
-    by, bx = ph // 8, pw // 8
-    blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    return blocks, by, bx
-
-
 def _jpg_encode_block(bw: _JpgBitWriter, zz, pred: int, dctab, actab) -> int:
     diff = int(zz[0]) - pred
     s = abs(diff).bit_length()
@@ -1435,17 +1424,57 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
+_JPG_SAMPLING = {"444": ((1, 1), (1, 1), (1, 1)),
+                 "422": ((2, 1), (1, 1), (1, 1)),
+                 "420": ((2, 2), (1, 1), (1, 1))}
+
+
+def _jpg_plane_blocks_mcu(plane: np.ndarray, q: np.ndarray,
+                          mcux: int, mcuy: int, sh: int, sv: int) -> np.ndarray:
+    """Quantized zig-zag coefficients for one component, block rows/cols
+    padded (edge-replicated) to the MCU grid: returns (mcuy*sv, mcux*sh,
+    64) so the MCU writer can index blocks positionally."""
+    h, w = plane.shape
+    ph, pw = mcuy * sv * 8, mcux * sh * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    p -= 128.0
+    blocks = (
+        p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _JPG_D, blocks, _JPG_D)
+    qz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _JPG_ZZ]
+    return qz.reshape(ph // 8, pw // 8, 64)
+
+
+def _jpg_subsample(plane: np.ndarray, fh: int, fw: int) -> np.ndarray:
+    """fh×fw box-average subsampling (the JFIF downsample), edge-padding
+    odd dimensions first so every box is full."""
+    if fh == 1 and fw == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = (h + fh - 1) // fh * fh, (w + fw - 1) // fw * fw
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    boxes = p.reshape(ph // fh, fh, pw // fw, fw).mean(axis=(1, 3))
+    return np.clip(np.round(boxes), 0, 255).astype(np.uint8)
+
+
 def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
-                chroma_quant: np.ndarray | None = None) -> bytes:
+                chroma_quant: np.ndarray | None = None,
+                subsampling: str = "444") -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 raster as a REAL
     baseline sequential JFIF stream.  ``quant`` defaults to all-ones (the
     closed-form-exact setting for block-constant rasters); pass the Annex
     K tables (or any 8-bit table) for genuinely lossy output.  Color uses
-    interleaved 4:4:4 MCUs with separate luma/chroma Huffman tables."""
+    interleaved MCUs with separate luma/chroma Huffman tables;
+    ``subsampling`` picks the chroma layout — "444" (one block per
+    component per MCU), "422", or "420" (the 2×2-luma 16×16-MCU layout
+    real-world JPEGs ship), with box-average chroma downsampling."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h, w) or (h, w, 3) uint8")
+    if subsampling not in _JPG_SAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     h, w = img.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("JPEG: bad dimensions")
@@ -1456,23 +1485,29 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     if (q0 < 1).any() or (q0 > 255).any() or (q1 < 1).any() or (q1 > 255).any():
         raise ValueError("JPEG: 8-bit quant tables only")
 
-    planes = [img] if gray else [
-        _jpg_rgb_to_ycc(img)[:, :, i] for i in range(3)
-    ]
+    samp = ((1, 1),) if gray else _JPG_SAMPLING[subsampling]
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    if gray:
+        planes = [img]
+    else:
+        ycc = _jpg_rgb_to_ycc(img)
+        planes = [
+            _jpg_subsample(ycc[:, :, i], max_v // sv, max_h // sh)
+            for i, (sh, sv) in enumerate(samp)
+        ]
     qtabs = [q0] if gray else [q0, q1, q1]
     dc_t = [_JPG_DC_L] if gray else [_JPG_DC_L, _JPG_DC_C, _JPG_DC_C]
     ac_t = [_JPG_AC_L] if gray else [_JPG_AC_L, _JPG_AC_C, _JPG_AC_C]
     dc_enc = [_huff_encode_table(*t) for t in dc_t]
     ac_enc = [_huff_encode_table(*t) for t in ac_t]
 
-    # per-component quantized zig-zag coefficient arrays
-    comp_zz = []
-    nby = nbx = 0
-    for plane, q in zip(planes, qtabs):
-        blocks, nby, nbx = _jpg_blocks(plane)
-        coef = np.einsum("ux,nxy,vy->nuv", _JPG_D, blocks, _JPG_D)
-        qz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _JPG_ZZ]
-        comp_zz.append(qz)
+    comp_zz = [
+        _jpg_plane_blocks_mcu(p, q, mcux, mcuy, sh, sv)
+        for p, q, (sh, sv) in zip(planes, qtabs, samp)
+    ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -1484,7 +1519,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        sh, sv = samp[c]
+        sof += bytes([c + 1, (sh << 4) | sv, 0 if c == 0 else 1])
     out += _seg(0xC0, sof)
     dht = b""
     tables = [(0x00, _JPG_DC_L), (0x10, _JPG_AC_L)]
@@ -1501,11 +1537,16 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
 
     bw = _JpgBitWriter()
     preds = [0] * ncomp
-    for b in range(nby * nbx):  # interleaved 4:4:4 MCU = one block per comp
-        for c in range(ncomp):
-            preds[c] = _jpg_encode_block(
-                bw, comp_zz[c][b], preds[c], dc_enc[c], ac_enc[c]
-            )
+    for my in range(mcuy):  # interleaved MCUs: sh×sv blocks per component
+        for mx in range(mcux):
+            for c in range(ncomp):
+                sh, sv = samp[c]
+                for v in range(sv):
+                    for u in range(sh):
+                        preds[c] = _jpg_encode_block(
+                            bw, comp_zz[c][my * sv + v, mx * sh + u],
+                            preds[c], dc_enc[c], ac_enc[c],
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1583,12 +1624,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     """REAL baseline sequential JPEG decode strictly from the blob bytes:
     marker walk (APPn/COM skipped), DQT/DHT table construction FROM THE
     FILE, SOF0 frame parse, interleaved Huffman+RLE entropy decode,
-    dequantize, un-zig-zag, IDCT, level shift, 4:4:4 YCbCr->RGB.  Returns
-    (h, w) uint8 for 1-component streams, (h, w, 3) uint8 for 3.  The
-    unimplemented corners raise NotImplementedError by name: progressive
-    (SOF2) and every other non-SOF0 frame type, arithmetic coding, 12-bit
-    precision, 16-bit quant tables, subsampling other than 4:4:4, restart
-    intervals."""
+    dequantize, un-zig-zag, IDCT, level shift, chroma upsample
+    (replication — the box-downsample's adjoint), YCbCr->RGB.  Handles
+    4:4:4, 4:2:2 and 4:2:0 MCU interleaves (any sampling factors in
+    1..2).  Returns (h, w) uint8 for 1-component streams, (h, w, 3)
+    uint8 for 3.  The unimplemented corners raise NotImplementedError by
+    name: progressive (SOF2) and every other non-SOF0 frame type,
+    arithmetic coding, 12-bit precision, 16-bit quant tables, sampling
+    factors beyond 2, restart intervals."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream")
@@ -1650,11 +1693,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
                     raise NotImplementedError(
-                        "JPEG chroma subsampling (only 4:4:4 supported)"
+                        f"JPEG sampling factors {sh}x{sv} (1..2 supported)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, sh, sv))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1677,60 +1721,82 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     fh, fw, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("JPEG multi-scan streams")
-    by, bx = (fh + 7) // 8, (fw + 7) // 8
+    max_h = max(c[2] for c in comps)
+    max_v = max(c[3] for c in comps)
+    mcux = (fw + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
     br = _JpgBitReader(buf, pos)
     comp_cfg = []
-    for (cid, tq), (scid, td, ta) in zip(comps, scan):
+    for (cid, tq, sh, sv), (scid, td, ta) in zip(comps, scan):
         if cid != scid:
             raise ValueError("JPEG: scan/frame component mismatch")
         try:
-            cfg = (hufftabs[(0, td)], hufftabs[(1, ta)], qtabs[tq])
+            cfg = (hufftabs[(0, td)], hufftabs[(1, ta)], qtabs[tq], sh, sv)
         except KeyError as e:
             raise ValueError(f"JPEG: missing table {e}") from None
         comp_cfg.append(cfg)
     ncomp = len(comps)
-    coefs = [np.zeros((by * bx, 8, 8), dtype=np.int64) for _ in range(ncomp)]
+    coefs = [
+        np.zeros((mcuy * sv, mcux * sh, 8, 8), dtype=np.int64)
+        for (_, _, _, sh, sv) in comp_cfg
+    ]
     preds = [0] * ncomp
-    for b in range(by * bx):
-        for c, (dct, act, q) in enumerate(comp_cfg):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _jpg_read_symbol(br, dct)
-            if s > 11:
-                raise ValueError("JPEG: bad DC category")
-            diff = _jpg_extend(br.bits(s), s) if s else 0
-            preds[c] += diff
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                sym = _jpg_read_symbol(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("JPEG: bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG: AC run past block end")
-                zz[k] = _jpg_extend(br.bits(size), size)
-                k += 1
-            blk = np.zeros(64, dtype=np.int64)
-            blk[_JPG_ZZ] = zz
-            coefs[c][b] = blk.reshape(8, 8) * q
+
+    def read_block(dct, act, q):
+        zz = np.zeros(64, dtype=np.int64)
+        s = _jpg_read_symbol(br, dct)
+        if s > 11:
+            raise ValueError("JPEG: bad DC category")
+        diff = _jpg_extend(br.bits(s), s) if s else 0
+        zz_dc = diff
+        k = 1
+        while k < 64:
+            sym = _jpg_read_symbol(br, act)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("JPEG: bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG: AC run past block end")
+            zz[k] = _jpg_extend(br.bits(size), size)
+            k += 1
+        return zz_dc, zz
+
+    for my in range(mcuy):  # interleaved MCUs: sh×sv blocks per component
+        for mx in range(mcux):
+            for c, (dct, act, q, sh, sv) in enumerate(comp_cfg):
+                for v in range(sv):
+                    for u in range(sh):
+                        diff, zz = read_block(dct, act, q)
+                        preds[c] += diff
+                        zz[0] = preds[c]
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[_JPG_ZZ] = zz
+                        coefs[c][my * sv + v, mx * sh + u] = (
+                            blk.reshape(8, 8) * q
+                        )
     planes = []
-    for c in range(ncomp):
-        px = np.einsum("xu,nuv,yv->nxy", _JPG_D.T, coefs[c].astype(np.float64),
-                       _JPG_D.T) + 128.0
+    for c, (_, _, _, sh, sv) in enumerate(comp_cfg):
+        bh, bw_ = coefs[c].shape[:2]
+        px = np.einsum(
+            "xu,nuv,yv->nxy", _JPG_D.T,
+            coefs[c].reshape(-1, 8, 8).astype(np.float64), _JPG_D.T,
+        ) + 128.0
         full = (
-            px.reshape(by, bx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)
+            px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         )
-        planes.append(
-            np.clip(np.round(full[:fh, :fw]), 0, 255).astype(np.uint8)
-        )
+        # crop to the component's true extent, then replicate back up to
+        # the full frame (the box-downsample's adjoint)
+        ch = (fh * sv + max_v - 1) // max_v
+        cw = (fw * sh + max_h - 1) // max_h
+        comp = np.clip(np.round(full[:ch, :cw]), 0, 255).astype(np.uint8)
+        up = np.repeat(np.repeat(comp, max_v // sv, axis=0), max_h // sh, axis=1)
+        planes.append(up[:fh, :fw])
     if ncomp == 1:
         return planes[0]
     if ncomp == 3:
@@ -2028,10 +2094,71 @@ def documents_as_jpeg_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_jpeg420_assets(docs: DataFrame) -> DataFrame:
+    """4:2:0 color-JPEG asset table: per document, a deterministic
+    (10+id%23) × (10+id%19) RGB raster with r=g=b, CONSTANT PER 16×16 MCU
+    CELL — pixel (y, x) = (id*K + (y//16)*nbx + x//16) % 256 on all three
+    channels — encoded with 2×2 luma sampling (the layout real-world
+    JPEGs ship).  Gray-as-color is the float-safe exact family: luma
+    rounds back to the source value, chroma is exactly 128 (so the 2×2
+    box-downsample and the replication upsample are both lossless), and
+    the color transform cancels — decode == source bit-for-bit while the
+    stream genuinely interleaves 4 luma + 2 chroma Huffman-coded blocks
+    per MCU."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 10 + aid % 23, 10 + aid % 19
+                nbx = (w + 15) // 16
+                bi = np.arange(h, dtype=np.int64)[:, None] // 16
+                bj = np.arange(w, dtype=np.int64)[None, :] // 16
+                g = ((aid * _JPG_PX_K + bi * nbx + bj) % 256).astype(np.uint8)
+                rgb = np.stack([g, g, g], axis=2)
+                out.append((aid, "image", "image/jpeg",
+                            encode_jpeg(rgb, subsampling="420")))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
 GRAY_STATS_SCHEMA = (
     "asset_id long, width int, height int, mean_px double, max_px long, "
     "sum_px long"
 )
+
+
+def decoded_jpeg_rgb_stats(assets: DataFrame) -> DataFrame:
+    """RGB twin of :func:`decoded_jpeg_stats` for 3-component JPEGs:
+    entropy-decode + dequantize + IDCT + chroma upsample + YCbCr→RGB
+    strictly from blob bytes, emitting the same per-channel statistics as
+    the PNG/GIF gates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_jpeg(row.content)
+                px = img.astype(np.int64)
+                out.append(
+                    (row.asset_id, img.shape[1], img.shape[0],
+                     float(px.mean()), int(px.max()),
+                     int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "mean_px",
+                         "max_px", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return assets.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 def decoded_jpeg_stats(assets: DataFrame) -> DataFrame:

@@ -3272,6 +3272,59 @@ ORDER BY asset_id
 """
 
 
+def multimodal_jpeg420_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled color JPEG — the MCU layout real-world
+    JPEGs actually ship: every 16×16 MCU interleaves FOUR luma blocks
+    with one Cb and one Cr block, the chroma planes are box-downsampled
+    2×2 on encode and replication-upsampled on decode, and all six
+    blocks per MCU ride separate luma/chroma Huffman tables.  The asset
+    rasters are gray-as-color (r=g=b), constant per MCU cell — the
+    float-safe family where luma rounds back exactly and chroma is
+    exactly 128, so the roundtrip is bit-exact end-to-end and the oracle
+    recomputes the per-channel stats closed-form over the 16×16 grid.  A
+    decoder that mis-orders the MCU block interleave, mis-sizes a
+    subsampled plane, or mis-scatters the upsample hash-fails."""
+    from ..operators.multimodal import (
+        decoded_jpeg_rgb_stats,
+        documents_as_jpeg420_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_jpeg_rgb_stats(documents_as_jpeg420_assets(ids))
+
+
+MULTIMODAL_JPEG420_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         10 + doc_id % 23 AS w,
+         10 + doc_id % 19 AS h,
+         (10 + doc_id % 23 + 15) // 16 AS nbx
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         (doc_id * 2654435761 + c) % 256 AS v,
+         LEAST(16, h - (c // nbx) * 16) AS ch,
+         LEAST(16, w - (c % nbx) * 16) AS cw
+  FROM g, UNNEST(range(0, nbx * ((h + 15) // 16))) t(c))
+SELECT doc_id AS asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       SUM(v * ch * cw) * 1.0 / (w * h) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_r,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_g,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_b
+FROM cells
+GROUP BY doc_id, w, h
+ORDER BY asset_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5409,6 +5462,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_gif89a_roundtrip", multimodal_gif89a_roundtrip,
               MULTIMODAL_GIF89A_SQL,
               "GIF89a: extension-block walk + 4-pass de-interlace"),
+    QuerySpec("multimodal_jpeg420_roundtrip", multimodal_jpeg420_roundtrip,
+              MULTIMODAL_JPEG420_SQL,
+              "4:2:0 color JPEG: 6-block MCU interleave + chroma resample"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

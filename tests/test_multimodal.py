@@ -738,11 +738,11 @@ def test_jpeg_decoder_rejects_what_it_cannot_parse():
     prec[i + 4] = 12
     with _pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg(bytes(prec))
-    # chroma subsampling (sampling factor 2x2)
+    # sampling factors outside 1..2 (4:1:1-style 4x1 luma) stay a boundary
     samp = good.copy()
     i = bytes(samp).index(b"\xff\xc0")
-    samp[i + 11] = 0x22
-    with _pytest.raises(NotImplementedError, match="subsampling"):
+    samp[i + 11] = 0x41
+    with _pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(samp))
     # 16-bit quant tables
     dqt = good.copy()
@@ -832,3 +832,58 @@ def test_gif_interlace_is_on_the_hash_path():
     got = decode_gif(bytes(seq))
     assert got.shape == (8, 5, 3)
     assert not np.array_equal(got, pal[idx])
+
+
+def test_jpeg_subsampled_roundtrips():
+    """4:2:0 / 4:2:2: MCU-constant gray-as-color rasters round-trip
+    bit-exactly (luma rounds home, chroma is exactly 128 so the 2x2
+    box-downsample and replication upsample are lossless); smooth
+    gradients survive unharmed; random-noise chroma error is inherent to
+    subsampling, but the LUMA of the decode must still track the source
+    within DCT rounding."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    for did in [0, 7, 33, 254, 4999]:
+        w, h = 10 + did % 23, 10 + did % 19
+        nbx = (w + 15) // 16
+        bi = np.arange(h, dtype=np.int64)[:, None] // 16
+        bj = np.arange(w, dtype=np.int64)[None, :] // 16
+        g = ((did * 2654435761 + bi * nbx + bj) % 256).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=2)
+        for sub in ("420", "422"):
+            out = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+            assert np.array_equal(out, rgb), (did, sub)
+    # smooth gradient: box-average ≈ identity, error stays tiny
+    sm = np.clip(np.add.outer(np.arange(24) * 3, np.arange(33) * 2),
+                 0, 255).astype(np.uint8)
+    smc = np.stack([sm, np.clip(sm + 10, 0, 255),
+                    np.clip(sm + 20, 0, 255)], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smc, subsampling="420"))
+    assert np.abs(out.astype(int) - smc.astype(int)).max() <= 2
+    # random noise: chroma detail is gone by construction (that's what
+    # subsampling means) and gamut clipping then perturbs per-pixel luma,
+    # but the MEAN luma must still track the source closely
+    rng = np.random.default_rng(9)
+    c = rng.integers(0, 256, (19, 25, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(c, subsampling="420"))
+    assert out.shape == c.shape
+    luma = lambda a: (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
+                      + 0.114 * a[:, :, 2])
+    err = np.abs(luma(out.astype(float)) - luma(c.astype(float)))
+    assert err.mean() <= 2.0, err.mean()
+
+
+def test_jpeg_420_stream_structure():
+    """The 4:2:0 stream must really declare 2x2 luma sampling and carry
+    6 Huffman-coded blocks per MCU (4 Y + Cb + Cr) — pinned by block
+    count via an independent re-parse of the SOF header."""
+    from datafusion_tpch_spark.operators.multimodal import encode_jpeg
+
+    rgb = np.full((17, 22, 3), 90, dtype=np.uint8)
+    b = encode_jpeg(rgb, subsampling="420")
+    i = b.index(b"\xff\xc0")
+    assert b[i + 9] == 3  # 3 components
+    assert b[i + 11] == 0x22  # Y: 2x2
+    assert b[i + 14] == 0x11 and b[i + 17] == 0x11  # Cb, Cr: 1x1
