@@ -3269,7 +3269,120 @@ from .extensions import DEDUP_MINHASH_LSH_SQL as _LSH_SQL  # noqa: E402
 DOCS_CROSS_SOURCE_DUPS_SQL = DOCS_CROSS_SOURCE_DUPS_SQL.format(LSH=_LSH_SQL)
 
 
+
+# ===========================================================================
+# Embedding distribution drift
+# ===========================================================================
+
+_EDRIFT_TH = 0.02   # per-dim |mean delta| flagged as drifted
+_EDRIFT_Q = 10**12  # quantum for the exact cross-products of means
+
+
+def embeddings_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the retrain/re-embed alarm a
+    production vector pipeline runs between corpus snapshots: split the
+    table into two cohorts (vec_id parity stands in for old/new snapshot),
+    compare the per-dimension means, flag dimensions whose |delta| exceeds
+    a threshold, and report the cosine between the two mean vectors — for a
+    zero-centered embedding space this statistic is deliberately twitchy:
+    with no drift it converges to 1.0 only as the cohort means converge
+    (at production corpus sizes), while at small n it hovers near 0, so
+    the per-dim threshold flags are the fixture-scale signal and the
+    cosine is the at-scale one.
+
+    Exactness is the standard two-layer scheme: per-(dim, cohort) sums are
+    floor-quantized decimal(38,0) (order-independent), means are one
+    deterministic double division, and the cosine is assembled from
+    quantized cross-products of the means summed exactly — so both engines
+    produce bit-identical doubles with no order-dependent float reduction
+    anywhere.
+
+    Scale: one posexplode pass with map-side combine down to |dims| rows
+    (the same shuffle shape as embeddings_gram), then a 64-row summary
+    aggregate broadcast back — nothing data-sized shuffles twice."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = F.lit(float(10**8))
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_old"),
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    ).select("is_old", "dim", F.col("v").cast("double").alias("v"))
+    vq = F.floor(F.col("v") * q).cast("decimal(38,0)")
+    per = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_old"), vq)).alias("sq_old"),
+        F.count(F.when(F.col("is_old"), F.lit(1))).alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), vq)).alias("sq_new"),
+        F.count(F.when(~F.col("is_old"), F.lit(1))).alias("n_new"),
+    )
+    mo = (F.col("sq_old").cast("double") / q) / F.col("n_old")
+    mn = (F.col("sq_new").cast("double") / q) / F.col("n_new")
+    dims = per.select(
+        F.col("dim").cast("int").alias("dim"),
+        mo.alias("mean_old"),
+        mn.alias("mean_new"),
+        (mn - mo).alias("delta"),
+        (F.abs(mn - mo) > F.lit(_EDRIFT_TH)).alias("drifted"),
+        F.col("n_old").cast("bigint").alias("n_old"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+    )
+    qq = F.lit(float(_EDRIFT_Q))
+    cp = lambda a, b: F.sum(  # noqa: E731 — exact Σ of quantized products
+        F.floor(F.col(a) * F.col(b) * qq).cast("decimal(38,0)")
+    )
+    summary = dims.agg(
+        (
+            cp("mean_old", "mean_new").cast("double")
+            / F.sqrt(
+                cp("mean_old", "mean_old").cast("double")
+                * cp("mean_new", "mean_new").cast("double")
+            )
+        ).alias("cos_means")
+    )
+    return dims.crossJoin(F.broadcast(summary)).orderBy("dim")
+
+
+_EDRIFT_VQ = "CAST(floor(CAST(v AS DOUBLE) * 100000000.0) AS DECIMAL(38,0))"
+EMBEDDINGS_DRIFT_SQL = f"""
+WITH ex AS (
+  SELECT vec_id % 2 = 0 AS is_old,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings),
+per AS (
+  SELECT dim,
+         SUM(CASE WHEN is_old THEN {_EDRIFT_VQ} END) AS sq_old,
+         COUNT(CASE WHEN is_old THEN 1 END) AS n_old,
+         SUM(CASE WHEN NOT is_old THEN {_EDRIFT_VQ} END) AS sq_new,
+         COUNT(CASE WHEN NOT is_old THEN 1 END) AS n_new
+  FROM ex GROUP BY dim),
+dims AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old AS mean_old,
+         (CAST(sq_new AS DOUBLE) / 100000000.0) / n_new AS mean_new,
+         (CAST(sq_new AS DOUBLE) / 100000000.0) / n_new
+           - (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old AS delta,
+         abs((CAST(sq_new AS DOUBLE) / 100000000.0) / n_new
+             - (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old)
+           > {_EDRIFT_TH} AS drifted,
+         CAST(n_old AS BIGINT) AS n_old,
+         CAST(n_new AS BIGINT) AS n_new
+  FROM per),
+summary AS (
+  SELECT CAST(SUM(CAST(floor(mean_old * mean_new * {float(_EDRIFT_Q)!r}) AS DECIMAL(38,0))) AS DOUBLE)
+         / sqrt(CAST(SUM(CAST(floor(mean_old * mean_old * {float(_EDRIFT_Q)!r}) AS DECIMAL(38,0))) AS DOUBLE)
+                * CAST(SUM(CAST(floor(mean_new * mean_new * {float(_EDRIFT_Q)!r}) AS DECIMAL(38,0))) AS DOUBLE))
+           AS cos_means
+  FROM dims)
+SELECT d.dim, d.mean_old, d.mean_new, d.delta, d.drifted, d.n_old, d.n_new,
+       s.cos_means
+FROM dims d CROSS JOIN summary s
+ORDER BY d.dim
+"""
+
 SPECS = [
+    QuerySpec(
+        "embeddings_drift", embeddings_drift, EMBEDDINGS_DRIFT_SQL,
+        "per-dim mean drift between corpus snapshots + mean-vector cosine",
+    ),
     QuerySpec(
         "orders_changelog", orders_changelog, ORDERS_CHANGELOG_SQL,
         "snapshot-diff CDC changelog: full-outer key diff -> ins/upd/del",

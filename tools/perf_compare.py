@@ -102,7 +102,13 @@ def main() -> None:
     for name, spec in sorted(specs.items()):
         s_best = d_best = float("inf")
         sink_s = None
-        n = 0
+        # one untimed warm-up per side (codegen, python-worker fork, OS
+        # page cache) — the first-ever execution of a query in a process
+        # can cost 5x its steady state and is not a plan property.
+        # Streaming gates still run their full stream inside every TIMED
+        # window: clear_stream_reuse precedes each timed run.
+        clear_stream_reuse(spark)
+        n = len(spec.build(spark, sf_dir).collect())
         for _ in range(2):
             # cold for streaming gates: no sink/state reuse inside the
             # timed window — batch gates don't consult these caches
@@ -116,6 +122,7 @@ def main() -> None:
             spec.build(spark, sf_dir).collect()
             sink_s = time.perf_counter() - t0
         if spec.oracle:
+            con.execute(spec.oracle).fetchall()  # symmetric warm-up
             for _ in range(2):
                 t0 = time.perf_counter()
                 con.execute(spec.oracle).fetchall()
@@ -134,7 +141,8 @@ def main() -> None:
     lines = [
         "# PERF — this engine vs the DuckDB oracle, identical queries, identical parquet",
         "",
-        f"Source: `tools/perf_compare.py` on `{sf_dir}`, best of 2 runs per side; "
+        f"Source: `tools/perf_compare.py` on `{sf_dir}`, one untimed warm-up "
+        "then best of 2 runs per side; "
         "streaming gates timed cold (reuse caches cleared per run).",
         ANALYSIS,
         "| query | rows | spark s | duckdb s | spark/duckdb | sink s |",
