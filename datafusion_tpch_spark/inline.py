@@ -35,12 +35,11 @@ def _sql_lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
-        # Quote-doubling ('') parses identically whether or not the session
-        # sets spark.sql.parser.escapedStringLiterals, so quotes are safe
-        # in both modes.  Backslashes are only an escape character in the
-        # default mode; ``inline_table`` asserts that conf before rendering
-        # any backslash-bearing string so the doubled form below is never
-        # misparsed as two literal backslashes.
+        # Quote-doubling ('') and backslash-doubling are correct in the
+        # DEFAULT parser mode.  Under spark.sql.parser.escapedStringLiterals
+        # =true NEITHER escape works ('' renders two literal quotes,
+        # measured on 4.1.2) — ``inline_table`` refuses any string needing
+        # escapes in that mode rather than silently corrupting the literal.
         return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
     if isinstance(v, float):
         if math.isnan(v):
@@ -94,21 +93,22 @@ def inline_table(spark: SparkSession, rows, schema: str) -> DataFrame:
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
 
-    def _has_backslash(v) -> bool:
+    def _needs_escape(v) -> bool:
         if isinstance(v, str):
-            return "\\" in v
+            return "\\" in v or "'" in v
         if isinstance(v, (list, tuple)):
-            return any(_has_backslash(x) for x in v)
+            return any(_needs_escape(x) for x in v)
         return False
 
-    if any(_has_backslash(v) for row in rows for v in row):
-        # _sql_lit doubles backslashes, which only round-trips in the
-        # default (escaping) parser mode — see the comment there.
+    if any(_needs_escape(v) for row in rows for v in row):
+        # _sql_lit doubles quotes and backslashes, which only round-trips
+        # in the default (escaping) parser mode — see the comment there.
         conf = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
         if str(conf).lower() == "true":
             raise ValueError(
-                "inline_table: backslash in a string literal is ambiguous "
-                "under spark.sql.parser.escapedStringLiterals=true"
+                "inline_table: quote/backslash in a string literal cannot "
+                "be escaped under spark.sql.parser.escapedStringLiterals"
+                "=true"
             )
     if not rows:
         nulls = ", ".join("NULL" for _ in cols)

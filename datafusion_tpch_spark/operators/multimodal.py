@@ -1155,7 +1155,10 @@ def decode_gif(content: bytes) -> np.ndarray:
             if label == 0xF9:  # GCE — peek the transparency flag first
                 if pos + 2 > len(buf):
                     raise ValueError("GIF: truncated GCE")
-                if buf[pos] == 4 and buf[pos + 1] & 0x01:
+                # first payload byte is the packed field whatever the
+                # declared sub-block size — a nonstandard size must not
+                # smuggle a transparency flag past this check
+                if buf[pos] >= 1 and buf[pos + 1] & 0x01:
                     raise NotImplementedError(
                         "GIF transparency index not supported"
                     )
@@ -1676,6 +1679,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT, possibly several tables per segment
             o = 0
             while o < len(body):
+                if o + 17 > len(body):
+                    raise ValueError("JPEG: truncated DHT header")
                 tc, th = body[o] >> 4, body[o] & 0x0F
                 bits = tuple(body[o + 1 : o + 17])
                 n = sum(bits)
@@ -1685,6 +1690,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 hufftabs[(tc, th)] = _huff_decode_table(bits, vals)
                 o += 17 + n
         elif marker == 0xC0:  # SOF0 baseline sequential
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("JPEG: truncated SOF0")
             prec, fh, fw, nc = body[0], int.from_bytes(
                 body[1:3], "big"
             ), int.from_bytes(body[3:5], "big"), body[5]
@@ -1711,6 +1718,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("JPEG: truncated SOS header")
             ns = body[0]
             scan = []
             for c in range(ns):

@@ -2805,8 +2805,17 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = wgt * F.col("s_xq")
     term = F.when(
         prod.isNull() & F.col("s_xq").isNotNull(),
-        F.raise_error(F.lit("events_ewma_daily: weighted sum overflowed decimal(38,0)")),
+        F.raise_error(F.lit("events_ewma_daily: weighted term overflowed decimal(38,0)")),
     ).otherwise(prod)
+    # the SUM itself can also overflow decimal(38,0) to NULL with ANSI
+    # off; every group has ≥1 row (gap 0 matches itself) and every term
+    # is non-NULL per the guard above, so a NULL sum here can only mean
+    # aggregate overflow — raise instead of diverging quietly
+    ssum = F.sum(term)
+    ssum = F.when(
+        ssum.isNull(),
+        F.raise_error(F.lit("events_ewma_daily: weighted sum overflowed decimal(38,0)")),
+    ).otherwise(ssum)
     return (
         t.join(
             s,
@@ -2816,7 +2825,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t_type").alias("event_type"), F.col("t_day").alias("day"))
         .agg(
             (
-                F.sum(term).cast("double")
+                ssum.cast("double")
                 / F.sum(wgt).cast("double")
                 / F.lit(float(_EWMA_Q))
             ).alias("ewma_value")

@@ -1035,8 +1035,12 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_tok = vocab.select(
         "word", "freq", _bpe_token_count(F.col("word"), merges).alias("n_tok")
     )
+    # no broadcast hint: the vocab side is checkpointed, so AQE sees its
+    # real size and broadcasts while it fits — beyond that (a 100 TB
+    # corpus's vocabulary) the join degrades to a shuffle on word instead
+    # of a forced driver collect
     per = (
-        wpd.join(F.broadcast(vocab_tok.drop("freq")), "word")
+        wpd.join(vocab_tok.drop("freq"), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1099,7 +1103,13 @@ enc AS (
 ),
 tok AS (
   SELECT word, CAST(len(acc) AS BIGINT) AS n_tok
-  FROM enc, mlist WHERE k = len(ps) AND i = len(syms) + 1),
+  FROM enc, mlist WHERE k = len(ps) AND i = len(syms) + 1
+  UNION ALL
+  -- degenerate corpus (no length>=2 words): the merge table is empty,
+  -- the recursion never starts, and every word encodes to its chars —
+  -- mirroring the Spark side's zero-fold path
+  SELECT word, CAST(length(word) AS BIGINT) AS n_tok
+  FROM vocab WHERE (SELECT COALESCE(len(ps), 0) FROM mlist) = 0),
 perdoc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          CAST(SUM(n_tok) AS BIGINT) AS n_tokens

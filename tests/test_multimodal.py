@@ -757,6 +757,12 @@ def test_jpeg_decoder_rejects_what_it_cannot_parse():
     # truncation inside the entropy stream
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(good[: len(good) - 4]))
+    # a DHT segment cut inside its 16-byte bits array: ValueError, not
+    # IndexError
+    i = bytes(good).index(b"\xff\xc4")
+    cut = bytes(good[: i + 2]) + b"\x00\x06" + bytes(good[i + 4 : i + 8])
+    with _pytest.raises(ValueError):
+        decode_jpeg(cut + bytes(good[i + 8 :]))
 
 
 def test_jpeg_huffman_tables_are_valid_canonical():
