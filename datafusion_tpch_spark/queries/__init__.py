@@ -35,7 +35,7 @@ _CHECK_FIRST = [
     # -- round-9 additions; new queries are inserted HERE as they land --
     "docs_bpe_encode", "docs_dedup_ingest_stream", "multimodal_jpeg_roundtrip",
     "multimodal_gif89a_roundtrip", "multimodal_jpeg420_roundtrip",
-    "embeddings_drift", "docs_token_budget_bpe",
+    "embeddings_drift", "docs_token_budget_bpe", "docs_token_meter_stream",
     # -- the 7 rotation-debt queries (latest record r04) --
     "supplier_hhi", "orders_lineitem_hash_join", "orders_lineitem_merge_join",
     "orders_partitioned_prune", "orders_schema_evolution",

@@ -1040,32 +1040,53 @@ def _bpe_doc_tokens(
     return per, total
 
 
+def _bpe_vocab_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, n_tok): the deployed tokenizer as a table — the vocab
+    with each word's BPE token count under the learned merges.
+    Session-cached per (session, fixture): production learns the
+    tokenizer once and every consumer (rollup, budget, stream metering)
+    applies the same table."""
+    from .extensions import _session_table
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        # single-file fixtures scan as 1 partition — spread pre-explode
+        spread = docs.select("doc_id", "text").repartitionByRange(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        wpd = spread.select(
+            "doc_id", F.explode(text.words(F.col("text"))).alias("word")
+        )
+        vocab = (
+            wpd.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .localCheckpoint()
+        )
+        merges = _bpe_merges(vocab)
+        return vocab.select(
+            "word", "freq",
+            _bpe_token_count(F.col("word"), merges).alias("n_tok"),
+        )
+
+    return _session_table(spark, sf_dir, "bpe_vocab_tok", build)
+
+
 def _bpe_doc_tokens_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The uncached rollup (one merge-learning pass + vocab fold + per-doc
-    join), materialized once per (session, fixture) by the caller."""
+    """The uncached rollup (vocab fold + per-doc join), materialized once
+    per (session, fixture) by the caller."""
     (docs,) = _t(spark, sf_dir, "documents")
-    # single-file fixtures scan as 1 partition — spread before the explode
+    # single-file fixtures scan as 1 partition — spread before the explode.
+    # (Measured alternative: checkpointing the (doc_id, word, cnt) table —
+    # one corpus explode total — materializes |docs|·|words-per-doc| rows
+    # and came out ~0.9 s SLOWER at sf0.1; the explode rerun is cheaper
+    # than that write+read.)
     spread = docs.select("doc_id", "text").repartitionByRange(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     wpd = spread.select(
         "doc_id", F.explode(text.words(F.col("text"))).alias("word")
     )
-    # tiny after the map-side combine; checkpointed so merge learning and
-    # vocab encoding don't each re-run the corpus explode.  (Measured
-    # alternative: checkpointing the (doc_id, word, cnt) table instead —
-    # one corpus explode total — materializes |docs|·|words-per-doc| rows
-    # and came out ~0.9 s SLOWER at sf0.1; the explode rerun is cheaper
-    # than that write+read.)
-    vocab = (
-        wpd.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint()
-    )
-    merges = _bpe_merges(vocab)
-    vocab_tok = vocab.select(
-        "word", "freq", _bpe_token_count(F.col("word"), merges).alias("n_tok")
-    )
+    vocab_tok = _bpe_vocab_tok(spark, sf_dir)
     # no broadcast hint: the vocab side is checkpointed, so AQE sees its
     # real size and broadcasts while it fits — beyond that (a 100 TB
     # corpus's vocabulary) the join degrades to a shuffle on word instead

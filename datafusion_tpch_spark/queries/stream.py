@@ -783,7 +783,7 @@ def _docs_incoming_layout(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") >= _INCR_SPLIT)
-            .select("doc_id", "text")
+            .select("doc_id", "text", "source")
             .repartition(4)
             .write.mode("overwrite")
             .parquet(path)
@@ -850,6 +850,90 @@ def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
+# Maintained per-source token meter, same session-cache contract.
+_METER_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
+
+
+def docs_token_meter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOKEN METERING — the ingestion-side counter every
+    training-data pipeline runs continuously: newly crawled documents
+    stream in (same 4-file incoming layout, ``maxFilesPerTrigger=1``) and
+    ``foreachBatch`` costs each micro-batch against the DEPLOYED
+    tokenizer table (the session-cached BPE vocab from
+    ``_bpe_vocab_tok`` — word → token count under the learned merges,
+    with the char-count fallback for out-of-vocabulary words), folding
+    per-source (n_docs, n_tokens) totals into a maintained table.  Sums
+    are associative, so the totals are provably independent of batch
+    boundaries and order (hypothesis-tested) and must equal the batch
+    per-source BPE rollup over the incoming slice, which is what the
+    oracle checks.
+
+    At 100 TB: the tokenizer table is the static artifact (built once,
+    broadcast); each micro-batch costs one explode + one vocab join +
+    a |sources|-row aggregate — the corpus never reshuffles, and the
+    maintained table is |sources| rows however long the stream runs."""
+    from ..streaming.maintenance import (
+        meter_batch,
+        meter_merge,
+        run_foreach_batch,
+    )
+    from .curation import _bpe_vocab_tok
+
+    _sweep_stopped_sessions(_METER_STREAM_STATE)
+    states = _METER_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
+    if cached is not None:
+        return cached[0].orderBy("source")
+
+    vocab_tok = _bpe_vocab_tok(spark, sf_dir)  # session-cached, checkpointed
+    holder: dict = {"meter": None, "n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = meter_batch(batch_df, vocab_tok)
+        holder["meter"] = meter_merge(holder["meter"], m).localCheckpoint()
+        holder["n"] += 1
+
+    path = _docs_incoming_layout(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_foreach_batch(spark, feed, apply_batch, "docs_token_meter_stream")
+    if holder["meter"] is None:  # empty incoming slice
+        holder["meter"] = spark.createDataFrame(
+            [], "source string, n_docs bigint, n_tokens bigint"
+        )
+    final = holder["meter"].localCheckpoint()
+    states[sf_dir] = (final, holder["n"])
+    return final.orderBy("source")
+
+
+def _meter_stream_oracle() -> str:
+    from .curation import _BPE_DOC_TOKENS_CTES
+    from .extensions import _INCR_SPLIT
+
+    return f"""
+WITH RECURSIVE
+{_BPE_DOC_TOKENS_CTES}
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+WHERE d.doc_id >= {_INCR_SPLIT}
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+DOCS_TOKEN_METER_STREAM_SQL = _meter_stream_oracle()
+
+
 from .extensions import DEDUP_INCREMENTAL_LSH_SQL as _DEDUP_INCR_LSH_SQL  # noqa: E402
 
 # the stream maintains exactly the batch admission table — one oracle text,
@@ -863,6 +947,12 @@ SPECS: list[QuerySpec] = [
         docs_dedup_ingest_stream,
         DOCS_DEDUP_INGEST_STREAM_SQL,
         "foreachBatch near-dup admission vs corpus LSH index (== batch)",
+    ),
+    QuerySpec(
+        "docs_token_meter_stream",
+        docs_token_meter_stream,
+        DOCS_TOKEN_METER_STREAM_SQL,
+        "foreachBatch per-source token metering vs deployed BPE vocab",
     ),
     QuerySpec(
         "events_cdc_stream",

@@ -263,3 +263,47 @@ def admit_merge(state: DataFrame | None, batch_verdicts: DataFrame) -> DataFrame
     if state is None:
         return batch_verdicts
     return state.unionByName(batch_verdicts)
+
+
+# --------------------------------------------------- stream token metering
+
+def meter_batch(batch_docs: DataFrame, vocab_tok: DataFrame) -> DataFrame:
+    """Per-source token metering of one micro-batch of incoming documents
+    against the DEPLOYED tokenizer table (word -> n_tok under the learned
+    BPE merges): every ingested word is costed via the vocab join,
+    out-of-vocabulary words fall back to their character count (the
+    byte-fallback every real BPE tokenizer has), and zero-word documents
+    still count as documents (explode_outer).  Output: (source, n_docs,
+    n_tokens) for THIS batch only."""
+    from ..functions import text
+
+    w = batch_docs.select(
+        "source", "doc_id",
+        F.explode_outer(text.words(F.col("text"))).alias("word"),
+    )
+    j = w.join(vocab_tok.select("word", "n_tok"), "word", "left")
+    tok = F.when(F.col("word").isNull(), F.lit(0).cast("long")).otherwise(
+        F.coalesce(F.col("n_tok"), F.length("word").cast("long"))
+    )
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+    )
+
+
+def meter_merge(state: DataFrame | None, batch_meter: DataFrame) -> DataFrame:
+    """Fold one batch's per-source meter into the maintained totals: union
+    + re-sum.  Sums are associative and commutative and a file feed
+    delivers each doc once, so the maintained table is independent of
+    batch boundaries and order (hypothesis property in
+    tests/test_maintenance_algebra.py)."""
+    if state is None:
+        return batch_meter
+    return (
+        state.unionByName(batch_meter)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

@@ -175,3 +175,58 @@ def test_ingest_admission_is_boundary_and_order_independent(spark):
         assert got == want
 
     prop()
+
+
+def test_token_meter_is_boundary_and_order_independent(spark):
+    """Per-source stream token metering must be identical for EVERY way of
+    cutting the crawl into micro-batches, in any order — including
+    out-of-vocabulary words (char-count fallback) and zero-word docs."""
+    import random
+
+    from datafusion_tpch_spark.streaming.maintenance import (
+        meter_batch,
+        meter_merge,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 60), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        rng = random.Random(seed)
+        vocab_words = ["spark", "table", "join", "scan"]
+        oov_words = ["zeppelin", "qq"]
+        rows = []
+        for did in range(40):
+            if rng.random() < 0.1:
+                t = ""  # zero-word document still counts as a doc
+            else:
+                t = " ".join(
+                    rng.choice(vocab_words + oov_words) for _ in range(6)
+                )
+            rows.append((did, t, f"src{did % 3}"))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).localCheckpoint()
+        vocab_tok = spark.createDataFrame(
+            [(w, len(w), 2) for w in vocab_words],
+            "word string, freq long, n_tok long",
+        ).localCheckpoint()
+        ordered = docs.orderBy("doc_id").collect()
+        slices = _cuts_to_slices(len(ordered), cuts)
+        rnd.shuffle(slices)
+        state = None
+        for a, b in slices:
+            batch = spark.createDataFrame(ordered[a:b], docs.schema)
+            state = meter_merge(
+                state, meter_batch(batch, vocab_tok)
+            ).localCheckpoint()
+        got = sorted(tuple(r) for r in state.collect()) if state else []
+        want = sorted(
+            tuple(r) for r in meter_batch(docs, vocab_tok).collect()
+        )
+        assert got == want
+
+    prop()

@@ -504,3 +504,39 @@ def test_ingest_stream_is_multibatch_and_equals_batch_admission(spark):
     # admission did both things at least once on this fixture
     kept = {r["kept"] for r in got}
     assert kept == {True, False}, f"degenerate fixture verdicts: {kept}"
+
+
+def test_token_meter_stream_is_multibatch_and_equals_batch_rollup(spark):
+    """docs_token_meter_stream must run >=4 real micro-batches and its
+    maintained per-source totals must equal the batch BPE rollup summed
+    over the incoming slice."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.curation import _bpe_doc_tokens
+    from datafusion_tpch_spark.queries.extensions import _INCR_SPLIT
+    from datafusion_tpch_spark.queries.stream import _METER_STREAM_STATE
+    from datafusion_tpch_spark.catalog import load_table
+
+    specs = all_queries()
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in specs["docs_token_meter_stream"].build(spark, SF_DIR).collect()
+    }
+    assert _METER_STREAM_STATE[spark][SF_DIR][1] >= 4
+    per, _ = _bpe_doc_tokens(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in (
+            docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+            .join(per, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.coalesce("n_tokens", F.lit(0))).alias("n_tokens"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
