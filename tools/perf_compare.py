@@ -60,6 +60,7 @@ def clear_stream_reuse(spark) -> None:
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
         _INGEST_STREAM_STATE,
+        _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
@@ -68,12 +69,14 @@ def clear_stream_reuse(spark) -> None:
     _CDC_STREAM_STATE.pop(spark, None)
     _SCD2_STREAM_STATE.pop(spark, None)
     _INGEST_STREAM_STATE.pop(spark, None)
+    _METER_STREAM_STATE.pop(spark, None)
 
 
 def _stream_caches_populated(spark) -> bool:
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
         _INGEST_STREAM_STATE,
+        _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
@@ -83,6 +86,7 @@ def _stream_caches_populated(spark) -> bool:
         or _CDC_STREAM_STATE.get(spark)
         or _SCD2_STREAM_STATE.get(spark)
         or _INGEST_STREAM_STATE.get(spark)
+        or _METER_STREAM_STATE.get(spark)
     )
 
 
