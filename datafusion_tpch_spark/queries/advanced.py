@@ -3322,8 +3322,11 @@ def embeddings_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_old"), vq)).alias("sq_new"),
         F.count(F.when(~F.col("is_old"), F.lit(1))).alias("n_new"),
     )
-    mo = (F.col("sq_old").cast("double") / q) / F.col("n_old")
-    mn = (F.col("sq_new").cast("double") / q) / F.col("n_new")
+    # NULLIF-guard the cohort sizes: on a degenerate fixture where one
+    # parity cohort is empty, Spark (ANSI off) and DuckDB disagree on
+    # x/0 — NULL/NULL on both sides keeps the engines aligned.
+    mo = (F.col("sq_old").cast("double") / q) / F.nullif(F.col("n_old"), F.lit(0).cast("bigint"))
+    mn = (F.col("sq_new").cast("double") / q) / F.nullif(F.col("n_new"), F.lit(0).cast("bigint"))
     dims = per.select(
         F.col("dim").cast("int").alias("dim"),
         mo.alias("mean_old"),
@@ -3365,12 +3368,12 @@ per AS (
   FROM ex GROUP BY dim),
 dims AS (
   SELECT CAST(dim AS INTEGER) AS dim,
-         (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old AS mean_old,
-         (CAST(sq_new AS DOUBLE) / 100000000.0) / n_new AS mean_new,
-         (CAST(sq_new AS DOUBLE) / 100000000.0) / n_new
-           - (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old AS delta,
-         abs((CAST(sq_new AS DOUBLE) / 100000000.0) / n_new
-             - (CAST(sq_old AS DOUBLE) / 100000000.0) / n_old)
+         (CAST(sq_old AS DOUBLE) / 100000000.0) / NULLIF(n_old, 0) AS mean_old,
+         (CAST(sq_new AS DOUBLE) / 100000000.0) / NULLIF(n_new, 0) AS mean_new,
+         (CAST(sq_new AS DOUBLE) / 100000000.0) / NULLIF(n_new, 0)
+           - (CAST(sq_old AS DOUBLE) / 100000000.0) / NULLIF(n_old, 0) AS delta,
+         abs((CAST(sq_new AS DOUBLE) / 100000000.0) / NULLIF(n_new, 0)
+             - (CAST(sq_old AS DOUBLE) / 100000000.0) / NULLIF(n_old, 0))
            > {_EDRIFT_TH} AS drifted,
          CAST(n_old AS BIGINT) AS n_old,
          CAST(n_new AS BIGINT) AS n_new

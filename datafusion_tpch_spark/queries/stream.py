@@ -832,6 +832,12 @@ def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         holder["verdicts"] = admit_merge(holder["verdicts"], v)
         holder["n"] += 1
+        # the merge is a pure append, so lineage grows one union node per
+        # batch — flatten it periodically so a long-running stream's plan
+        # stays O(1) deep (per-batch cost stays O(batch): the checkpoint
+        # only re-materializes every 8th batch)
+        if holder["n"] % 8 == 0:
+            holder["verdicts"] = holder["verdicts"].localCheckpoint()
 
     path = _docs_incoming_layout(spark, sf_dir)
     schema = spark.read.parquet(path).schema

@@ -230,3 +230,59 @@ def test_token_meter_is_boundary_and_order_independent(spark):
         assert got == want
 
     prop()
+
+
+def test_meter_oov_fallback_matches_sql_oracle(spark):
+    """The OOV char-count fallback in meter_batch, checked against a
+    DuckDB SQL mirror with a vocab that is a TRUE SUBSET of the corpus
+    words — the case the driver's oracle gate never exercises (its vocab
+    is induced from the full corpus, so every word is in-vocab there).
+    Pins that the fallback semantics are exactly the SQL definition:
+    COALESCE(vocab.n_tok, length(word)), zero-word docs still counted."""
+    import duckdb
+
+    from datafusion_tpch_spark.functions.text import words_sql
+    from datafusion_tpch_spark.streaming.maintenance import meter_batch
+
+    rows = [
+        (0, "Spark joins the TABLE scan", "web"),
+        (1, "zeppelin qq spark", "web"),
+        (2, "", "pdf"),                       # zero-word doc
+        (3, "qq qq unknownword table", "pdf"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    vocab = [("spark", 9, 2), ("table", 7, 1), ("scan", 5, 3)]  # true subset
+    vocab_tok = spark.createDataFrame(vocab, "word string, freq long, n_tok long")
+    got = sorted(tuple(r) for r in meter_batch(docs, vocab_tok).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    con.execute("CREATE TABLE vocab(word VARCHAR, freq BIGINT, n_tok BIGINT)")
+    con.executemany("INSERT INTO vocab VALUES (?, ?, ?)", vocab)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH w AS (
+              SELECT d.source, d.doc_id, u.word
+              FROM docs d LEFT JOIN
+                   (SELECT doc_id, unnest({words_sql('text')}) AS word
+                    FROM docs) u USING (doc_id))
+            SELECT w.source,
+                   CAST(COUNT(DISTINCT w.doc_id) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN w.word IS NULL THEN 0
+                            ELSE COALESCE(v.n_tok, length(w.word)) END)
+                        AS BIGINT) AS n_tokens
+            FROM w LEFT JOIN vocab v ON w.word = v.word
+            GROUP BY w.source ORDER BY w.source
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the fallback branch really fired: some word was OOV
+    assert any(w not in {v[0] for v in vocab}
+               for r in rows for w in r[1].lower().split())

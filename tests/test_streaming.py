@@ -490,12 +490,12 @@ def test_ingest_stream_is_multibatch_and_equals_batch_admission(spark):
     import os
 
     from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.advanced import _scratch_path
     from datafusion_tpch_spark.queries.stream import _INGEST_STREAM_STATE
 
     specs = all_queries()
     got = specs["docs_dedup_ingest_stream"].build(spark, SF_DIR).collect()
-    tag = SF_DIR.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_docs_incoming4_{os.getpid()}_{tag}"
+    path = _scratch_path("docs_incoming4", SF_DIR)
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 4  # the stream really had 4 single-file triggers
     assert _INGEST_STREAM_STATE[spark][SF_DIR][1] >= 4  # ≥4 non-empty batches
