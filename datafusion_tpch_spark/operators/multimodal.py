@@ -2240,3 +2240,99 @@ def partition_for_blobs(df: DataFrame, target_rows_per_partition: int = 1024) ->
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     n = max(-(-rows // target_rows_per_partition), parallelism, 1)
     return df.repartition(n)
+
+
+# ------------------------------------------- perceptual-hash image dedup
+
+# Scene layout for the perceptual-dedup gate: every document is one CRAWLED
+# COPY of one of _PH_SCENES base images (scene = doc_id % _PH_SCENES), with a
+# small deterministic perturbation per copy — the "same image, re-encoded /
+# slightly retouched" population a production image-dedup pass hunts.  The
+# perturbation touches at most two dHash grid cells, so within-scene copies
+# sit at Hamming distance <= 3 and the distance-<=1 subset is non-trivial.
+_PH_SCENES = 64
+_PH_D1_STEP = 40   # block (0,0) delta per (copy % 4) level -> flips bit 0 only
+_PH_D2 = 96        # block (3,5) delta when copy//4 is odd -> flips bits 28/29
+
+
+def _ph_raster(doc_id: int) -> np.ndarray:
+    """Closed-form raster of one crawled copy (SQL-recomputable): the scene
+    base ``v[i] = (scene*K + i) % 256`` over the flattened h*w*3 samples,
+    plus the copy's block-local deltas folded in BEFORE the mod."""
+    scene, copy = doc_id % _PH_SCENES, doc_id // _PH_SCENES
+    m = 2 + scene % 2
+    w, h = 9 * m, 8 * m
+    i = np.arange(h * w * 3, dtype=np.int64)
+    p = i // 3
+    x, y = p % w, p // w
+    delta = np.where(
+        (x < m) & (y < m), (copy % 4) * _PH_D1_STEP, 0
+    ) + np.where(
+        (x >= 5 * m) & (x < 6 * m) & (y >= 3 * m) & (y < 4 * m),
+        (copy // 4 % 2) * _PH_D2,
+        0,
+    )
+    v = (scene * _PNG_PX_K + i + delta) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)
+
+
+def documents_as_scene_png_assets(docs: DataFrame) -> DataFrame:
+    """Asset table for the perceptual-dedup gate: per document, the scene
+    raster with its copy perturbation (``_ph_raster``) encoded as a genuine
+    PNG (``filter_per_line=True``) in one Arrow kernel.  The blob is a real
+    compressed image file, born distributed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                out.append((aid, "image", "image/png",
+                            encode_png(_ph_raster(aid), filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def dhash_64(img: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash of an RGB raster whose dims are (8m, 9m):
+    integer gray ``(r + 2g + b) // 4`` per pixel, exact m*m block sums down
+    to an 8x9 grid, bit (by, bx) = 1 iff block (by, bx) > block (by, bx+1).
+    Returned as two 32-bit halves (rows 0-3 -> hi, rows 4-7 -> lo) so both
+    engines stay inside signed 64-bit arithmetic — the pair IS the 64-bit
+    signature, and the multi-probe join treats it as one composite key.
+    Everything is integer-exact, so the signature is replayable in SQL from
+    the closed-form raster."""
+    h, w = img.shape[0], img.shape[1]
+    m = h // 8
+    if h != 8 * m or w != 9 * m:
+        raise ValueError(f"dhash_64 expects (8m, 9m) dims, got {h}x{w}")
+    px = img.astype(np.int64)
+    gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
+    bs = gray.reshape(8, m, 9, m).sum(axis=(1, 3))
+    bits = (bs[:, :8] > bs[:, 1:]).astype(np.int64)
+    weights = 1 << np.arange(32, dtype=np.int64).reshape(4, 8)
+    hi = int((bits[:4] * weights).sum())
+    lo = int((bits[4:] * weights).sum())
+    return hi, lo
+
+
+def decoded_phash_signatures(assets: DataFrame) -> DataFrame:
+    """Decode each PNG strictly from its bytes and emit the 64-bit dHash
+    as (sig_hi, sig_lo) — decode and hash fused in ONE Arrow kernel, so
+    the raster never crosses an exchange (the 100 TB shape: blobs stay
+    where they were scanned; only 3 small ints per image shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                hi, lo = dhash_64(decode_png(row.content))
+                out.append((row.asset_id, hi, lo))
+            yield pd.DataFrame(out, columns=["doc_id", "sig_hi", "sig_lo"])
+
+    return assets.mapInPandas(run, "doc_id long, sig_hi long, sig_lo long")

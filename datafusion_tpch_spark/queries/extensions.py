@@ -3325,6 +3325,159 @@ ORDER BY asset_id
 """
 
 
+def _phash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_hi, sig_lo) dHash signature table — decode + hash fused
+    in one Arrow kernel pass over real PNG blobs, materialized once per
+    (app, fixture) because the Hamming join consumes it on both sides (a
+    diamond: without the checkpoint each branch would re-run the codec)."""
+    from ..operators.multimodal import (
+        decoded_phash_signatures,
+        documents_as_scene_png_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_phash_signatures(documents_as_scene_png_assets(ids))
+
+    return _session_table(spark, sf_dir, "phash_sigs", build)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level PERCEPTUAL dedup — the edge between the codec kernels
+    and the near-dup family: every document is a crawled copy of one of 64
+    scene images (closed-form raster + per-copy block-local retouch,
+    ``operators/multimodal.py:_ph_raster``), encoded as a genuine PNG,
+    decoded strictly from its bytes, and reduced to a 64-bit difference
+    hash (integer gray → exact block sums → 8×8 adjacent comparisons,
+    carried as two 32-bit halves so both engines stay in signed 64-bit).
+    Near-duplicate images (Hamming ≤ 1) are found with the multi-probe
+    trick proven by dedup_simhash_hamming1: each doc emits its signature
+    plus all 64 single-bit flips — a fixed 65-row fan-out, constant in
+    corpus size — and candidates fall out of ONE hash equi-join on the
+    (hi, lo) composite key; no Hamming-distance scan, no all-pairs
+    anywhere.  Each directed pair is matched by exactly one probe (the
+    base probe iff distance 0, exactly one flip iff distance 1), so the
+    join output is already distinct and feeds the per-doc verdict
+    aggregate directly.  Verdict: n_near neighbors, canon = min(doc_id
+    over the 1-hop neighborhood ∪ self), kept iff canon == doc_id.
+
+    At 100 TB: blobs never cross an exchange (decode+hash fused in the
+    scan-side kernel; 3 small ints per image shuffle), the probe fan-out
+    is a constant 65, and tolerance k costs C(64,≤k) probes — a
+    parameter, not a new plan.  The oracle replays raster → gray → block
+    sums → bits → signatures in closed form and checks the pair set by
+    brute force, so a decoder or hasher that is off by one pixel
+    hash-fails."""
+    sigs = _phash_sig_table(spark, sf_dir)
+    flips = [
+        F.struct(
+            F.col("sig_hi").bitwiseXOR(F.lit(1 << j)).alias("ph"),
+            F.col("sig_lo").alias("pl"),
+        )
+        for j in range(32)
+    ] + [
+        F.struct(
+            F.col("sig_hi").alias("ph"),
+            F.col("sig_lo").bitwiseXOR(F.lit(1 << j)).alias("pl"),
+        )
+        for j in range(32)
+    ]
+    probes = sigs.select(
+        F.col("doc_id").alias("doc1"),
+        F.explode(
+            F.array(
+                F.struct(F.col("sig_hi").alias("ph"), F.col("sig_lo").alias("pl")),
+                *flips,
+            )
+        ).alias("probe"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("sig_hi").alias("h2"),
+        F.col("sig_lo").alias("l2"),
+    )
+    pairs = probes.join(
+        b,
+        (F.col("probe.ph") == F.col("h2"))
+        & (F.col("probe.pl") == F.col("l2"))
+        & (F.col("doc1") != F.col("doc2")),
+    )
+    per = pairs.groupBy("doc1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near"),
+        F.min("doc2").alias("mn"),
+    )
+    canon = F.least(F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id"))
+    return (
+        sigs.join(per, sigs["doc_id"] == per["doc1"], "left")
+        .select(
+            "doc_id",
+            "sig_hi",
+            "sig_lo",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("bigint").alias("n_near"),
+            canon.alias("canon"),
+            (canon == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_PHASH_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
+         2 + (doc_id % 64) % 2 AS m
+  FROM documents),
+px AS (
+  SELECT doc_id, m,
+         (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
+         (scene * 2654435761 + i
+          + CASE WHEN (i // 3) % (9 * m) < m AND (i // 3) // (9 * m) < m
+                 THEN (copy % 4) * 40 ELSE 0 END
+          + CASE WHEN (i // 3) % (9 * m) >= 5 * m
+                      AND (i // 3) % (9 * m) < 6 * m
+                      AND (i // 3) // (9 * m) >= 3 * m
+                      AND (i // 3) // (9 * m) < 4 * m
+                 THEN ((copy // 4) % 2) * 96 ELSE 0 END) % 256 AS v
+  FROM d, UNNEST(range(0, 216 * m * m)) t(i)),
+gray AS (
+  SELECT doc_id, x // m AS bx, y // m AS by,
+         SUM(CASE WHEN c = 1 THEN 2 * v ELSE v END) // 4 AS g
+  FROM px GROUP BY doc_id, m, x, y),
+bs AS (
+  SELECT doc_id, by, bx, SUM(g) AS s FROM gray GROUP BY doc_id, by, bx),
+bits AS (
+  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.by = b.by
+                     AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN by < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_hi,
+         CAST(SUM(CASE WHEN by >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_lo
+  FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+        + bit_count(xor(a.sig_lo, b.sig_lo)) <= 1),
+per AS (SELECT d1, COUNT(*) AS n_near, MIN(d2) AS mn FROM pairs GROUP BY d1)
+SELECT s.doc_id, s.sig_hi, s.sig_lo,
+       CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near,
+       LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) AS canon,
+       LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) = s.doc_id AS kept
+FROM sig s LEFT JOIN per p ON s.doc_id = p.d1
+ORDER BY s.doc_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -5465,6 +5618,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_jpeg420_roundtrip", multimodal_jpeg420_roundtrip,
               MULTIMODAL_JPEG420_SQL,
               "4:2:0 color JPEG: 6-block MCU interleave + chroma resample"),
+    QuerySpec("multimodal_phash_dedup", multimodal_phash_dedup,
+              MULTIMODAL_PHASH_DEDUP_SQL,
+              "perceptual image dedup: PNG decode -> dHash -> Hamming<=1 multi-probe"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -893,3 +893,96 @@ def test_jpeg_420_stream_structure():
     assert b[i + 9] == 3  # 3 components
     assert b[i + 11] == 0x22  # Y: 2x2
     assert b[i + 14] == 0x11 and b[i + 17] == 0x11  # Cb, Cr: 1x1
+
+
+def test_dhash_matches_hand_computation():
+    """dhash_64 pinned to a from-scratch recomputation on a random raster:
+    independent gray/block-sum/bit assembly, plus the dims contract."""
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import dhash_64
+
+    rng = np.random.RandomState(7)
+    m = 3
+    img = rng.randint(0, 256, size=(8 * m, 9 * m, 3)).astype(np.uint8)
+    hi, lo = dhash_64(img)
+    # independent recomputation, scalar loops only
+    gray = [
+        [
+            (int(img[y, x, 0]) + 2 * int(img[y, x, 1]) + int(img[y, x, 2])) // 4
+            for x in range(9 * m)
+        ]
+        for y in range(8 * m)
+    ]
+    bs = [
+        [
+            sum(
+                gray[by * m + dy][bx * m + dx]
+                for dy in range(m)
+                for dx in range(m)
+            )
+            for bx in range(9)
+        ]
+        for by in range(8)
+    ]
+    want_hi = want_lo = 0
+    for by in range(8):
+        for bx in range(8):
+            bit = 1 if bs[by][bx] > bs[by][bx + 1] else 0
+            if by < 4:
+                want_hi |= bit << (by * 8 + bx)
+            else:
+                want_lo |= bit << ((by - 4) * 8 + bx)
+    assert (hi, lo) == (want_hi, want_lo)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    with pytest.raises(ValueError):
+        dhash_64(np.zeros((10, 9, 3), dtype=np.uint8))  # not (8m, 9m)
+
+
+def test_phash_scene_copies_within_hamming_budget():
+    """The scene perturbation contract the dedup gate relies on: copies of
+    one scene differ from the base in <= 3 dHash bits (block (0,0) touches
+    only bit 0; block (3,5) touches only bits 28/29), and pb1-only
+    variants differ in <= 1 bit."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _PH_SCENES,
+        _ph_raster,
+        dhash_64,
+    )
+
+    for scene in (0, 1, 17):
+        sigs = [
+            dhash_64(_ph_raster(scene + copy * _PH_SCENES)) for copy in range(8)
+        ]
+
+        def ham(a, b):
+            return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+        for c in range(8):
+            assert ham(sigs[0], sigs[c]) <= 3
+        for c in range(4):  # pb1-only family: same pb2, block (0,0) only
+            assert ham(sigs[0], sigs[c]) <= 1
+            d = ham(sigs[0], sigs[c])
+            assert d == 0 or (sigs[0][0] ^ sigs[c][0]) in (0, 1)  # bit 0 of hi
+
+
+def test_phash_signature_survives_png_roundtrip(spark):
+    """Decode+hash kernel over real PNG blobs equals hashing the raster
+    directly — the PNG round-trip is lossless under the signature."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _ph_raster,
+        decoded_phash_signatures,
+        dhash_64,
+        documents_as_scene_png_assets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(12)
+    got = {
+        r.doc_id: (r.sig_hi, r.sig_lo)
+        for r in decoded_phash_signatures(
+            documents_as_scene_png_assets(docs)
+        ).collect()
+    }
+    assert len(got) == 12
+    for did, sig in got.items():
+        assert sig == dhash_64(_ph_raster(did))
