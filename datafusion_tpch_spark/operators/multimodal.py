@@ -1463,7 +1463,8 @@ def _jpg_subsample(plane: np.ndarray, fh: int, fw: int) -> np.ndarray:
 
 def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
                 chroma_quant: np.ndarray | None = None,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 raster as a REAL
     baseline sequential JFIF stream.  ``quant`` defaults to all-ones (the
     closed-form-exact setting for block-constant rasters); pass the Annex
@@ -1471,7 +1472,11 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     interleaved MCUs with separate luma/chroma Huffman tables;
     ``subsampling`` picks the chroma layout — "444" (one block per
     component per MCU), "422", or "420" (the 2×2-luma 16×16-MCU layout
-    real-world JPEGs ship), with box-average chroma downsampling."""
+    real-world JPEGs ship), with box-average chroma downsampling.
+    ``restart_interval`` > 0 emits a DRI segment and a byte-aligned
+    RSTn marker (modulo-8 sequence, T.81 §E.1.2) after every that many
+    MCUs, resetting the DC predictors — the resync feature every camera
+    JPEG ships."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -1487,6 +1492,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     q1 = q0 if chroma_quant is None else np.asarray(chroma_quant, dtype=np.int64)
     if (q0 < 1).any() or (q0 > 255).any() or (q1 < 1).any() or (q1 > 255).any():
         raise ValueError("JPEG: 8-bit quant tables only")
+    if not (0 <= restart_interval <= 65535):
+        raise ValueError("JPEG: restart interval must be in 0..65535")
 
     samp = ((1, 1),) if gray else _JPG_SAMPLING[subsampling]
     max_h = max(s[0] for s in samp)
@@ -1532,6 +1539,8 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     for tid, (bits, values) in tables:
         dht += bytes([tid]) + bytes(bits) + bytes(values)
     out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -1540,6 +1549,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
 
     bw = _JpgBitWriter()
     preds = [0] * ncomp
+    mcus_done, rst_n = 0, 0
     for my in range(mcuy):  # interleaved MCUs: sh×sv blocks per component
         for mx in range(mcux):
             for c in range(ncomp):
@@ -1550,6 +1560,16 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
                             bw, comp_zz[c][my * sv + v, mx * sh + u],
                             preds[c], dc_enc[c], ac_enc[c],
                         )
+            mcus_done += 1
+            if (
+                restart_interval
+                and mcus_done % restart_interval == 0
+                and mcus_done < mcux * mcuy  # no RST after the final MCU
+            ):
+                bw.flush()  # byte-align (1-bit pad, stuffing applies)
+                bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
+                rst_n += 1
+                preds = [0] * ncomp  # DC predictors reset at every restart
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1579,7 +1599,9 @@ class _JpgBitReader:
                 if nxt == 0x00:
                     self.pos += 1
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("JPEG restart markers")
+                    # a restart marker is only legal at an MCU boundary,
+                    # where the decode loop consumes it via restart()
+                    raise ValueError("JPEG: restart marker mid-block")
                 else:
                     raise ValueError("JPEG: scan data ended mid-block")
             self.acc = b
@@ -1592,6 +1614,24 @@ class _JpgBitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expect: int) -> None:
+        """Consume one byte-aligned RSTn marker at an MCU boundary:
+        discard the 1-bit pad of the current byte, then require the
+        modulo-8 marker the T.81 sequence expects (a skipped or
+        out-of-order RST means lost MCUs — corrupt, not unsupported)."""
+        self.n = 0  # byte-align: remaining bits are encoder pad
+        if self.pos + 2 > len(self.buf):
+            raise ValueError("JPEG: truncated at restart marker")
+        b0, b1 = self.buf[self.pos], self.buf[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError("JPEG: expected restart marker")
+        if b1 - 0xD0 != expect:
+            raise ValueError(
+                f"JPEG: restart marker out of sequence "
+                f"(got RST{b1 - 0xD0}, expected RST{expect})"
+            )
+        self.pos += 2
 
 
 def _huff_decode_table(bits, values) -> dict[tuple[int, int], int]:
@@ -1631,10 +1671,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     (replication — the box-downsample's adjoint), YCbCr->RGB.  Handles
     4:4:4, 4:2:2 and 4:2:0 MCU interleaves (any sampling factors in
     1..2).  Returns (h, w) uint8 for 1-component streams, (h, w, 3)
-    uint8 for 3.  The unimplemented corners raise NotImplementedError by
-    name: progressive (SOF2) and every other non-SOF0 frame type,
-    arithmetic coding, 12-bit precision, 16-bit quant tables, sampling
-    factors beyond 2, restart intervals."""
+    uint8 for 3.  Restart intervals (DRI/RSTn) are supported: the bit
+    reader byte-aligns and consumes the modulo-8 marker at each boundary
+    and the DC predictors reset.  The unimplemented corners raise
+    NotImplementedError by name: progressive (SOF2) and every other
+    non-SOF0 frame type, arithmetic coding, 12-bit precision, 16-bit
+    quant tables, sampling factors beyond 2."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream")
@@ -1642,6 +1684,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     hufftabs: dict[tuple[int, int], dict] = {}
     frame = None
+    restart_interval = 0
     while True:
         if pos + 2 > len(buf):
             raise ValueError("JPEG: truncated before SOS")
@@ -1713,8 +1756,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 "arithmetic-coded" if marker >= 0xC9 else "non-baseline"
             )
             raise NotImplementedError(f"JPEG {kind} frame (SOF{marker - 0xC0})")
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI)")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs (0 disables)
+            if len(body) != 2:
+                raise ValueError("JPEG: bad DRI segment")
+            restart_interval = int.from_bytes(body, "big")
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF0")
@@ -1776,6 +1821,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             k += 1
         return zz_dc, zz
 
+    mcus_done, rst_n = 0, 0
     for my in range(mcuy):  # interleaved MCUs: sh×sv blocks per component
         for mx in range(mcux):
             for c, (dct, act, q, sh, sv) in enumerate(comp_cfg):
@@ -1789,6 +1835,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                         coefs[c][my * sv + v, mx * sh + u] = (
                             blk.reshape(8, 8) * q
                         )
+            mcus_done += 1
+            if (
+                restart_interval
+                and mcus_done % restart_interval == 0
+                and mcus_done < mcux * mcuy
+            ):
+                br.restart(rst_n % 8)
+                rst_n += 1
+                preds = [0] * ncomp  # predictors reset with the bit stream
     planes = []
     for c, (_, _, _, sh, sv) in enumerate(comp_cfg):
         bh, bw_ = coefs[c].shape[:2]
@@ -2336,3 +2391,34 @@ def decoded_phash_signatures(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "sig_hi", "sig_lo"])
 
     return assets.mapInPandas(run, "doc_id long, sig_hi long, sig_lo long")
+
+
+def documents_as_jpeg_dri_assets(docs: DataFrame) -> DataFrame:
+    """DRI-encoded 4:2:0 color-JPEG asset table: the same gray-as-color,
+    constant-per-16×16-MCU exact family as ``documents_as_jpeg420_assets``
+    but with dims (17+id%16) × (17+id%32) — at least 2×2 MCUs per image —
+    and a per-doc restart interval ``1 + id % 3``, so every blob carries
+    one to five real byte-aligned RSTn markers with predictor resets, and
+    a third of them end on a short final restart run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 17 + aid % 32, 17 + aid % 16
+                nbx = (w + 15) // 16
+                bi = np.arange(h, dtype=np.int64)[:, None] // 16
+                bj = np.arange(w, dtype=np.int64)[None, :] // 16
+                g = ((aid * _JPG_PX_K + bi * nbx + bj) % 256).astype(np.uint8)
+                rgb = np.stack([g, g, g], axis=2)
+                blob = encode_jpeg(rgb, subsampling="420",
+                                   restart_interval=1 + aid % 3)
+                out.append((aid, "image", "image/jpeg", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )

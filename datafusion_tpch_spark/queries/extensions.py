@@ -3325,6 +3325,59 @@ ORDER BY asset_id
 """
 
 
+def multimodal_jpeg_dri_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval (DRI/RSTn) JPEG decode end-to-end — the resync
+    feature every camera JPEG ships, the last common baseline-JPEG corner
+    behind a NotImplementedError until this round: the same 4:2:0
+    gray-as-color exact family as multimodal_jpeg420_roundtrip, but every
+    blob declares a per-doc restart interval (1 + id % 3 MCUs) and
+    carries one to five genuine byte-aligned RSTn markers; the decoder
+    must byte-align at each boundary, verify the T.81 modulo-8 marker
+    sequence, and reset the DC predictors — a decoder that ignores the
+    reset decodes garbage DC levels and hash-fails, one that mis-aligns
+    dies in the Huffman tables.  The oracle recomputes the per-channel
+    stats closed-form over the 16×16 MCU grid."""
+    from ..operators.multimodal import (
+        decoded_jpeg_rgb_stats,
+        documents_as_jpeg_dri_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_jpeg_rgb_stats(documents_as_jpeg_dri_assets(ids))
+
+
+MULTIMODAL_JPEG_DRI_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         17 + doc_id % 32 AS w,
+         17 + doc_id % 16 AS h,
+         (17 + doc_id % 32 + 15) // 16 AS nbx
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         (doc_id * 2654435761 + c) % 256 AS v,
+         LEAST(16, h - (c // nbx) * 16) AS ch,
+         LEAST(16, w - (c % nbx) * 16) AS cw
+  FROM g, UNNEST(range(0, nbx * ((h + 15) // 16))) t(c))
+SELECT doc_id AS asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       SUM(v * ch * cw) * 1.0 / (w * h) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_r,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_g,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_b
+FROM cells
+GROUP BY doc_id, w, h
+ORDER BY asset_id
+"""
+
+
 def _phash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_hi, sig_lo) dHash signature table — decode + hash fused
     in one Arrow kernel pass over real PNG blobs, materialized once per
@@ -5621,6 +5674,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_phash_dedup", multimodal_phash_dedup,
               MULTIMODAL_PHASH_DEDUP_SQL,
               "perceptual image dedup: PNG decode -> dHash -> Hamming<=1 multi-probe"),
+    QuerySpec("multimodal_jpeg_dri_roundtrip", multimodal_jpeg_dri_roundtrip,
+              MULTIMODAL_JPEG_DRI_SQL,
+              "DRI/RSTn 4:2:0 JPEG: byte-aligned restarts + predictor resets"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

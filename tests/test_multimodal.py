@@ -750,10 +750,18 @@ def test_jpeg_decoder_rejects_what_it_cannot_parse():
     dqt[i + 4] = 0x10
     with _pytest.raises(NotImplementedError, match="quant"):
         decode_jpeg(bytes(dqt))
-    # restart intervals
-    dri = bytes(good[:2]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(good[2:])
-    with _pytest.raises(NotImplementedError, match="restart"):
-        decode_jpeg(dri)
+    # restart intervals are now SUPPORTED — a declared DRI whose interval
+    # never triggers (larger than the MCU count) must decode cleanly...
+    dri = bytes(good[:2]) + b"\xff\xdd\x00\x04\xff\xff" + bytes(good[2:])
+    assert np.array_equal(decode_jpeg(dri), decode_jpeg(bytes(good)))
+    # ...a declared interval with NO markers in the stream is corrupt
+    # (the decoder reaches the boundary and finds entropy data instead)
+    dri_missing = bytes(good[:2]) + b"\xff\xdd\x00\x04\x00\x01" + bytes(good[2:])
+    with _pytest.raises(ValueError):
+        decode_jpeg(dri_missing)
+    # ...and a malformed DRI body is corrupt too
+    with _pytest.raises(ValueError, match="DRI"):
+        decode_jpeg(bytes(good[:2]) + b"\xff\xdd\x00\x03\x00" + bytes(good[2:]))
     # truncation inside the entropy stream
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(good[: len(good) - 4]))
@@ -986,3 +994,43 @@ def test_phash_signature_survives_png_roundtrip(spark):
     assert len(got) == 12
     for did, sig in got.items():
         assert sig == dhash_64(_ph_raster(did))
+
+
+def test_jpeg_dri_roundtrip_and_structure():
+    """DRI/RSTn end-to-end: the stream declares the interval, carries
+    byte-aligned modulo-8 RST markers, predictors reset at each one, and
+    the block-constant decode stays bit-exact.  Corruption paths: an
+    out-of-sequence marker and a truncation AT a marker are ValueError."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    img = _block_const_gray(7)  # 13x13 -> 2x2 MCUs
+    b = encode_jpeg(img, restart_interval=1)
+    assert b"\xff\xdd" in b
+    rsts = [b[i + 1] - 0xD0 for i in range(len(b) - 1)
+            if b[i] == 0xFF and 0xD0 <= b[i + 1] <= 0xD7]
+    assert rsts == [0, 1, 2]  # 4 MCUs, interval 1, none after the last
+    assert np.array_equal(decode_jpeg(b), img)
+    # color 4:2:0 with restarts
+    g = _block_const_gray(11)
+    rgb = np.stack([g, g, g], axis=2)
+    b420 = encode_jpeg(rgb, subsampling="420", restart_interval=1)
+    assert np.array_equal(decode_jpeg(b420), rgb)
+    # interval that doesn't divide the MCU count (last run is short)
+    b2 = encode_jpeg(_block_const_gray(16), restart_interval=3)
+    assert np.array_equal(decode_jpeg(b2), _block_const_gray(16))
+    # out-of-sequence RST
+    bad = bytearray(b)
+    i = bad.index(b"\xff\xd0")
+    bad[i + 1] = 0xD4
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
+    # truncated at a restart marker
+    with _pytest.raises(ValueError):
+        decode_jpeg(b[: b.index(b"\xff\xd0") + 1])
+    # encoder validates the interval range
+    with _pytest.raises(ValueError):
+        encode_jpeg(img, restart_interval=65536)
