@@ -3378,6 +3378,66 @@ ORDER BY asset_id
 """
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO modality end-to-end — the container composition the codec
+    matrix earns for free: documents → genuine AVI/MJPEG clips (real
+    RIFF container: hdrl/avih/strh/strf, movi '00dc' chunks, idx1; each
+    frame a real DRI-carrying 4:2:0 baseline JPEG of the gray-as-color
+    exact family) → one Arrow kernel walks the container strictly from
+    bytes, SAMPLES every 2nd frame, and entropy-decodes ONLY the sampled
+    frames (unsampled payloads are never touched — the point of frame
+    sampling at corpus scale) → integer-exact per-frame channel stats.
+    The oracle recomputes the sampled frame set and per-frame sums
+    closed-form over the 16×16 MCU grid, so a walker that mis-sizes a
+    chunk, drops a frame, or samples the wrong stride hash-fails.  Same
+    parallel plan shape as the image gates: blobs born distributed and
+    never crossing an exchange."""
+    from ..operators.multimodal import (
+        decoded_video_frame_stats,
+        documents_as_avi_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_video_frame_stats(documents_as_avi_assets(ids), stride=2)
+
+
+MULTIMODAL_VIDEO_FRAMES_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         17 + doc_id % 32 AS w,
+         17 + doc_id % 16 AS h,
+         2 + doc_id % 5 AS n,
+         (17 + doc_id % 32 + 15) // 16 AS nbx
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, n, nbx, f
+  FROM g, UNNEST(range(0, n)) t(f)
+  WHERE f % 2 = 0),
+cells AS (
+  SELECT doc_id, f, n, w, h,
+         (doc_id * 2654435761 + f * 131 + c) % 256 AS v,
+         LEAST(16, h - (c // nbx) * 16) AS ch,
+         LEAST(16, w - (c % nbx) * 16) AS cw
+  FROM fr, UNNEST(range(0, nbx * ((h + 15) // 16))) t(c))
+SELECT doc_id AS asset_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(n AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_r,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_g,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_b
+FROM cells
+GROUP BY doc_id, f, n, w, h
+ORDER BY asset_id, frame_idx
+"""
+
+
 def _phash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_hi, sig_lo) dHash signature table — decode + hash fused
     in one Arrow kernel pass over real PNG blobs, materialized once per
@@ -5677,6 +5737,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_jpeg_dri_roundtrip", multimodal_jpeg_dri_roundtrip,
               MULTIMODAL_JPEG_DRI_SQL,
               "DRI/RSTn 4:2:0 JPEG: byte-aligned restarts + predictor resets"),
+    QuerySpec("multimodal_video_frames", multimodal_video_frames,
+              MULTIMODAL_VIDEO_FRAMES_SQL,
+              "AVI/MJPEG container walk + stride-2 frame sampling + decode"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

