@@ -856,6 +856,186 @@ def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
+# Maintained per-(cell, dim) IVF occupancy, same session-cache contract.
+_EMB_INGEST_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
+
+_EMB_SPLIT = 400     # vec_id >= split streams in; rest is the indexed corpus
+_EMB_DRIFT_TH = 0.12   # per-dim |cell mean - centroid| flagged as shifted
+_EMB_DRIFT_DIMS = 16   # cell drift trigger: more than this many shifted dims
+
+
+def _emb_incoming_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The incoming vector slice (vec_id >= split) written as 4 arbitrary
+    parquet files so ``maxFilesPerTrigger=1`` forces ≥4 real micro-batch
+    boundaries; written once per (process, fixture)."""
+    import os
+
+    from ..catalog import load_table
+    from .advanced import _scratch_path
+
+    path = _scratch_path("emb_incoming4", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") >= _EMB_SPLIT)
+            .select("vec_id", "embedding")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _emb_corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The deployed IVF index: the 64 CORPUS vectors (vec_id < split)
+    with smallest md5(vec_id) — the same fixed-k recipe as ann_ivf_topk,
+    restricted to the corpus so the index is a static artifact while the
+    stream runs.  Bounded driver collect (64 rows)."""
+    from ..catalog import load_table
+    from .extensions import _IVF_K
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _EMB_SPLIT
+    )
+    return [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_IVF_K)
+        .collect()
+    ]
+
+
+def embeddings_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VECTOR ingest against the deployed ANN index — the
+    continuously-ingesting-corpus path for the embedding side, completing
+    what docs_dedup_ingest_stream does for text: newly embedded vectors
+    arrive as a real multi-batch stream (4-file layout,
+    ``maxFilesPerTrigger=1``) and ``foreachBatch`` assigns each
+    micro-batch to the session's fixed IVF centroids (the corpus-built
+    index), folding per-(cell, dim) occupancy counts and exact quantized
+    sums into a maintained table.  Sums and counts are associative, so
+    the maintained occupancy is provably independent of batch boundaries
+    and order (hypothesis-tested in tests/test_maintenance_algebra.py).
+    The gate then reads the maintained table once and reports the
+    monitoring rollup a production vector pipeline alarms on: per cell,
+    how many incoming vectors landed there, how many dimensions of the
+    incoming-cohort mean have shifted past the threshold from the
+    centroid, and the drift trigger — the re-train/re-cluster alarm for
+    cells whose incoming population no longer looks like the centroid.
+
+    At 100 TB: the centroid set is the static artifact (fixed k=64,
+    broadcast); each micro-batch costs one vectorized assignment kernel
+    + one posexplode map-side combined to ≤ |cells|·|dims| rows — the
+    corpus is never reshuffled, the state is O(k·d) however long the
+    stream runs, and the finalize joins the state against a 64-row
+    literal centroid table."""
+    from ..inline import inline_table
+    from ..streaming.maintenance import (
+        ivf_ingest_batch,
+        ivf_ingest_merge,
+        run_foreach_batch,
+    )
+
+    _sweep_stopped_sessions(_EMB_INGEST_STREAM_STATE)
+    states = _EMB_INGEST_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
+    if cached is None:
+        centroids = _emb_corpus_centroids(spark, sf_dir)
+        holder: dict = {"occ": None, "n": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            occ = ivf_ingest_batch(batch_df, centroids)
+            holder["occ"] = ivf_ingest_merge(
+                holder["occ"], occ
+            ).localCheckpoint()
+            holder["n"] += 1
+
+        path = _emb_incoming_layout(spark, sf_dir)
+        schema = spark.read.parquet(path).schema
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        run_foreach_batch(spark, feed, apply_batch, "embeddings_ingest_stream")
+        if holder["occ"] is None:  # empty incoming slice
+            holder["occ"] = spark.createDataFrame(
+                [], "cell bigint, dim int, sumq decimal(38,0), n bigint"
+            )
+        states[sf_dir] = (holder["occ"].localCheckpoint(), holder["n"],
+                          centroids)
+    occ, _, centroids = states[sf_dir]
+    cent_df = inline_table(
+        spark,
+        [(cid, vec) for cid, vec in centroids],
+        "cell bigint, ce array<double>",
+    )
+    mean = F.col("sumq").cast("double") / F.lit(100000000.0) / F.col("n")
+    shifted = (
+        F.abs(mean - F.element_at(F.col("ce"), F.col("dim") + 1))
+        > F.lit(_EMB_DRIFT_TH)
+    )
+    return (
+        occ.join(F.broadcast(cent_df), "cell")
+        .select("cell", F.col("n"), shifted.cast("int").alias("dd"))
+        .groupBy("cell")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.sum("dd").cast("int").alias("n_drifted_dims"),
+        )
+        .withColumn("drifted", F.col("n_drifted_dims") > F.lit(_EMB_DRIFT_DIMS))
+        .orderBy("cell")
+    )
+
+
+def _emb_ingest_oracle() -> str:
+    from .extensions import _IVF_K, _l2q_sql
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {_EMB_SPLIT}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')},
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id >= {_EMB_SPLIT}) WHERE rn = 1),
+ex AS (
+  SELECT cell, unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM assigned),
+perdim AS (
+  SELECT cell, dim,
+         SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000.0)
+                  AS DECIMAL(38,0))) AS sumq,
+         COUNT(*) AS n
+  FROM ex GROUP BY cell, dim),
+d AS (
+  SELECT p.cell, p.n,
+         CASE WHEN abs(CAST(p.sumq AS DOUBLE) / 100000000.0 / p.n
+                       - CAST(c.ce[p.dim + 1] AS DOUBLE))
+                   > {_EMB_DRIFT_TH} THEN 1 ELSE 0 END AS dd
+  FROM perdim p JOIN cent c ON p.cell = c.cid)
+SELECT cell, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       CAST(SUM(dd) AS INTEGER) AS n_drifted_dims,
+       SUM(dd) > {_EMB_DRIFT_DIMS} AS drifted
+FROM d GROUP BY cell
+ORDER BY cell
+"""
+
+
+EMBEDDINGS_INGEST_STREAM_SQL = _emb_ingest_oracle()
+
+
 # Maintained per-source token meter, same session-cache contract.
 _METER_STREAM_STATE: (
     "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
@@ -959,6 +1139,12 @@ SPECS: list[QuerySpec] = [
         docs_token_meter_stream,
         DOCS_TOKEN_METER_STREAM_SQL,
         "foreachBatch per-source token metering vs deployed BPE vocab",
+    ),
+    QuerySpec(
+        "embeddings_ingest_stream",
+        embeddings_ingest_stream,
+        EMBEDDINGS_INGEST_STREAM_SQL,
+        "foreachBatch IVF cell occupancy + drift trigger vs fixed centroids",
     ),
     QuerySpec(
         "events_cdc_stream",

@@ -307,3 +307,52 @@ def meter_merge(state: DataFrame | None, batch_meter: DataFrame) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------------- streaming IVF cell maintenance
+
+def ivf_ingest_batch(batch_emb: DataFrame, centroids) -> DataFrame:
+    """Per-(cell, dim) occupancy increments for one micro-batch of
+    incoming vectors against the DEPLOYED IVF index: assign each vector
+    to its nearest centroid (floor-quantized L2, the exact metric the
+    batch ANN gates use — ``operators/similarity.ivf_assign``), then one
+    posexplode pass map-side combined down to at most |cells|·|dims|
+    rows of (n, Σ floor(v·1e8)) — decimal(38,0) sums, so every
+    accumulator is order-independent and exactly mergeable.  A vector's
+    cell depends only on (vector, index), never on what else shares the
+    micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import ivf_assign
+
+    assigned = ivf_assign(batch_emb, centroids)
+    ex = assigned.select(
+        "cell", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    vq = F.floor(F.col("v").cast("double") * F.lit(100000000.0)).cast(
+        "decimal(38,0)"
+    )
+    return ex.groupBy("cell", "dim").agg(
+        F.sum(vq).alias("sumq"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def ivf_ingest_merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Fold one batch's per-(cell, dim) increments into the maintained
+    occupancy table: union + re-sum.  Decimal sums and counts are
+    associative and commutative, so the maintained table is independent
+    of batch boundaries and order (hypothesis property in
+    tests/test_maintenance_algebra.py)."""
+    from pyspark.sql import functions as F
+
+    if state is None:
+        return batch
+    return (
+        state.unionByName(batch)
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum("sumq").cast("decimal(38,0)").alias("sumq"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+    )

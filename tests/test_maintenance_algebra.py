@@ -286,3 +286,53 @@ def test_meter_oov_fallback_matches_sql_oracle(spark):
     # the fallback branch really fired: some word was OOV
     assert any(w not in {v[0] for v in vocab}
                for r in rows for w in r[1].lower().split())
+
+
+def test_ivf_ingest_is_boundary_and_order_independent(spark):
+    """Per-(cell, dim) IVF occupancy maintenance must be identical for
+    EVERY way of cutting the vector feed into micro-batches, in any
+    order — decimal sums and counts are associative, and a vector's cell
+    depends only on (vector, index)."""
+    import random
+
+    from datafusion_tpch_spark.streaming.maintenance import (
+        ivf_ingest_batch,
+        ivf_ingest_merge,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 40), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        rng = random.Random(seed)
+        dims = 6
+        centroids = [
+            (cid, [rng.uniform(-1, 1) for _ in range(dims)])
+            for cid in (3, 11, 25)
+        ]
+        rows = [
+            (vid, [rng.uniform(-1, 1) for _ in range(dims)])
+            for vid in range(30)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).localCheckpoint()
+        ordered = emb.orderBy("vec_id").collect()
+        slices = _cuts_to_slices(len(ordered), cuts)
+        rnd.shuffle(slices)
+        state = None
+        for a, b in slices:
+            batch = spark.createDataFrame(ordered[a:b], emb.schema)
+            state = ivf_ingest_merge(
+                state, ivf_ingest_batch(batch, centroids)
+            ).localCheckpoint()
+        got = sorted(tuple(r) for r in state.collect()) if state else []
+        want = sorted(
+            tuple(r) for r in ivf_ingest_batch(emb, centroids).collect()
+        )
+        assert got == want
+
+    prop()

@@ -540,3 +540,36 @@ def test_token_meter_stream_is_multibatch_and_equals_batch_rollup(spark):
         )
     }
     assert got == want
+
+
+def test_embeddings_ingest_stream_is_multibatch_and_equals_batch(spark):
+    """embeddings_ingest_stream must run >=4 real micro-batches and its
+    maintained rollup must equal the one-shot batch computation over the
+    whole incoming slice against the same centroids."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpch_spark.catalog import load_table
+    from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.stream import (
+        _EMB_INGEST_STREAM_STATE,
+        _EMB_SPLIT,
+        _emb_corpus_centroids,
+    )
+    from datafusion_tpch_spark.streaming.maintenance import ivf_ingest_batch
+
+    specs = all_queries()
+    got = specs["embeddings_ingest_stream"].build(spark, SF_DIR).collect()
+    assert _EMB_INGEST_STREAM_STATE[spark][SF_DIR][1] >= 4
+    # maintained (cell, dim) state == batch state over the full slice
+    state = _EMB_INGEST_STREAM_STATE[spark][SF_DIR][0]
+    incoming = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") >= _EMB_SPLIT
+    )
+    want = ivf_ingest_batch(incoming, _emb_corpus_centroids(spark, SF_DIR))
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the verdict rollup is non-degenerate on this fixture
+    flags = {r["drifted"] for r in got}
+    assert flags == {True, False}, flags
+    assert all(r["n_vecs"] >= 1 for r in got)

@@ -59,6 +59,7 @@ def clear_stream_reuse(spark) -> None:
     CDC/SCD2 maintained-state caches (all session-keyed)."""
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
+        _EMB_INGEST_STREAM_STATE,
         _INGEST_STREAM_STATE,
         _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
@@ -70,11 +71,13 @@ def clear_stream_reuse(spark) -> None:
     _SCD2_STREAM_STATE.pop(spark, None)
     _INGEST_STREAM_STATE.pop(spark, None)
     _METER_STREAM_STATE.pop(spark, None)
+    _EMB_INGEST_STREAM_STATE.pop(spark, None)
 
 
 def _stream_caches_populated(spark) -> bool:
     from datafusion_tpch_spark.queries.stream import (
         _CDC_STREAM_STATE,
+        _EMB_INGEST_STREAM_STATE,
         _INGEST_STREAM_STATE,
         _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
@@ -87,6 +90,7 @@ def _stream_caches_populated(spark) -> bool:
         or _SCD2_STREAM_STATE.get(spark)
         or _INGEST_STREAM_STATE.get(spark)
         or _METER_STREAM_STATE.get(spark)
+        or _EMB_INGEST_STREAM_STATE.get(spark)
     )
 
 
