@@ -340,6 +340,7 @@ def srp_bucket(
     vec_col: str = "embedding",
     out_col: str = "bucket",
     pair_probe_col: "str | None" = None,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Sign-random-projection bucket id per vector: bit p of the bucket is
     set iff the floor(x*1e9)-quantized signed projection onto hyperplane p
@@ -374,7 +375,7 @@ def srp_bucket(
                 .astype(np.int64)
                 .sum(axis=2)
             )
-            out = pdf[[id_col, vec_col]].copy()
+            out = pdf[[id_col, vec_col, *keep_cols]].copy()
             out[out_col] = ((proj >= 0) * weights).sum(axis=1)
             if pair_probe_col is not None:
                 # key = |proj| * 8 + p is lexicographic (|proj|, p) ONLY
@@ -389,10 +390,18 @@ def srp_bucket(
                 ]
             yield out
 
-    schema = f"{id_col} long, {vec_col} array<float>, {out_col} long"
+    keep_schema = "".join(
+        f", {c} {t}"
+        for c, t in (
+            (c, dict(df.dtypes)[c]) for c in keep_cols
+        )
+    )
+    schema = (
+        f"{id_col} long, {vec_col} array<float>{keep_schema}, {out_col} long"
+    )
     if pair_probe_col is not None:
         schema += f", {pair_probe_col} array<long>"
-    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+    return df.select(id_col, vec_col, *keep_cols).mapInPandas(bucketize, schema)
 
 
 def srp_band_buckets(

@@ -1488,6 +1488,94 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_FILTER_LABELS = (1, 3, 5, 7)  # the metadata predicate of the filtered gate
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — production ANN is always
+    predicate-constrained (language, source, licence, date), and the
+    correct shape applies the predicate to the candidate set BEFORE the
+    probe join, not to the top-k afterwards: post-filtering silently
+    under-returns (a query whose 5 nearest global neighbors all fail the
+    predicate returns nothing instead of its 5 nearest ALLOWED
+    neighbors).  Here the ``label IN {labels}`` predicate sits on the
+    candidate side upstream of the SRP bucketing kernel, so Catalyst
+    pushes it into the parquet scan (plan-asserted: In(label, ...) in
+    PushedFilters) and the bucket index is built over exactly the
+    allowed corpus — every ranked candidate satisfies the predicate and
+    top-k is dense.  Queries keep the full multi-probe ladder of
+    ann_lsh_topk (own bucket + 6 one-flip + 3 margin-guided two-flip).
+
+    At 100 TB the predicate prunes the index scan itself (partition
+    columns / row-group stats), so a 10%-selective filter reads ~10% of
+    the index — the same plan, a smaller scan."""
+    import hashlib
+
+    from ..operators.similarity import srp_bucket
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+
+    def _sign(p: int, d: int) -> int:
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    _MAX_DIM = 512
+    signs = [
+        [_sign(p, d) for d in range(_MAX_DIM)] for p in range(_LSH_PLANES)
+    ]
+    probes = F.concat(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(_LSH_PLANES)
+            ],
+        ),
+        F.transform(
+            F.col("pair_masks"),
+            lambda m: F.col("bucket").bitwiseXOR(m),
+        ),
+    )
+    q = srp_bucket(
+        emb.filter(F.col("vec_id") < _NQUERY), signs,
+        pair_probe_col="pair_masks",
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.explode(probes).alias("qb"),
+    )
+    # the predicate BEFORE the bucketing kernel: pushed into the scan,
+    # the index only ever holds allowed vectors
+    c = srp_bucket(
+        emb.filter(F.col("label").isin(*_ANN_FILTER_LABELS)),
+        signs,
+        keep_cols=("label",),
+    ).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+        F.col("label").cast("int").alias("cand_label"),
+    )
+    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "cand_label", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ann_filtered_topk.__doc__ = (ann_filtered_topk.__doc__ or "").format(
+    labels=_ANN_FILTER_LABELS
+)
+
+
 def _proj_sql(e: str, p: int) -> str:
     sign_hash = hashing.md5_int_sql(f"'{p}_' || CAST(d - 1 AS VARCHAR)")
     return (
@@ -1539,6 +1627,35 @@ ranked AS (
                                ORDER BY cos_sim DESC, cand_id) AS rank
   FROM scored)
 SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+ANN_FILTERED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, label, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE label IN {_ANN_FILTER_LABELS}),
+q AS (
+  SELECT vec_id, embedding,
+         unnest(list_concat({_PROBE_LIST_SQL}, {_PAIR_PROBES_SQL})) AS qb
+  FROM (
+    SELECT vec_id, embedding, bucket, {_MARGIN_KEYS_SQL} AS k
+    FROM (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+          FROM embeddings)
+    WHERE vec_id < {_NQUERY})),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM q JOIN e c ON c.bucket = q.qb AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, CAST(cand_label AS INTEGER) AS cand_label,
+       cos_sim, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {_TOPK}
 ORDER BY query_id, rank
 """
@@ -5648,6 +5765,8 @@ SPECS: list[QuerySpec] = [
               "brute-force cosine top-k"),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, ANN_LSH_SQL,
               "sign-random-projection LSH top-k"),
+    QuerySpec("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_SQL,
+              "predicate-filtered ANN: label filter pushed below the LSH probe"),
     QuerySpec("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL,
               "product-quantization ADC scan: fixed sub-codebooks, 4-byte codes"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,

@@ -288,3 +288,21 @@ def test_bm25_topk_not_global_window(spark):
     assert unbounded_global_windows(df) == []
     plan = _plan_str(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_filtered_predicate_pushed_below_probe(spark):
+    """Filtered ANN: the label predicate must reach the parquet scan of
+    the candidate/index side (pre-filter semantics), NOT post-filter the
+    top-k — the pushed form is the one that prunes the index scan at
+    corpus scale."""
+    df = _build(spark, "ann_filtered_topk")
+    pushed = " ".join(pushed_filters(df))
+    assert "label" in pushed, pushed
+    rows = df.collect()
+    assert rows, "filtered ANN returned nothing on the fixture"
+    assert all(r.cand_label in (1, 3, 5, 7) for r in rows)
+    # dense top-k over the ALLOWED corpus: every query returns full k
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert all(n == 5 for n in per_q.values()), per_q
