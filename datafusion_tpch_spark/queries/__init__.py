@@ -25,37 +25,35 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 9 (per the round-8 verdict): new round-9 gates
-# first (driver record on first exposure), then the 7 queries whose latest
-# record is still r04 (supplier_hhi + the six the round-8 additions
-# displaced), then re-confirms of the queries this round's code changes
-# touched, then backfill by staleness (r05-cohort next).  Everything not
-# listed keeps registration order after these.
+# correctness record.  Round 10 (per the round-9 verdict): the 5 round-10
+# additions first (driver record on first exposure), then the 12 queries
+# whose latest record is still r05, then 33 of the 50-strong r06 cohort —
+# exactly 50 keys.  The 17 r06 entries left over (q16_spec..q22_spec,
+# q1_spec..q9_spec by sort order, q15_window, multimodal_wav's neighbors)
+# front the round-11 backfill after its additions.  Everything not listed
+# keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round-9 additions; new queries are inserted HERE as they land --
-    "docs_bpe_encode", "docs_dedup_ingest_stream", "multimodal_jpeg_roundtrip",
-    "multimodal_gif89a_roundtrip", "multimodal_jpeg420_roundtrip",
-    "embeddings_drift", "docs_token_budget_bpe", "docs_token_meter_stream",
-    # -- the 7 rotation-debt queries (latest record r04) --
-    "supplier_hhi", "orders_lineitem_hash_join", "orders_lineitem_merge_join",
-    "orders_partitioned_prune", "orders_schema_evolution",
-    "orders_seasonality", "pq_distortion_audit",
-    # -- backfill: the full r05 cohort (47 queries), oldest records next
-    # in line.  Only the first 50 keys total are driver-checked; entries
-    # pushed past the window by later round-9 additions above simply wait
-    # for round 10 --
-    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
-    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20",
-    "q21", "q22",
-    "ann_ivf_pq_topk", "ann_lsh_topk", "customer_record_linkage",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_semantic",
-    "docs_negative_pairs", "docs_reservoir_sample", "docs_stratified_sample",
-    "docs_token_pack", "events_concurrency", "events_hll_stream",
-    "events_kmv_distinct", "events_kmv_setops", "events_late_audit",
-    "events_rolling_kmv", "events_trending_stream", "events_value_quantiles",
-    "lineitem_winsorize", "multimodal_audio_energy", "orders_csv_roundtrip",
-    "orders_json_roundtrip", "part_impute_median", "part_skyline",
-    "text_stats",
+    # -- round-10 additions; new queries are inserted HERE as they land --
+    "multimodal_phash_dedup", "multimodal_video_frames",
+    "multimodal_jpeg_dri_roundtrip", "embeddings_ingest_stream",
+    "ann_filtered_topk",
+    # -- the 12 rotation-debt queries (latest record r05) --
+    "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
+    "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",
+    "multimodal_audio_energy", "orders_csv_roundtrip", "orders_json_roundtrip",
+    "part_impute_median", "part_skyline", "text_stats",
+    # -- backfill: 33 oldest of the r06 cohort --
+    "dedup_cluster_quality_elect", "dedup_incremental_lsh",
+    "dedup_semantic_clusters", "docs_bm25_topk", "docs_cross_source_dups",
+    "docs_pipeline_yield", "docs_token_budget", "events_cdc_merge",
+    "events_cdc_stream", "events_communities", "events_distribution_drift",
+    "events_enriched_stream", "events_hourly", "events_hourly_stream",
+    "events_json_extract", "events_multibatch_stream", "events_pagerank",
+    "events_rollup_cascade", "events_scd2_history", "events_scd2_stream",
+    "events_session_stream", "events_sessionize", "events_stateful_sessions",
+    "events_stream_stream_join", "multimodal_decode_roundtrip",
+    "multimodal_pixel_stats", "multimodal_wav_roundtrip",
+    "q10_spec", "q11_spec", "q12_spec", "q13_spec", "q14_spec", "q15_spec",
 ]
 
 
