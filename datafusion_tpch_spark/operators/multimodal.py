@@ -1124,7 +1124,9 @@ def decode_gif(content: bytes) -> np.ndarray:
     LZW decompression, four-pass de-interlacing when the descriptor
     flags it, palette map to (h, w, 3) uint8.  Frames past the first are
     ignored (the still-image contract); a GCE transparency index raises
-    NotImplementedError (transparency has no RGB answer)."""
+    NotImplementedError here because a lone frame has no RGB answer —
+    animations, transparency and disposal composition are
+    :func:`decode_gif_frames`'s contract."""
     buf = bytes(content)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF stream")
@@ -2645,4 +2647,293 @@ def decoded_video_frame_stats(assets: DataFrame, stride: int = 2) -> DataFrame:
         run,
         "asset_id long, frame_idx int, n_frames int, width int, height int,"
         " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# ------------------------------------------- animated GIF (89a) decode
+
+def encode_gif_anim(
+    frames, palette, screen_wh: tuple[int, int], *,
+    transparent_idx: "int | None" = None, disposals=None, bg_index: int = 0,
+) -> bytes:
+    """Encode a genuine ANIMATED GIF89a: ``frames`` is a list of
+    (left, top, idx) placements — each a uint8 index raster painted at
+    (left, top) on the logical screen — sharing one global color table.
+    Every frame carries a real Graphic Control Extension with its
+    disposal method (``disposals``, default 1 = do not dispose) and,
+    when ``transparent_idx`` is set, the transparency flag + index.
+    This is the delta-frame layout animation-capable writers emit:
+    partial-rect updates over a persistent canvas."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    if palette.ndim != 2 or palette.shape[1] != 3 or n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette must be (n, 3) uint8 with n a power of two in [2, 256]")
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    sw, sh = screen_wh
+    if disposals is None:
+        disposals = [1] * len(frames)
+    if len(disposals) != len(frames):
+        raise ValueError("one disposal method per frame")
+    depth = max(n.bit_length() - 1, 1)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), bg_index, 0])
+    out += palette.tobytes()
+    for (left, top, idx), disp in zip(frames, disposals):
+        idx = np.asarray(idx)
+        if idx.dtype != np.uint8 or idx.ndim != 2:
+            raise ValueError("each frame raster must be 2-D uint8")
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("frame references a color past the palette")
+        h, w = idx.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame rect exceeds the logical screen")
+        packed = (disp & 0x07) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            packed |= 0x01
+            tidx = transparent_idx
+        out += bytes([0x21, 0xF9, 0x04, packed, 0, 0, tidx, 0])  # GCE
+        out += (
+            b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+        )
+        min_code_size = max(depth, 2)
+        lzw = _gif_lzw_encode(idx.reshape(-1).tolist(), min_code_size)
+        out.append(min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
+    """Decode EVERY frame of an animated GIF strictly from the blob
+    bytes, composing the per-frame COMPLETE canvas the way a viewer
+    renders it: the canvas starts as the background color, each frame's
+    rect paints over it (transparent pixels leave the canvas
+    untouched), and the frame's disposal method then runs — 0/1 leave
+    the canvas, 2 restores the frame's rect to the background color
+    (the GIF89a reading: "restored to the background color"), 3
+    (restore-to-previous) raises NotImplementedError by name.  Returns
+    (screen_w, screen_h, [composed (sh, sw, 3) uint8 canvases]), one
+    per frame.  Declared sizes are bounds-checked; truncation raises
+    ValueError."""
+    buf = bytes(content)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF stream")
+    if len(buf) < 13:
+        raise ValueError("GIF: truncated header/screen descriptor")
+    sw = int.from_bytes(buf[6:8], "little")
+    sh = int.from_bytes(buf[8:10], "little")
+    flags, bg_index = buf[10], buf[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        nc = 2 << (flags & 0x07)
+        if pos + 3 * nc > len(buf):
+            raise ValueError("GIF: truncated global color table")
+        gct = np.frombuffer(buf, dtype=np.uint8, count=3 * nc, offset=pos).reshape(nc, 3)
+        pos += 3 * nc
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list = []
+    disposal, tindex = 0, None
+    while True:
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated before trailer")
+        b0 = buf[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(buf):
+                raise ValueError("GIF: truncated extension block")
+            label = buf[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                if pos + 5 > len(buf):
+                    raise ValueError("GIF: truncated GCE")
+                packed = buf[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                tindex = buf[pos + 4] if packed & 0x01 else None
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal method 3 (restore to previous)"
+                    )
+                if disposal > 3:
+                    raise ValueError(f"GIF: reserved disposal {disposal}")
+            while True:  # sub-block walk (GCE body included)
+                if pos >= len(buf):
+                    raise ValueError("GIF: truncated extension sub-blocks")
+                size = buf[pos]
+                pos += 1
+                if size == 0:
+                    break
+                if pos + size > len(buf):
+                    raise ValueError("GIF: truncated extension sub-block")
+                pos += size
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        pos += 1
+        if pos + 9 > len(buf):
+            raise ValueError("GIF: truncated image descriptor")
+        left = int.from_bytes(buf[pos : pos + 2], "little")
+        top = int.from_bytes(buf[pos + 2 : pos + 4], "little")
+        w = int.from_bytes(buf[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(buf[pos + 6 : pos + 8], "little")
+        iflags = buf[pos + 8]
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF: frame rect exceeds the logical screen")
+        pal = gct
+        if iflags & 0x80:
+            nc = 2 << (iflags & 0x07)
+            if pos + 3 * nc > len(buf):
+                raise ValueError("GIF: truncated local color table")
+            pal = np.frombuffer(
+                buf, dtype=np.uint8, count=3 * nc, offset=pos
+            ).reshape(nc, 3)
+            pos += 3 * nc
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        if pos >= len(buf):
+            raise ValueError("GIF: truncated before LZW minimum code size")
+        min_code_size = buf[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(buf):
+                raise ValueError("GIF: truncated inside data sub-blocks")
+            size = buf[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(buf):
+                raise ValueError("GIF: truncated data sub-block")
+            lzw += buf[pos : pos + size]
+            pos += size
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), min_code_size, w * h), dtype=np.uint8
+        ).reshape(h, w)
+        if iflags & 0x40:
+            out = np.empty_like(idx)
+            out[_gif_interlace_order(h)] = idx
+            idx = out
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        region = canvas[top : top + h, left : left + w]
+        painted = pal[idx]
+        if tindex is not None:
+            mask = (idx != tindex)[:, :, None]
+            region[...] = np.where(mask, painted, region)
+        else:
+            region[...] = painted
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore the rect to background AFTER showing
+            canvas[top : top + h, left : left + w] = bg_rgb
+        disposal, tindex = 0, None
+    if not frames:
+        raise ValueError("GIF: no image data before trailer")
+    return sw, sh, frames
+
+
+def documents_as_gif_anim_assets(docs: DataFrame) -> DataFrame:
+    """Animated-GIF asset table: per document, a genuine GIF89a of
+    ``2 + id % 4`` frames on a (12+id%8) × (6+id%5) canvas — frame 0
+    paints the full base raster (``idx = (id*K + y*w + x) % 15``), every
+    later frame g is a REAL delta: a 3-column band at x ∈ [3(g−1), 3g)
+    with transparent pixels at (x+y)%3==0 (index 15) and values
+    ``(id*K + g*97 + y*w + x) % 15`` elsewhere, odd frames disposal 1
+    (persist), even frames disposal 2 (restored to the background color
+    after display).  All SQL-recomputable; the shared 16-color palette
+    is the closed-form one of the paletted-PNG gate."""
+    pal = np.stack(
+        [
+            (np.arange(_PNG_PAL_N) * m + b) % 256
+            for m, b in zip(_PNG_PAL_MULS, _PNG_PAL_ADDS)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 12 + aid % 8, 6 + aid % 5
+                n = 2 + aid % 4
+                y = np.arange(h, dtype=np.int64)[:, None]
+                xg = np.arange(w, dtype=np.int64)[None, :]
+                base = ((aid * _PNG_PX_K + y * w + xg) % 15).astype(np.uint8)
+                frames = [(0, 0, base)]
+                disposals = [1]
+                for g in range(1, n):
+                    xs = 3 * (g - 1)
+                    xb = np.arange(xs, xs + 3, dtype=np.int64)[None, :]
+                    vals = (aid * _PNG_PX_K + g * 97 + y * w + xb) % 15
+                    band = np.where((xb + y) % 3 == 0, 15, vals).astype(
+                        np.uint8
+                    )
+                    frames.append((xs, 0, band))
+                    disposals.append(2 if g % 2 == 0 else 1)
+                blob = encode_gif_anim(
+                    frames, pal, (w, h),
+                    transparent_idx=15, disposals=disposals,
+                )
+                out.append((aid, "image", "image/gif", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_gif_anim_stats(assets: DataFrame, stride: int = 2) -> DataFrame:
+    """Animated-GIF decode + composition + frame sampling in one Arrow
+    kernel: every frame must be LZW-decoded (GIF frames are deltas over
+    a persistent canvas, so unlike MJPEG there is no skip-decode), the
+    composed canvases at every ``stride``-th frame leave the kernel as
+    integer-exact channel sums plus a position-weighted checksum —
+    channel sums alone are permutation-invariant (the GIF interlace
+    lesson), and a composition bug is exactly a permutation-shaped
+    failure."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, frames = decode_gif_frames(row.content)
+                posw = (
+                    np.arange(h * w, dtype=np.int64).reshape(h, w) + 1
+                )
+                for f in range(0, len(frames), stride):
+                    px = frames[f].astype(np.int64)
+                    out.append(
+                        (row.asset_id, f, len(frames), w, h,
+                         int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                         int(px[:, :, 2].sum()),
+                         int((posw * px.sum(axis=2)).sum()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "frame_idx", "n_frames", "width",
+                         "height", "sum_r", "sum_g", "sum_b", "poschk"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, frame_idx int, n_frames int, width int, height int,"
+        " sum_r long, sum_g long, sum_b long, poschk long",
     )

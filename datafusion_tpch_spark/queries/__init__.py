@@ -27,16 +27,16 @@ class QuerySpec:
 # Rotate this window across rounds so every query accumulates a driver-side
 # correctness record.  Round 10 (per the round-9 verdict): the 5 round-10
 # additions first (driver record on first exposure), then the 12 queries
-# whose latest record is still r05, then 33 of the 50-strong r06 cohort —
-# exactly 50 keys.  The 17 r06 entries left over (q16_spec..q22_spec,
-# q1_spec..q9_spec by sort order, q15_window, multimodal_wav's neighbors)
-# front the round-11 backfill after its additions.  Everything not listed
+# whose latest record is still r05, then the oldest of the 50-strong r06
+# cohort.  The window takes the first 50 keys; r06 entries pushed past it
+# by later round-10 additions (q15_spec onward) front the round-11
+# backfill after its additions.  Everything not listed
 # keeps registration order after these.
 _CHECK_FIRST = [
     # -- round-10 additions; new queries are inserted HERE as they land --
     "multimodal_phash_dedup", "multimodal_video_frames",
     "multimodal_jpeg_dri_roundtrip", "embeddings_ingest_stream",
-    "ann_filtered_topk",
+    "ann_filtered_topk", "multimodal_gif_anim_frames",
     # -- the 12 rotation-debt queries (latest record r05) --
     "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
     "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",

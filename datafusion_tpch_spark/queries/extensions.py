@@ -3555,6 +3555,84 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def multimodal_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF decode — transparency, delta frames, disposal
+    methods: the last named GIF boundaries, closed in one gate.  Per
+    document a genuine GIF89a animation: frame 0 paints the full base
+    raster, every later frame is a real 3-column delta band carrying a
+    GCE with the transparency index (transparent pixels leave the canvas
+    — the base shows through) and its disposal method (odd frames
+    persist, even frames are restored to the background color after
+    display).  The Arrow kernel LZW-decodes EVERY frame (GIF frames are
+    deltas — no skip-decode, unlike MJPEG), composes the viewer-visible
+    canvas per frame, samples every 2nd composed frame and emits channel
+    sums plus a position-weighted checksum (composition bugs are
+    permutation-shaped; bare sums would miss them).  The oracle replays
+    base/band/transparency/disposal in closed form per sampled frame, so
+    a decoder that drops a transparency mask, mis-places a band, or
+    skips a disposal restore hash-fails."""
+    from ..operators.multimodal import (
+        decoded_gif_anim_stats,
+        documents_as_gif_anim_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_gif_anim_stats(documents_as_gif_anim_assets(ids), stride=2)
+
+
+# i = -1 never occurs: the background color IS palette[0] (11, 7, 3), so
+# the disposal-2 restore is expressible as index 0
+MULTIMODAL_GIF_ANIM_SQL = """
+WITH g AS (
+  SELECT doc_id, 12 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+         2 + doc_id % 4 AS n
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, n, f FROM g, UNNEST(range(0, n)) t(f)
+  WHERE f % 2 = 0),
+px AS (
+  SELECT doc_id, f, n, w, h, p % w AS x, p // w AS y
+  FROM fr, UNNEST(range(0, w * h)) t(p)),
+cell AS (
+  SELECT doc_id, f, n, w, h, x, y,
+    CASE
+      WHEN x < 3 * (n - 1) AND (x // 3 + 1) <= f THEN
+        CASE
+          WHEN (x // 3 + 1) < f AND (x // 3 + 1) % 2 = 0
+            THEN 0
+          WHEN (x + y) % 3 = 0
+            THEN (doc_id * 2654435761 + y * w + x) % 15
+          ELSE (doc_id * 2654435761 + (x // 3 + 1) * 97 + y * w + x) % 15
+        END
+      ELSE (doc_id * 2654435761 + y * w + x) % 15
+    END AS i
+  FROM px),
+rgb AS (
+  SELECT doc_id, f, n, w, h, x, y,
+         (i * 37 + 11) % 256 AS r,
+         (i * 59 + 7) % 256 AS gr,
+         (i * 83 + 3) % 256 AS b
+  FROM cell)
+SELECT doc_id AS asset_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(n AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(gr) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((y * w + x + 1) * (r + gr + b)) AS BIGINT) AS poschk
+FROM rgb
+GROUP BY doc_id, f, n, w, h
+ORDER BY asset_id, frame_idx
+"""
+
+
 def _phash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig_hi, sig_lo) dHash signature table — decode + hash fused
     in one Arrow kernel pass over real PNG blobs, materialized once per
@@ -5859,6 +5937,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_video_frames", multimodal_video_frames,
               MULTIMODAL_VIDEO_FRAMES_SQL,
               "AVI/MJPEG container walk + stride-2 frame sampling + decode"),
+    QuerySpec("multimodal_gif_anim_frames", multimodal_gif_anim_frames,
+              MULTIMODAL_GIF_ANIM_SQL,
+              "animated GIF: transparency + delta frames + disposal compose"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

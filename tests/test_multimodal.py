@@ -1122,3 +1122,77 @@ def test_video_frame_sampling_skips_unsampled(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decoded_video_frame_stats(assets, stride=0)
+
+
+def test_gif_anim_composition_and_boundaries():
+    """Animated GIF contract: delta frames compose over a persistent
+    canvas, transparency leaves the canvas, disposal 2 restores the rect
+    to the background color after display; disposal 3 raises by name;
+    truncation and out-of-screen rects are ValueError."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif_anim,
+    )
+
+    pal = np.stack(
+        [(np.arange(16) * m + b) % 256 for m, b in ((37, 11), (59, 7), (83, 3))],
+        axis=1,
+    ).astype(np.uint8)
+    sw, sh = 12, 6
+    base = (np.arange(sh * sw, dtype=np.int64).reshape(sh, sw) % 15).astype(np.uint8)
+
+    def band(g):
+        out = np.zeros((sh, 3), dtype=np.uint8)
+        for v in range(sh):
+            for u in range(3):
+                x = 3 * (g - 1) + u
+                out[v, u] = 15 if (x + v) % 3 == 0 else (g * 97 + v * sw + x) % 15
+        return out
+
+    frames = [(0, 0, base), (0, 0, band(1)), (3, 0, band(2))]
+    blob = encode_gif_anim(frames, pal, (sw, sh),
+                           transparent_idx=15, disposals=[1, 2, 1])
+    w, h, out = decode_gif_frames(blob)
+    assert (w, h, len(out)) == (sw, sh, 3)
+    assert np.array_equal(out[0], pal[base])
+    # frame 1: band 1 painted except transparent pixels
+    exp1 = pal[base].copy()
+    b1 = band(1)
+    for v in range(sh):
+        for u in range(3):
+            if b1[v, u] != 15:
+                exp1[v, u] = pal[b1[v, u]]
+    assert np.array_equal(out[1], exp1)
+    # frame 2: band 1 restored to bg (disposal 2), band 2 painted
+    exp2 = pal[base].copy()
+    exp2[:, 0:3] = pal[0]
+    b2 = band(2)
+    for v in range(sh):
+        for u in range(3):
+            if b2[v, u] != 15:
+                exp2[v, 3 + u] = pal[b2[v, u]]
+    assert np.array_equal(out[2], exp2)
+    # single-frame API still refuses transparency by name
+    from datafusion_tpch_spark.operators.multimodal import decode_gif
+    with _pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif(blob)
+    # disposal 3 is a named boundary
+    blob3 = encode_gif_anim(frames, pal, (sw, sh),
+                            transparent_idx=15, disposals=[1, 3, 1])
+    with _pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif_frames(blob3)
+    # truncation inside a frame's data sub-blocks
+    with _pytest.raises(ValueError):
+        decode_gif_frames(blob[: len(blob) - 3])
+    # frame rect past the logical screen (corrupt descriptor)
+    bad = bytearray(blob)
+    i = bad.index(b"\x2c", 13)
+    bad[i + 1 : i + 3] = (11).to_bytes(2, "little")  # left=11, w=12 > sw
+    with _pytest.raises(ValueError, match="screen"):
+        decode_gif_frames(bytes(bad))
+    # encoder refuses rects past the screen and empty clips
+    with _pytest.raises(ValueError):
+        encode_gif_anim([(10, 0, band(1))], pal, (sw, sh))
+    with _pytest.raises(ValueError):
+        encode_gif_anim([], pal, (sw, sh))
