@@ -1675,10 +1675,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     1..2).  Returns (h, w) uint8 for 1-component streams, (h, w, 3)
     uint8 for 3.  Restart intervals (DRI/RSTn) are supported: the bit
     reader byte-aligns and consumes the modulo-8 marker at each boundary
-    and the DC predictors reset.  The unimplemented corners raise
-    NotImplementedError by name: progressive (SOF2) and every other
-    non-SOF0 frame type, arithmetic coding, 12-bit precision, 16-bit
-    quant tables, sampling factors beyond 2."""
+    and the DC predictors reset.  PROGRESSIVE (SOF2) streams are decoded
+    for real — multi-scan spectral selection AND successive
+    approximation per T.81 Annex G: DC first/refine scans (interleaved),
+    per-component AC first/refine scans with EOB-run decoding and
+    correction bits, coefficients accumulated across scans and
+    dequantized/IDCTed at EOI.  The unimplemented corners raise
+    NotImplementedError by name: arithmetic coding, hierarchical and
+    lossless frame types, 12-bit precision, 16-bit quant tables,
+    sampling factors beyond 2, restart intervals inside progressive
+    scans."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream")
@@ -1687,6 +1693,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     hufftabs: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    prog_zz = None      # per-component zig-zag coefficient accumulators
+    prog_scans = 0
     while True:
         if pos + 2 > len(buf):
             raise ValueError("JPEG: truncated before SOS")
@@ -1700,6 +1709,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: no body
             continue
         if marker == 0xD9:
+            if progressive and prog_scans:
+                break  # EOI ends the multi-scan stream
             raise ValueError("JPEG: EOI before scan data")
         if pos + 2 > len(buf):
             raise ValueError("JPEG: truncated segment header")
@@ -1734,9 +1745,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     raise ValueError("JPEG: truncated DHT")
                 hufftabs[(tc, th)] = _huff_decode_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
-                raise ValueError("JPEG: truncated SOF0")
+                raise ValueError("JPEG: truncated SOF")
             prec, fh, fw, nc = body[0], int.from_bytes(
                 body[1:3], "big"
             ), int.from_bytes(body[3:5], "big"), body[5]
@@ -1752,9 +1763,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, sh, sv))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else (
+            kind = (
                 "arithmetic-coded" if marker >= 0xC9 else "non-baseline"
             )
             raise NotImplementedError(f"JPEG {kind} frame (SOF{marker - 0xC0})")
@@ -1764,7 +1776,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             restart_interval = int.from_bytes(body, "big")
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
-                raise ValueError("JPEG: SOS before SOF0")
+                raise ValueError("JPEG: SOS before SOF")
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("JPEG: truncated SOS header")
             ns = body[0]
@@ -1772,15 +1784,51 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
-            break
+            if not progressive:
+                break
+            if restart_interval:
+                raise NotImplementedError(
+                    "JPEG restart intervals inside progressive scans"
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            fh, fw, comps = frame
+            max_h = max(c[2] for c in comps)
+            max_v = max(c[3] for c in comps)
+            mcux = (fw + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
+            if prog_zz is None:
+                prog_zz = [
+                    np.zeros((mcuy * sv, mcux * sh, 64), dtype=np.int64)
+                    for (_, _, sh, sv) in comps
+                ]
+            pos = _prog_decode_scan(
+                buf, pos, frame, (mcux, mcuy, max_h, max_v),
+                scan, ss, se, ah, al, hufftabs, prog_zz,
+            )
+            prog_scans += 1
+            continue
         # APPn / COM / anything else with a length: skipped
     fh, fw, comps = frame
-    if len(scan) != len(comps):
-        raise NotImplementedError("JPEG multi-scan streams")
     max_h = max(c[2] for c in comps)
     max_v = max(c[3] for c in comps)
     mcux = (fw + 8 * max_h - 1) // (8 * max_h)
     mcuy = (fh + 8 * max_v - 1) // (8 * max_v)
+    ncomp = len(comps)
+    if progressive:
+        # all scans consumed: dequantize the accumulated coefficients
+        coefs = []
+        for ci, (_, tq, sh, sv) in enumerate(comps):
+            if tq not in qtabs:
+                raise ValueError(f"JPEG: missing quant table {tq}")
+            nat = np.zeros_like(prog_zz[ci])
+            nat[..., _JPG_ZZ] = prog_zz[ci]
+            coefs.append(
+                nat.reshape(nat.shape[0], nat.shape[1], 8, 8) * qtabs[tq]
+            )
+        return _jpg_idct_planes(coefs, comps, fh, fw, max_h, max_v)
+    if len(scan) != len(comps):
+        raise NotImplementedError("JPEG multi-scan baseline streams")
     br = _JpgBitReader(buf, pos)
     comp_cfg = []
     for (cid, tq, sh, sv), (scid, td, ta) in zip(comps, scan):
@@ -1846,8 +1894,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 br.restart(rst_n % 8)
                 rst_n += 1
                 preds = [0] * ncomp  # predictors reset with the bit stream
+    return _jpg_idct_planes(coefs, comps, fh, fw, max_h, max_v)
+
+
+def _jpg_idct_planes(coefs, comps, fh, fw, max_h, max_v) -> np.ndarray:
+    """Shared decode tail for the baseline and progressive paths:
+    dequantized natural-order coefficient grids → IDCT → level shift →
+    crop to each component's true extent → replication upsample →
+    grayscale plane or YCbCr→RGB."""
+    ncomp = len(comps)
     planes = []
-    for c, (_, _, _, sh, sv) in enumerate(comp_cfg):
+    for c, (_, _, sh, sv) in enumerate(comps):
         bh, bw_ = coefs[c].shape[:2]
         px = np.einsum(
             "xu,nuv,yv->nxy", _JPG_D.T,
@@ -2936,4 +2993,403 @@ def decoded_gif_anim_stats(assets: DataFrame, stride: int = 2) -> DataFrame:
         run,
         "asset_id long, frame_idx int, n_frames int, width int, height int,"
         " sum_r long, sum_g long, sum_b long, poschk long",
+    )
+
+
+# --------------------------------------- progressive JPEG (T.81 Annex G)
+
+# Progressive AC scans emit the EOBn family (r < 15, s = 0) that Annex
+# K's baseline AC tables have no symbols for, so progressive encoders
+# always ship custom DHT tables.  Ours is the simplest valid one: every
+# (run, size) symbol with s <= 10 at a fixed 8-bit code length — 176
+# codes of length 8 is a legal canonical Huffman table (<= 256), and the
+# decoder rebuilds it from DHT like any other.
+_JPG_AC_PROG = (
+    tuple([0] * 7 + [176] + [0] * 8),
+    tuple((r << 4) | s for s in range(0, 11) for r in range(16)),
+)
+
+
+class _ProgACState:
+    """Cross-block AC-scan state: the pending end-of-band run and the
+    correction bits buffered behind it (refinement scans)."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _prog_flush_eobrun(bw: _JpgBitWriter, ac_enc, st: _ProgACState) -> None:
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        code, ln = ac_enc[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(st.eobrun - (1 << nbits), nbits)
+        st.eobrun = 0
+    for b in st.bits:
+        bw.write(b, 1)
+    st.bits = []
+
+
+def _prog_ac_first_block(bw, ac_enc, zz, Ss, Se, Al, st) -> None:
+    r = 0
+    for k in range(Ss, Se + 1):
+        t = int(zz[k])
+        t = (t >> Al) if t >= 0 else -((-t) >> Al)
+        if t == 0:
+            r += 1
+            continue
+        if st.eobrun > 0:
+            _prog_flush_eobrun(bw, ac_enc, st)
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = abs(t).bit_length()
+        code, ln = ac_enc[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _prog_flush_eobrun(bw, ac_enc, st)
+
+
+def _prog_ac_refine_block(bw, ac_enc, zz, Ss, Se, Al, st) -> None:
+    absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eobpos = Ss - 1  # index of the last NEWLY-nonzero coefficient
+    for k in range(Ss, Se + 1):
+        if absv[k - Ss] == 1:
+            eobpos = k
+    r = 0
+    pend: list[int] = []  # correction bits since the last emitted symbol
+    for k in range(Ss, Se + 1):
+        t = absv[k - Ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            _prog_flush_eobrun(bw, ac_enc, st)
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:  # history coefficient: one buffered correction bit
+            pend.append(t & 1)
+            continue
+        _prog_flush_eobrun(bw, ac_enc, st)
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st.eobrun += 1
+        st.bits.extend(pend)
+        if st.eobrun == 0x7FFF or len(st.bits) > 936:
+            _prog_flush_eobrun(bw, ac_enc, st)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quant: np.ndarray | None = None,
+                            chroma_quant: np.ndarray | None = None) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 raster as a REAL
+    PROGRESSIVE (SOF2) JFIF stream — spectral selection AND successive
+    approximation, the full Annex G feature set: a coarse DC scan
+    (Al=1), first-pass AC scans split into two spectral bands at two
+    magnitude bits of precision (Al=2), then refinement scans walking
+    precision down to the exact coefficients (DC Ah=1→Al=0; AC Ah=2→1,
+    Ah=1→0 per band), each AC scan non-interleaved per component with
+    real EOB-run coding and buffered correction bits.  Color is 4:4:4
+    (progressive + subsampling is not emitted here).  Decoding the
+    output reproduces exactly the pixels of the BASELINE encode of the
+    same raster and tables — the property test's contract."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects (h, w) or (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("JPEG: bad dimensions")
+    q0 = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    q1 = q0 if chroma_quant is None else np.asarray(chroma_quant, dtype=np.int64)
+    if (q0 < 1).any() or (q0 > 255).any() or (q1 < 1).any() or (q1 > 255).any():
+        raise ValueError("JPEG: 8-bit quant tables only")
+    ncomp = 1 if gray else 3
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    planes = [img] if gray else [
+        _jpg_rgb_to_ycc(img)[:, :, i] for i in range(3)
+    ]
+    qtabs = [q0] if gray else [q0, q1, q1]
+    comp_zz = [
+        _jpg_plane_blocks_mcu(p, q, mcux, mcuy, 1, 1)
+        for p, q in zip(planes, qtabs)
+    ]
+    dc_t = [_JPG_DC_L] if gray else [_JPG_DC_L, _JPG_DC_C, _JPG_DC_C]
+    dc_enc = [_huff_encode_table(*t) for t in dc_t]
+    ac_prog_enc = _huff_encode_table(*_JPG_AC_PROG)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q0 = bytes(int(q0.reshape(64)[p]) for p in _JPG_ZZ)
+    out += _seg(0xDB, b"\x00" + zz_q0)
+    if not gray:
+        zz_q1 = bytes(int(q1.reshape(64)[p]) for p in _JPG_ZZ)
+        out += _seg(0xDB, b"\x01" + zz_q1)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    dht = b""
+    tables = [(0x00, _JPG_DC_L), (0x10, _JPG_AC_PROG)]
+    if not gray:
+        tables += [(0x01, _JPG_DC_C), (0x11, _JPG_AC_PROG)]
+    for tid, (bits, values) in tables:
+        dht += bytes([tid]) + bytes(bits) + bytes(values)
+    out += _seg(0xC4, dht)
+
+    def sos_header(comps, Ss, Se, Ah, Al) -> bytes:
+        body = bytes([len(comps)])
+        for c in comps:
+            td = 0 if c == 0 else 1
+            ta = 0 if c == 0 else 1
+            body += bytes([c + 1, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    def dc_first(Al: int) -> bytes:
+        bw = _JpgBitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(ncomp):
+                    dc = int(comp_zz[c][my, mx, 0]) >> Al
+                    diff = dc - preds[c]
+                    preds[c] = dc
+                    s = abs(diff).bit_length()
+                    code, ln = dc_enc[c][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bw.flush()
+        return bytes(bw.out)
+
+    def dc_refine(Al: int) -> bytes:
+        bw = _JpgBitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(ncomp):
+                    bw.write((int(comp_zz[c][my, mx, 0]) >> Al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(c: int, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        bw = _JpgBitWriter()
+        st = _ProgACState()
+        fn = _prog_ac_first_block if Ah == 0 else _prog_ac_refine_block
+        for my in range(mcuy):
+            for mx in range(mcux):
+                fn(bw, ac_prog_enc, comp_zz[c][my, mx],
+                   Ss, Se, Al if Ah == 0 else Al, st)
+        _prog_flush_eobrun(bw, ac_prog_enc, st)
+        bw.flush()
+        return bytes(bw.out)
+
+    all_comps = list(range(ncomp))
+    out += sos_header(all_comps, 0, 0, 0, 1) + dc_first(1)
+    for c in all_comps:
+        out += sos_header([c], 1, 5, 0, 2) + ac_scan(c, 1, 5, 0, 2)
+        out += sos_header([c], 6, 63, 0, 2) + ac_scan(c, 6, 63, 0, 2)
+    for c in all_comps:
+        out += sos_header([c], 1, 63, 2, 1) + ac_scan(c, 1, 63, 2, 1)
+    out += sos_header(all_comps, 0, 0, 1, 0) + dc_refine(0)
+    for c in all_comps:
+        out += sos_header([c], 1, 63, 1, 0) + ac_scan(c, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_dec_ac_first(br, act, blk, Ss, Se, Al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _jpg_read_symbol(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r (+ extension) all-done bands
+                eb = 1 << r
+                if r:
+                    eb += br.bits(r)
+                return eb - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("JPEG: AC run past band end")
+        blk[k] = _jpg_extend(br.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _prog_dec_ac_refine(br, act, blk, Ss, Se, Al, eobrun) -> int:
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _jpg_read_symbol(br, act)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # corrections for the rest of the band below
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad AC refinement magnitude")
+                newval = p1 if br.bit() else -p1
+            # advance over r zero-HISTORY positions, reading a correction
+            # bit at every nonzero-history coefficient passed on the way
+            while k <= Se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.bit() and (abs(v) & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                    k += 1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                    k += 1
+            if newval:
+                if k > Se:
+                    raise ValueError("JPEG: refinement run past band end")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # EOB span: correction bits only
+            v = int(blk[k])
+            if v != 0:
+                if br.bit() and (abs(v) & p1) == 0:
+                    blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_decode_scan(buf, pos, frame, grid, scan, Ss, Se, Ah, Al,
+                      hufftabs, prog_zz) -> int:
+    """Entropy-decode ONE progressive scan (T.81 Annex G) into the
+    per-component zig-zag coefficient accumulators; returns the buffer
+    position where the next marker begins.  DC scans (Ss=0) may be
+    interleaved; AC scans are single-component in the component's own
+    block-raster order."""
+    fh, fw, comps = frame
+    mcux, mcuy, max_h, max_v = grid
+    br = _JpgBitReader(buf, pos)
+    idxs = []
+    for scid, td, ta in scan:
+        for ci, (cid, _, sh, sv) in enumerate(comps):
+            if cid == scid:
+                idxs.append((ci, td, ta, sh, sv))
+                break
+        else:
+            raise ValueError("JPEG: scan references unknown component")
+    if Ss == 0:  # DC scan
+        if Se != 0:
+            raise ValueError("JPEG: progressive scan mixes DC and AC")
+        dctabs = []
+        if Ah == 0:
+            for _, td, _, _, _ in idxs:
+                t = hufftabs.get((0, td))
+                if t is None:
+                    raise ValueError(f"JPEG: missing DC table {td}")
+                dctabs.append(t)
+        preds = [0] * len(idxs)
+
+        def dc_block(j: int, blk) -> None:
+            if Ah == 0:
+                s = _jpg_read_symbol(br, dctabs[j])
+                if s > 11:
+                    raise ValueError("JPEG: bad DC category")
+                diff = _jpg_extend(br.bits(s), s) if s else 0
+                preds[j] += diff
+                blk[0] = preds[j] << Al
+            else:
+                if br.bit():
+                    blk[0] = int(blk[0]) | (1 << Al)
+
+        if len(idxs) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for j, (ci, _, _, sh, sv) in enumerate(idxs):
+                        for v in range(sv):
+                            for u in range(sh):
+                                dc_block(j, prog_zz[ci][my * sv + v,
+                                                        mx * sh + u])
+        else:
+            ci, _, _, sh, sv = idxs[0]
+            cbw = ((fw * sh + max_h - 1) // max_h + 7) // 8
+            cbh = ((fh * sv + max_v - 1) // max_v + 7) // 8
+            for by in range(cbh):
+                for bx in range(cbw):
+                    dc_block(0, prog_zz[ci][by, bx])
+    else:  # AC scan: single component, true block grid, raster order
+        if len(idxs) != 1:
+            raise ValueError("JPEG: interleaved AC progressive scan")
+        if Se > 63 or Ss > Se:
+            raise ValueError("JPEG: bad spectral band")
+        ci, _, ta, sh, sv = idxs[0]
+        act = hufftabs.get((1, ta))
+        if act is None:
+            raise ValueError(f"JPEG: missing AC table {ta}")
+        cbw = ((fw * sh + max_h - 1) // max_h + 7) // 8
+        cbh = ((fh * sv + max_v - 1) // max_v + 7) // 8
+        eobrun = 0
+        fn = _prog_dec_ac_first if Ah == 0 else _prog_dec_ac_refine
+        for by in range(cbh):
+            for bx in range(cbw):
+                eobrun = fn(br, act, prog_zz[ci][by, bx], Ss, Se, Al, eobrun)
+    return br.pos
+
+
+def documents_as_jpeg_prog_assets(docs: DataFrame) -> DataFrame:
+    """Progressive-JPEG asset table: per document, a deterministic
+    grayscale raster of (6+id%19) × (6+id%11) pixels, CONSTANT PER 8×8
+    BLOCK CELL (``pixel (y, x) = (id*K + (y//8)*nbx + x//8) % 256`` —
+    SQL-recomputable), encoded as a genuine SOF2 progressive stream:
+    coarse DC scan, two spectral-band AC scans, then three successive-
+    approximation refinement scans.  With all-ones quant the
+    coefficients are exactly integer, so the multi-scan reassembly is
+    bit-exact; block-constant content makes every AC scan a pure
+    EOB-run stream, exercising the EOBn decode path at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                w, h = 6 + aid % 19, 6 + aid % 11
+                nbx = (w + 7) // 8
+                bi = np.arange(h, dtype=np.int64)[:, None] // 8
+                bj = np.arange(w, dtype=np.int64)[None, :] // 8
+                img = ((aid * _JPG_PX_K + bi * nbx + bj) % 256).astype(np.uint8)
+                out.append((aid, "image", "image/jpeg",
+                            encode_jpeg_progressive(img)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
     )

@@ -3555,6 +3555,60 @@ ORDER BY asset_id, frame_idx
 """
 
 
+def multimodal_jpeg_prog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode end-to-end — the last major JPEG family
+    behind a NotImplementedError: genuine SOF2 multi-scan streams
+    (spectral selection AND successive approximation per T.81 Annex G —
+    coarse DC scan at Al=1, two spectral-band AC scans at Al=2, then AC
+    and DC refinement scans walking precision to exact), decoded
+    strictly from blob bytes by accumulating coefficients across scans
+    with EOB-run decoding and correction bits, dequantized and IDCTed at
+    EOI.  Block-constant rasters + all-ones quant make the reassembly
+    bit-exact, and every AC scan is a pure EOB-run stream — the EOBn
+    path no baseline stream can exercise.  The property test pins the
+    general case (progressive == baseline pixels for arbitrary rasters
+    and quant tables, hypothesis-driven); the oracle recomputes the
+    stats closed-form over the block grid.  Same parallel plan shape as
+    the other codec gates."""
+    from ..operators.multimodal import (
+        decoded_jpeg_stats,
+        documents_as_jpeg_prog_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_jpeg_stats(documents_as_jpeg_prog_assets(ids))
+
+
+MULTIMODAL_JPEG_PROG_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         6 + doc_id % 19 AS w,
+         6 + doc_id % 11 AS h,
+         (6 + doc_id % 19 + 7) // 8 AS nbx
+  FROM documents),
+cells AS (
+  SELECT doc_id, w, h,
+         (doc_id * 2654435761 + c) % 256 AS v,
+         LEAST(8, h - (c // nbx) * 8) AS ch,
+         LEAST(8, w - (c % nbx) * 8) AS cw
+  FROM g, UNNEST(range(0, nbx * ((h + 7) // 8))) t(c))
+SELECT doc_id AS asset_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       SUM(v * ch * cw) * 1.0 / (w * h) AS mean_px,
+       CAST(MAX(v) AS BIGINT) AS max_px,
+       CAST(SUM(v * ch * cw) AS BIGINT) AS sum_px
+FROM cells
+GROUP BY doc_id, w, h
+ORDER BY asset_id
+"""
+
+
 def multimodal_gif_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANIMATED GIF decode — transparency, delta frames, disposal
     methods: the last named GIF boundaries, closed in one gate.  Per
@@ -5940,6 +5994,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_gif_anim_frames", multimodal_gif_anim_frames,
               MULTIMODAL_GIF_ANIM_SQL,
               "animated GIF: transparency + delta frames + disposal compose"),
+    QuerySpec("multimodal_jpeg_prog_roundtrip", multimodal_jpeg_prog_roundtrip,
+              MULTIMODAL_JPEG_PROG_SQL,
+              "progressive JPEG: multi-scan spectral selection + SA reassembly"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -726,8 +726,11 @@ def test_jpeg_decoder_rejects_what_it_cannot_parse():
             mutate(b, i)
         return bytes(b)
 
-    # SOF0 -> SOF2: progressive
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    # SOF0 -> SOF2: progressive is now SUPPORTED — relabeling a baseline
+    # stream as progressive makes its single full-band scan ILLEGAL
+    # (progressive scans must not mix DC and AC), so this is corrupt,
+    # not unimplemented
+    with _pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(_patched(0xC0, 0xC2))
     # SOF0 -> SOF9: arithmetic coding
     with _pytest.raises(NotImplementedError, match="arithmetic"):
@@ -1196,3 +1199,65 @@ def test_gif_anim_composition_and_boundaries():
         encode_gif_anim([(10, 0, band(1))], pal, (sw, sh))
     with _pytest.raises(ValueError):
         encode_gif_anim([], pal, (sw, sh))
+
+
+def test_jpeg_progressive_equals_baseline_property():
+    """The progressive stream (spectral selection + successive
+    approximation, EOB runs, correction bits) must decode to EXACTLY the
+    pixels of the baseline encode of the same raster and quant tables —
+    the two entropy layouts carry identical coefficients."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 32), st.integers(1, 32),
+        st.booleans(), st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def prop(h, w, gray, unit_quant, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(
+            0, 256, size=(h, w) if gray else (h, w, 3)
+        ).astype(np.uint8)
+        q = None if unit_quant else np.asarray(
+            rng.integers(1, 50, size=(8, 8)), dtype=np.int64
+        )
+        blob = encode_jpeg_progressive(img, quant=q)
+        assert b"\xff\xc2" in blob  # really SOF2
+        assert blob.count(b"\xff\xda") >= 6  # really multi-scan
+        base = decode_jpeg(encode_jpeg(img, quant=q))
+        assert np.array_equal(decode_jpeg(blob), base)
+
+    prop()
+
+
+def test_jpeg_progressive_eob_runs_and_boundaries():
+    """Block-constant rasters have zero AC everywhere, so the AC scans
+    are pure EOB-run streams (EOBn with extension bits) — decode must be
+    bit-exact; truncation mid-scan raises ValueError; DRI + progressive
+    stays a named boundary."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg_progressive,
+    )
+
+    img = _block_const_gray(40)  # big enough for EOBRUN > 1 with ext bits
+    blob = encode_jpeg_progressive(img)
+    assert np.array_equal(decode_jpeg(blob), img)
+    rgb = np.stack([img, img, img], axis=2)
+    blob3 = encode_jpeg_progressive(rgb)
+    assert np.array_equal(decode_jpeg(blob3), rgb)
+    # truncation inside the scan chain
+    with _pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+    # a DRI segment ahead of progressive scans is a named boundary
+    i = blob.index(b"\xff\xda")
+    dri = blob[:i] + b"\xff\xdd\x00\x04\x00\x02" + blob[i:]
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(dri)
