@@ -65,6 +65,8 @@ def main() -> None:
         "multimodal_jpeg_dri_roundtrip",
         "multimodal_video_frames",
         "ann_filtered_topk",
+        "multimodal_gif_anim_frames",
+        "multimodal_jpeg_prog_roundtrip",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
