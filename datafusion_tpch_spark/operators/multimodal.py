@@ -2776,7 +2776,8 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
     untouched), and the frame's disposal method then runs — 0/1 leave
     the canvas, 2 restores the frame's rect to the background color
     (the GIF89a reading: "restored to the background color"), 3
-    (restore-to-previous) raises NotImplementedError by name.  Returns
+    restores the rect to what it held before the frame was painted
+    (restore-to-previous).  Returns
     (screen_w, screen_h, [composed (sh, sw, 3) uint8 canvases]), one
     per frame.  Declared sizes are bounds-checked; truncation raises
     ValueError."""
@@ -2820,10 +2821,6 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
                 packed = buf[pos + 1]
                 disposal = (packed >> 2) & 0x07
                 tindex = buf[pos + 4] if packed & 0x01 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore to previous)"
-                    )
                 if disposal > 3:
                     raise ValueError(f"GIF: reserved disposal {disposal}")
             while True:  # sub-block walk (GCE body included)
@@ -2887,6 +2884,7 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("GIF: palette index out of range")
         region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
         painted = pal[idx]
         if tindex is not None:
             mask = (idx != tindex)[:, :, None]
@@ -2896,6 +2894,8 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
         frames.append(canvas.copy())
         if disposal == 2:  # restore the rect to background AFTER showing
             canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:  # restore to what the rect held BEFORE the frame
+            canvas[top : top + h, left : left + w] = saved
         disposal, tindex = 0, None
     if not frames:
         raise ValueError("GIF: no image data before trailer")

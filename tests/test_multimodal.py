@@ -1180,11 +1180,24 @@ def test_gif_anim_composition_and_boundaries():
     from datafusion_tpch_spark.operators.multimodal import decode_gif
     with _pytest.raises(NotImplementedError, match="transparency"):
         decode_gif(blob)
-    # disposal 3 is a named boundary
+    # disposal 3 (restore to previous): band 1 must vanish back to the
+    # BASE (not the background) once frame 2 shows
     blob3 = encode_gif_anim(frames, pal, (sw, sh),
                             transparent_idx=15, disposals=[1, 3, 1])
-    with _pytest.raises(NotImplementedError, match="disposal"):
-        decode_gif_frames(blob3)
+    _, _, out3 = decode_gif_frames(blob3)
+    assert np.array_equal(out3[1], exp1)  # shown as painted
+    exp2p = pal[base].copy()              # band 1 restored to pre-frame state
+    for v in range(sh):
+        for u in range(3):
+            if b2[v, u] != 15:
+                exp2p[v, 3 + u] = pal[b2[v, u]]
+    assert np.array_equal(out3[2], exp2p)
+    # reserved disposal values stay corrupt
+    bad_disp = bytearray(blob3)
+    j = bad_disp.index(b"\x21\xf9")
+    bad_disp[j + 3] = (bad_disp[j + 3] & ~0x1C) | (5 << 2)
+    with _pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(bad_disp))
     # truncation inside a frame's data sub-blocks
     with _pytest.raises(ValueError):
         decode_gif_frames(blob[: len(blob) - 3])
