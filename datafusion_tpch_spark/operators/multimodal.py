@@ -511,11 +511,14 @@ def encode_wav_pcm16(
     sample_rate: int,
     extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
 ) -> bytes:
-    """Encode a mono int16 sample array as a standards-shaped RIFF/WAVE
-    file: RIFF header, ``fmt `` chunk (PCM, 1 channel, 16-bit), optional
-    extra chunks (odd-sized bodies get the spec's pad byte), ``data``
-    chunk.  ``extra_chunks`` lets tests prove the decoder really WALKS
-    the chunk list instead of assuming the canonical 44-byte layout."""
+    """Encode an int16 sample array — (n,) mono or (n, ch) interleaved
+    multi-channel — as a standards-shaped RIFF/WAVE file: RIFF header,
+    ``fmt `` chunk (PCM, 16-bit), optional extra chunks (odd-sized
+    bodies get the spec's pad byte), ``data`` chunk.  ``extra_chunks``
+    lets tests prove the decoder really WALKS the chunk list instead of
+    assuming the canonical 44-byte layout."""
+    samples = np.asarray(samples)
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
@@ -523,10 +526,10 @@ def encode_wav_pcm16(
 
     fmt = (
         (1).to_bytes(2, "little")            # PCM
-        + (1).to_bytes(2, "little")          # mono
+        + nch.to_bytes(2, "little")
         + int(sample_rate).to_bytes(4, "little")
-        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
-        + (2).to_bytes(2, "little")          # block align
+        + int(sample_rate * 2 * nch).to_bytes(4, "little")  # byte rate
+        + (2 * nch).to_bytes(2, "little")    # block align
         + (16).to_bytes(2, "little")         # bits per sample
     )
     body = b"WAVE" + chunk(b"fmt ", fmt)
@@ -540,8 +543,9 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Parse a RIFF/WAVE blob strictly from its bytes: validate the RIFF
     magic, walk the chunk list (honoring the odd-size pad byte), read the
     ``fmt `` chunk for sample format, and return (sample_rate, int16
-    samples) from the ``data`` chunk.  Only mono PCM16 is implemented;
-    anything else raises NotImplementedError rather than guessing."""
+    samples) from the ``data`` chunk — (n,) for mono, (n, ch) for
+    interleaved multi-channel.  Only PCM16 is implemented; other sample
+    formats raise NotImplementedError rather than guessing."""
     if len(content) < 12 or content[0:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE container")
     pos, rate, samples = 12, None, None
@@ -559,9 +563,9 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if audio_fmt != 1 or bits != 16 or channels < 1:
                 raise NotImplementedError(
-                    f"only mono PCM16 supported (fmt={audio_fmt}, "
+                    f"only PCM16 supported (fmt={audio_fmt}, "
                     f"channels={channels}, bits={bits})"
                 )
         elif cid == b"data":
@@ -569,6 +573,10 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or samples is None:
         raise NotImplementedError("missing fmt or data chunk")
+    if channels > 1:
+        if len(samples) % channels:
+            raise ValueError("WAV: data chunk not a whole number of frames")
+        samples = samples.reshape(-1, channels)
     return rate, samples
 
 
@@ -3392,4 +3400,68 @@ def documents_as_jpeg_prog_assets(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def documents_as_stereo_wav_assets(docs: DataFrame) -> DataFrame:
+    """Stereo asset table: per document, a deterministic INTERLEAVED
+    2-channel PCM16 stream — left channel ``(id*K_A + i*K_B) % 65536 -
+    32768``, right channel the same with a +7919 phase offset — of
+    ``150 + id % 97`` frames at ``16000 + (id % 2) * 28100`` Hz, encoded
+    as a genuine 2-channel RIFF/WAVE file (block align 4)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                n = 150 + aid % 97
+                i = np.arange(n, dtype=np.int64)
+                left = (aid * _WAV_SAMPLE_K_A + i * _WAV_SAMPLE_K_B) % 65536 - 32768
+                right = (
+                    aid * _WAV_SAMPLE_K_A + i * _WAV_SAMPLE_K_B + 7919
+                ) % 65536 - 32768
+                st = np.stack([left, right], axis=1)
+                rate = 16000 + (aid % 2) * 28100
+                out.append(
+                    (aid, "audio", "audio/wav", encode_wav_pcm16(st, rate))
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_stereo_wav_stats(assets: DataFrame) -> DataFrame:
+    """Per-channel exact statistics from the real 2-channel decode: the
+    interleave is the thing a stereo bug scrambles, so energies are per
+    channel and a cross-channel integer covariance rides along."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rate, s = decode_wav(row.content)
+                if s.ndim != 2 or s.shape[1] != 2:
+                    raise ValueError("expected a stereo stream")
+                ch = s.astype(np.int64)
+                out.append(
+                    (row.asset_id, rate, ch.shape[0],
+                     int((ch[:, 0] * ch[:, 0]).sum()),
+                     int((ch[:, 1] * ch[:, 1]).sum()),
+                     int((ch[:, 0] * ch[:, 1]).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "sample_rate", "n_frames",
+                         "energy_l", "energy_r", "cross"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "asset_id long, sample_rate int, n_frames long, energy_l long,"
+        " energy_r long, cross long",
     )

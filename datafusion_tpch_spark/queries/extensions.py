@@ -3942,6 +3942,46 @@ ORDER BY asset_id
 """
 
 
+def multimodal_wav_stereo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo (2-channel) PCM16 decode end-to-end — multi-channel audio
+    was the WAV codec's last named boundary: genuine 2-channel
+    RIFF/WAVE blobs (block align 4, interleaved frames), decoded
+    strictly from bytes back to (n, 2) frames, reduced to per-channel
+    exact energies plus the cross-channel integer covariance — the
+    statistic an interleave bug (swapped or shifted channels) cannot
+    fake.  The oracle recomputes both closed-form channels."""
+    from ..operators.multimodal import (
+        decoded_stereo_wav_stats,
+        documents_as_stereo_wav_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    ids = (
+        docs.select("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decoded_stereo_wav_stats(documents_as_stereo_wav_assets(ids))
+
+
+MULTIMODAL_WAV_STEREO_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         ((doc_id * 40503 + i * 269) % 65536) - 32768 AS l,
+         ((doc_id * 40503 + i * 269 + 7919) % 65536) - 32768 AS r
+  FROM documents, UNNEST(range(0, 150 + doc_id % 97)) t(i))
+SELECT doc_id AS asset_id,
+       CAST(16000 + (doc_id % 2) * 28100 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(l * l) AS BIGINT) AS energy_l,
+       CAST(SUM(r * r) AS BIGINT) AS energy_r,
+       CAST(SUM(l * r) AS BIGINT) AS cross
+FROM s
+GROUP BY doc_id
+ORDER BY asset_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-modality frame sampling: one blob row fans out to
     ceil(duration/interval) frame rows through the Arrow-batched
@@ -5958,6 +5998,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_wav_roundtrip", multimodal_wav_roundtrip,
               MULTIMODAL_WAV_ROUNDTRIP_SQL,
               "RIFF/WAVE encode -> binary column -> REAL chunk-walk PCM decode"),
+    QuerySpec("multimodal_wav_stereo_roundtrip", multimodal_wav_stereo_roundtrip,
+              MULTIMODAL_WAV_STEREO_SQL,
+              "2-channel interleaved PCM16: per-channel energies + covariance"),
     QuerySpec("multimodal_png_roundtrip", multimodal_png_roundtrip,
               MULTIMODAL_PNG_ROUNDTRIP_SQL,
               "PNG encode (zlib deflate, all 5 filters) -> REAL inflate+unfilter decode"),

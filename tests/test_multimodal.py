@@ -361,11 +361,21 @@ def test_wav_decoder_rejects_what_it_cannot_parse():
 
     with _pytest.raises(NotImplementedError):
         decode_wav(b"not a riff file at all")
-    # stereo / non-16-bit fmt chunks must refuse, not mis-decode
-    wav = bytearray(encode_wav_pcm16(np.zeros(4, dtype=np.int64), 8000))
+    # multi-channel PCM16 now decodes: interleaved frames come back (n, ch)
+    st = np.arange(8, dtype=np.int64).reshape(4, 2) - 3
+    rate, got = decode_wav(encode_wav_pcm16(st, 8000))
+    assert rate == 8000 and got.shape == (4, 2)
+    assert np.array_equal(got, st.astype(np.int16))
+    # a data chunk that is not a whole number of frames is corrupt
+    wav = bytearray(encode_wav_pcm16(np.zeros(5, dtype=np.int64), 8000))
     wav[22] = 2  # channel count lives at offset 22 in the canonical layout
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="frames"):
         decode_wav(bytes(wav))
+    # non-16-bit fmt chunks must refuse, not mis-decode
+    wav8 = bytearray(encode_wav_pcm16(np.zeros(4, dtype=np.int64), 8000))
+    wav8[34] = 8  # bits-per-sample in the canonical layout
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(wav8))
 
 
 def test_wav_assets_are_real_files(spark):
