@@ -67,6 +67,7 @@ def main() -> None:
         "ann_filtered_topk",
         "multimodal_gif_anim_frames",
         "multimodal_jpeg_prog_roundtrip",
+        "multimodal_wav_stereo_roundtrip",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
