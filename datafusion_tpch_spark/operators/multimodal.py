@@ -2520,6 +2520,8 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         raise ValueError("AVI: at least one frame required")
     if not (0 < width <= 65535 and 0 < height <= 65535 and fps > 0):
         raise ValueError("AVI: bad dimensions or rate")
+    if width * height * 3 >= 1 << 32:
+        raise ValueError("AVI: frame byte size overflows biSizeImage")
     for fb in frames:
         if fb[:2] != b"\xff\xd8":
             raise ValueError("AVI/MJPEG: frame is not a JPEG stream")
@@ -2530,7 +2532,7 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
         width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
-        "<4s4sIHHIIIIIIII4h",
+        "<4s4sIHHIIIIIIII4H",
         b"vids", b"MJPG", 0, 0, 0, 0,
         1, fps, 0, len(frames),             # scale, rate, start, length
         max(len(f) for f in frames), 0xFFFFFFFF, 0,
@@ -2692,6 +2694,10 @@ def decoded_video_frame_stats(assets: DataFrame, stride: int = 2) -> DataFrame:
                 w, h, frames = decode_avi_mjpeg(row.content)
                 for f in range(0, len(frames), stride):
                     img = decode_jpeg(frames[f])
+                    if img.ndim != 3:
+                        raise ValueError(
+                            "AVI: expected a 3-component MJPEG frame"
+                        )
                     if img.shape[0] != h or img.shape[1] != w:
                         raise ValueError(
                             "AVI: frame dims disagree with container header"
@@ -2740,6 +2746,8 @@ def encode_gif_anim(
         disposals = [1] * len(frames)
     if len(disposals) != len(frames):
         raise ValueError("one disposal method per frame")
+    if transparent_idx is not None and not 0 <= transparent_idx < n:
+        raise ValueError("transparent index past the palette")
     depth = max(n.bit_length() - 1, 1)
     out = bytearray(b"GIF89a")
     out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
@@ -3205,8 +3213,7 @@ def encode_jpeg_progressive(img: np.ndarray, quant: np.ndarray | None = None,
         fn = _prog_ac_first_block if Ah == 0 else _prog_ac_refine_block
         for my in range(mcuy):
             for mx in range(mcux):
-                fn(bw, ac_prog_enc, comp_zz[c][my, mx],
-                   Ss, Se, Al if Ah == 0 else Al, st)
+                fn(bw, ac_prog_enc, comp_zz[c][my, mx], Ss, Se, Al, st)
         _prog_flush_eobrun(bw, ac_prog_enc, st)
         bw.flush()
         return bytes(bw.out)

@@ -1422,6 +1422,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF (partition-prunable cells) and PQ (compressed exhaustive ADC
     scan) — both live gates with their own audits.
     """
+    return _srp_multiprobe_topk(spark, sf_dir)
+
+
+def _srp_multiprobe_topk(
+    spark: SparkSession, sf_dir: str,
+    cand_filter=None, keep_label: bool = False,
+) -> DataFrame:
+    """THE SRP multi-probe top-k plan, shared by ann_lsh_topk and
+    ann_filtered_topk so the probe ladder and hyperplane recipe cannot
+    drift between them (their oracles already share _PROBE_LIST_SQL /
+    _PAIR_PROBES_SQL).  ``cand_filter`` is applied to the candidate side
+    UPSTREAM of the bucketing kernel — Catalyst pushes it into the
+    parquet scan, so the bucket index only ever holds allowed vectors;
+    ``keep_label`` rides the label column through the kernel into the
+    output (the filtered gate's proof column)."""
     import hashlib
 
     from ..operators.similarity import srp_bucket
@@ -1439,9 +1454,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs = [
         [_sign(p, d) for d in range(_MAX_DIM)] for p in range(_LSH_PLANES)
     ]
-    # bucketing runs in the vectorized numpy kernel (same quantized
-    # arithmetic as the previous JVM expression and the oracle SQL)
-    e = srp_bucket(emb, signs)
     # probe set: own bucket + all one-bit flips + the three margin-guided
     # two-bit flips (pairs of the query's three closest hyperplanes).
     # All 10 masks are distinct and each candidate has one bucket, so no
@@ -1460,8 +1472,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # bucket the query side from the pre-filtered rows — a filter cannot
-    # push through mapInPandas, so q-from-`e` would run the bucketing
-    # kernel over the whole corpus once per join side
+    # push through mapInPandas, so q-from-the-candidate-frame would run
+    # the bucketing kernel over the whole corpus once per join side
     q = srp_bucket(
         emb.filter(F.col("vec_id") < _NQUERY), signs,
         pair_probe_col="pair_masks",
@@ -1469,10 +1481,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
         F.explode(probes).alias("qb"),
     )
-    c = e.select(
+    cand_src = emb if cand_filter is None else emb.filter(cand_filter)
+    # bucketing runs in the vectorized numpy kernel (same quantized
+    # arithmetic as the previous JVM expression and the oracle SQL)
+    cols = [
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         F.col("bucket").alias("cb"),
-    )
+    ]
+    out_cols = ["query_id", "cand_id", "cos_sim", "rank"]
+    if keep_label:
+        cols.append(F.col("label").cast("int").alias("cand_label"))
+        out_cols.insert(2, "cand_label")
+    c = srp_bucket(
+        cand_src, signs, keep_cols=("label",) if keep_label else ()
+    ).select(*cols)
     cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
         vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
     )
@@ -1483,7 +1505,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
-        .select("query_id", "cand_id", "cos_sim", "rank")
+        .select(*out_cols)
         .orderBy("query_id", "rank")
     )
 
@@ -1509,65 +1531,10 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the predicate prunes the index scan itself (partition
     columns / row-group stats), so a 10%-selective filter reads ~10% of
     the index — the same plan, a smaller scan."""
-    import hashlib
-
-    from ..operators.similarity import srp_bucket
-
-    (emb,) = _t(spark, sf_dir, "embeddings")
-
-    def _sign(p: int, d: int) -> int:
-        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-        return 1 if h % 2 == 0 else -1
-
-    _MAX_DIM = 512
-    signs = [
-        [_sign(p, d) for d in range(_MAX_DIM)] for p in range(_LSH_PLANES)
-    ]
-    probes = F.concat(
-        F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(_LSH_PLANES)
-            ],
-        ),
-        F.transform(
-            F.col("pair_masks"),
-            lambda m: F.col("bucket").bitwiseXOR(m),
-        ),
-    )
-    q = srp_bucket(
-        emb.filter(F.col("vec_id") < _NQUERY), signs,
-        pair_probe_col="pair_masks",
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.explode(probes).alias("qb"),
-    )
-    # the predicate BEFORE the bucketing kernel: pushed into the scan,
-    # the index only ever holds allowed vectors
-    c = srp_bucket(
-        emb.filter(F.col("label").isin(*_ANN_FILTER_LABELS)),
-        signs,
-        keep_cols=("label",),
-    ).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
-        F.col("bucket").alias("cb"),
-        F.col("label").cast("int").alias("cand_label"),
-    )
-    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
-        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id")
-    )
-    return (
-        F.broadcast(q)
-        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("cand_id")))
-        .withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOPK)
-        .select("query_id", "cand_id", "cand_label", "cos_sim", "rank")
-        .orderBy("query_id", "rank")
+    return _srp_multiprobe_topk(
+        spark, sf_dir,
+        cand_filter=F.col("label").isin(*_ANN_FILTER_LABELS),
+        keep_label=True,
     )
 
 

@@ -856,9 +856,12 @@ def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
-# Maintained per-(cell, dim) IVF occupancy, same session-cache contract.
+# Maintained per-(cell, dim) IVF occupancy, same session-cache contract;
+# the cached value also carries the centroid list the finalize rollup
+# compares against: (occupancy DataFrame, n_batches, centroids).
 _EMB_INGEST_STREAM_STATE: (
-    "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
+    "weakref.WeakKeyDictionary[SparkSession,"
+    " dict[str, tuple[DataFrame, int, list]]]"
 ) = weakref.WeakKeyDictionary()
 
 _EMB_SPLIT = 400     # vec_id >= split streams in; rest is the indexed corpus
@@ -967,8 +970,9 @@ def embeddings_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             holder["occ"] = spark.createDataFrame(
                 [], "cell bigint, dim int, sumq decimal(38,0), n bigint"
             )
-        states[sf_dir] = (holder["occ"].localCheckpoint(), holder["n"],
-                          centroids)
+        # holder["occ"] is already a localCheckpoint (apply_batch
+        # checkpoints every merge), so cache it as-is
+        states[sf_dir] = (holder["occ"], holder["n"], centroids)
     occ, _, centroids = states[sf_dir]
     cent_df = inline_table(
         spark,
