@@ -1344,8 +1344,17 @@ def _jpg_dct_mat() -> np.ndarray:
 _JPG_D = _jpg_dct_mat()
 
 
+_HUFF_ENC_CACHE: dict[tuple[bytes, bytes], dict[int, tuple[int, int]]] = {}
+
+
 def _huff_encode_table(bits, values) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) from the canonical (bits, huffval) form."""
+    """symbol -> (code, length) from the canonical (bits, huffval) form.
+    Memoized: encoders build the same four T.81 Annex K tables for every
+    blob, and a corpus encode pass calls this per frame."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_ENC_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -1354,11 +1363,15 @@ def _huff_encode_table(bits, values) -> dict[int, tuple[int, int]]:
             k += 1
             code += 1
         code <<= 1
+    _HUFF_ENC_CACHE[key] = out
     return out
 
 
 class _JpgBitWriter:
-    """MSB-first bit accumulator with 0xFF byte stuffing."""
+    """MSB-first bit accumulator with 0xFF byte stuffing.  Bits are
+    appended a whole code at a time (not bit-by-bit) — output is
+    byte-identical to the naive shift loop, ~4x faster on entropy-dense
+    streams."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -1366,19 +1379,21 @@ class _JpgBitWriter:
         self.n = 0
 
     def write(self, val: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((val >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        n = self.n + nbits
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> None:
-        while self.n:
-            self.write(1, 1)  # pad final byte with 1-bits (T.81 convention)
+        if self.n:  # pad final byte with 1-bits (T.81 convention)
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
 
 
 def _jpg_encode_block(bw: _JpgBitWriter, zz, pred: int, dctab, actab) -> int:
@@ -1442,6 +1457,21 @@ _JPG_SAMPLING = {"444": ((1, 1), (1, 1), (1, 1)),
                  "420": ((2, 2), (1, 1), (1, 1))}
 
 
+
+def _edge_pad_f64(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicated pad of a 2-D array to (ph, pw) as float64 — same
+    result as np.pad(mode="edge") but via two slice fills (np.pad's
+    generic machinery dominates the encode profile on tiny planes)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    if pw > w:
+        out[:h, w:] = out[:h, w - 1 : w]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
 def _jpg_plane_blocks_mcu(plane: np.ndarray, q: np.ndarray,
                           mcux: int, mcuy: int, sh: int, sv: int) -> np.ndarray:
     """Quantized zig-zag coefficients for one component, block rows/cols
@@ -1449,12 +1479,14 @@ def _jpg_plane_blocks_mcu(plane: np.ndarray, q: np.ndarray,
     64) so the MCU writer can index blocks positionally."""
     h, w = plane.shape
     ph, pw = mcuy * sv * 8, mcux * sh * 8
-    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    p = _edge_pad_f64(plane, ph, pw)
     p -= 128.0
     blocks = (
         p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
-    coef = np.einsum("ux,nxy,vy->nuv", _JPG_D, blocks, _JPG_D)
+    # (D @ B) @ D.T == einsum("ux,nxy,vy->nuv", D, B, D) — the batched
+    # matmul form is ~8x faster at the tiny block counts of small frames
+    coef = (_JPG_D @ blocks) @ _JPG_D.T
     qz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _JPG_ZZ]
     return qz.reshape(ph // 8, pw // 8, 64)
 
@@ -1466,7 +1498,7 @@ def _jpg_subsample(plane: np.ndarray, fh: int, fw: int) -> np.ndarray:
         return plane
     h, w = plane.shape
     ph, pw = (h + fh - 1) // fh * fh, (w + fw - 1) // fw * fw
-    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    p = _edge_pad_f64(plane, ph, pw)
     boxes = p.reshape(ph // fh, fh, pw // fw, fw).mean(axis=(1, 3))
     return np.clip(np.round(boxes), 0, 255).astype(np.uint8)
 
@@ -1524,8 +1556,11 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
     dc_enc = [_huff_encode_table(*t) for t in dc_t]
     ac_enc = [_huff_encode_table(*t) for t in ac_t]
 
+    # nested python lists: the per-block entropy loop below touches every
+    # coefficient as a scalar, and list indexing beats numpy scalar boxing
+    # ~10x on that access pattern (output unchanged)
     comp_zz = [
-        _jpg_plane_blocks_mcu(p, q, mcux, mcuy, sh, sv)
+        _jpg_plane_blocks_mcu(p, q, mcux, mcuy, sh, sv).tolist()
         for p, q, (sh, sv) in zip(planes, qtabs, samp)
     ]
 
@@ -1567,7 +1602,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
                 for v in range(sv):
                     for u in range(sh):
                         preds[c] = _jpg_encode_block(
-                            bw, comp_zz[c][my * sv + v, mx * sh + u],
+                            bw, comp_zz[c][my * sv + v][mx * sh + u],
                             preds[c], dc_enc[c], ac_enc[c],
                         )
             mcus_done += 1
@@ -1644,8 +1679,16 @@ class _JpgBitReader:
         self.pos += 2
 
 
+_HUFF_DEC_CACHE: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
+
+
 def _huff_decode_table(bits, values) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from the canonical (bits, huffval) form."""
+    """(length, code) -> symbol from the canonical (bits, huffval) form.
+    Memoized — decoders rebuild the same four Annex K tables per blob."""
+    key = (bytes(bits), bytes(values))
+    cached = _HUFF_DEC_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -1654,6 +1697,7 @@ def _huff_decode_table(bits, values) -> dict[tuple[int, int], int]:
             k += 1
             code += 1
         code <<= 1
+    _HUFF_DEC_CACHE[key] = out
     return out
 
 
@@ -1914,10 +1958,11 @@ def _jpg_idct_planes(coefs, comps, fh, fw, max_h, max_v) -> np.ndarray:
     planes = []
     for c, (_, _, sh, sv) in enumerate(comps):
         bh, bw_ = coefs[c].shape[:2]
-        px = np.einsum(
-            "xu,nuv,yv->nxy", _JPG_D.T,
-            coefs[c].reshape(-1, 8, 8).astype(np.float64), _JPG_D.T,
-        ) + 128.0
+        # (D.T @ C) @ D == einsum("xu,nuv,yv->nxy", D.T, C, D.T) — the
+        # batched matmul form avoids einsum's per-call planning overhead
+        px = (
+            _JPG_D.T @ coefs[c].reshape(-1, 8, 8).astype(np.float64)
+        ) @ _JPG_D + 128.0
         full = (
             px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         )
@@ -3472,3 +3517,150 @@ def decoded_stereo_wav_stats(assets: DataFrame) -> DataFrame:
         "asset_id long, sample_rate int, n_frames long, energy_l long,"
         " energy_r long, cross long",
     )
+
+
+# ------------------------------------------ cross-codec perceptual dedup
+
+
+def documents_as_mixed_codec_assets(docs: DataFrame) -> DataFrame:
+    """Asset table for the CROSS-CODEC dedup gate: the same scene raster
+    family as the perceptual-dedup gate (``_ph_raster``), but each copy is
+    stored the way a real crawl finds it — even doc_ids as a genuine PNG,
+    odd doc_ids as a 24-bit BI_RGB BMP.  Both codecs are lossless, so two
+    crawled copies of one scene decode to identical rasters regardless of
+    which container they arrived in; a dedup pass keyed on pixels (or a
+    pixel-derived signature) must therefore match ACROSS codecs, which is
+    exactly what byte-level (hash-the-blob) dedup can never do."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                img = _ph_raster(aid)
+                if aid % 2 == 0:
+                    blob, mime = encode_png(img, filter_per_line=True), "image/png"
+                else:
+                    blob, mime = encode_bmp(img), "image/bmp"
+                out.append((aid, "image", mime, blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_codec_signatures(assets: DataFrame) -> DataFrame:
+    """Decode each blob strictly from its MAGIC BYTES (the mime column is
+    deliberately ignored — a crawler's content-type headers lie) and emit
+    the codec actually found plus the 64-bit dHash, fused in one Arrow
+    kernel so rasters never cross an exchange.  A dispatcher that trusted
+    metadata, or a BMP reader that forgot the bottom-up row order or the
+    4-byte row padding, produces a different signature and hash-fails."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                buf = bytes(row.content)
+                if buf[:8] == _PNG_SIG:
+                    codec = "png"
+                elif buf[:2] == b"BM":
+                    codec = "bmp"
+                else:
+                    raise ValueError(f"unexpected image magic {buf[:4]!r}")
+                hi, lo = dhash_64(decode_image(buf))
+                out.append((row.asset_id, codec, hi, lo))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "codec", "sig_hi", "sig_lo"]
+            )
+
+    return assets.mapInPandas(
+        run, "doc_id long, codec string, sig_hi long, sig_lo long"
+    )
+
+
+# ------------------------------------------------ audio fingerprint dedup
+
+_AFP_SCENES = 40   # distinct recordings; copies differ only in gain
+_AFP_FRAMES = 33   # 33 frames x 8 samples -> 32 adjacent-energy bits
+_AFP_FRAME_N = 8
+_AFP_N = _AFP_FRAMES * _AFP_FRAME_N
+_AFP_K = 9176      # base stream: ((scene*(K + i) + i*i*7919) % 255) - 127
+
+
+def _afp_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    """Closed-form mono PCM16 stream of one crawled audio copy
+    (SQL-recomputable): scene base ``((scene*(K + i) + i*i*7919) % 255)
+    - 127`` (the ``scene*i`` cross term makes all 40 scene fingerprints
+    distinct — a pure ``scene*K`` offset left only 22 of 40 distinct)
+    scaled by the copy's integer gain ``1 + copy % 3``.  Gain is the one
+    thing re-encoded copies of the same recording differ by here, and the
+    fingerprint below is exactly invariant to it."""
+    scene, copy = doc_id % _AFP_SCENES, doc_id // _AFP_SCENES
+    amp = 1 + copy % 3
+    i = np.arange(_AFP_N, dtype=np.int64)
+    base = (scene * (_AFP_K + i) + i * i * 7919) % 255 - 127
+    return (amp * base).astype(np.int16), 8000 + (scene % 3) * 4000
+
+
+def documents_as_tone_wav_assets(docs: DataFrame) -> DataFrame:
+    """Real-container audio assets for the fingerprint-dedup gate: per
+    document the ``_afp_samples`` stream encoded as a genuine RIFF/WAVE
+    file (with a variable odd-sized ``note`` chunk so decoders must walk
+    the chunk list), born distributed in one Arrow kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                s, rate = _afp_samples(aid)
+                note = (b"note", b"y" * (1 + aid % 3))
+                out.append(
+                    (aid, "audio", "audio/wav",
+                     encode_wav_pcm16(s, rate, extra_chunks=(note,)))
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def audio_fingerprint_32(samples: np.ndarray) -> int:
+    """32-bit Haitsma–Kalker-style audio fingerprint (the public
+    'philips robust hash' shape): exact integer frame energies
+    ``e[f] = sum(s^2)`` over 33 fixed 8-sample frames, bit f = 1 iff
+    ``e[f] > e[f+1]``.  A uniform gain ``a`` multiplies every energy by
+    ``a^2 > 0``, preserving every comparison (including ties), so copies
+    of one recording at different gains fingerprint identically —
+    integer-exact and replayable in SQL from the closed-form stream."""
+    v = np.asarray(samples).astype(np.int64)
+    if v.ndim != 1 or len(v) != _AFP_N:
+        raise ValueError(f"fingerprint expects {_AFP_N} mono samples")
+    e = (v * v).reshape(_AFP_FRAMES, _AFP_FRAME_N).sum(axis=1)
+    bits = (e[:-1] > e[1:]).astype(np.int64)
+    return int((bits << np.arange(_AFP_FRAMES - 1, dtype=np.int64)).sum())
+
+
+def decoded_audio_fingerprints(assets: DataFrame) -> DataFrame:
+    """Parse each RIFF/WAVE blob strictly from its bytes and emit the
+    32-bit fingerprint — decode and hash fused in ONE Arrow kernel (the
+    100 TB shape: audio never crosses an exchange, 2 ints per clip
+    shuffle).  The kernel never sees the gain that was applied at encode
+    time; invariance is a property of the fingerprint, not a hint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _rate, s = decode_wav(row.content)
+                out.append((row.asset_id, audio_fingerprint_32(s)))
+            yield pd.DataFrame(out, columns=["doc_id", "fp"])
+
+    return assets.mapInPandas(run, "doc_id long, fp long")

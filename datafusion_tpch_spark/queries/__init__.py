@@ -38,6 +38,8 @@ _CHECK_FIRST = [
     "multimodal_jpeg_dri_roundtrip", "embeddings_ingest_stream",
     "ann_filtered_topk", "multimodal_gif_anim_frames",
     "multimodal_jpeg_prog_roundtrip", "multimodal_wav_stereo_roundtrip",
+    "multimodal_cross_codec_dedup", "multimodal_audio_fp_dedup",
+    "docs_exact_substring_dedup",
     # -- the 12 rotation-debt queries (latest record r05) --
     "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
     "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",

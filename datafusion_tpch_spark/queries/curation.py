@@ -10,7 +10,7 @@ aggregation, small sides broadcast, every gate mirrored by a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1469,7 +1469,121 @@ ORDER BY rank
 """
 
 
+# ===========================================================================
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": any long-enough token span that occurs
+# more than once in the corpus is memorization fuel — flag every
+# position of it, not just whole-document duplicates)
+# ===========================================================================
+
+_XSUB_K = 8   # span width in tokens: long enough that recurrence means copying
+
+
+def _positional_kgrams(col: Column, n: int) -> Column:
+    """ALL word n-grams of a text column with multiplicity (one element
+    per token position — the positional multiset ExactSubstr needs,
+    unlike :func:`text.shingles` which distincts).  Same let-bind idiom
+    as shingles (single-element transform) so the token split is
+    evaluated once, not once per gram; docs shorter than n yield an
+    empty array."""
+
+    def build(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)],
+            ),
+        )
+
+    return F.flatten(F.transform(F.array(text.tokens(F.lower(col))), build))
+
+
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup audit (the ExactSubstr pass of Lee et al.
+    2022): a token position is duplicated iff the {k}-token span starting
+    there occurs at least twice anywhere in the corpus — including
+    elsewhere in the same document, which whole-document and shingle-set
+    dedup both miss.  Output per document: total spans, duplicated spans,
+    and the duplicated fraction (the curation signal used to cut or
+    down-weight memorization fuel).
+
+    Plan: one pass builds the positional span multiset (JVM-side
+    split/transform, no UDF), spans travel as 60-bit hashes (3-int rows,
+    never strings, and both engines hash identically so any collision is
+    shared); corpus span counts are ONE map-side-combinable aggregation;
+    the verdict joins counts back on the hash and re-aggregates per doc.
+    At 100 TB both shuffles are hash-partitioned on keys that grow with
+    unique content, not with corpus size squared — no suffix array, no
+    sort of the whole corpus, which is exactly why production pipelines
+    run this formulation of ExactSubstr."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(_positional_kgrams(F.col("text"), _XSUB_K)).alias("gram"),
+    ).select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        grams.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+            F.when(F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("n_dup_spans") / F.col("n_spans"))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_XSUB_GRAM_SQL = (
+    "array_to_string(list_slice(tk, i, i + " + str(_XSUB_K - 1) + "), ' ')"
+)
+
+DOCS_EXACT_SUBSTRING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, {hashing.md5_int_sql(_XSUB_GRAM_SQL)} AS h
+  FROM toks, UNNEST(range(1, greatest(len(tk) - {_XSUB_K - 1}, 0) + 1)) t(i)),
+c AS (SELECT h, COUNT(*) AS cnt FROM g GROUP BY h),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM g JOIN c USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+            ELSE p.n_dup_spans * 1.0 / p.n_spans END AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "docs_exact_substring_dedup", docs_exact_substring_dedup,
+        DOCS_EXACT_SUBSTRING_SQL,
+        "ExactSubstr dedup audit: duplicated k-token span fraction per doc",
+    ),
     QuerySpec(
         "docs_decontaminate", docs_decontaminate, DOCS_DECONTAMINATE_SQL,
         "benchmark decontamination: n-gram overlap vs held-out eval slice",

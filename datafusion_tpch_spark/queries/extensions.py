@@ -3807,6 +3807,195 @@ ORDER BY s.doc_id
 """
 
 
+def multimodal_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CODEC perceptual dedup — the match byte-level dedup can never
+    make: every document is a crawled copy of one of 64 scene images
+    (the multimodal_phash_dedup raster family), but even doc_ids arrive
+    as genuine PNGs and odd doc_ids as 24-bit BMPs.  Both codecs are
+    lossless, so copies of one scene decode to identical rasters; one
+    Arrow kernel dispatches strictly on each blob's MAGIC BYTES (the mime
+    column is ignored — content-type headers lie), decodes, and emits the
+    64-bit dHash, and ONE hash aggregation on the signature then groups
+    duplicates across container formats.  Verdict per doc: how many
+    copies of its signature exist under each codec, the canonical
+    (min-id) survivor, and whether its duplicate set actually spans
+    codecs.
+
+    At 100 TB this is the production shape for heterogeneous image
+    crawls: blobs never cross an exchange (decode + hash fused in the
+    scan-side kernel, 3 small ints per image shuffle), and the dedup
+    itself is an exact groupBy on a 64-bit key — map-side combinable, no
+    all-pairs, no similarity join.  The oracle replays raster → gray →
+    block sums → signature closed-form per codec side and must land on
+    byte-identical groups."""
+    from ..operators.multimodal import (
+        decoded_codec_signatures,
+        documents_as_mixed_codec_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_codec_signatures(documents_as_mixed_codec_assets(ids))
+
+    # the signature table feeds both sides of the group join (a diamond:
+    # without materialization each branch re-runs the codec kernel)
+    sigs = _session_table(spark, sf_dir, "xcodec_sigs", build)
+    grp = sigs.groupBy("sig_hi", "sig_lo").agg(
+        F.sum(F.when(F.col("codec") == "png", 1).otherwise(0))
+        .cast("bigint").alias("n_png"),
+        F.sum(F.when(F.col("codec") == "bmp", 1).otherwise(0))
+        .cast("bigint").alias("n_bmp"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        sigs.join(grp, ["sig_hi", "sig_lo"])
+        .select(
+            "doc_id", "codec", "sig_hi", "sig_lo", "n_png", "n_bmp", "canon",
+            (F.col("canon") == F.col("doc_id")).alias("kept"),
+            ((F.col("n_png") > 0) & (F.col("n_bmp") > 0)).alias("cross_codec"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_CROSS_CODEC_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
+         2 + (doc_id % 64) % 2 AS m,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec
+  FROM documents),
+px AS (
+  SELECT doc_id, m,
+         (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
+         (scene * 2654435761 + i
+          + CASE WHEN (i // 3) % (9 * m) < m AND (i // 3) // (9 * m) < m
+                 THEN (copy % 4) * 40 ELSE 0 END
+          + CASE WHEN (i // 3) % (9 * m) >= 5 * m
+                      AND (i // 3) % (9 * m) < 6 * m
+                      AND (i // 3) // (9 * m) >= 3 * m
+                      AND (i // 3) // (9 * m) < 4 * m
+                 THEN ((copy // 4) % 2) * 96 ELSE 0 END) % 256 AS v
+  FROM d, UNNEST(range(0, 216 * m * m)) t(i)),
+gray AS (
+  SELECT doc_id, x // m AS bx, y // m AS by,
+         SUM(CASE WHEN c = 1 THEN 2 * v ELSE v END) // 4 AS g
+  FROM px GROUP BY doc_id, m, x, y),
+bs AS (
+  SELECT doc_id, by, bx, SUM(g) AS s FROM gray GROUP BY doc_id, by, bx),
+bits AS (
+  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.by = b.by
+                     AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN by < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_hi,
+         CAST(SUM(CASE WHEN by >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_lo
+  FROM bits GROUP BY doc_id),
+sc AS (
+  SELECT s.doc_id, d.codec, s.sig_hi, s.sig_lo
+  FROM sig s JOIN d USING (doc_id)),
+grp AS (
+  SELECT sig_hi, sig_lo,
+         CAST(SUM(CASE WHEN codec = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_png,
+         CAST(SUM(CASE WHEN codec = 'bmp' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bmp,
+         MIN(doc_id) AS canon
+  FROM sc GROUP BY sig_hi, sig_lo)
+SELECT sc.doc_id, sc.codec, sc.sig_hi, sc.sig_lo,
+       g.n_png, g.n_bmp, g.canon,
+       g.canon = sc.doc_id AS kept,
+       g.n_png > 0 AND g.n_bmp > 0 AS cross_codec
+FROM sc JOIN grp g ON sc.sig_hi = g.sig_hi AND sc.sig_lo = g.sig_lo
+ORDER BY sc.doc_id
+"""
+
+
+def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO fingerprint dedup — the audio edge of the perceptual-dedup
+    family: every document is a crawled copy of one of 40 recordings,
+    re-encoded at a per-copy integer gain (the one thing real mirrored
+    audio most often differs by), stored as a genuine RIFF/WAVE blob.
+    One Arrow kernel walks the chunk list, decodes the PCM16 stream, and
+    computes a 32-bit Haitsma–Kalker-style fingerprint (exact integer
+    frame energies, bit f = e[f] > e[f+1]) that is PROVABLY gain-
+    invariant: a uniform gain a multiplies every energy by a² > 0 and
+    preserves every comparison.  Dedup is then an exact groupBy on the
+    fingerprint — copies of one recording collapse across gains with no
+    similarity join anywhere.
+
+    At 100 TB: clips never cross an exchange (decode + fingerprint fused
+    scan-side, 2 ints per clip shuffle); the group step is map-side
+    combinable on a 32-bit key.  The oracle replays stream → energies →
+    bits → fingerprint closed-form INCLUDING the gain, so the two
+    engines agree only if the fingerprint really cancels it."""
+    from ..operators.multimodal import (
+        decoded_audio_fingerprints,
+        documents_as_tone_wav_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_audio_fingerprints(documents_as_tone_wav_assets(ids))
+
+    fps = _session_table(spark, sf_dir, "audio_fps", build)
+    grp = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        fps.join(grp, "fp")
+        .select(
+            "doc_id", "fp", "group_n", "canon",
+            (F.col("canon") == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_AUDIO_FP_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS scene, 1 + (doc_id // 40) % 3 AS amp
+  FROM documents),
+sq AS (
+  SELECT doc_id, i // 8 AS f,
+         amp * amp
+         * ((scene * (9176 + i) + i * i * 7919) % 255 - 127)
+         * ((scene * (9176 + i) + i * i * 7919) % 255 - 127) AS s2
+  FROM d, UNNEST(range(0, 264)) t(i)),
+e AS (SELECT doc_id, f, SUM(s2) AS e FROM sq GROUP BY doc_id, f),
+bits AS (
+  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 32),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id),
+grp AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS group_n, MIN(doc_id) AS canon
+  FROM fp GROUP BY fp)
+SELECT f.doc_id, f.fp, g.group_n, g.canon, g.canon = f.doc_id AS kept
+FROM fp f JOIN grp g USING (fp)
+ORDER BY f.doc_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -6007,6 +6196,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_jpeg_prog_roundtrip", multimodal_jpeg_prog_roundtrip,
               MULTIMODAL_JPEG_PROG_SQL,
               "progressive JPEG: multi-scan spectral selection + SA reassembly"),
+    QuerySpec("multimodal_cross_codec_dedup", multimodal_cross_codec_dedup,
+              MULTIMODAL_CROSS_CODEC_SQL,
+              "cross-codec image dedup: PNG+BMP magic dispatch -> dHash groups"),
+    QuerySpec("multimodal_audio_fp_dedup", multimodal_audio_fp_dedup,
+              MULTIMODAL_AUDIO_FP_SQL,
+              "audio fingerprint dedup: gain-invariant frame-energy hash"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

@@ -260,3 +260,51 @@ def test_bpe_fold_semantics_hand_worked(spark):
             _bpe_token_count(F.col("w"), merges).alias("n")
         )
         assert df.collect()[0]["n"] == want, (word, merges, want)
+
+
+def test_exact_substring_dedup_semantics(spark, tmp_path):
+    """Hand-built corpus with known duplicated 8-token spans: a span
+    shared across two docs, a span repeated WITHIN one doc (the case
+    whole-doc dedup misses), and a doc too short to carry any span."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_tpch_spark.queries.curation import (
+        docs_exact_substring_dedup,
+    )
+
+    span = "one two three four five six seven eight"      # exactly 8 tokens
+    docs = [
+        # doc 0: the span + unique tail -> spans at pos 1..4; only pos 1's
+        # gram (the span itself) recurs (in doc 1)
+        (0, span + " tail0 tail1 tail2"),
+        # doc 1: unique head + the span -> 4 spans, last one duplicated
+        (1, "head0 head1 head2 " + span),
+        # doc 2: the span twice back-to-back -> internal repetition;
+        # 9 spans, the two copies of the span itself are both duplicated
+        (2, span + " " + span),
+        # doc 3: too short for any 8-gram
+        (3, "just five little words here"),
+    ]
+    table = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["t"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r.doc_id: r
+        for r in docs_exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].n_spans == 4 and rows[0].n_dup_spans == 1
+    assert rows[1].n_spans == 4 and rows[1].n_dup_spans == 1
+    # doc 2: 16 tokens -> 9 spans; the span itself sits at pos 1 and pos 9,
+    # both flagged (global count 4: doc0, doc1, and twice here); the 7
+    # rotation grams in between occur once each and are NOT flagged
+    assert rows[2].n_spans == 9 and rows[2].n_dup_spans == 2
+    assert rows[3].n_spans == 0 and rows[3].n_dup_spans == 0
+    assert rows[3].dup_frac == 0.0
+    assert abs(rows[2].dup_frac - 2.0 / 9.0) < 1e-12

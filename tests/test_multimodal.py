@@ -1284,3 +1284,91 @@ def test_jpeg_progressive_eob_runs_and_boundaries():
     dri = blob[:i] + b"\xff\xdd\x00\x04\x00\x02" + blob[i:]
     with _pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(dri)
+
+
+def test_audio_fingerprint_gain_invariant_and_scene_distinct():
+    """The 32-bit frame-energy fingerprint must cancel a uniform integer
+    gain exactly (copies of one recording collapse) while keeping all 40
+    scene fingerprints distinct (distinct recordings don't collapse)."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _AFP_SCENES,
+        _afp_samples,
+        audio_fingerprint_32,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    per_scene: dict[int, set[int]] = {}
+    for doc in range(400):
+        s, rate = _afp_samples(doc)
+        # through the real container: encode -> chunk walk -> decode
+        r2, s2 = decode_wav(
+            encode_wav_pcm16(s, rate, extra_chunks=((b"note", b"y" * (1 + doc % 3)),))
+        )
+        assert r2 == rate and (s2 == s).all()
+        per_scene.setdefault(doc % _AFP_SCENES, set()).add(
+            audio_fingerprint_32(s2)
+        )
+    assert all(len(v) == 1 for v in per_scene.values()), "gain leaked into fp"
+    assert len({next(iter(v)) for v in per_scene.values()}) == _AFP_SCENES
+
+
+def test_audio_fingerprint_rejects_wrong_shape():
+    import numpy as np
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import audio_fingerprint_32
+
+    with pytest.raises(ValueError):
+        audio_fingerprint_32(np.zeros(100, dtype=np.int16))
+    with pytest.raises(ValueError):
+        audio_fingerprint_32(np.zeros((264, 2), dtype=np.int16))
+
+
+def test_cross_codec_assets_decode_identically():
+    """PNG and BMP encodings of the same scene raster must decode to the
+    identical raster (both lossless) and therefore the identical dHash —
+    the invariant the cross-codec dedup gate keys on."""
+    import numpy as np
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        _PNG_SIG,
+        _ph_raster,
+        decode_image,
+        dhash_64,
+        encode_bmp,
+        encode_png,
+    )
+
+    for doc in range(16):
+        img = _ph_raster(doc)
+        png, bmp = encode_png(img, filter_per_line=True), encode_bmp(img)
+        assert png[:8] == _PNG_SIG and bmp[:2] == b"BM"
+        a, b = decode_image(png), decode_image(bmp)
+        assert (a == img).all() and (b == img).all()
+        assert dhash_64(a) == dhash_64(b)
+
+
+def test_cross_codec_signature_kernel_dispatches_on_magic(spark):
+    """The signature kernel must find the codec in the BLOB BYTES (mime is
+    absent from its input schema entirely) and refuse unknown magic."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decoded_codec_signatures,
+        documents_as_mixed_codec_assets,
+    )
+
+    ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    sigs = decoded_codec_signatures(
+        documents_as_mixed_codec_assets(ids)
+    ).collect()
+    got = {r.doc_id: r.codec for r in sigs}
+    assert got == {d: ("png" if d % 2 == 0 else "bmp") for d in range(8)}
+
+    import pytest
+
+    poisoned = spark.createDataFrame(
+        [(99, "image", "image/png", bytearray(b"\xff\xd8not-a-real-codec"))],
+        "asset_id long, modality string, mime string, content binary",
+    )
+    with pytest.raises(Exception, match="unexpected image magic"):
+        decoded_codec_signatures(poisoned).collect()
