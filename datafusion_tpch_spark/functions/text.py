@@ -233,3 +233,26 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
         f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
     )
+
+
+def positional_kgrams(col: Column, n: int) -> Column:
+    """ALL word n-grams of a text column with multiplicity (one element
+    per token position — the positional multiset ExactSubstr needs,
+    unlike :func:`shingles` which distincts).  Same let-bind idiom
+    as shingles (single-element transform) so the token split is
+    evaluated once, not once per gram; docs shorter than n yield an
+    empty array."""
+
+    def build(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)],
+            ),
+        )
+
+    return F.flatten(F.transform(F.array(tokens(F.lower(col))), build))

@@ -3664,3 +3664,48 @@ def decoded_audio_fingerprints(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "fp"])
 
     return assets.mapInPandas(run, "doc_id long, fp long")
+
+
+def decoded_video_frame_signatures(assets: DataFrame) -> DataFrame:
+    """Per-frame perceptual block signature of every frame of every
+    AVI/MJPEG clip, strictly from container bytes: walk the RIFF chunks,
+    entropy-decode EVERY frame (frame-level dedup cannot sample — a
+    duplicate can hide in any frame), reduce each frame to its 16×16
+    block-mean grid (integer gray ``(r + 2g + b) // 4``, exact floor
+    means), and fold the grid into two integer signatures —
+    ``sig1 = Σ mean_c · (c+1)`` (position-weighted) and
+    ``sig2 = Σ mean_c²`` (magnitude) — fused in ONE Arrow kernel so
+    frames never cross an exchange (5 small ints per frame shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                w, h, frames = decode_avi_mjpeg(bytes(row.content))
+                n = len(frames)
+                for f, payload in enumerate(frames):
+                    px = decode_jpeg(payload).astype(np.int64)
+                    gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
+                    nby, nbx = (h + 15) // 16, (w + 15) // 16
+                    sig1 = sig2 = 0
+                    c = 0
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            blk = gray[by * 16 : by * 16 + 16,
+                                       bx * 16 : bx * 16 + 16]
+                            m = int(blk.sum()) // blk.size
+                            sig1 += m * (c + 1)
+                            sig2 += m * m
+                            c += 1
+                    out.append((row.asset_id, f, n, w, h, sig1, sig2))
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "n_frames",
+                         "width", "height", "sig1", "sig2"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "doc_id long, frame_idx int, n_frames int, width int, height int,"
+        " sig1 long, sig2 long",
+    )

@@ -25,7 +25,7 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 10 (per the round-9 verdict): the 8 round-10
+# correctness record.  Round 10 (per the round-9 verdict): the 13 round-10
 # additions first (driver record on first exposure), then the 12 queries
 # whose latest record is still r05, then the oldest of the 50-strong r06
 # cohort.  The window takes the first 50 keys; r06 entries pushed past it
@@ -39,7 +39,8 @@ _CHECK_FIRST = [
     "ann_filtered_topk", "multimodal_gif_anim_frames",
     "multimodal_jpeg_prog_roundtrip", "multimodal_wav_stereo_roundtrip",
     "multimodal_cross_codec_dedup", "multimodal_audio_fp_dedup",
-    "docs_exact_substring_dedup",
+    "docs_exact_substring_dedup", "docs_substring_ingest_stream",
+    "multimodal_video_frame_dedup",
     # -- the 12 rotation-debt queries (latest record r05) --
     "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
     "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",

@@ -10,7 +10,7 @@ aggregation, small sides broadcast, every gate mirrored by a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1479,29 +1479,6 @@ ORDER BY rank
 _XSUB_K = 8   # span width in tokens: long enough that recurrence means copying
 
 
-def _positional_kgrams(col: Column, n: int) -> Column:
-    """ALL word n-grams of a text column with multiplicity (one element
-    per token position — the positional multiset ExactSubstr needs,
-    unlike :func:`text.shingles` which distincts).  Same let-bind idiom
-    as shingles (single-element transform) so the token split is
-    evaluated once, not once per gram; docs shorter than n yield an
-    empty array."""
-
-    def build(t: Column) -> Column:
-        idx = F.when(
-            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(t, (i + F.lit(j)).cast("int")) for j in range(n)],
-            ),
-        )
-
-    return F.flatten(F.transform(F.array(text.tokens(F.lower(col))), build))
-
-
 def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-SUBSTRING dedup audit (the ExactSubstr pass of Lee et al.
     2022): a token position is duplicated iff the {k}-token span starting
@@ -1523,7 +1500,7 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
-        F.explode(_positional_kgrams(F.col("text"), _XSUB_K)).alias("gram"),
+        F.explode(text.positional_kgrams(F.col("text"), _XSUB_K)).alias("gram"),
     ).select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
     counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
     per = (

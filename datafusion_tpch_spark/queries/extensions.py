@@ -3996,6 +3996,96 @@ ORDER BY f.doc_id
 """
 
 
+def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO frame-level dedup — the video edge of the perceptual-dedup
+    family (images got dHash, audio got the energy fingerprint; this is
+    the same move for clips): every document's AVI/MJPEG clip is walked
+    strictly from its container bytes, EVERY frame entropy-decoded
+    (frame dedup cannot sample — a duplicate hides in any frame) and
+    reduced to its 16×16 block-mean grid, folded into two integer
+    signatures (position-weighted sum and magnitude sum).  Duplicate
+    frames ACROSS clips then fall out of one exact groupBy on
+    (dims, sig1, sig2) — the shape video pipelines use to cut recycled
+    footage before training.  Verdict per frame: group size, the
+    canonical (min (doc, frame)) occurrence, kept iff canonical.
+
+    At 100 TB: clips never cross an exchange (walk + decode + signature
+    fused scan-side; 5 small ints per frame shuffle), and dedup is a
+    map-side-combinable aggregation on a fixed-width key — no
+    all-pairs, no similarity join.  The oracle replays the per-frame
+    MCU grid closed-form, so a walker that drops a frame or a decoder
+    that's off by one pixel hash-fails."""
+    from ..operators.multimodal import (
+        decoded_video_frame_signatures,
+        documents_as_avi_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_video_frame_signatures(documents_as_avi_assets(ids))
+
+    sigs = _session_table(spark, sf_dir, "video_frame_sigs", build)
+    grp = sigs.groupBy("width", "height", "sig1", "sig2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.min(F.col("doc_id") * 16 + F.col("frame_idx")).alias("ck"),
+    )
+    key = F.col("doc_id") * 16 + F.col("frame_idx")
+    return (
+        sigs.join(grp, ["width", "height", "sig1", "sig2"])
+        .select(
+            "doc_id", "frame_idx", "width", "height", "sig1", "sig2",
+            "group_n",
+            F.expr("ck div 16").alias("canon_doc"),
+            (F.col("ck") % 16).cast("int").alias("canon_frame"),
+            (key == F.col("ck")).alias("kept"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MULTIMODAL_VIDEO_FRAME_DEDUP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         17 + doc_id % 32 AS w,
+         17 + doc_id % 16 AS h,
+         2 + doc_id % 5 AS n,
+         (17 + doc_id % 32 + 15) // 16 AS nbx
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, n, nbx, f FROM g, UNNEST(range(0, n)) t(f)),
+cells AS (
+  SELECT doc_id, f, w, h, c,
+         (doc_id * 2654435761 + f * 131 + c) % 256 AS v
+  FROM fr, UNNEST(range(0, nbx * ((h + 15) // 16))) t(c)),
+sig AS (
+  SELECT doc_id, f, w, h,
+         CAST(SUM(v * (c + 1)) AS BIGINT) AS sig1,
+         CAST(SUM(v * v) AS BIGINT) AS sig2
+  FROM cells GROUP BY doc_id, f, w, h),
+grp AS (
+  SELECT w, h, sig1, sig2,
+         CAST(COUNT(*) AS BIGINT) AS group_n,
+         MIN(doc_id * 16 + f) AS ck
+  FROM sig GROUP BY w, h, sig1, sig2)
+SELECT s.doc_id,
+       CAST(s.f AS INTEGER) AS frame_idx,
+       CAST(s.w AS INTEGER) AS width,
+       CAST(s.h AS INTEGER) AS height,
+       s.sig1, s.sig2, g.group_n,
+       g.ck // 16 AS canon_doc,
+       CAST(g.ck % 16 AS INTEGER) AS canon_frame,
+       s.doc_id * 16 + s.f = g.ck AS kept
+FROM sig s JOIN grp g
+  ON s.w = g.w AND s.h = g.h AND s.sig1 = g.sig1 AND s.sig2 = g.sig2
+ORDER BY s.doc_id, frame_idx
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -6202,6 +6292,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_audio_fp_dedup", multimodal_audio_fp_dedup,
               MULTIMODAL_AUDIO_FP_SQL,
               "audio fingerprint dedup: gain-invariant frame-energy hash"),
+    QuerySpec("multimodal_video_frame_dedup", multimodal_video_frame_dedup,
+              MULTIMODAL_VIDEO_FRAME_DEDUP_SQL,
+              "video frame dedup: per-frame block signatures grouped exactly"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

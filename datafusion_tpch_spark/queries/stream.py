@@ -1124,6 +1124,135 @@ ORDER BY d.source
 DOCS_TOKEN_METER_STREAM_SQL = _meter_stream_oracle()
 
 
+# Maintained exact-substring admission verdicts, same session-cache
+# contract as the LSH ingest gate: (verdict DataFrame, n_batches).
+_XSUB_STREAM_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession,"
+    " dict[str, tuple[DataFrame, int]]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT 60-bit hashes of the CORPUS's positional 8-token grams
+    (doc_id < split) — the static span index the streaming admission
+    probes; session-cached + checkpointed, built once per (app,
+    fixture)."""
+    from ..functions import hashing, text
+    from .extensions import _INCR_SPLIT, _session_table, _t
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        return (
+            docs.filter(F.col("doc_id") < _INCR_SPLIT)
+            .select(
+                F.explode(
+                    text.positional_kgrams(F.col("text"), 8)
+                ).alias("gram")
+            )
+            .select(hashing.md5_int(F.col("gram")).alias("h"))
+            .distinct()
+        )
+
+    return _session_table(spark, sf_dir, "span_idx", build)
+
+
+def docs_substring_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT-SUBSTRING admission — the ingest-time form of
+    docs_exact_substring_dedup (Lee et al. 2022's ExactSubstr, applied
+    the way a live crawl must apply it): newly crawled documents arrive
+    as a real multi-batch stream (4-file layout, ``maxFilesPerTrigger=1``)
+    and ``foreachBatch`` probes each micro-batch's positional 8-token
+    grams against the corpus's prebuilt span index, appending per-doc
+    verdicts (span count, recycled-span count, kept iff at most half the
+    doc is recycled corpus text — the integer 2·dup ≤ n form, no float
+    threshold).  Verdicts depend only on (doc, index), so the maintained
+    table is independent of batch boundaries (hypothesis-tested in
+    tests/test_maintenance_algebra.py) and must equal the batch
+    formulation hash-for-hash, which is what the oracle checks.
+
+    At 100 TB: the span index is the static artifact (built once from
+    the corpus, hash-partitioned); each micro-batch costs one gram
+    explode + one hash equi-join against the index — the corpus is
+    never re-tokenized or reshuffled per batch."""
+    from ..streaming.maintenance import (
+        admit_merge,
+        run_foreach_batch,
+        span_admit_batch,
+    )
+
+    _sweep_stopped_sessions(_XSUB_STREAM_STATE)
+    states = _XSUB_STREAM_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
+    if cached is not None:
+        return cached[0].orderBy("doc_id")
+
+    idx = _span_index(spark, sf_dir)  # session-cached, checkpointed
+    holder: dict = {"verdicts": None, "n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = span_admit_batch(batch_df, idx).localCheckpoint()
+        holder["verdicts"] = admit_merge(holder["verdicts"], v)
+        holder["n"] += 1
+        # pure append: flatten the union lineage periodically so a
+        # long-running stream's plan stays O(1) deep
+        if holder["n"] % 8 == 0:
+            holder["verdicts"] = holder["verdicts"].localCheckpoint()
+
+    path = _docs_incoming_layout(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    run_foreach_batch(spark, feed, apply_batch, "docs_substring_ingest_stream")
+    if holder["verdicts"] is None:  # empty incoming slice
+        holder["verdicts"] = spark.createDataFrame(
+            [], "doc_id bigint, n_spans bigint, n_dup_spans bigint,"
+            " kept boolean"
+        )
+    final = holder["verdicts"].localCheckpoint()
+    states[sf_dir] = (final, holder["n"])
+    return final.orderBy("doc_id")
+
+
+def _substring_ingest_oracle() -> str:
+    from ..functions import hashing
+    from .extensions import _INCR_SPLIT
+
+    gram = "array_to_string(list_slice(tk, i, i + 7), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, {hashing.md5_int_sql(gram)} AS h
+  FROM toks, UNNEST(range(1, greatest(len(tk) - 7, 0) + 1)) t(i)),
+idx AS (SELECT DISTINCT h FROM g WHERE doc_id < {_INCR_SPLIT}),
+inc AS (
+  SELECT g.doc_id, CASE WHEN idx.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM g LEFT JOIN idx USING (h)
+  WHERE g.doc_id >= {_INCR_SPLIT}),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(hit) AS BIGINT) AS n_dup_spans
+  FROM inc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       2 * COALESCE(p.n_dup_spans, 0) <= COALESCE(p.n_spans, 0) AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT}) d
+LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+DOCS_SUBSTRING_INGEST_STREAM_SQL = _substring_ingest_oracle()
+
+
 from .extensions import DEDUP_INCREMENTAL_LSH_SQL as _DEDUP_INCR_LSH_SQL  # noqa: E402
 
 # the stream maintains exactly the batch admission table — one oracle text,
@@ -1149,6 +1278,12 @@ SPECS: list[QuerySpec] = [
         embeddings_ingest_stream,
         EMBEDDINGS_INGEST_STREAM_SQL,
         "foreachBatch IVF cell occupancy + drift trigger vs fixed centroids",
+    ),
+    QuerySpec(
+        "docs_substring_ingest_stream",
+        docs_substring_ingest_stream,
+        DOCS_SUBSTRING_INGEST_STREAM_SQL,
+        "foreachBatch ExactSubstr admission vs corpus span index (== batch)",
     ),
     QuerySpec(
         "events_cdc_stream",

@@ -356,3 +356,45 @@ def ivf_ingest_merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
             F.sum("n").cast("bigint").alias("n"),
         )
     )
+
+
+# -------------------------------------- stream exact-substring admission
+
+def span_admit_batch(
+    batch_docs: DataFrame, corpus_span_idx: DataFrame, k: int = 8
+) -> DataFrame:
+    """Admission verdicts for one micro-batch of incoming documents
+    probed against the corpus's prebuilt exact-substring span index
+    (DISTINCT 60-bit hashes of the corpus's positional k-token grams):
+    ``n_spans`` = the doc's k-gram positions, ``n_dup_spans`` = how many
+    of them the corpus already contains, ``kept`` iff at most half its
+    spans are recycled corpus text (``2*n_dup <= n_spans`` — the
+    integer form, so no float threshold can drift between engines;
+    span-less short docs are kept).  A verdict depends only on
+    (doc, index) — never on what else shares the micro-batch — so the
+    maintained table is provably independent of batch boundaries."""
+    from ..functions import hashing, text
+
+    g = batch_docs.select(
+        "doc_id",
+        F.explode(text.positional_kgrams(F.col("text"), k)).alias("gram"),
+    ).select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
+    per = (
+        g.join(corpus_span_idx.withColumn("in_corpus", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.coalesce(F.col("in_corpus"), F.lit(0)))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+    )
+    return batch_docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
+        .alias("n_dup_spans"),
+        (
+            F.lit(2) * F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            <= F.coalesce(F.col("n_spans"), F.lit(0))
+        ).alias("kept"),
+    )

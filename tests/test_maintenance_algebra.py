@@ -336,3 +336,54 @@ def test_ivf_ingest_is_boundary_and_order_independent(spark):
         assert got == want
 
     prop()
+
+
+def test_span_admission_is_boundary_and_order_independent(spark):
+    """The streaming ExactSubstr admission verdicts must be identical for
+    EVERY way of cutting the incoming crawl into micro-batches, in any
+    order — the property docs_substring_ingest_stream's single 4-way run
+    can't pin."""
+    from datafusion_tpch_spark.functions import hashing, text
+    from datafusion_tpch_spark.queries.extensions import _INCR_SPLIT
+    from datafusion_tpch_spark.streaming.maintenance import (
+        admit_merge,
+        span_admit_batch,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 60), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        n = _INCR_SPLIT + 60
+        docs = _docs(spark, seed, n).localCheckpoint()
+        idx = (
+            docs.filter(F.col("doc_id") < _INCR_SPLIT)
+            .select(
+                F.explode(
+                    text.positional_kgrams(F.col("text"), 8)
+                ).alias("gram")
+            )
+            .select(hashing.md5_int(F.col("gram")).alias("h"))
+            .distinct()
+            .localCheckpoint()
+        )
+        incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+        rows = incoming.orderBy("doc_id").collect()
+        slices = _cuts_to_slices(len(rows), cuts)
+        rnd.shuffle(slices)  # admission must tolerate ANY batch order
+        state = None
+        for a, b in slices:
+            batch = spark.createDataFrame(rows[a:b], incoming.schema)
+            state = admit_merge(
+                state, span_admit_batch(batch, idx).localCheckpoint()
+            )
+        got = sorted(tuple(r) for r in state.collect()) if state else []
+        want = sorted(
+            tuple(r) for r in span_admit_batch(incoming, idx).collect()
+        )
+        assert got == want
+
+    prop()

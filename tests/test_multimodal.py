@@ -1372,3 +1372,32 @@ def test_cross_codec_signature_kernel_dispatches_on_magic(spark):
     )
     with pytest.raises(Exception, match="unexpected image magic"):
         decoded_codec_signatures(poisoned).collect()
+
+
+def test_video_frame_signatures_match_closed_form(spark):
+    """Every frame's decoded block-mean signature must equal the fixture's
+    closed form — and every frame must be present (no sampling)."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decoded_video_frame_signatures,
+        documents_as_avi_assets,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = decoded_video_frame_signatures(
+        documents_as_avi_assets(ids)
+    ).collect()
+    got = {(r.doc_id, r.frame_idx): (r.width, r.height, r.sig1, r.sig2)
+           for r in rows}
+    K = 2654435761
+    want = {}
+    for d in range(12):
+        w, h, n = 17 + d % 32, 17 + d % 16, 2 + d % 5
+        nbx, nby = (w + 15) // 16, (h + 15) // 16
+        for f in range(n):
+            s1 = s2 = 0
+            for c in range(nbx * nby):
+                v = (d * K + f * 131 + c) % 256
+                s1 += v * (c + 1)
+                s2 += v * v
+            want[(d, f)] = (w, h, s1, s2)
+    assert got == want

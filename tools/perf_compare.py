@@ -63,6 +63,7 @@ def clear_stream_reuse(spark) -> None:
         _INGEST_STREAM_STATE,
         _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
+        _XSUB_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
 
@@ -72,6 +73,7 @@ def clear_stream_reuse(spark) -> None:
     _INGEST_STREAM_STATE.pop(spark, None)
     _METER_STREAM_STATE.pop(spark, None)
     _EMB_INGEST_STREAM_STATE.pop(spark, None)
+    _XSUB_STREAM_STATE.pop(spark, None)
 
 
 def _stream_caches_populated(spark) -> bool:
@@ -81,6 +83,7 @@ def _stream_caches_populated(spark) -> bool:
         _INGEST_STREAM_STATE,
         _METER_STREAM_STATE,
         _SCD2_STREAM_STATE,
+        _XSUB_STREAM_STATE,
     )
     from datafusion_tpch_spark.streaming.pipeline import _SINK_COMPLETE
 
@@ -91,6 +94,7 @@ def _stream_caches_populated(spark) -> bool:
         or _INGEST_STREAM_STATE.get(spark)
         or _METER_STREAM_STATE.get(spark)
         or _EMB_INGEST_STREAM_STATE.get(spark)
+        or _XSUB_STREAM_STATE.get(spark)
     )
 
 

@@ -68,6 +68,10 @@ def main() -> None:
         "multimodal_gif_anim_frames",
         "multimodal_jpeg_prog_roundtrip",
         "multimodal_wav_stereo_roundtrip",
+        "multimodal_cross_codec_dedup",
+        "multimodal_audio_fp_dedup",
+        "multimodal_video_frame_dedup",
+        "docs_exact_substring_dedup",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
@@ -78,8 +82,11 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             print(f"{name} @ {tag}: {best:.2f}s ({n} rows)", flush=True)
 
-    # streaming gate: cold full run per scale (clear the session caches)
-    from datafusion_tpch_spark.queries.stream import _EMB_INGEST_STREAM_STATE
+    # streaming gates: cold full run per scale (clear the session caches)
+    from datafusion_tpch_spark.queries.stream import (
+        _EMB_INGEST_STREAM_STATE,
+        _XSUB_STREAM_STATE,
+    )
 
     for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
         _EMB_INGEST_STREAM_STATE.pop(spark, None)
@@ -88,6 +95,17 @@ def main() -> None:
         print(
             f"embeddings_ingest_stream @ {tag}: cold "
             f"{time.perf_counter() - t0:.2f}s ({n} cells)",
+            flush=True,
+        )
+    for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
+        _XSUB_STREAM_STATE.pop(spark, None)
+        t0 = time.perf_counter()
+        n = len(
+            qs["docs_substring_ingest_stream"].build(spark, sf_dir).collect()
+        )
+        print(
+            f"docs_substring_ingest_stream @ {tag}: cold "
+            f"{time.perf_counter() - t0:.2f}s ({n} verdicts)",
             flush=True,
         )
     spark.stop()
