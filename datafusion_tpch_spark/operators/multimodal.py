@@ -1396,16 +1396,18 @@ class _JpgBitWriter:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)
 
 
-def _jpg_encode_block(bw: _JpgBitWriter, zz, pred: int, dctab, actab) -> int:
+def _jpg_encode_block(bw: _JpgBitWriter, zz, pred: int, dctab, actab,
+                      last: int | None = None) -> int:
     diff = int(zz[0]) - pred
     s = abs(diff).bit_length()
     code, ln = dctab[s]
     bw.write(code, ln)
     if s:
         bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-    last = 63
-    while last >= 1 and zz[last] == 0:
-        last -= 1
+    if last is None:  # callers may precompute the last nonzero AC index
+        last = 63
+        while last >= 1 and zz[last] == 0:
+            last -= 1
     run = 0
     for i in range(1, last + 1):
         v = int(zz[i])
@@ -1558,11 +1560,19 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
 
     # nested python lists: the per-block entropy loop below touches every
     # coefficient as a scalar, and list indexing beats numpy scalar boxing
-    # ~10x on that access pattern (output unchanged)
-    comp_zz = [
-        _jpg_plane_blocks_mcu(p, q, mcux, mcuy, sh, sv).tolist()
-        for p, q, (sh, sv) in zip(planes, qtabs, samp)
-    ]
+    # ~10x on that access pattern (output unchanged); the last-nonzero-AC
+    # index per block is precomputed vectorized so the entropy loop never
+    # tail-scans 63 zero coefficients (the common case on smooth blocks)
+    comp_zz, comp_last = [], []
+    for pl, q, (sh, sv) in zip(planes, qtabs, samp):
+        arr = _jpg_plane_blocks_mcu(pl, q, mcux, mcuy, sh, sv)
+        nz = arr[:, :, 1:] != 0
+        comp_zz.append(arr.tolist())
+        comp_last.append(
+            np.where(
+                nz.any(-1), 63 - np.argmax(nz[:, :, ::-1], axis=-1), 0
+            ).tolist()
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -1604,6 +1614,7 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
                         preds[c] = _jpg_encode_block(
                             bw, comp_zz[c][my * sv + v][mx * sh + u],
                             preds[c], dc_enc[c], ac_enc[c],
+                            comp_last[c][my * sv + v][mx * sh + u],
                         )
             mcus_done += 1
             if (

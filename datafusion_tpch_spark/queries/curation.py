@@ -1488,27 +1488,37 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the duplicated fraction (the curation signal used to cut or
     down-weight memorization fuel).
 
-    Plan: one pass builds the positional span multiset (JVM-side
-    split/transform, no UDF), spans travel as 60-bit hashes (3-int rows,
-    never strings, and both engines hash identically so any collision is
-    shared); corpus span counts are ONE map-side-combinable aggregation;
-    the verdict joins counts back on the hash and re-aggregates per doc.
-    At 100 TB both shuffles are hash-partitioned on keys that grow with
-    unique content, not with corpus size squared — no suffix array, no
-    sort of the whole corpus, which is exactly why production pipelines
-    run this formulation of ExactSubstr."""
+    Plan: ONE pass builds the positional span multiset (JVM-side
+    split/transform, no UDF) and immediately folds it to (doc, span-hash,
+    count) — spans travel as 60-bit hashes (3-int rows, never strings,
+    and both engines hash identically so any collision is shared).  All
+    downstream work runs on that pair table: global span totals are one
+    map-side-combinable re-aggregation, and the verdict joins totals back
+    and re-aggregates per doc — the raw gram stream is never computed
+    twice and never shuffled raw.  At 100 TB every shuffle is
+    hash-partitioned on keys that grow with unique content, not with
+    corpus size squared — no suffix array, no sort of the whole corpus,
+    which is exactly why production pipelines run this formulation of
+    ExactSubstr."""
     (docs,) = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(text.positional_kgrams(F.col("text"), _XSUB_K)).alias("gram"),
-    ).select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
-    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    pair = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                text.positional_kgrams(F.col("text"), _XSUB_K)
+            ).alias("gram"),
+        )
+        .select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
     per = (
-        grams.join(counts, "h")
+        pair.join(tot, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            F.sum("c").cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(0))
             .cast("bigint").alias("n_dup_spans"),
         )
     )
