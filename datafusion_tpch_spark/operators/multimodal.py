@@ -3720,3 +3720,73 @@ def decoded_video_frame_signatures(assets: DataFrame) -> DataFrame:
         "doc_id long, frame_idx int, n_frames int, width int, height int,"
         " sig1 long, sig2 long",
     )
+
+
+# ------------------------------------------- scale-invariant image dedup
+
+_SI_SCENES = 48
+_SI_K = 2654435761
+
+
+def _si_raster(doc_id: int) -> np.ndarray:
+    """Closed-form raster of one crawled copy stored at ITS OWN
+    resolution (SQL-recomputable): scene ``doc_id % 48`` rendered at
+    size factor ``m = 2 + (doc_id // 48) % 3`` — dims (8m, 9m), i.e.
+    the same image saved as a 16×18, 24×27, or 32×36 thumbnail.  The
+    image is block-constant at m×m granularity with block (by, bx)
+    value ``((scene+1)·(by·9 + bx·13 + 31) + scene·K) % 256``, so the
+    CONTENT is resolution-independent and only the raster size varies —
+    exactly the multi-size mirror situation crawl dedup faces."""
+    scene, m = doc_id % _SI_SCENES, 2 + (doc_id // _SI_SCENES) % 3
+    by = np.arange(8 * m, dtype=np.int64)[:, None] // m
+    bx = np.arange(9 * m, dtype=np.int64)[None, :] // m
+    v = ((scene + 1) * (by * 9 + bx * 13 + 31) + scene * _SI_K) % 256
+    g = np.broadcast_to(v, (8 * m, 9 * m)).astype(np.uint8)
+    return np.stack([g, g, g], axis=2)
+
+
+def documents_as_multires_png_assets(docs: DataFrame) -> DataFrame:
+    """Asset table for the scale-invariant dedup gate: per document the
+    ``_si_raster`` thumbnail encoded as a genuine PNG in one Arrow
+    kernel — real compressed files at three different pixel sizes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                out.append((aid, "image", "image/png",
+                            encode_png(_si_raster(aid), filter_per_line=True)))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_phash_dim_signatures(assets: DataFrame) -> DataFrame:
+    """Decode each PNG strictly from its bytes and emit the 64-bit dHash
+    PLUS the decoded pixel dimensions — the dims prove the dedup groups
+    really span resolutions (dHash's fixed 8×9 block grid normalizes
+    scale away; the blocks are m×m pixel boxes, so block-sum comparisons
+    are invariant under integer upscaling).  Decode and hash fused in
+    one Arrow kernel, as everywhere in this family."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_png(row.content)
+                hi, lo = dhash_64(img)
+                out.append(
+                    (row.asset_id, img.shape[1], img.shape[0], hi, lo)
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "sig_hi", "sig_lo"]
+            )
+
+    return assets.mapInPandas(
+        run, "doc_id long, width int, height int, sig_hi long, sig_lo long"
+    )

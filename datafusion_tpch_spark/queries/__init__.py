@@ -40,7 +40,7 @@ _CHECK_FIRST = [
     "multimodal_jpeg_prog_roundtrip", "multimodal_wav_stereo_roundtrip",
     "multimodal_cross_codec_dedup", "multimodal_audio_fp_dedup",
     "docs_exact_substring_dedup", "docs_substring_ingest_stream",
-    "multimodal_video_frame_dedup",
+    "multimodal_video_frame_dedup", "multimodal_scale_invariant_dedup",
     # -- the 12 rotation-debt queries (latest record r05) --
     "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
     "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",

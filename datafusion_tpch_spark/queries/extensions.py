@@ -4086,6 +4086,101 @@ ORDER BY s.doc_id, frame_idx
 """
 
 
+def multimodal_scale_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-INVARIANT perceptual dedup — the multi-resolution mirror
+    case: every document is one of 48 scene images saved at ITS OWN
+    thumbnail size (16×18, 24×27, or 32×36 — dims (8m, 9m) for
+    m ∈ {2,3,4}), as genuine PNGs.  The dHash's fixed 8×9 block grid
+    normalizes resolution away (blocks are m×m pixel boxes; an integer
+    upscale multiplies every block sum by the same m², preserving every
+    adjacent comparison), so copies of one scene at DIFFERENT pixel
+    sizes produce the identical 64-bit signature and collapse under one
+    exact groupBy — the match a byte hash, an exact-pixel hash, or even
+    a per-pixel perceptual compare can never make.  Verdict per doc:
+    group size, how many distinct resolutions the group spans, the
+    canonical (min-id) survivor, kept iff canonical.
+
+    At 100 TB: same shape as the rest of the family — decode + hash
+    fused scan-side (4 small ints per image shuffle), one map-side-
+    combinable aggregation on the signature.  The oracle recomputes the
+    signature from the block-value closed form (block comparisons are
+    m-independent, so it never enumerates pixels) and must land on
+    byte-identical groups spanning the advertised resolutions."""
+    from ..operators.multimodal import (
+        decoded_phash_dim_signatures,
+        documents_as_multires_png_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_phash_dim_signatures(
+            documents_as_multires_png_assets(ids)
+        )
+
+    sigs = _session_table(spark, sf_dir, "si_sigs", build)
+    grp = sigs.groupBy("sig_hi", "sig_lo").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.countDistinct("width").cast("bigint").alias("n_res"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        sigs.join(grp, ["sig_hi", "sig_lo"])
+        .select(
+            "doc_id", "width", "height", "sig_hi", "sig_lo",
+            "group_n", "n_res", "canon",
+            (F.col("canon") == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_SCALE_INVARIANT_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 48 AS scene,
+         2 + (doc_id // 48) % 3 AS m
+  FROM documents),
+blocks AS (
+  SELECT doc_id, b // 9 AS by, b % 9 AS bx,
+         ((scene + 1) * ((b // 9) * 9 + (b % 9) * 13 + 31)
+          + scene * 2654435761) % 256 AS v
+  FROM d, UNNEST(range(0, 72)) t(b)),
+bits AS (
+  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks c ON a.doc_id = c.doc_id AND a.by = c.by
+                             AND c.bx = a.bx + 1
+  WHERE a.bx < 8),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN by < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_hi,
+         CAST(SUM(CASE WHEN by >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_lo
+  FROM bits GROUP BY doc_id),
+sw AS (
+  SELECT s.doc_id, CAST(9 * d.m AS INTEGER) AS width,
+         CAST(8 * d.m AS INTEGER) AS height, s.sig_hi, s.sig_lo
+  FROM sig s JOIN d USING (doc_id)),
+grp AS (
+  SELECT sig_hi, sig_lo,
+         CAST(COUNT(*) AS BIGINT) AS group_n,
+         CAST(COUNT(DISTINCT width) AS BIGINT) AS n_res,
+         MIN(doc_id) AS canon
+  FROM sw GROUP BY sig_hi, sig_lo)
+SELECT sw.doc_id, sw.width, sw.height, sw.sig_hi, sw.sig_lo,
+       g.group_n, g.n_res, g.canon,
+       g.canon = sw.doc_id AS kept
+FROM sw JOIN grp g ON sw.sig_hi = g.sig_hi AND sw.sig_lo = g.sig_lo
+ORDER BY sw.doc_id
+"""
+
+
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: documents → binary asset table (JVM-side encode)
     → Arrow-batched mapInPandas decode-stub → per-asset pixel statistics.
@@ -6295,6 +6390,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_video_frame_dedup", multimodal_video_frame_dedup,
               MULTIMODAL_VIDEO_FRAME_DEDUP_SQL,
               "video frame dedup: per-frame block signatures grouped exactly"),
+    QuerySpec("multimodal_scale_invariant_dedup",
+              multimodal_scale_invariant_dedup,
+              MULTIMODAL_SCALE_INVARIANT_SQL,
+              "multi-resolution image dedup: dHash normalizes scale away"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),

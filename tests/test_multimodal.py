@@ -1401,3 +1401,25 @@ def test_video_frame_signatures_match_closed_form(spark):
                 s2 += v * v
             want[(d, f)] = (w, h, s1, s2)
     assert got == want
+
+
+def test_scale_invariant_dhash_collapses_resolutions():
+    """dHash of the same scene rendered at m=2,3,4 must be identical
+    (integer upscale preserves every block-sum comparison), and the 48
+    scene signatures must stay distinct."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _SI_SCENES,
+        _si_raster,
+        decode_png,
+        dhash_64,
+        encode_png,
+    )
+
+    per_scene: dict[int, set] = {}
+    for doc in range(_SI_SCENES * 3):   # every scene at all three sizes
+        img = decode_png(encode_png(_si_raster(doc), filter_per_line=True))
+        expect_m = 2 + (doc // _SI_SCENES) % 3
+        assert img.shape == (8 * expect_m, 9 * expect_m, 3)
+        per_scene.setdefault(doc % _SI_SCENES, set()).add(dhash_64(img))
+    assert all(len(v) == 1 for v in per_scene.values()), "scale leaked in"
+    assert len({next(iter(v)) for v in per_scene.values()}) == _SI_SCENES

@@ -72,6 +72,7 @@ def main() -> None:
         "multimodal_audio_fp_dedup",
         "multimodal_video_frame_dedup",
         "docs_exact_substring_dedup",
+        "multimodal_scale_invariant_dedup",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
