@@ -61,6 +61,8 @@ HEADLINE = [
     "docs_bm25_topk", "tfidf_top_terms",
     "multimodal_frame_sample", "multimodal_audio_energy",
     "lineitem_winsorize", "part_impute_median",
+    # round-10 family representatives: codec<->dedup edge + ExactSubstr
+    "multimodal_phash_dedup", "docs_exact_substring_dedup",
 ]
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

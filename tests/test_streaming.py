@@ -573,3 +573,32 @@ def test_embeddings_ingest_stream_is_multibatch_and_equals_batch(spark):
     flags = {r["drifted"] for r in got}
     assert flags == {True, False}, flags
     assert all(r["n_vecs"] >= 1 for r in got)
+
+
+def test_substring_ingest_stream_is_multibatch_and_equals_batch(spark):
+    """docs_substring_ingest_stream must run >=4 real micro-batches and
+    maintain exactly the batch span-admission table (span_admit_batch
+    over the whole incoming slice against the same corpus index)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpch_spark.catalog import load_table
+    from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.extensions import _INCR_SPLIT
+    from datafusion_tpch_spark.queries.stream import (
+        _XSUB_STREAM_STATE,
+        _span_index,
+    )
+    from datafusion_tpch_spark.streaming.maintenance import span_admit_batch
+
+    specs = all_queries()
+    got = specs["docs_substring_ingest_stream"].build(spark, SF_DIR).collect()
+    assert _XSUB_STREAM_STATE[spark][SF_DIR][1] >= 4  # >=4 non-empty batches
+    incoming = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") >= _INCR_SPLIT)
+        .select("doc_id", "text")
+    )
+    want = span_admit_batch(incoming, _span_index(spark, SF_DIR)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    kept = {r["kept"] for r in got}
+    assert kept == {True, False}, f"degenerate fixture verdicts: {kept}"
