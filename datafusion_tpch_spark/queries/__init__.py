@@ -41,6 +41,7 @@ _CHECK_FIRST = [
     "multimodal_cross_codec_dedup", "multimodal_audio_fp_dedup",
     "docs_exact_substring_dedup", "docs_substring_ingest_stream",
     "multimodal_video_frame_dedup", "multimodal_scale_invariant_dedup",
+    "multimodal_phash_recall_audit",
     # -- the 12 rotation-debt queries (latest record r05) --
     "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
     "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",

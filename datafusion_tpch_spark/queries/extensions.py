@@ -3676,33 +3676,12 @@ def _phash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_table(spark, sf_dir, "phash_sigs", build)
 
 
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-level PERCEPTUAL dedup — the edge between the codec kernels
-    and the near-dup family: every document is a crawled copy of one of 64
-    scene images (closed-form raster + per-copy block-local retouch,
-    ``operators/multimodal.py:_ph_raster``), encoded as a genuine PNG,
-    decoded strictly from its bytes, and reduced to a 64-bit difference
-    hash (integer gray → exact block sums → 8×8 adjacent comparisons,
-    carried as two 32-bit halves so both engines stay in signed 64-bit).
-    Near-duplicate images (Hamming ≤ 1) are found with the multi-probe
-    trick proven by dedup_simhash_hamming1: each doc emits its signature
-    plus all 64 single-bit flips — a fixed 65-row fan-out, constant in
-    corpus size — and candidates fall out of ONE hash equi-join on the
-    (hi, lo) composite key; no Hamming-distance scan, no all-pairs
-    anywhere.  Each directed pair is matched by exactly one probe (the
-    base probe iff distance 0, exactly one flip iff distance 1), so the
-    join output is already distinct and feeds the per-doc verdict
-    aggregate directly.  Verdict: n_near neighbors, canon = min(doc_id
-    over the 1-hop neighborhood ∪ self), kept iff canon == doc_id.
-
-    At 100 TB: blobs never cross an exchange (decode+hash fused in the
-    scan-side kernel; 3 small ints per image shuffle), the probe fan-out
-    is a constant 65, and tolerance k costs C(64,≤k) probes — a
-    parameter, not a new plan.  The oracle replays raster → gray → block
-    sums → bits → signatures in closed form and checks the pair set by
-    brute force, so a decoder or hasher that is off by one pixel
-    hash-fails."""
-    sigs = _phash_sig_table(spark, sf_dir)
+def _phash_hamming1_pairs(sigs: DataFrame) -> DataFrame:
+    """Directed Hamming≤1 signature pairs via the constant 65-probe
+    multi-probe equi-join (own signature + all 64 single-bit flips; each
+    directed pair matched by exactly one probe, so the output is already
+    distinct).  Shared by the phash dedup gate and its recall audit so
+    the probe plan cannot drift between them."""
     flips = [
         F.struct(
             F.col("sig_hi").bitwiseXOR(F.lit(1 << j)).alias("ph"),
@@ -3730,13 +3709,42 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sig_hi").alias("h2"),
         F.col("sig_lo").alias("l2"),
     )
-    pairs = probes.join(
+    return probes.join(
         b,
         (F.col("probe.ph") == F.col("h2"))
         & (F.col("probe.pl") == F.col("l2"))
         & (F.col("doc1") != F.col("doc2")),
     )
-    per = pairs.groupBy("doc1").agg(
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level PERCEPTUAL dedup — the edge between the codec kernels
+    and the near-dup family: every document is a crawled copy of one of 64
+    scene images (closed-form raster + per-copy block-local retouch,
+    ``operators/multimodal.py:_ph_raster``), encoded as a genuine PNG,
+    decoded strictly from its bytes, and reduced to a 64-bit difference
+    hash (integer gray → exact block sums → 8×8 adjacent comparisons,
+    carried as two 32-bit halves so both engines stay in signed 64-bit).
+    Near-duplicate images (Hamming ≤ 1) are found with the multi-probe
+    trick proven by dedup_simhash_hamming1: each doc emits its signature
+    plus all 64 single-bit flips — a fixed 65-row fan-out, constant in
+    corpus size — and candidates fall out of ONE hash equi-join on the
+    (hi, lo) composite key; no Hamming-distance scan, no all-pairs
+    anywhere.  Each directed pair is matched by exactly one probe (the
+    base probe iff distance 0, exactly one flip iff distance 1), so the
+    join output is already distinct and feeds the per-doc verdict
+    aggregate directly.  Verdict: n_near neighbors, canon = min(doc_id
+    over the 1-hop neighborhood ∪ self), kept iff canon == doc_id.
+
+    At 100 TB: blobs never cross an exchange (decode+hash fused in the
+    scan-side kernel; 3 small ints per image shuffle), the probe fan-out
+    is a constant 65, and tolerance k costs C(64,≤k) probes — a
+    parameter, not a new plan.  The oracle replays raster → gray → block
+    sums → bits → signatures in closed form and checks the pair set by
+    brute force, so a decoder or hasher that is off by one pixel
+    hash-fails."""
+    sigs = _phash_sig_table(spark, sf_dir)
+    per = _phash_hamming1_pairs(sigs).groupBy("doc1").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_near"),
         F.min("doc2").alias("mn"),
     )
@@ -4083,6 +4091,131 @@ SELECT s.doc_id,
 FROM sig s JOIN grp g
   ON s.w = g.w AND s.h = g.h AND s.sig1 = g.sig1 AND s.sig2 = g.sig2
 ORDER BY s.doc_id, frame_idx
+"""
+
+
+def multimodal_phash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY LOOP for the image perceptual dedup — the same move
+    `dedup_lsh_recall_audit` makes for text, measured in-plan: every
+    document is a crawled copy of one of 64 scenes (the phash fixture),
+    so GROUND TRUTH near-duplicate pairs are pure doc-id arithmetic —
+    same scene; 'lightly retouched' pairs additionally share the heavy
+    (two-bit) retouch level, differing only in the one-bit corner
+    retouch.  The audit joins the multi-probe Hamming≤1 candidate pairs
+    (the EXACT plan the dedup gate runs, shared helper) against that
+    arithmetic truth and reports: designed-tolerance recall (light pairs
+    found / light pairs — the fixture guarantees 1.0), overall same-scene
+    recall (heavy retouches are OUTSIDE τ=1 by design, so this is < 1 and
+    measures how much a τ=2 probe ladder would buy), and precision
+    (cross-scene signature collisions).  One summary row.
+
+    At 100 TB the audit costs what the dedup costs (the pair join is
+    shared) plus two arithmetic aggregates over doc ids — quality is
+    measured continuously, not in an offline notebook."""
+    sigs = _phash_sig_table(spark, sf_dir)
+    pairs = _phash_hamming1_pairs(sigs).filter(F.col("doc1") < F.col("doc2"))
+    same_scene = (F.col("doc1") % 64) == (F.col("doc2") % 64)
+    light = same_scene & (
+        ((F.col("doc1") / 64).cast("long") / 4).cast("long") % 2
+        == ((F.col("doc2") / 64).cast("long") / 4).cast("long") % 2
+    )
+    found = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_pairs"),
+        F.sum(F.when(same_scene, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(light, 1).otherwise(0)).cast("bigint").alias("light_tp"),
+    )
+    (docs,) = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        (F.col("doc_id") % 64).alias("scene"),
+        (((F.col("doc_id") / 64).cast("long") / 4).cast("long") % 2)
+        .alias("d2"),
+    )
+    scene_tot = (
+        keys.groupBy("scene").agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint").alias("n_same_scene")
+        )
+    )
+    light_tot = (
+        keys.groupBy("scene", "d2").agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint").alias("n_light")
+        )
+    )
+    return (
+        found.crossJoin(scene_tot).crossJoin(light_tot)
+        .select(
+            "n_probe_pairs", "tp", "light_tp", "n_same_scene", "n_light",
+            (F.col("light_tp") * 1.0 / F.col("n_light")).alias("light_recall"),
+            (F.col("tp") * 1.0 / F.col("n_same_scene")).alias("scene_recall"),
+            (F.col("tp") * 1.0 / F.col("n_probe_pairs")).alias("precision"),
+        )
+    )
+
+
+MULTIMODAL_PHASH_RECALL_AUDIT_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
+         2 + (doc_id % 64) % 2 AS m
+  FROM documents),
+px AS (
+  SELECT doc_id, m,
+         (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
+         (scene * 2654435761 + i
+          + CASE WHEN (i // 3) % (9 * m) < m AND (i // 3) // (9 * m) < m
+                 THEN (copy % 4) * 40 ELSE 0 END
+          + CASE WHEN (i // 3) % (9 * m) >= 5 * m
+                      AND (i // 3) % (9 * m) < 6 * m
+                      AND (i // 3) // (9 * m) >= 3 * m
+                      AND (i // 3) // (9 * m) < 4 * m
+                 THEN ((copy // 4) % 2) * 96 ELSE 0 END) % 256 AS v
+  FROM d, UNNEST(range(0, 216 * m * m)) t(i)),
+gray AS (
+  SELECT doc_id, x // m AS bx, y // m AS by,
+         SUM(CASE WHEN c = 1 THEN 2 * v ELSE v END) // 4 AS g
+  FROM px GROUP BY doc_id, m, x, y),
+bs AS (
+  SELECT doc_id, by, bx, SUM(g) AS s FROM gray GROUP BY doc_id, by, bx),
+bits AS (
+  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.by = b.by
+                     AND b.bx = a.bx + 1
+  WHERE a.bx < 8),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN by < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_hi,
+         CAST(SUM(CASE WHEN by >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
+                       ELSE 0 END) AS BIGINT) AS sig_lo
+  FROM bits GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+        + bit_count(xor(a.sig_lo, b.sig_lo)) <= 1),
+found AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_pairs,
+         CAST(SUM(CASE WHEN d1 % 64 = d2 % 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN d1 % 64 = d2 % 64
+                        AND (d1 // 64 // 4) % 2 = (d2 // 64 // 4) % 2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS light_tp
+  FROM pairs),
+scene_tot AS (
+  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_same_scene
+  FROM (SELECT COUNT(*) AS c FROM d GROUP BY scene)),
+light_tot AS (
+  SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_light
+  FROM (SELECT COUNT(*) AS c FROM d GROUP BY scene, (copy // 4) % 2))
+SELECT f.n_probe_pairs, f.tp, f.light_tp, s.n_same_scene, l.n_light,
+       f.light_tp * 1.0 / l.n_light AS light_recall,
+       f.tp * 1.0 / s.n_same_scene AS scene_recall,
+       f.tp * 1.0 / f.n_probe_pairs AS precision
+FROM found f, scene_tot s, light_tot l
 """
 
 
@@ -6394,6 +6527,9 @@ SPECS: list[QuerySpec] = [
               multimodal_scale_invariant_dedup,
               MULTIMODAL_SCALE_INVARIANT_SQL,
               "multi-resolution image dedup: dHash normalizes scale away"),
+    QuerySpec("multimodal_phash_recall_audit", multimodal_phash_recall_audit,
+              MULTIMODAL_PHASH_RECALL_AUDIT_SQL,
+              "image-dedup quality loop: recall/precision vs arithmetic truth"),
     QuerySpec("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "tumbling window agg"),
     QuerySpec("events_sessionize", events_sessionize, EVENTS_SESSIONIZE_SQL,
               "gap-based sessionization"),
