@@ -25,7 +25,7 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 10 (per the round-9 verdict): the 13 round-10
+# correctness record.  Round 10 (per the round-9 verdict): the 15 round-10
 # additions first (driver record on first exposure), then the 12 queries
 # whose latest record is still r05, then the oldest of the 50-strong r06
 # cohort.  The window takes the first 50 keys; r06 entries pushed past it

@@ -4115,9 +4115,10 @@ def multimodal_phash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     sigs = _phash_sig_table(spark, sf_dir)
     pairs = _phash_hamming1_pairs(sigs).filter(F.col("doc1") < F.col("doc2"))
     same_scene = (F.col("doc1") % 64) == (F.col("doc2") % 64)
+    # integer div end-to-end: doc ids beyond 2^53 would lose exactness
+    # under double division
     light = same_scene & (
-        ((F.col("doc1") / 64).cast("long") / 4).cast("long") % 2
-        == ((F.col("doc2") / 64).cast("long") / 4).cast("long") % 2
+        F.expr("(doc1 div 64 div 4) % 2") == F.expr("(doc2 div 64 div 4) % 2")
     )
     found = pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_probe_pairs"),
@@ -4127,8 +4128,7 @@ def multimodal_phash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     (docs,) = _t(spark, sf_dir, "documents")
     keys = docs.select(
         (F.col("doc_id") % 64).alias("scene"),
-        (((F.col("doc_id") / 64).cast("long") / 4).cast("long") % 2)
-        .alias("d2"),
+        F.expr("(doc_id div 64 div 4) % 2").alias("d2"),
     )
     scene_tot = (
         keys.groupBy("scene").agg(F.count(F.lit(1)).alias("c"))

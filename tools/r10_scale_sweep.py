@@ -73,6 +73,7 @@ def main() -> None:
         "multimodal_video_frame_dedup",
         "docs_exact_substring_dedup",
         "multimodal_scale_invariant_dedup",
+        "multimodal_phash_recall_audit",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
