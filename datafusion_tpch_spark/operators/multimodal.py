@@ -1634,41 +1634,86 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
 
 class _JpgBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    unstuffing; any real marker inside the scan is a hard stop."""
+    unstuffing; any real marker inside the scan is a hard stop.
+
+    Bits are buffered in a small accumulator refilled a byte at a time;
+    a refill that runs into a marker or the buffer end RECORDS the stop
+    reason instead of raising, so ``peek16`` can look ahead across the
+    end of the scan (zero-padded) — the error is raised only when a
+    CONSUME actually needs bits past the stop, which reproduces the
+    naive reader's behavior exactly (same messages, same trigger
+    points, since a valid symbol always completes within real bits)."""
 
     def __init__(self, buf: bytes, pos: int) -> None:
         self.buf = buf
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.stop: str | None = None
+
+    def _refill(self) -> None:
+        # pull bytes until >= 17 bits buffered (one 16-bit peek plus one
+        # spare so a skip never immediately re-refills) or the scan stops
+        while self.n < 17 and self.stop is None:
+            if self.pos >= len(self.buf):
+                self.stop = "JPEG: truncated entropy-coded data"
+                return
+            b = self.buf[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(self.buf):
+                    self.stop = "JPEG: truncated after 0xFF"
+                    return
+                nxt = self.buf[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # a restart marker is only legal at an MCU boundary,
+                    # where the decode loop consumes it via restart();
+                    # do NOT consume it here
+                    self.stop = "JPEG: restart marker mid-block"
+                    return
+                else:
+                    self.stop = "JPEG: scan data ended mid-block"
+                    return
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> tuple[int, int]:
+        """(next 16 bits MSB-aligned zero-padded, real bits available)."""
+        if self.n < 17:
+            self._refill()
+        n = self.n
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - n)) & 0xFFFF, n
+
+    def skip(self, k: int) -> None:
+        """Consume k real bits (refilled already by peek16)."""
+        if k > self.n:
+            raise ValueError(self.stop or "JPEG: truncated entropy-coded data")
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
         if self.n == 0:
-            if self.pos >= len(self.buf):
-                raise ValueError("JPEG: truncated entropy-coded data")
-            b = self.buf[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.buf):
-                    raise ValueError("JPEG: truncated after 0xFF")
-                nxt = self.buf[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                elif 0xD0 <= nxt <= 0xD7:
-                    # a restart marker is only legal at an MCU boundary,
-                    # where the decode loop consumes it via restart()
-                    raise ValueError("JPEG: restart marker mid-block")
-                else:
-                    raise ValueError("JPEG: scan data ended mid-block")
-            self.acc = b
-            self.n = 8
+            self._refill()
+            if self.n == 0:
+                raise ValueError(self.stop)
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._refill()
+            if self.n < k:
+                raise ValueError(self.stop)
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def restart(self, expect: int) -> None:
@@ -1688,6 +1733,8 @@ class _JpgBitReader:
                 f"(got RST{b1 - 0xD0}, expected RST{expect})"
             )
         self.pos += 2
+        self.acc = 0
+        self.stop = None  # the marker that stopped refills is consumed
 
 
 _HUFF_DEC_CACHE: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
@@ -1712,15 +1759,41 @@ def _huff_decode_table(bits, values) -> dict[tuple[int, int], int]:
     return out
 
 
+_HUFF_LUT_CACHE: dict[int, list[int]] = {}
+
+
+def _huff_lut(table: dict[tuple[int, int], int]) -> list[int]:
+    """65536-entry first-16-bits -> (symbol << 5 | code length) lookup
+    (-1 = invalid).  Keyed by the decode table's id(): decode tables are
+    themselves memoized per canonical (bits, values), so the id is
+    stable for the process lifetime."""
+    lut = _HUFF_LUT_CACHE.get(id(table))
+    if lut is not None:
+        return lut
+    lut = [-1] * 65536
+    for (ln, code), sym in table.items():
+        base = code << (16 - ln)
+        packed = (sym << 5) | ln
+        for i in range(base, base + (1 << (16 - ln))):
+            lut[i] = packed
+    _HUFF_LUT_CACHE[id(table)] = lut
+    return lut
+
+
 def _jpg_read_symbol(br: _JpgBitReader, table) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code")
+    v, avail = br.peek16()
+    packed = _huff_lut(table)[v]
+    if packed < 0:
+        # fewer than 16 real bits left cannot be blamed on the code —
+        # the stream stopped mid-symbol
+        raise ValueError(
+            br.stop if avail < 16 else "JPEG: invalid Huffman code"
+        )
+    ln = packed & 31
+    if ln > avail:
+        raise ValueError(br.stop)
+    br.skip(ln)
+    return packed >> 5
 
 
 def _jpg_extend(v: int, s: int) -> int:
