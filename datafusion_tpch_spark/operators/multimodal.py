@@ -3,18 +3,21 @@ columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow-batched mapInPandas transforms,
 partition-size control for large blobs) is real and tested.  Decode is
-REAL for the public formats a pure-stdlib kernel can parse — binary
-PGM/PPM and 24-bit BI_RGB BMP (``decode_image``), RIFF/WAVE PCM
-(``decode_wav``), and PNG at depths 8 and 16 including paletted type 3
-and Adam7 interlace (``decode_png``: CRC-verified chunk walk,
-stdlib-zlib inflate, all five scanline unfilters at byte-level bpp
-offsets, per-pass unfilter + scatter for interlace) — and falls back
-to a documented deterministic fake for opaque blobs; the remaining
-codecs (JPEG, video/audio containers) raise NotImplementedError at exactly the
-boundary where PIL/torchvision/ffmpeg slot in, since those libraries
-aren't in this environment.  The operator shapes (one blob in →
-features/patches out, never collect, never a Python loop over rows on
-the driver) are the part that must be right for 100 TB.
+REAL for the public formats a pure-numpy/stdlib kernel can parse:
+binary PGM/PPM and 24-bit BI_RGB BMP (``decode_image``), RIFF/WAVE
+PCM16 mono/multichannel (``decode_wav``), PNG at depths 8 and 16 with
+color types 0/2/3/4/6 and Adam7 interlace (``decode_png``), GIF87a +
+GIF89a including animation/transparency/disposal (``decode_gif``,
+``decode_gif_frames``), baseline sequential + progressive JPEG with
+4:2:0/4:2:2 subsampling and DRI restart markers (``decode_jpeg``), and
+AVI/MJPEG containers (``decode_avi_mjpeg``) — plus a documented
+deterministic fake for opaque blobs.  Library-grade codecs (WebP, AVIF,
+arithmetic/12-bit JPEG, non-MJPEG video) raise NotImplementedError by
+name at exactly the boundary where PIL/torchvision/ffmpeg slot in,
+since those libraries aren't in this environment.  The operator shapes
+(one blob in → features/signatures out, decode fused scan-side, never
+collect, never a Python loop over rows on the driver) are the part
+that must be right for 100 TB.
 """
 
 from __future__ import annotations
