@@ -1366,6 +1366,11 @@ def _huff_encode_table(bits, values) -> dict[int, tuple[int, int]]:
             k += 1
             code += 1
         code <<= 1
+    if len(_HUFF_ENC_CACHE) >= 64:
+        # real-world corpora carry per-image optimized tables; an
+        # unbounded memo would leak one dict per image per worker.
+        # A bulk reset keeps the four Annex K tables one rebuild away.
+        _HUFF_ENC_CACHE.clear()
     _HUFF_ENC_CACHE[key] = out
     return out
 
@@ -1740,52 +1745,40 @@ class _JpgBitReader:
         self.stop = None  # the marker that stopped refills is consumed
 
 
-_HUFF_DEC_CACHE: dict[tuple[bytes, bytes], dict[tuple[int, int], int]] = {}
+_HUFF_DEC_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
 
 
-def _huff_decode_table(bits, values) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol from the canonical (bits, huffval) form.
-    Memoized — decoders rebuild the same four Annex K tables per blob."""
+def _huff_decode_table(bits, values) -> list[int]:
+    """Canonical (bits, huffval) form -> a 65536-entry first-16-bits ->
+    (symbol << 5 | code length) lookup list (-1 = invalid): every code
+    is a prefix of the 16-bit window, so one peek + one index replaces
+    the per-bit tree walk.  Memoized by the canonical key with a
+    bounded bulk-reset cache — real-world corpora ship per-image
+    optimized DHT tables, and an unbounded memo would leak one ~0.5 MB
+    list per table per worker process."""
     key = (bytes(bits), bytes(values))
     cached = _HUFF_DEC_CACHE.get(key)
     if cached is not None:
         return cached
-    out: dict[tuple[int, int], int] = {}
+    lut = [-1] * 65536
     code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = values[k]
+            base = code << (16 - ln)
+            packed = (values[k] << 5) | ln
+            lut[base : base + (1 << (16 - ln))] = [packed] * (1 << (16 - ln))
             k += 1
             code += 1
         code <<= 1
-    _HUFF_DEC_CACHE[key] = out
-    return out
-
-
-_HUFF_LUT_CACHE: dict[int, list[int]] = {}
-
-
-def _huff_lut(table: dict[tuple[int, int], int]) -> list[int]:
-    """65536-entry first-16-bits -> (symbol << 5 | code length) lookup
-    (-1 = invalid).  Keyed by the decode table's id(): decode tables are
-    themselves memoized per canonical (bits, values), so the id is
-    stable for the process lifetime."""
-    lut = _HUFF_LUT_CACHE.get(id(table))
-    if lut is not None:
-        return lut
-    lut = [-1] * 65536
-    for (ln, code), sym in table.items():
-        base = code << (16 - ln)
-        packed = (sym << 5) | ln
-        for i in range(base, base + (1 << (16 - ln))):
-            lut[i] = packed
-    _HUFF_LUT_CACHE[id(table)] = lut
+    if len(_HUFF_DEC_CACHE) >= 64:
+        _HUFF_DEC_CACHE.clear()
+    _HUFF_DEC_CACHE[key] = lut
     return lut
 
 
-def _jpg_read_symbol(br: _JpgBitReader, table) -> int:
+def _jpg_read_symbol(br: _JpgBitReader, lut: list[int]) -> int:
     v, avail = br.peek16()
-    packed = _huff_lut(table)[v]
+    packed = lut[v]
     if packed < 0:
         # fewer than 16 real bits left cannot be blamed on the code —
         # the stream stopped mid-symbol
@@ -2650,7 +2643,9 @@ def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
 
     if not frames:
         raise ValueError("AVI: at least one frame required")
-    if not (0 < width <= 65535 and 0 < height <= 65535 and fps > 0):
+    # 32767 cap: strh rcFrame is a RECT of SIGNED 16-bit fields, so a
+    # larger extent would read back negative in spec-conforming players
+    if not (0 < width <= 32767 and 0 < height <= 32767 and fps > 0):
         raise ValueError("AVI: bad dimensions or rate")
     if width * height * 3 >= 1 << 32:
         raise ValueError("AVI: frame byte size overflows biSizeImage")
@@ -2966,6 +2961,13 @@ def decode_gif_frames(content: bytes) -> tuple[int, int, list]:
             if label == 0xF9:
                 if pos + 5 > len(buf):
                     raise ValueError("GIF: truncated GCE")
+                # the spec fixes the GCE body at exactly 4 bytes; a
+                # different size would shift every fixed-offset field
+                # below, silently misreading disposal/transparency
+                if buf[pos] != 4:
+                    raise ValueError(
+                        f"GIF: GCE block size {buf[pos]} (expected 4)"
+                    )
                 packed = buf[pos + 1]
                 disposal = (packed >> 2) & 0x07
                 tindex = buf[pos + 4] if packed & 0x01 else None
@@ -3771,7 +3773,16 @@ def decoded_video_frame_signatures(assets: DataFrame) -> DataFrame:
                 w, h, frames = decode_avi_mjpeg(bytes(row.content))
                 n = len(frames)
                 for f, payload in enumerate(frames):
-                    px = decode_jpeg(payload).astype(np.int64)
+                    img = decode_jpeg(payload)
+                    if img.ndim != 3:
+                        raise ValueError(
+                            "AVI: expected a 3-component MJPEG frame"
+                        )
+                    if img.shape[0] != h or img.shape[1] != w:
+                        raise ValueError(
+                            "AVI: frame dims disagree with container header"
+                        )
+                    px = img.astype(np.int64)
                     gray = (px[:, :, 0] + 2 * px[:, :, 1] + px[:, :, 2]) // 4
                     nby, nbx = (h + 15) // 16, (w + 15) // 16
                     sig1 = sig2 = 0

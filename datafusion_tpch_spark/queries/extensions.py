@@ -3763,12 +3763,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_PHASH_DEDUP_SQL = """
-WITH d AS (
-  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
-         2 + (doc_id % 64) % 2 AS m
-  FROM documents),
-px AS (
+# Shared closed-form dHash pipeline for the phash-fixture oracles: expects
+# a preceding CTE ``d(doc_id, scene, copy, m)`` and yields ``sig(doc_id,
+# sig_hi, sig_lo)``.  One definition so the three consumers (phash dedup,
+# cross-codec dedup, recall audit) cannot drift.
+_PH_SIG_CTES = """px AS (
   SELECT doc_id, m,
          (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
          (scene * 2654435761 + i
@@ -3799,7 +3798,14 @@ sig AS (
          CAST(SUM(CASE WHEN by >= 4
                        THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
                        ELSE 0 END) AS BIGINT) AS sig_lo
-  FROM bits GROUP BY doc_id),
+  FROM bits GROUP BY doc_id)"""
+
+MULTIMODAL_PHASH_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
+         2 + (doc_id % 64) % 2 AS m
+  FROM documents),
+{_PH_SIG_CTES},
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
@@ -3871,44 +3877,13 @@ def multimodal_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_CROSS_CODEC_SQL = """
+MULTIMODAL_CROSS_CODEC_SQL = f"""
 WITH d AS (
   SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
          2 + (doc_id % 64) % 2 AS m,
          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec
   FROM documents),
-px AS (
-  SELECT doc_id, m,
-         (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
-         (scene * 2654435761 + i
-          + CASE WHEN (i // 3) % (9 * m) < m AND (i // 3) // (9 * m) < m
-                 THEN (copy % 4) * 40 ELSE 0 END
-          + CASE WHEN (i // 3) % (9 * m) >= 5 * m
-                      AND (i // 3) % (9 * m) < 6 * m
-                      AND (i // 3) // (9 * m) >= 3 * m
-                      AND (i // 3) // (9 * m) < 4 * m
-                 THEN ((copy // 4) % 2) * 96 ELSE 0 END) % 256 AS v
-  FROM d, UNNEST(range(0, 216 * m * m)) t(i)),
-gray AS (
-  SELECT doc_id, x // m AS bx, y // m AS by,
-         SUM(CASE WHEN c = 1 THEN 2 * v ELSE v END) // 4 AS g
-  FROM px GROUP BY doc_id, m, x, y),
-bs AS (
-  SELECT doc_id, by, bx, SUM(g) AS s FROM gray GROUP BY doc_id, by, bx),
-bits AS (
-  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.by = b.by
-                     AND b.bx = a.bx + 1
-  WHERE a.bx < 8),
-sig AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN by < 4
-                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
-                       ELSE 0 END) AS BIGINT) AS sig_hi,
-         CAST(SUM(CASE WHEN by >= 4
-                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
-                       ELSE 0 END) AS BIGINT) AS sig_lo
-  FROM bits GROUP BY doc_id),
+{_PH_SIG_CTES},
 sc AS (
   SELECT s.doc_id, d.codec, s.sig_hi, s.sig_lo
   FROM sig s JOIN d USING (doc_id)),
@@ -4155,43 +4130,12 @@ def multimodal_phash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-MULTIMODAL_PHASH_RECALL_AUDIT_SQL = """
+MULTIMODAL_PHASH_RECALL_AUDIT_SQL = f"""
 WITH d AS (
   SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
          2 + (doc_id % 64) % 2 AS m
   FROM documents),
-px AS (
-  SELECT doc_id, m,
-         (i // 3) % (9 * m) AS x, (i // 3) // (9 * m) AS y, i % 3 AS c,
-         (scene * 2654435761 + i
-          + CASE WHEN (i // 3) % (9 * m) < m AND (i // 3) // (9 * m) < m
-                 THEN (copy % 4) * 40 ELSE 0 END
-          + CASE WHEN (i // 3) % (9 * m) >= 5 * m
-                      AND (i // 3) % (9 * m) < 6 * m
-                      AND (i // 3) // (9 * m) >= 3 * m
-                      AND (i // 3) // (9 * m) < 4 * m
-                 THEN ((copy // 4) % 2) * 96 ELSE 0 END) % 256 AS v
-  FROM d, UNNEST(range(0, 216 * m * m)) t(i)),
-gray AS (
-  SELECT doc_id, x // m AS bx, y // m AS by,
-         SUM(CASE WHEN c = 1 THEN 2 * v ELSE v END) // 4 AS g
-  FROM px GROUP BY doc_id, m, x, y),
-bs AS (
-  SELECT doc_id, by, bx, SUM(g) AS s FROM gray GROUP BY doc_id, by, bx),
-bits AS (
-  SELECT a.doc_id, a.by, a.bx, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-  FROM bs a JOIN bs b ON a.doc_id = b.doc_id AND a.by = b.by
-                     AND b.bx = a.bx + 1
-  WHERE a.bx < 8),
-sig AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN by < 4
-                       THEN bit * (CAST(1 AS BIGINT) << (by * 8 + bx))
-                       ELSE 0 END) AS BIGINT) AS sig_hi,
-         CAST(SUM(CASE WHEN by >= 4
-                       THEN bit * (CAST(1 AS BIGINT) << ((by - 4) * 8 + bx))
-                       ELSE 0 END) AS BIGINT) AS sig_lo
-  FROM bits GROUP BY doc_id),
+{_PH_SIG_CTES},
 pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id

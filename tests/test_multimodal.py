@@ -1423,3 +1423,49 @@ def test_scale_invariant_dhash_collapses_resolutions():
         per_scene.setdefault(doc % _SI_SCENES, set()).add(dhash_64(img))
     assert all(len(v) == 1 for v in per_scene.values()), "scale leaked in"
     assert len({next(iter(v)) for v in per_scene.values()}) == _SI_SCENES
+
+
+def test_gif_gce_block_size_must_be_4():
+    """A GCE whose block-size byte is not the spec's 4 would shift every
+    fixed-offset field (disposal, transparency index) — reject loudly."""
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    idx = np.zeros((4, 5), dtype=np.uint8)
+    pal = np.zeros((16, 3), dtype=np.uint8)
+    blob = bytearray(encode_gif_anim([(0, 0, idx)], pal, (5, 4)))
+    at = blob.index(b"\x21\xf9")  # the GCE introducer
+    assert blob[at + 2] == 4
+    blob[at + 2] = 2  # declare a 2-byte GCE body
+    with pytest.raises(ValueError, match="GCE block size"):
+        decode_gif_frames(bytes(blob))
+
+
+def test_video_signature_kernel_validates_frames(spark):
+    """The frame-signature kernel must reject grayscale frames and
+    header/frame dim disagreements like its stats sibling (it used to
+    crash with IndexError / ZeroDivisionError instead)."""
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decoded_video_frame_signatures,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    gray_frame = encode_jpeg(np.full((16, 16), 7, dtype=np.uint8))
+    avi_gray = encode_avi_mjpeg([gray_frame], 16, 16)
+    bad_dims = encode_avi_mjpeg(
+        [encode_jpeg(np.full((16, 16, 3), 7, dtype=np.uint8))], 64, 64
+    )
+    for blob, msg in ((avi_gray, "3-component"), (bad_dims, "disagree")):
+        df = spark.createDataFrame(
+            [(1, "video", "video/x-msvideo", bytearray(blob))],
+            "asset_id long, modality string, mime string, content binary",
+        )
+        with pytest.raises(Exception, match=msg):
+            decoded_video_frame_signatures(df).collect()
