@@ -306,3 +306,34 @@ def test_ann_filtered_predicate_pushed_below_probe(spark):
 
     per_q = Counter(r.query_id for r in rows)
     assert all(n == 5 for n in per_q.values()), per_q
+
+
+def test_perceptual_dedup_gates_group_join_broadcasts(spark):
+    """The round-10 perceptual-dedup family: the signature-group verdict
+    join must broadcast the (small, signature-width) group table and
+    never sort-merge; the whole plan is kernel pass + one aggregation +
+    that broadcast join."""
+    for name in (
+        "multimodal_cross_codec_dedup",
+        "multimodal_audio_fp_dedup",
+        "multimodal_video_frame_dedup",
+        "multimodal_scale_invariant_dedup",
+    ):
+        df = _build(spark, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert broadcast_join_count(df) >= 1, name
+        assert exchange_count(df) <= 3, (name, exchange_count(df))
+
+
+def test_exact_substring_pair_fold_is_single_kernel_pass(spark):
+    """docs_exact_substring_dedup must fold grams to (doc, hash, count)
+    pairs before any join — the raw gram stream (one explode per token
+    position) must appear in the plan exactly once, not once per
+    consumer."""
+    df = _build(spark, "docs_exact_substring_dedup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("generate explode") <= 2, (
+        "gram explode materialized more than expected"
+    )
+    assert "SortMergeJoin" not in plan
