@@ -1718,7 +1718,12 @@ class _JpgBitReader:
         if self.n < k:
             self._refill()
             if self.n < k:
-                raise ValueError(self.stop)
+                # _refill caps the buffer at 17 bits without setting stop,
+                # so k > 17 (a corrupt DHT mapping a symbol to an absurd
+                # magnitude category) must not surface as ValueError(None)
+                raise ValueError(
+                    self.stop or "JPEG: invalid magnitude category"
+                )
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
         self.acc &= (1 << self.n) - 1
@@ -1764,6 +1769,12 @@ def _huff_decode_table(bits, values) -> list[int]:
     code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                # an oversubscribed DHT would otherwise silently append
+                # unreachable entries past the end of the 65536-entry LUT
+                raise ValueError(
+                    "JPEG: invalid DHT (oversubscribed code lengths)"
+                )
             base = code << (16 - ln)
             packed = (values[k] << 5) | ln
             lut[base : base + (1 << (16 - ln))] = [packed] * (1 << (16 - ln))

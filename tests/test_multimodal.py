@@ -810,6 +810,39 @@ def test_jpeg_huffman_tables_are_valid_canonical():
         assert set(values) == set(range(12))
 
 
+def test_jpeg_oversubscribed_dht_rejected_by_name():
+    """An oversubscribed DHT (more codes at a length than the canonical
+    code space holds) must raise the named ValueError while BUILDING the
+    decode LUT — not silently append unreachable entries past the end of
+    the 65536-entry table."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        _huff_decode_table,
+    )
+
+    # 3 codes of length 1 — the 1-bit space holds only 2
+    bits = [3] + [0] * 15
+    with _pytest.raises(ValueError, match="oversubscribed"):
+        _huff_decode_table(bytes(bits), bytes([0, 1, 2]))
+    # a valid 2-codes-of-length-1 table still builds
+    lut = _huff_decode_table(bytes([2] + [0] * 15), bytes([0, 1]))
+    assert lut[0] == (0 << 5) | 1 and lut[0x8000] == (1 << 5) | 1
+
+
+def test_jpeg_bitreader_never_raises_valueerror_none():
+    """bits(k) for k past the 17-bit refill cap (a corrupt DHT mapping a
+    symbol to an absurd magnitude category) must carry a named message,
+    not ValueError(None)."""
+    import pytest as _pytest
+
+    from datafusion_tpch_spark.operators.multimodal import _JpgBitReader
+
+    br = _JpgBitReader(b"\x55" * 8, 0)
+    with _pytest.raises(ValueError, match="magnitude category"):
+        br.bits(25)
+
+
 def test_gif89a_interlace_roundtrip():
     """89a + interlace: the encoder writes the four-pass row order behind
     a Graphic Control Extension; the decoder must skip the extension and
