@@ -81,11 +81,38 @@ def fmt(v: float):
     return 0 if r == 0 else r  # "0" beats "0.0"
 
 
+def host_calibration() -> dict:
+    """Single-core CPU speed probe, ~2 s: a fixed pure-python loop
+    (M iterations/s) and one 1500^2 float64 matmul (GFLOP/s).
+
+    This host's effective CPU speed varies ~3x across hours under
+    hypervisor throttling that the guest cannot observe (idle loadavg,
+    <1% steal) — measured round 10, where identical code benched 116 s
+    and 164 s in the same session.  Absolute seconds in BENCH_r*.json
+    are meaningless without a same-window calibration, so every bench
+    line now carries one; compare totals only between rounds whose
+    calibration is similar, and prefer ratios measured in one window."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    for _ in range(20_000_000):
+        pass
+    miter_s = 20.0 / (time.perf_counter() - t0)
+    a = np.ones((1500, 1500))
+    b = np.ones((1500, 1500))
+    a @ b  # warm the BLAS path once
+    t0 = time.perf_counter()
+    a @ b
+    gflops = 2.0 * 1500**3 / (time.perf_counter() - t0) / 1e9
+    return {"miter_s": round(miter_s, 1), "gflops": round(gflops, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # no console progress bars: the driver parses the tail of combined
     # stdout+stderr, and \r-progress junk can push the JSON line out of it
+    cal_pre = host_calibration()
     spark = build_session(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -118,6 +145,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    cal_post = host_calibration()
     total = round(sum(timings.values()), 4)
     try:
         sfv = float(sf)
@@ -132,7 +160,8 @@ def main() -> None:
         with open(DETAIL_PATH, "w") as fh:
             json.dump(
                 {"metric": "total query wall time", "value": total,
-                 "unit": "sec", "queries": timings, "sf": sfv},
+                 "unit": "sec", "queries": timings, "sf": sfv,
+                 "host_calibration": {"pre": cal_pre, "post": cal_post}},
                 fh, separators=(",", ":"), sort_keys=True)
             fh.write("\n")
     except OSError as exc:
@@ -153,6 +182,11 @@ def main() -> None:
                         if k in timings},
             "sf": sfv,
             "nq": len(timings),
+            # same-window CPU speed [pre_Miter/s, post_Miter/s, pre_GF/s,
+            # post_GF/s]: this host throttles ~3x invisibly, so totals are
+            # only comparable between rounds with similar calibration
+            "cal": [cal_pre["miter_s"], cal_post["miter_s"],
+                    cal_pre["gflops"], cal_post["gflops"]],
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

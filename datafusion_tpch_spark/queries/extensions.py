@@ -547,54 +547,71 @@ SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_true_pairs,
 
 
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN recall@k measured in-plan: the SRP-LSH top-k against the
-    brute-force exact top-k — overall recall plus the per-query
-    worst/best hit counts (the tail is what an ANN SLO is written
-    against, not the mean).  Same closed quality loop as
-    `dedup_lsh_recall_audit`, on the similarity-search side."""
+    """ANN quality scoreboard measured in-plan, one row per index family:
+    the trained-IVF nprobe path and the SRP multi-probe path are each
+    scored against the brute-force exact top-k — overall recall@k, the
+    per-query worst/best hit counts (the tail is what an ANN SLO is
+    written against, not the mean), and the MEASURED efficiency price:
+    candidate pairs actually scored and the fraction of the full
+    query x corpus cross product they represent.  Recall without its
+    candidate fraction is not a result — a method can always buy recall
+    by probing more.  Both methods reuse the exact pair frames their
+    gates run (``_ivf_pairs`` / ``_srp_multiprobe_pairs``), so the audit
+    scores the deployed plans, not replicas.  Same closed quality loop
+    as ``dedup_lsh_recall_audit``, on the similarity-search side; the
+    trained-IVF row is the headline — ~73-80% recall@5 at ~20-24%
+    candidates vs SRP's ~30% at ~16% on the near-uniform fixture."""
     gold = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
-    approx = ann_lsh_topk(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
-    )
-    per_q = (
-        gold.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("cand_id") == F.col("ac")),
-            "left",
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("nc"))
+    out = None
+    for method, pairs in (
+        ("ivf", _ivf_pairs(spark, sf_dir)),
+        ("srp", _srp_multiprobe_pairs(spark, sf_dir)),
+    ):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cand_id")
         )
-        .groupBy("query_id")
-        .agg(F.count("ac").alias("h"), F.count(F.lit(1)).alias("g"))
-    )
-    return per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.sum("g").cast("long").alias("n_gold"),
-        F.sum("h").cast("long").alias("n_hits"),
-        (F.sum("h").cast("double") / F.sum("g").cast("double"))
-        .alias("recall_at_k"),
-        F.min("h").cast("long").alias("min_hits_per_query"),
-        F.max("h").cast("long").alias("max_hits_per_query"),
-    )
-
-
-_ANN_RECALL_AUDIT_TMPL = """
-WITH gold AS (
-  SELECT query_id, cand_id FROM ({BF})),
-approx AS (
-  SELECT query_id, cand_id FROM ({LSH})),
-per_q AS (
-  SELECT g.query_id, COUNT(a.cand_id) AS h, COUNT(*) AS g
-  FROM gold g
-  LEFT JOIN approx a ON a.query_id = g.query_id AND a.cand_id = g.cand_id
-  GROUP BY g.query_id)
-SELECT COUNT(*) AS n_queries,
-       CAST(SUM(g) AS BIGINT) AS n_gold,
-       CAST(SUM(h) AS BIGINT) AS n_hits,
-       CAST(SUM(h) AS DOUBLE) / CAST(SUM(g) AS DOUBLE) AS recall_at_k,
-       CAST(MIN(h) AS BIGINT) AS min_hits_per_query,
-       CAST(MAX(h) AS BIGINT) AS max_hits_per_query
-FROM per_q
-"""
+        top = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _TOPK)
+            .select(F.col("query_id").alias("aq"), F.col("cand_id").alias("ac"))
+        )
+        per_q = (
+            gold.join(
+                top,
+                (F.col("query_id") == F.col("aq"))
+                & (F.col("cand_id") == F.col("ac")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("ac").alias("h"), F.count(F.lit(1)).alias("g"))
+        )
+        npairs = pairs.agg(F.count(F.lit(1)).alias("np"))
+        row = (
+            per_q.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("g").cast("long").alias("n_gold"),
+                F.sum("h").cast("long").alias("n_hits"),
+                (F.sum("h").cast("double") / F.sum("g").cast("double"))
+                .alias("recall_at_k"),
+                F.min("h").cast("long").alias("min_hits_per_query"),
+                F.max("h").cast("long").alias("max_hits_per_query"),
+            )
+            .crossJoin(npairs)   # 1-row scalar broadcasts
+            .crossJoin(n_corpus)
+            .select(
+                F.lit(method).alias("method"),
+                "n_queries", "n_gold", "n_hits", "recall_at_k",
+                "min_hits_per_query", "max_hits_per_query",
+                F.col("np").cast("long").alias("n_cand_pairs"),
+                (F.col("np").cast("double")
+                 / (F.col("n_queries").cast("double")
+                    * (F.col("nc").cast("double") - 1.0))).alias("cand_frac"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -1425,18 +1442,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _srp_multiprobe_topk(spark, sf_dir)
 
 
-def _srp_multiprobe_topk(
+def _srp_multiprobe_pairs(
     spark: SparkSession, sf_dir: str,
     cand_filter=None, keep_label: bool = False,
 ) -> DataFrame:
-    """THE SRP multi-probe top-k plan, shared by ann_lsh_topk and
-    ann_filtered_topk so the probe ladder and hyperplane recipe cannot
-    drift between them (their oracles already share _PROBE_LIST_SQL /
-    _PAIR_PROBES_SQL).  ``cand_filter`` is applied to the candidate side
-    UPSTREAM of the bucketing kernel — Catalyst pushes it into the
-    parquet scan, so the bucket index only ever holds allowed vectors;
-    ``keep_label`` rides the label column through the kernel into the
-    output (the filtered gate's proof column)."""
+    """THE SRP multi-probe candidate plan (pre-ranking), shared by
+    ann_lsh_topk, ann_filtered_topk, and ann_recall_audit so the probe
+    ladder and hyperplane recipe cannot drift between them (their
+    oracles already share _PROBE_LIST_SQL / _PAIR_PROBES_SQL).
+    ``cand_filter`` is applied to the candidate side UPSTREAM of the
+    bucketing kernel — Catalyst pushes it into the parquet scan, so the
+    bucket index only ever holds allowed vectors; ``keep_label`` rides
+    the label column through the kernel into the output (the filtered
+    gate's proof column).  No (query, cand) pair appears twice: all 10
+    probe masks are distinct and each candidate has one bucket."""
     import hashlib
 
     from ..operators.similarity import srp_bucket
@@ -1498,12 +1517,32 @@ def _srp_multiprobe_topk(
     cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
         vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    pre_rank = [c for c in out_cols if c != "rank"]
     return (
         F.broadcast(q)
         .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("cand_id")))
         .withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
+        .select(*pre_rank)
+    )
+
+
+def _srp_multiprobe_topk(
+    spark: SparkSession, sf_dir: str,
+    cand_filter=None, keep_label: bool = False,
+) -> DataFrame:
+    """Top-k ranking over ``_srp_multiprobe_pairs`` (exact cosine within
+    the probed buckets, smallest-cand tie-break)."""
+    pairs = _srp_multiprobe_pairs(
+        spark, sf_dir, cand_filter=cand_filter, keep_label=keep_label
+    )
+    out_cols = ["query_id", "cand_id", "cos_sim", "rank"]
+    if keep_label:
+        out_cols.insert(2, "cand_label")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select(*out_cols)
         .orderBy("query_id", "rank")
@@ -1575,20 +1614,24 @@ _PAIR_PROBES_SQL = (
     "xor(bucket, (1 << (k[2] % 8)) + (1 << (k[3] % 8)))]"
 )
 
-ANN_LSH_SQL = f"""
+_SRP_SCORED_SQL = f"""
 WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
 q AS (
   SELECT vec_id, embedding,
          unnest(list_concat({_PROBE_LIST_SQL}, {_PAIR_PROBES_SQL})) AS qb
   FROM (
     SELECT vec_id, embedding, bucket, {_MARGIN_KEYS_SQL} AS k
-    FROM e WHERE vec_id < {_NQUERY})),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
-           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
-              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
-  FROM q JOIN e c ON c.bucket = q.qb AND q.vec_id <> c.vec_id),
+    FROM e WHERE vec_id < {_NQUERY}))
+SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+         / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+            * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+FROM q JOIN e c ON c.bucket = q.qb AND q.vec_id <> c.vec_id
+"""
+
+
+ANN_LSH_SQL = f"""
+WITH scored AS ({_SRP_SCORED_SQL}),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, cand_id) AS rank
@@ -1628,57 +1671,150 @@ ORDER BY query_id, rank
 """
 
 
-_IVF_K = 64  # fixed centroid count — constant regardless of corpus size
+_IVF_K = 128        # fixed centroid count — constant regardless of corpus size
+_IVF_ITERS = 1      # Lloyd refinement iterations at index-build time (the
+                    # second iteration moves measured recall by <1pt on the
+                    # fixture while doubling build cost and oracle CTEs)
+_IVF_NPROBE = 24    # cells each query probes (cell-union) — the recall knob
+_EMB_D = 64         # fixture embedding dimensionality (oracle CTEs unroll it)
+
+# Trained-centroid memo: the index is built once per (application, fixture)
+# and shared by ann_ivf_topk / ann_ivf_pq_topk / ann_recall_audit — the
+# _session_table pattern, but the artifact is a plain k-row python list
+# (the thing a production pipeline persists as its index build).
+_IVF_CENT_CACHE: dict[tuple[str, str], list] = {}
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: the corpus is inverted-file-partitioned by nearest
-    centroid; each query probes only its own cell (nprobe=1).
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """THE deployed IVF index: ``_IVF_K`` md5-sampled seed vectors refined
+    by ``_IVF_ITERS`` exact Lloyd iterations (``operators/clustering.
+    kmeans_refine``, ``exact=True``) — assignment is the floor-quantized
+    L2 argmin kernel, means are fixed-point order-independent, so the
+    DuckDB oracle replays the identical centroids from unrolled CTEs
+    (``_ivf_cent_ctes``) and every downstream gate hash-matches.  Trained
+    cells raised audited recall@5 from ~30% (SRP geometry ceiling on the
+    near-uniform fixture) to ~73-80% at <25% candidate fraction — see
+    ``ann_recall_audit``, which scores both paths side by side.  Driver
+    traffic per iteration is k x d mean rows + the k-row centroid table —
+    corpus-size-independent."""
+    from ..operators.clustering import kmeans_refine
 
-    Centroids are a **fixed-k** deterministic pseudo-random sample: the
-    {k} corpus vectors with the smallest md5(vec_id) — the centroid set
-    (and thus the driver collect) is a constant {k} rows however large the
-    corpus grows (production would k-means-refine the same {k} seeds; the
-    *plan* is identical).  Assignment is argmin of the exact quantized L2
-    distance against the broadcast centroid set.  At 100 TB the cell id
-    becomes a parquet partition column and probes are partition-pruned
-    scans; recall grows with nprobe by unioning more cells (parameter
-    change, same plan).
-    """
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _IVF_CENT_CACHE if k[0] != app_id]:
+        del _IVF_CENT_CACHE[k]
+    key = (app_id, sf_dir)
+    cached = _IVF_CENT_CACHE.get(key)
+    if cached is None:
+        (emb,) = _t(spark, sf_dir, "embeddings")
+        seeds = [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in emb.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            .limit(_IVF_K)
+            .collect()
+        ]
+        cached, _ = kmeans_refine(emb, seeds, iters=_IVF_ITERS, exact=True)
+        _IVF_CENT_CACHE[key] = cached
+    return cached
+
+
+def _ivf_query_probes(emb: DataFrame, centroids: list) -> DataFrame:
+    """Per query (vec_id < ``_NQUERY``): the ``_IVF_NPROBE`` nearest cells
+    by the same quantized L2 + smallest-cid tie-break the assignment
+    kernel uses — so the rank-1 probe is provably the query's own cell
+    and the probe union strictly widens nprobe=1.  8 queries x k literal
+    centroids is a broadcast join bounded at any corpus size (the one
+    crossJoin is against the fixed-k inline centroid table)."""
+    from ..inline import inline_table
+
+    cent_df = inline_table(
+        emb.sparkSession, [(cid, vec) for cid, vec in centroids],
+        "cid long, ce array<double>",
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd", "cid")
+    return (
+        emb.filter(F.col("vec_id") < _NQUERY)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("qd", _l2q(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "qe", F.col("cid").alias("qcell"))
+    )
+
+
+def _ivf_assigned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-assigned corpus, materialized once per (app, fixture) —
+    the in-session form of the cell-partitioned index table a production
+    store persists on disk; ann_ivf_topk and the recall audit read it
+    instead of re-running the assignment kernel per query build."""
     from ..operators.similarity import ivf_assign
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    # fixed-k centroid sample: TakeOrdered over md5(vec_id) — one corpus
-    # pass, collect bounded at _IVF_K rows; broadcast into the vectorized
-    # assignment kernel (floor-quantized L2, argmin with smallest-cid
-    # tie-break — bit-identical to the oracle's expression)
-    centroids = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_IVF_K)
-        .collect()
-    ]
-    # assign the query side from the pre-filtered rows: a filter cannot
-    # push through mapInPandas, so deriving q from the full `assigned`
-    # frame would run the Arrow assignment kernel over the whole corpus
-    # twice (once per join side)
-    q = ivf_assign(emb.filter(F.col("vec_id") < _NQUERY), centroids).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("cell").alias("qcell"),
-    )
-    c = ivf_assign(emb, centroids).select(
+    def build() -> DataFrame:
+        (emb,) = _t(spark, sf_dir, "embeddings")
+        return ivf_assign(emb, _ivf_trained_centroids(spark, sf_dir))
+
+    return _session_table(spark, sf_dir, "ivf_assigned", build)
+
+
+def _ivf_qprobe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (query, probed-cell) frame, materialized once per (app,
+    fixture): 8 x nprobe rows, but rebuilding it re-parses the k x d
+    literal centroid table and re-runs the probe window every query
+    build."""
+    def build() -> DataFrame:
+        (emb,) = _t(spark, sf_dir, "embeddings")
+        return _ivf_query_probes(emb, _ivf_trained_centroids(spark, sf_dir))
+
+    return _session_table(spark, sf_dir, "ivf_qprobes", build)
+
+
+def _ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF candidate frame (query x probed-cell members) with exact
+    cosine, BEFORE top-k ranking — shared by ``ann_ivf_topk`` and
+    ``ann_recall_audit`` so the audit measures exactly the plan the gate
+    runs.  No pair appears twice: probes are distinct cells and each
+    candidate lives in exactly one cell."""
+    q = _ivf_qprobe_table(spark, sf_dir)
+    c = _ivf_assigned_table(spark, sf_dir).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
         F.col("cell").alias("ccell"),
     )
     cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
         vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
         F.broadcast(q)
-        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("query_id") != F.col("cand_id")))
+        .join(c, (F.col("qcell") == F.col("ccell"))
+              & (F.col("query_id") != F.col("cand_id")))
         .withColumn("cos_sim", cos)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over a TRAINED index with multi-cell probing: the
+    corpus is inverted-file-partitioned by nearest trained centroid
+    (fixed {k} md5-sampled seeds + {it} exact Lloyd iterations, the
+    production index build); each query unions the {np} nearest cells
+    (nprobe) and ranks exact cosine within them.
+
+    The index build is corpus-size-independent driver traffic (k x d
+    rows per iteration), assignment is one Arrow kernel pass, and the
+    probe join touches ~nprobe/k of the corpus per query — measured
+    in-plan by ``ann_recall_audit`` at ~73-80% recall@5 for ~20-24%
+    candidate fraction (vs the SRP path's ~30% at ~16%: on weakly
+    clustered vectors trained cells beat data-blind hyperplanes).  At
+    100 TB the cell id becomes a parquet partition column and probes are
+    partition-pruned scans; recall scales with nprobe — parameter
+    change, same plan.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        _ivf_pairs(spark, sf_dir)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "cand_id", "cos_sim", "rank")
@@ -1686,7 +1822,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ann_ivf_topk.__doc__ = (ann_ivf_topk.__doc__ or "").format(k=_IVF_K)
+ann_ivf_topk.__doc__ = (ann_ivf_topk.__doc__ or "").format(
+    k=_IVF_K, it=_IVF_ITERS, np=_IVF_NPROBE
+)
 
 
 def _l2q_sql(a: str, b: str) -> str:
@@ -1698,24 +1836,92 @@ def _l2q_sql(a: str, b: str) -> str:
     )
 
 
-ANN_IVF_SQL = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
-assigned AS (
+def _ivf_cent_ctes(prefix: str = "", corpus_where: str = "") -> str:
+    """Oracle replay of ``_ivf_trained_centroids`` as unrolled CTEs ending
+    in ``{prefix}cent(cid, ce)``: md5-sampled seeds, then ``_IVF_ITERS``
+    exact Lloyd iterations — quantized-L2 argmin assignment (smallest-cid
+    tie-break) and fixed-point per-dimension means, with empty cells
+    keeping the PREVIOUS iteration's centroid (the same fallback
+    ``operators/clustering._update_centroids`` applies).  ``prefix``
+    namespaces the CTEs so the chain composes with the PQ CTEs;
+    ``corpus_where`` restricts the training slice (the streaming-ingest
+    gate trains on the pre-stream corpus only)."""
+    p = prefix
+    d = _EMB_D
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{p}{name} AS MATERIALIZED (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cent c)
+    FROM {p}ebase e CROSS JOIN {p}{cent} c)
+  WHERE rn = 1)"""
+
+    def update(i: int, aname: str, prev: str) -> str:
+        return f"""{p}m{i} AS MATERIALIZED (
+  SELECT cell, i AS dim, {davg_sql('CAST(embedding[i + 1] AS DOUBLE)')} AS m
+  FROM {p}{aname}, range(0, {d}) t(i)
+  GROUP BY cell, i),
+{p}c{i} AS MATERIALIZED (
+  SELECT v.cid,
+         list(COALESCE(m.m, CAST(v.ce[t.i + 1] AS DOUBLE)) ORDER BY t.i) AS ce
+  FROM {p}{prev} v CROSS JOIN range(0, {d}) t(i)
+  LEFT JOIN {p}m{i} m ON m.cell = v.cid AND m.dim = t.i
+  GROUP BY v.cid)"""
+
+    where = f" WHERE {corpus_where}" if corpus_where else ""
+    parts = [f"""{p}ebase AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings{where}),
+{p}seeds AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS ce FROM {p}ebase
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K})"""]
+    prev = "seeds"
+    for i in range(1, _IVF_ITERS + 1):
+        parts.append(assign(f"a{i - 1}", prev))
+        parts.append(update(i, f"a{i - 1}", prev))
+        prev = f"c{i}"
+    parts.append(
+        f"{p}cent AS MATERIALIZED (SELECT cid, ce FROM {p}{prev})"
+    )
+    return ",\n".join(parts)
+
+
+def _ivf_probe_ctes(prefix: str = "") -> str:
+    """Corpus assignment + query nprobe-cell probes against the trained
+    ``{prefix}cent`` table — the oracle mirror of ``ivf_assign`` +
+    ``_ivf_query_probes``, shared by the IVF-flat and IVF-PQ oracles."""
+    p = prefix
+    return f"""{p}assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
+    FROM {p}ebase e CROSS JOIN {p}cent c)
   WHERE rn = 1),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
-           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
-              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
-  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {_NQUERY}),
+{p}qprobe AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT q.vec_id, q.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_l2q_sql('q.embedding', 'c.ce')}, c.cid) AS rn
+    FROM embeddings q CROSS JOIN {p}cent c
+    WHERE q.vec_id < {_NQUERY})
+  WHERE rn <= {_IVF_NPROBE})"""
+
+
+_IVF_SCORED_SQL = f"""
+WITH {_ivf_cent_ctes()},
+{_ivf_probe_ctes()}
+SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+         / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+            * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+FROM qprobe q JOIN assigned c ON c.cell = q.cid AND q.vec_id <> c.vec_id
+"""
+
+
+ANN_IVF_SQL = f"""
+WITH scored AS ({_IVF_SCORED_SQL}),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, cand_id) AS rank
@@ -1919,49 +2125,41 @@ FROM dist
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the composition production vector stores actually run
-    at scale (the FAISS ``IVFx,PQy`` recipe): a coarse inverted-file
-    quantizer prunes the search to one cell (nprobe=1), and within the
-    cell candidates are scored by asymmetric distance against their
-    product-quantization reconstruction instead of raw vectors.
+    at scale (the FAISS ``IVFx,PQy`` recipe): a TRAINED coarse
+    inverted-file quantizer prunes the search to the nprobe nearest
+    cells, and within them candidates are scored by asymmetric distance
+    against their product-quantization reconstruction instead of raw
+    vectors.
 
     Both index structures come from the bounded-collect patterns proven
-    separately by ``ann_ivf_topk`` (fixed {ivf_k}-centroid deterministic
-    sample) and ``ann_pq_topk`` (fixed {pq_k}-entry sub-codebooks), and
-    the corpus is indexed in ONE Arrow-batched pass
+    separately by ``ann_ivf_topk`` ({ivf_k} trained centroids, shared
+    memoized build) and ``ann_pq_topk`` (fixed {pq_k}-entry
+    sub-codebooks), and the corpus is indexed in ONE Arrow-batched pass
     (``operators/similarity.ivf_pq_encode``) — no second scan, no vec_id
     stitch join.  At 100 TB: codes are {m} bytes/vector partitioned by
-    cell id, a probe is a partition-pruned scan of ~1/{ivf_k} of the
-    corpus at ~1/64 the bytes, and recall scales with nprobe by unioning
-    cells — parameter change, same plan.
+    cell id, a probe is a partition-pruned scan of ~nprobe/{ivf_k} of
+    the corpus at ~1/64 the bytes, and recall scales with nprobe by
+    unioning cells — parameter change, same plan.
 
     The reference has no ANN surface (`/root/reference/src/lib.rs` stops
     at generate+register+COPY); this extends it per the north star."""
     from ..operators.similarity import ivf_pq_encode
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    seeded = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_IVF_K)
-        .collect()
-    )
-    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seeded]
-    seeds = [[float(x) for x in r.embedding] for r in seeded[:_PQ_K]]
-    codebook = [
-        [seeds[j][s * _PQ_SUB:(s + 1) * _PQ_SUB] for j in range(_PQ_K)]
-        for s in range(_PQ_M)
-    ]
-    coded = ivf_pq_encode(emb, centroids, codebook)
-    # query side needs (embedding, cell) only — assign the 8 pre-filtered
-    # query rows instead of re-running the full-corpus encode kernel (a
-    # filter cannot push through mapInPandas, so q-from-`coded` would
-    # execute the Arrow pass twice)
-    from ..operators.similarity import ivf_assign
+    # trained coarse quantizer (shared memoized index build with
+    # ann_ivf_topk); PQ sub-codebooks stay the deterministic md5 seeds —
+    # training them would be a second per-subspace k-means whose recall
+    # contribution the distortion audit shows is second-order here
+    def build_coded() -> DataFrame:
+        return ivf_pq_encode(
+            emb, _ivf_trained_centroids(spark, sf_dir),
+            _pq_codebook(spark, sf_dir),
+        )
 
-    q = ivf_assign(emb.filter(F.col("vec_id") < _NQUERY), centroids).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("cell").alias("qcell"),
-    )
+    coded = _session_table(spark, sf_dir, "ivf_pq_coded", build_coded)
+    # the query side probes the _IVF_NPROBE nearest cells (same cached
+    # ladder as ann_ivf_topk) and scores raw-query-vs-reconstruction (ADC)
+    q = _ivf_qprobe_table(spark, sf_dir)
     c = coded.select(
         F.col("vec_id").alias("cand_id"), F.col("cell").alias("ccell"),
         F.col("recon").alias("cr"),
@@ -1985,43 +2183,15 @@ ann_ivf_pq_topk.__doc__ = (ann_ivf_pq_topk.__doc__ or "").format(
 
 
 ANN_IVF_PQ_SQL = f"""
-WITH seeded AS (
-  SELECT vec_id, embedding,
-         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sn
-  FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
-ivfcent AS (SELECT vec_id AS cid, embedding AS ce FROM seeded),
-pqcent AS (SELECT sn - 1 AS j, embedding AS ce FROM seeded WHERE sn <= {_PQ_K}),
-assigned AS (
-  SELECT vec_id, embedding, cid AS cell FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
-    FROM embeddings e CROSS JOIN ivfcent c)
-  WHERE rn = 1),
-codes AS (
-  SELECT vec_id, s, j FROM (
-    SELECT e.vec_id, sp.s, c.j,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id, sp.s
-             ORDER BY {_l2q_sql(f'list_slice(e.embedding, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})',
-                                f'list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB})')}, c.j) AS rn
-    FROM embeddings e
-    CROSS JOIN (SELECT unnest(range({_PQ_M})) AS s) sp
-    CROSS JOIN pqcent c)
-  WHERE rn = 1),
-recon AS (
-  SELECT codes.vec_id,
-         flatten(list(list_slice(c.ce, s * {_PQ_SUB} + 1, s * {_PQ_SUB} + {_PQ_SUB}) ORDER BY s)) AS recon
-  FROM codes JOIN pqcent c USING (j)
-  GROUP BY codes.vec_id),
+WITH {_ivf_cent_ctes(prefix='iv')},
+{_ivf_probe_ctes(prefix='iv')},
+{_pq_recon_ctes()},
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
          CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
-  FROM assigned q
-  JOIN assigned a ON q.cell = a.cell AND q.vec_id <> a.vec_id
-  JOIN recon r ON r.vec_id = a.vec_id
-  WHERE q.vec_id < {_NQUERY}),
+  FROM ivqprobe q
+  JOIN ivassigned a ON a.cell = q.cid AND q.vec_id <> a.vec_id
+  JOIN recon r ON r.vec_id = a.vec_id),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_dist, cand_id) AS rank
@@ -6317,9 +6487,49 @@ ORDER BY table_name, ordinal_position
 DEDUP_LSH_RECALL_AUDIT_SQL = _DEDUP_LSH_RECALL_AUDIT_TMPL.format(
     NGRAM=DEDUP_NGRAM_JACCARD_SQL, LSH=DEDUP_MINHASH_LSH_SQL
 )
-ANN_RECALL_AUDIT_SQL = _ANN_RECALL_AUDIT_TMPL.format(
-    BF=ANN_BRUTEFORCE_SQL, LSH=ANN_LSH_SQL
-)
+def _ann_recall_audit_sql() -> str:
+    """Per-method CTE chains (each method's SCORED pair query inlined as
+    a derived table, so CTE names inside them cannot collide), then one
+    stats row per method — mirrors the Spark builder column-for-column."""
+
+    def block(tag: str, scored_sql: str) -> str:
+        return f"""{tag}_sc AS MATERIALIZED (
+  SELECT query_id, cand_id, cos_sim FROM ({scored_sql})),
+{tag}_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM {tag}_sc) WHERE rank <= {_TOPK}),
+{tag}_pq AS (
+  SELECT g.query_id, COUNT(a.cand_id) AS h, COUNT(*) AS g
+  FROM gold g LEFT JOIN {tag}_top a
+    ON a.query_id = g.query_id AND a.cand_id = g.cand_id
+  GROUP BY g.query_id),
+{tag}_row AS (
+  SELECT '{tag}' AS method,
+         CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(g) AS BIGINT) AS n_gold,
+         CAST(SUM(h) AS BIGINT) AS n_hits,
+         CAST(SUM(h) AS DOUBLE) / CAST(SUM(g) AS DOUBLE) AS recall_at_k,
+         CAST(MIN(h) AS BIGINT) AS min_hits_per_query,
+         CAST(MAX(h) AS BIGINT) AS max_hits_per_query,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}_sc) AS n_cand_pairs,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM {tag}_sc)
+           / (CAST(COUNT(*) AS DOUBLE)
+              * ((SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings) - 1.0))
+           AS cand_frac
+  FROM {tag}_pq)"""
+
+    return f"""
+WITH gold AS (
+  SELECT query_id, cand_id FROM ({ANN_BRUTEFORCE_SQL})),
+{block('ivf', _IVF_SCORED_SQL)},
+{block('srp', _SRP_SCORED_SQL)}
+SELECT * FROM ivf_row UNION ALL SELECT * FROM srp_row ORDER BY method
+"""
+
+
+ANN_RECALL_AUDIT_SQL = _ann_recall_audit_sql()
 
 
 SPECS: list[QuerySpec] = [
@@ -6360,14 +6570,14 @@ SPECS: list[QuerySpec] = [
     QuerySpec("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL,
               "product-quantization ADC scan: fixed sub-codebooks, 4-byte codes"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,
-              "IVF-flat top-k (deterministic centroids, nprobe=1)"),
+              "IVF-flat top-k: trained (exact-Lloyd) centroids, nprobe cell union"),
     QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, ANN_IVF_PQ_SQL,
               "IVF-PQ: cell-pruned ADC scan, one-pass fused index build"),
     QuerySpec("dedup_lsh_recall_audit", dedup_lsh_recall_audit,
               DEDUP_LSH_RECALL_AUDIT_SQL,
               "LSH candidate recall/efficiency vs the exact-Jaccard baseline"),
     QuerySpec("ann_recall_audit", ann_recall_audit, ANN_RECALL_AUDIT_SQL,
-              "ANN recall@k vs brute force, incl. per-query worst case"),
+              "recall@k + measured candidate fraction per ANN family (IVF vs SRP)"),
     QuerySpec("embeddings_sq8_recall", embeddings_sq8_recall,
               EMBEDDINGS_SQ8_RECALL_SQL,
               "int8 scalar-quantization compression with recall@k audit"),

@@ -865,6 +865,9 @@ _EMB_INGEST_STREAM_STATE: (
 ) = weakref.WeakKeyDictionary()
 
 _EMB_SPLIT = 400     # vec_id >= split streams in; rest is the indexed corpus
+_ING_IVF_K = 64      # deployed-index cell count for the ingest monitoring gate
+                     # (own constant: extensions._IVF_K is the trained search
+                     # index and may retune independently of this artifact)
 _EMB_DRIFT_TH = 0.12   # per-dim |cell mean - centroid| flagged as shifted
 _EMB_DRIFT_DIMS = 16   # cell drift trigger: more than this many shifted dims
 
@@ -897,8 +900,6 @@ def _emb_corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
     restricted to the corpus so the index is a static artifact while the
     stream runs.  Bounded driver collect (64 rows)."""
     from ..catalog import load_table
-    from .extensions import _IVF_K
-
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _EMB_SPLIT
     )
@@ -906,7 +907,7 @@ def _emb_corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(_IVF_K)
+        .limit(_ING_IVF_K)
         .collect()
     ]
 
@@ -998,13 +999,13 @@ def embeddings_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_ingest_oracle() -> str:
-    from .extensions import _IVF_K, _l2q_sql
+    from .extensions import _l2q_sql
 
     return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings
   WHERE vec_id < {_EMB_SPLIT}
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}),
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ING_IVF_K}),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cid AS cell,

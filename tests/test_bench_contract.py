@@ -34,6 +34,7 @@ def _worst_case_line() -> str:
             "queries": {k: 999 for k in bench.HEADLINE},
             "sf": 0.001,
             "nq": 9999,
+            "cal": [9999.9, 9999.9, 9999.9, 9999.9],
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

@@ -159,3 +159,24 @@ def test_pairwise_cosine_baseline_cap_enforced(spark):
         pairwise_cosine(
             emb, "vec_id", "embedding", 0.4, n_blocks=2, max_pairs_per_task=10
         ).count()
+
+
+def test_ann_recall_audit_ivf_meets_slo(spark):
+    """The trained-IVF row of ann_recall_audit meets the engineered SLO
+    on the fixture — recall@5 >= 0.6 at <= 25% candidate fraction — and
+    strictly beats the SRP geometry (the round-10 weak spot the trained
+    index exists to fix).  Thresholds are the audit's contract, so a
+    regression in the index build or probe ladder fails HERE, not in a
+    notebook."""
+    rows = {
+        r["method"]: r
+        for r in all_queries()["ann_recall_audit"]
+        .build(spark, SF_DIR)
+        .collect()
+    }
+    ivf, srp = rows["ivf"], rows["srp"]
+    assert ivf["recall_at_k"] >= 0.6, ivf
+    assert ivf["cand_frac"] <= 0.25, ivf
+    assert ivf["recall_at_k"] > srp["recall_at_k"]
+    # every query gets a non-empty result (dense top-k, no starved query)
+    assert ivf["min_hits_per_query"] >= 1
