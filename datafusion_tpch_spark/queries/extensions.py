@@ -1887,17 +1887,21 @@ def _ivf_cent_ctes(prefix: str = "", corpus_where: str = "") -> str:
     return ",\n".join(parts)
 
 
-def _ivf_probe_ctes(prefix: str = "") -> str:
+def _ivf_probe_ctes(prefix: str = "", assign_from: str | None = None) -> str:
     """Corpus assignment + query nprobe-cell probes against the trained
     ``{prefix}cent`` table — the oracle mirror of ``ivf_assign`` +
-    ``_ivf_query_probes``, shared by the IVF-flat and IVF-PQ oracles."""
+    ``_ivf_query_probes``, shared by the IVF-flat, IVF-PQ, and
+    streaming-ingest oracles.  ``assign_from`` overrides the assignment
+    slice (the ingest gate trains on the pre-stream corpus but assigns
+    corpus + streamed rows)."""
     p = prefix
+    src = assign_from or f"{p}ebase"
     return f"""{p}assigned AS MATERIALIZED (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_l2q_sql('e.embedding', 'c.ce')}, c.cid) AS rn
-    FROM {p}ebase e CROSS JOIN {p}cent c)
+    FROM {src} e CROSS JOIN {p}cent c)
   WHERE rn = 1),
 {p}qprobe AS (
   SELECT vec_id, embedding, cid FROM (

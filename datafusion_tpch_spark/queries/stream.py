@@ -1041,6 +1041,166 @@ ORDER BY cell
 EMBEDDINGS_INGEST_STREAM_SQL = _emb_ingest_oracle()
 
 
+# Streaming ANN serve state: (post-ingest assigned index DataFrame,
+# n_batches, trained corpus centroids) per (session, fixture).
+_ANN_INGEST_STATE: (
+    "weakref.WeakKeyDictionary[SparkSession,"
+    " dict[str, tuple[DataFrame, int, list]]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _ingest_trained_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """The ingest-serving index build: the trained-centroid recipe of
+    ``extensions._ivf_trained_centroids`` (md5-sampled seeds + exact
+    Lloyd refinement) restricted to the PRE-STREAM corpus slice — train
+    at deploy time, freeze, assign stream rows against the frozen
+    artifact.  Freezing is what makes the maintained index provably
+    batch-boundary-independent: assignment is row-wise against
+    constants, so any partition of the incoming rows yields the same
+    index (hypothesis-tested in tests/test_maintenance_algebra.py)."""
+    from ..catalog import load_table
+    from ..operators.clustering import kmeans_refine
+    from .extensions import _IVF_ITERS, _IVF_K
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _EMB_SPLIT
+    )
+    seeds = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_IVF_K)
+        .collect()
+    ]
+    cents, _ = kmeans_refine(emb, seeds, iters=_IVF_ITERS, exact=True)
+    return cents
+
+
+def ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest → search, the loop closed: where
+    ``embeddings_ingest_stream`` MONITORS the deployed IVF index (cell
+    occupancy + drift), this gate SERVES queries against the post-ingest
+    index state.  The incoming vector slice arrives as a real multi-batch
+    stream (4-file layout, ``maxFilesPerTrigger=1``); ``foreachBatch``
+    assigns each micro-batch to the frozen corpus-trained centroids (the
+    same vectorized kernel the batch gates use) and appends it to the
+    maintained cell-assigned index table.  The gate then answers the
+    standard ``_NQUERY`` queries with the trained-IVF nprobe ladder of
+    ``ann_ivf_topk`` over corpus ∪ streamed rows, flagging which ranked
+    neighbors arrived via the stream — a freshly ingested vector is
+    searchable in the same session, which is the whole point of
+    streaming ingest.
+
+    At 100 TB: the frozen centroid set is the static broadcast artifact;
+    each micro-batch costs one assignment kernel pass over the batch
+    only (the corpus is never reshuffled — appends are cell-keyed), and
+    the serve path is the cell-pruned probe join.  The DuckDB oracle
+    replays the training CTEs on the corpus slice and assigns
+    corpus + stream in one closed form, so a stream that dropped or
+    double-ingested a batch hash-fails."""
+    from ..catalog import load_table
+    from ..functions import vectors
+    from ..operators.similarity import ivf_assign
+    from ..streaming.maintenance import run_foreach_batch
+    from .extensions import _TOPK, _ivf_query_probes
+
+    from pyspark.sql.window import Window
+
+    _sweep_stopped_sessions(_ANN_INGEST_STATE)
+    states = _ANN_INGEST_STATE.setdefault(spark, {})
+    cached = states.get(sf_dir)
+    if cached is None:
+        centroids = _ingest_trained_centroids(spark, sf_dir)
+        corpus = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < _EMB_SPLIT
+        )
+        holder: dict = {
+            "idx": ivf_assign(corpus, centroids).localCheckpoint(),
+            "n": 0,
+        }
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            assigned = ivf_assign(
+                batch_df.select("vec_id", "embedding"), centroids
+            )
+            holder["idx"] = holder["idx"].unionByName(
+                assigned
+            ).localCheckpoint()
+            holder["n"] += 1
+
+        path = _emb_incoming_layout(spark, sf_dir)
+        schema = spark.read.parquet(path).schema
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        run_foreach_batch(spark, feed, apply_batch, "ann_ingest_topk")
+        states[sf_dir] = (holder["idx"], holder["n"], centroids)
+    idx, _, centroids = states[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ivf_query_probes(emb, centroids)
+    c = idx.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"),
+        F.col("cell").alias("ccell"),
+    )
+    cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
+        vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell"))
+              & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            "query_id", "cand_id",
+            (F.col("cand_id") >= F.lit(_EMB_SPLIT)).alias("from_stream"),
+            "cos_sim", "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_ingest_oracle() -> str:
+    from ..functions import vectors
+    from .extensions import (
+        _NQUERY,
+        _TOPK,
+        _ivf_cent_ctes,
+        _ivf_probe_ctes,
+    )
+
+    return f"""
+WITH {_ivf_cent_ctes(prefix='ig', corpus_where=f'vec_id < {_EMB_SPLIT}')},
+{_ivf_probe_ctes(prefix='ig', assign_from='embeddings')}
+, scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         c.vec_id >= {_EMB_SPLIT} AS from_stream,
+         {vectors.exact_dot_sql('q.embedding', 'c.embedding')}
+           / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})
+              * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM igqprobe q JOIN igassigned c
+    ON c.cell = q.cid AND q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, from_stream, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+ANN_INGEST_TOPK_SQL = _ann_ingest_oracle()
+
+
 # Maintained per-source token meter, same session-cache contract.
 _METER_STREAM_STATE: (
     "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, int]]]"
@@ -1285,6 +1445,12 @@ SPECS: list[QuerySpec] = [
         docs_substring_ingest_stream,
         DOCS_SUBSTRING_INGEST_STREAM_SQL,
         "foreachBatch ExactSubstr admission vs corpus span index (== batch)",
+    ),
+    QuerySpec(
+        "ann_ingest_topk",
+        ann_ingest_topk,
+        ANN_INGEST_TOPK_SQL,
+        "streamed vectors searchable: IVF top-k over corpus + ingested rows",
     ),
     QuerySpec(
         "events_cdc_stream",

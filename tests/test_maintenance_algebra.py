@@ -387,3 +387,55 @@ def test_span_admission_is_boundary_and_order_independent(spark):
         assert got == want
 
     prop()
+
+
+def test_ann_ingest_index_is_boundary_and_order_independent(spark):
+    """The maintained cell-assigned index behind ann_ingest_topk must be
+    identical for EVERY way of cutting the vector feed into
+    micro-batches, in any order: assignment is row-wise against FROZEN
+    centroids, and the maintenance op is a set union — both trivially
+    associative, which is exactly why the serving index can be appended
+    to mid-stream without a rebuild."""
+    import random
+
+    from datafusion_tpch_spark.operators.similarity import ivf_assign
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.integers(0, 2**16),
+        st.lists(st.integers(0, 40), min_size=0, max_size=3),
+        st.randoms(use_true_random=False),
+    )
+    def prop(seed, cuts, rnd):
+        rng = random.Random(seed)
+        dims = 6
+        centroids = [
+            (cid, [rng.uniform(-1, 1) for _ in range(dims)])
+            for cid in (3, 11, 25)
+        ]
+        rows = [
+            (vid, [rng.uniform(-1, 1) for _ in range(dims)])
+            for vid in range(30)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).localCheckpoint()
+        ordered = emb.orderBy("vec_id").collect()
+        slices = _cuts_to_slices(len(ordered), cuts)
+        rnd.shuffle(slices)
+        idx = None
+        for a, b in slices:
+            batch = spark.createDataFrame(ordered[a:b], emb.schema)
+            assigned = ivf_assign(batch, centroids)
+            idx = assigned if idx is None else idx.unionByName(assigned)
+            idx = idx.localCheckpoint()
+        got = (
+            sorted((r.vec_id, r.cell) for r in idx.collect()) if idx else []
+        )
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in ivf_assign(emb, centroids).collect()
+        )
+        assert got == want
+
+    prop()

@@ -602,3 +602,36 @@ def test_substring_ingest_stream_is_multibatch_and_equals_batch(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     kept = {r["kept"] for r in got}
     assert kept == {True, False}, f"degenerate fixture verdicts: {kept}"
+
+
+def test_ann_ingest_topk_is_multibatch_and_serves_streamed_rows(spark):
+    """ann_ingest_topk must run >=4 real micro-batches, its maintained
+    index must equal the one-shot assignment of corpus + incoming
+    against the same frozen centroids, and the served top-k must contain
+    at least one neighbor that arrived via the stream (the integration
+    the gate exists to prove)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpch_spark.catalog import load_table
+    from datafusion_tpch_spark.operators.similarity import ivf_assign
+    from datafusion_tpch_spark.queries import all_queries
+    from datafusion_tpch_spark.queries.stream import (
+        _ANN_INGEST_STATE,
+        _EMB_SPLIT,
+        _ingest_trained_centroids,
+    )
+
+    specs = all_queries()
+    got = specs["ann_ingest_topk"].build(spark, SF_DIR).collect()
+    idx, n_batches, centroids = _ANN_INGEST_STATE[spark][SF_DIR]
+    assert n_batches >= 4
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want = ivf_assign(emb, _ingest_trained_centroids(spark, SF_DIR))
+    assert sorted((r.vec_id, r.cell) for r in idx.collect()) == sorted(
+        (r.vec_id, r.cell) for r in want.collect()
+    )
+    assert len(got) == 40  # 8 queries x dense top-5
+    assert any(r["from_stream"] for r in got)
+    assert all(
+        r["from_stream"] == (r["cand_id"] >= _EMB_SPLIT) for r in got
+    )

@@ -58,6 +58,7 @@ def clear_stream_reuse(spark) -> None:
     replays its full stream: the memory-sink completion registry and the
     CDC/SCD2 maintained-state caches (all session-keyed)."""
     from datafusion_tpch_spark.queries.stream import (
+        _ANN_INGEST_STATE,
         _CDC_STREAM_STATE,
         _EMB_INGEST_STREAM_STATE,
         _INGEST_STREAM_STATE,
@@ -74,10 +75,12 @@ def clear_stream_reuse(spark) -> None:
     _METER_STREAM_STATE.pop(spark, None)
     _EMB_INGEST_STREAM_STATE.pop(spark, None)
     _XSUB_STREAM_STATE.pop(spark, None)
+    _ANN_INGEST_STATE.pop(spark, None)
 
 
 def _stream_caches_populated(spark) -> bool:
     from datafusion_tpch_spark.queries.stream import (
+        _ANN_INGEST_STATE,
         _CDC_STREAM_STATE,
         _EMB_INGEST_STREAM_STATE,
         _INGEST_STREAM_STATE,
@@ -95,6 +98,7 @@ def _stream_caches_populated(spark) -> bool:
         or _METER_STREAM_STATE.get(spark)
         or _EMB_INGEST_STREAM_STATE.get(spark)
         or _XSUB_STREAM_STATE.get(spark)
+        or _ANN_INGEST_STATE.get(spark)
     )
 
 
