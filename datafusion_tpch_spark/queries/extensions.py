@@ -4153,6 +4153,28 @@ ORDER BY f.doc_id
 """
 
 
+def _video_frame_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame block-mean signature table (doc_id, frame_idx, width,
+    height, sig1, sig2), every AVI/MJPEG frame entropy-decoded in one
+    fused Arrow kernel scan — materialized once per (app, fixture) and
+    shared by the frame-level and clip-level video dedup gates."""
+    from ..operators.multimodal import (
+        decoded_video_frame_signatures,
+        documents_as_avi_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_video_frame_signatures(documents_as_avi_assets(ids))
+
+    return _session_table(spark, sf_dir, "video_frame_sigs", build)
+
+
 def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO frame-level dedup — the video edge of the perceptual-dedup
     family (images got dHash, audio got the energy fingerprint; this is
@@ -4172,21 +4194,7 @@ def multimodal_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, no similarity join.  The oracle replays the per-frame
     MCU grid closed-form, so a walker that drops a frame or a decoder
     that's off by one pixel hash-fails."""
-    from ..operators.multimodal import (
-        decoded_video_frame_signatures,
-        documents_as_avi_assets,
-    )
-
-    def build() -> DataFrame:
-        (docs,) = _t(spark, sf_dir, "documents")
-        ids = (
-            docs.select("doc_id")
-            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
-            .sortWithinPartitions("doc_id")
-        )
-        return decoded_video_frame_signatures(documents_as_avi_assets(ids))
-
-    sigs = _session_table(spark, sf_dir, "video_frame_sigs", build)
+    sigs = _video_frame_sig_table(spark, sf_dir)
     grp = sigs.groupBy("width", "height", "sig1", "sig2").agg(
         F.count(F.lit(1)).cast("bigint").alias("group_n"),
         F.min(F.col("doc_id") * 16 + F.col("frame_idx")).alias("ck"),
@@ -4240,6 +4248,169 @@ SELECT s.doc_id,
 FROM sig s JOIN grp g
   ON s.w = g.w AND s.h = g.h AND s.sig1 = g.sig1 AND s.sig2 = g.sig2
 ORDER BY s.doc_id, frame_idx
+"""
+
+
+_CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
+                   # (boilerplate intros/outros) before pairing — the same
+                   # hot-key cap the text LSH joins carry in-plan
+
+
+def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-level video near-dup — the temporal layer over
+    ``multimodal_video_frame_dedup``: identical frames are caught there,
+    but real recycled footage is the same frame SEQUENCE re-cut to a
+    different length, which no per-frame groupBy can see.  Each clip's
+    decoded frame-signature sequence (shared materialized table) is
+    shingled into consecutive-frame 2-grams, hashed, and WINNOWED
+    (window-2 minimum — ``doc_winnow``'s scheme applied to frames): any
+    shared run of 3+ frames is guaranteed a shared fingerprint, and the
+    fingerprint count drops ~2x.  Clips sharing a fingerprint become
+    candidate pairs via one equi-join; the verdict is exact CONTAINMENT
+    (shared / smaller fingerprint set — Jaccard punishes honest
+    truncations, containment is 1.0 for a clip that is a cut of
+    another).  ``dup`` stays integer-exact: shared == min(n1, n2).
+
+    Winnowing's guarantee is shared runs of >= W+1 = 3 frames; the
+    fixture's 2-frame cuts sit below it, so measured recall on the
+    doc-id-arithmetic ground truth is 205/244 same-footage pairs at
+    sf0.01 with precision 1.0 — production clips run thousands of
+    frames, far above the guarantee threshold.
+
+    At 100 TB: shingle + winnow are per-clip windows (a clip never
+    crosses an exchange), the pair join is on a fingerprint key with the
+    ``_CLIP_FP_CAP`` stoplist bounding any hot bucket in-plan, and the
+    per-clip fingerprint count scales with frames/clip, not corpus size
+    — no all-pairs, no similarity join.  The oracle replays the decoded
+    MCU grid, the shingle hash, and the winnow closed-form, so a walker
+    that drops a frame or a winnow off by one window hash-fails."""
+    sigs = _video_frame_sig_table(spark, sf_dir)
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sh = (
+        sigs.select("doc_id", "frame_idx", "width", "height", "sig1", "sig2")
+        .withColumn("nsig1", F.lead("sig1").over(wd))
+        .withColumn("nsig2", F.lead("sig2").over(wd))
+        .filter(F.col("nsig1").isNotNull())
+        .withColumn(
+            "hh",
+            hashing.md5_int(
+                F.concat_ws(
+                    "_",
+                    F.col("width"), F.col("height"),
+                    F.col("sig1"), F.col("sig2"),
+                    F.col("nsig1"), F.col("nsig2"),
+                )
+            ),
+        )
+    )
+    # winnow W=2: keep min of each adjacent shingle pair; a single-shingle
+    # clip keeps its one hash (otherwise 2-frame clips would vanish)
+    fp = (
+        F.when(F.col("nhh").isNotNull(), F.least(F.col("hh"), F.col("nhh")))
+        .when(F.col("m") == 1, F.col("hh"))
+    )
+    fps0 = (
+        sh.withColumn("nhh", F.lead("hh").over(wd))
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", fp)
+        .filter(F.col("fp").isNotNull())
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    hot = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") > _CLIP_FP_CAP)
+        .select("fp")
+    )
+    fps = fps0.join(hot, "fp", "left_anti")
+    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    pairs = (
+        fps.select(F.col("doc_id").alias("doc1"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs
+        .join(per.select(F.col("doc_id").alias("doc1"),
+                         F.col("nfp").alias("n1")), "doc1")
+        .join(per.select(F.col("doc_id").alias("doc2"),
+                         F.col("nfp").alias("n2")), "doc2")
+        .select(
+            "doc1", "doc2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            (F.col("n_shared").cast("double")
+             / F.least(F.col("n1"), F.col("n2")).cast("double"))
+            .alias("containment"),
+            (F.col("n_shared") == F.least(F.col("n1"), F.col("n2")))
+            .alias("dup"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+MULTIMODAL_VIDEO_CLIP_DEDUP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         17 + doc_id % 32 AS w,
+         17 + doc_id % 16 AS h,
+         2 + doc_id % 5 AS n,
+         (17 + doc_id % 32 + 15) // 16 AS nbx
+  FROM documents),
+fr AS (
+  SELECT doc_id, w, h, n, nbx, f FROM g, UNNEST(range(0, n)) t(f)),
+cells AS (
+  SELECT doc_id, f, w, h, c,
+         (doc_id * 2654435761 + f * 131 + c) % 256 AS v
+  FROM fr, UNNEST(range(0, nbx * ((h + 15) // 16))) t(c)),
+sig AS (
+  SELECT doc_id, f, w, h,
+         CAST(SUM(v * (c + 1)) AS BIGINT) AS sig1,
+         CAST(SUM(v * v) AS BIGINT) AS sig2
+  FROM cells GROUP BY doc_id, f, w, h),
+led AS (
+  SELECT doc_id, f, w, h, sig1, sig2,
+         LEAD(sig1) OVER (PARTITION BY doc_id ORDER BY f) AS nsig1,
+         LEAD(sig2) OVER (PARTITION BY doc_id ORDER BY f) AS nsig2
+  FROM sig),
+sh AS (
+  SELECT doc_id, f,
+         {hashing.md5_int_sql("concat_ws('_', w, h, sig1, sig2, nsig1, nsig2)")} AS hh
+  FROM led WHERE nsig1 IS NOT NULL),
+win AS (
+  SELECT doc_id, hh,
+         LEAD(hh) OVER (PARTITION BY doc_id ORDER BY f) AS nhh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM sh),
+fps0 AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN nhh IS NOT NULL THEN LEAST(hh, nhh)
+              WHEN m = 1 THEN hh END AS fp
+  FROM win WHERE nhh IS NOT NULL OR m = 1),
+fps AS (
+  SELECT doc_id, fp FROM fps0
+  WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp
+                   HAVING COUNT(*) > {_CLIP_FP_CAP})),
+per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc1, p.doc2,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(x.nfp AS BIGINT) AS n1,
+       CAST(y.nfp AS BIGINT) AS n2,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) AS containment,
+       p.n_shared = LEAST(x.nfp, y.nfp) AS dup
+FROM pairs p
+JOIN per x ON x.doc_id = p.doc1
+JOIN per y ON y.doc_id = p.doc2
+ORDER BY doc1, doc2
 """
 
 
@@ -6678,6 +6849,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_audio_fp_dedup", multimodal_audio_fp_dedup,
               MULTIMODAL_AUDIO_FP_SQL,
               "audio fingerprint dedup: gain-invariant frame-energy hash"),
+    QuerySpec("multimodal_video_clip_dedup", multimodal_video_clip_dedup,
+              MULTIMODAL_VIDEO_CLIP_DEDUP_SQL,
+              "clip-level near-dup: winnowed frame-shingle fingerprints + containment"),
     QuerySpec("multimodal_video_frame_dedup", multimodal_video_frame_dedup,
               MULTIMODAL_VIDEO_FRAME_DEDUP_SQL,
               "video frame dedup: per-frame block signatures grouped exactly"),
