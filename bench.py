@@ -63,6 +63,8 @@ HEADLINE = [
     "lineitem_winsorize", "part_impute_median",
     # round-10 family representatives: codec<->dedup edge + ExactSubstr
     "multimodal_phash_dedup", "docs_exact_substring_dedup",
+    # round-11 family representatives: temporal video dedup + streaming ANN
+    "multimodal_video_clip_dedup", "ann_ingest_topk",
 ]
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

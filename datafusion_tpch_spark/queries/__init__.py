@@ -25,40 +25,32 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 10 (per the round-9 verdict): the 15 round-10
-# additions first (driver record on first exposure), then the 12 queries
-# whose latest record is still r05, then the oldest of the 50-strong r06
-# cohort.  The window takes the first 50 keys; r06 entries pushed past it
-# by later round-10 additions (q15_spec onward) front the round-11
-# backfill after its additions.  Everything not listed
+# correctness record.  Round 11 (per the round-10 verdict): the round-11
+# additions and the gates materially rebuilt this round (the trained-IVF
+# ANN family) first, then ALL 27 queries whose latest record is still r06
+# (the 22 q*_spec + q15_window + events_stream_stream_join + 3 multimodal
+# round-trips — the backfill the round-10 comment promised), then the
+# oldest of the r07 cohort up to the 50-key window.  Everything not listed
 # keeps registration order after these.
 _CHECK_FIRST = [
-    # -- round-10 additions; new queries are inserted HERE as they land --
-    "multimodal_phash_dedup", "multimodal_video_frames",
-    "multimodal_jpeg_dri_roundtrip", "embeddings_ingest_stream",
-    "ann_filtered_topk", "multimodal_gif_anim_frames",
-    "multimodal_jpeg_prog_roundtrip", "multimodal_wav_stereo_roundtrip",
-    "multimodal_cross_codec_dedup", "multimodal_audio_fp_dedup",
-    "docs_exact_substring_dedup", "docs_substring_ingest_stream",
-    "multimodal_video_frame_dedup", "multimodal_scale_invariant_dedup",
-    "multimodal_phash_recall_audit",
-    # -- the 12 rotation-debt queries (latest record r05) --
-    "events_kmv_setops", "events_late_audit", "events_rolling_kmv",
-    "events_trending_stream", "events_value_quantiles", "lineitem_winsorize",
-    "multimodal_audio_energy", "orders_csv_roundtrip", "orders_json_roundtrip",
-    "part_impute_median", "part_skyline", "text_stats",
-    # -- backfill: 33 oldest of the r06 cohort --
-    "dedup_cluster_quality_elect", "dedup_incremental_lsh",
-    "dedup_semantic_clusters", "docs_bm25_topk", "docs_cross_source_dups",
-    "docs_pipeline_yield", "docs_token_budget", "events_cdc_merge",
-    "events_cdc_stream", "events_communities", "events_distribution_drift",
-    "events_enriched_stream", "events_hourly", "events_hourly_stream",
-    "events_json_extract", "events_multibatch_stream", "events_pagerank",
-    "events_rollup_cascade", "events_scd2_history", "events_scd2_stream",
-    "events_session_stream", "events_sessionize", "events_stateful_sessions",
-    "events_stream_stream_join", "multimodal_decode_roundtrip",
+    # -- round-11 additions / rebuilt gates; new queries land HERE --
+    "multimodal_video_clip_dedup", "ann_ingest_topk",
+    "ann_ivf_topk", "ann_ivf_pq_topk", "ann_recall_audit",
+    "ann_lsh_topk", "ann_filtered_topk",
+    # -- the 27 rotation-debt queries (latest record r06) --
+    "q1_spec", "q2_spec", "q3_spec", "q4_spec", "q5_spec", "q6_spec",
+    "q7_spec", "q8_spec", "q9_spec", "q10_spec", "q11_spec", "q12_spec",
+    "q13_spec", "q14_spec", "q15_spec", "q16_spec", "q17_spec", "q18_spec",
+    "q19_spec", "q20_spec", "q21_spec", "q22_spec",
+    "q15_window", "events_stream_stream_join", "multimodal_decode_roundtrip",
     "multimodal_pixel_stats", "multimodal_wav_roundtrip",
-    "q10_spec", "q11_spec", "q12_spec", "q13_spec", "q14_spec", "q15_spec",
+    # -- backfill: 16 oldest of the r07 cohort --
+    "ann_bruteforce_topk", "ann_pq_topk", "customer_orders_bucketed",
+    "customer_orders_full_outer", "customer_set_ops", "customer_window_suite",
+    "dedup_canonical", "dedup_embedding_cosine", "dedup_incremental",
+    "dedup_ngram_jaccard", "dedup_simhash", "doc_winnow",
+    "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
+    "docs_length_quartiles",
 ]
 
 
