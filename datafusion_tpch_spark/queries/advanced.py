@@ -1570,7 +1570,11 @@ def _kmeans_sql() -> str:
     FROM e CROSS JOIN {cent} c)
   WHERE rn = 1)"""
 
-    def update(mname: str, cname: str, aname: str) -> str:
+    def update(mname: str, cname: str, aname: str, prev: str) -> str:
+        # empty-cell fallback must come from the PREVIOUS iteration's
+        # centroids (the Lloyd fallback clustering._update_centroids
+        # applies), not the seeds — a cell that moved in iteration 1 and
+        # emptied in iteration 2 would otherwise diverge cross-engine
         return f"""{mname} AS MATERIALIZED (
   SELECT cell, i AS dim, {davg_sql('CAST(v[i + 1] AS DOUBLE)')} AS m
   FROM {aname}, range(0, {_KM_D}) t(i)
@@ -1578,7 +1582,7 @@ def _kmeans_sql() -> str:
 {cname} AS MATERIALIZED (
   SELECT s.cid,
          list(COALESCE(m.m, CAST(s.ce[t.i + 1] AS DOUBLE)) ORDER BY t.i) AS ce
-  FROM seeds s CROSS JOIN range(0, {_KM_D}) t(i)
+  FROM {prev} s CROSS JOIN range(0, {_KM_D}) t(i)
   LEFT JOIN {mname} m ON m.cell = s.cid AND m.dim = t.i
   GROUP BY s.cid)"""
 
@@ -1589,9 +1593,9 @@ def _kmeans_sql() -> str:
 e AS MATERIALIZED (
   SELECT vec_id, list_slice(embedding, 1, {_KM_D}) AS v FROM embeddings),
 {assign('a0', 'seeds')},
-{update('m1', 'c1', 'a0')},
+{update('m1', 'c1', 'a0', 'seeds')},
 {assign('a1', '(SELECT cid, ce FROM c1)')},
-{update('m2', 'c2', 'a1')},
+{update('m2', 'c2', 'a1', 'c1')},
 {assign('a2', '(SELECT cid, ce FROM c2)')}
 SELECT a2.cell, COUNT(*) AS n_members,
        CAST(SUM({_l2q_sql('a2.v', 'c.ce')}) AS BIGINT) AS inertia_q

@@ -548,7 +548,9 @@ SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_true_pairs,
 
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality scoreboard measured in-plan, one row per index family:
-    the trained-IVF nprobe path and the SRP multi-probe path are each
+    the trained-IVF nprobe path, its PQ-compressed ADC twin (same probed
+    cells, ranked by compressed distance — the recall delta is what the
+    compression costs the search), and the SRP multi-probe path are each
     scored against the brute-force exact top-k — overall recall@k, the
     per-query worst/best hit counts (the tail is what an ANN SLO is
     written against, not the mean), and the MEASURED efficiency price:
@@ -560,18 +562,32 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores the deployed plans, not replicas.  Same closed quality loop
     as ``dedup_lsh_recall_audit``, on the similarity-search side; the
     trained-IVF row is the headline — ~73-80% recall@5 at ~20-24%
-    candidates vs SRP's ~30% at ~16% on the near-uniform fixture."""
+    candidates vs SRP's ~30% at ~16% on the near-uniform fixture.
+
+    The ivfpq row's low recall (~10% at the 4x16 codebook) is the
+    honest price of 64x compression on NEAR-UNIFORM vectors — measured
+    sweep: even a 16x128 codebook only reaches ~45% ADC recall@5 here,
+    because unclustered dimensions leave quantization noise comparable
+    to the cosine gaps being ranked (the same data property behind the
+    SRP ceiling, see ann_lsh_topk).  Production closes it by exact
+    re-ranking the ADC shortlist against raw vectors (the FAISS refine
+    step); the uncompressed ivf row IS that exact ranking over the same
+    probed cells, so the pair of rows brackets the refine step's win."""
     gold = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
     (emb,) = _t(spark, sf_dir, "embeddings")
     n_corpus = emb.agg(F.count(F.lit(1)).alias("nc"))
     out = None
-    for method, pairs in (
-        ("ivf", _ivf_pairs(spark, sf_dir)),
-        ("srp", _srp_multiprobe_pairs(spark, sf_dir)),
+    for method, pairs, order in (
+        ("ivf", _ivf_pairs(spark, sf_dir), F.col("cos_sim").desc()),
+        # ivfpq probes the SAME cells as ivf but ranks by compressed ADC
+        # distance — its recall delta vs the ivf row is exactly what the
+        # 64x compression costs the SEARCH (distortion audit covers the
+        # reconstruction side)
+        ("ivfpq", _ivf_pq_pairs(spark, sf_dir), F.col("adc_dist").asc()),
+        ("srp", _srp_multiprobe_pairs(spark, sf_dir),
+         F.col("cos_sim").desc()),
     ):
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cos_sim").desc(), F.col("cand_id")
-        )
+        w = Window.partitionBy("query_id").orderBy(order, F.col("cand_id"))
         top = (
             pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= _TOPK)
@@ -2127,6 +2143,45 @@ FROM dist
 """
 
 
+def _ivf_pq_coded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index (cell + PQ reconstruction per corpus vector),
+    built in ONE Arrow pass and materialized once per (app, fixture):
+    trained coarse quantizer shared with ann_ivf_topk; PQ sub-codebooks
+    stay the deterministic md5 seeds — training them would be a second
+    per-subspace k-means whose recall contribution the distortion audit
+    shows is second-order here."""
+    from ..operators.similarity import ivf_pq_encode
+
+    def build() -> DataFrame:
+        (emb,) = _t(spark, sf_dir, "embeddings")
+        return ivf_pq_encode(
+            emb, _ivf_trained_centroids(spark, sf_dir),
+            _pq_codebook(spark, sf_dir),
+        )
+
+    return _session_table(spark, sf_dir, "ivf_pq_coded", build)
+
+
+def _ivf_pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ candidate frame (same probed cells as ``_ivf_pairs``)
+    scored by asymmetric distance against the PQ reconstruction, BEFORE
+    top-k ranking — shared by ``ann_ivf_pq_topk`` and
+    ``ann_recall_audit`` so the compression's search cost is measured on
+    the deployed plan."""
+    q = _ivf_qprobe_table(spark, sf_dir)
+    c = _ivf_pq_coded_table(spark, sf_dir).select(
+        F.col("vec_id").alias("cand_id"), F.col("cell").alias("ccell"),
+        F.col("recon").alias("cr"),
+    )
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell"))
+              & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        .select("query_id", "cand_id", "adc_dist")
+    )
+
+
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the composition production vector stores actually run
     at scale (the FAISS ``IVFx,PQy`` recipe): a TRAINED coarse
@@ -2147,33 +2202,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference has no ANN surface (`/root/reference/src/lib.rs` stops
     at generate+register+COPY); this extends it per the north star."""
-    from ..operators.similarity import ivf_pq_encode
-
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    # trained coarse quantizer (shared memoized index build with
-    # ann_ivf_topk); PQ sub-codebooks stay the deterministic md5 seeds —
-    # training them would be a second per-subspace k-means whose recall
-    # contribution the distortion audit shows is second-order here
-    def build_coded() -> DataFrame:
-        return ivf_pq_encode(
-            emb, _ivf_trained_centroids(spark, sf_dir),
-            _pq_codebook(spark, sf_dir),
-        )
-
-    coded = _session_table(spark, sf_dir, "ivf_pq_coded", build_coded)
-    # the query side probes the _IVF_NPROBE nearest cells (same cached
-    # ladder as ann_ivf_topk) and scores raw-query-vs-reconstruction (ADC)
-    q = _ivf_qprobe_table(spark, sf_dir)
-    c = coded.select(
-        F.col("vec_id").alias("cand_id"), F.col("cell").alias("ccell"),
-        F.col("recon").alias("cr"),
-    )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
-        F.broadcast(q)
-        .join(c, (F.col("qcell") == F.col("ccell"))
-              & (F.col("query_id") != F.col("cand_id")))
-        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        _ivf_pq_pairs(spark, sf_dir)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "cand_id", "adc_dist", "rank")
@@ -2186,16 +2217,20 @@ ann_ivf_pq_topk.__doc__ = (ann_ivf_pq_topk.__doc__ or "").format(
 )
 
 
-ANN_IVF_PQ_SQL = f"""
+_IVF_PQ_SCORED_SQL = f"""
 WITH {_ivf_cent_ctes(prefix='iv')},
 {_ivf_probe_ctes(prefix='iv')},
-{_pq_recon_ctes()},
-scored AS (
-  SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
-         CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
-  FROM ivqprobe q
-  JOIN ivassigned a ON a.cell = q.cid AND q.vec_id <> a.vec_id
-  JOIN recon r ON r.vec_id = a.vec_id),
+{_pq_recon_ctes()}
+SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+       CAST({_l2q_sql('q.embedding', 'r.recon')} AS BIGINT) AS adc_dist
+FROM ivqprobe q
+JOIN ivassigned a ON a.cell = q.cid AND q.vec_id <> a.vec_id
+JOIN recon r ON r.vec_id = a.vec_id
+"""
+
+
+ANN_IVF_PQ_SQL = f"""
+WITH scored AS ({_IVF_PQ_SCORED_SQL}),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_dist, cand_id) AS rank
@@ -4256,34 +4291,13 @@ _CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
                    # hot-key cap the text LSH joins carry in-plan
 
 
-def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLIP-level video near-dup — the temporal layer over
-    ``multimodal_video_frame_dedup``: identical frames are caught there,
-    but real recycled footage is the same frame SEQUENCE re-cut to a
-    different length, which no per-frame groupBy can see.  Each clip's
-    decoded frame-signature sequence (shared materialized table) is
-    shingled into consecutive-frame 2-grams, hashed, and WINNOWED
-    (window-2 minimum — ``doc_winnow``'s scheme applied to frames): any
-    shared run of 3+ frames is guaranteed a shared fingerprint, and the
-    fingerprint count drops ~2x.  Clips sharing a fingerprint become
-    candidate pairs via one equi-join; the verdict is exact CONTAINMENT
-    (shared / smaller fingerprint set — Jaccard punishes honest
-    truncations, containment is 1.0 for a clip that is a cut of
-    another).  ``dup`` stays integer-exact: shared == min(n1, n2).
-
-    Winnowing's guarantee is shared runs of >= W+1 = 3 frames; the
-    fixture's 2-frame cuts sit below it, so measured recall on the
-    doc-id-arithmetic ground truth is 205/244 same-footage pairs at
-    sf0.01 with precision 1.0 — production clips run thousands of
-    frames, far above the guarantee threshold.
-
-    At 100 TB: shingle + winnow are per-clip windows (a clip never
-    crosses an exchange), the pair join is on a fingerprint key with the
-    ``_CLIP_FP_CAP`` stoplist bounding any hot bucket in-plan, and the
-    per-clip fingerprint count scales with frames/clip, not corpus size
-    — no all-pairs, no similarity join.  The oracle replays the decoded
-    MCU grid, the shingle hash, and the winnow closed-form, so a walker
-    that drops a frame or a winnow off by one window hash-fails."""
+def _video_clip_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip winnowed fingerprint set (doc_id, fp) — consecutive-frame
+    2-gram shingles over the shared frame-signature table, hashed, then
+    window-2 winnowed with single-shingle clips keeping their one hash,
+    hot fingerprints (> ``_CLIP_FP_CAP`` clips) stoplisted.  Shared by
+    the clip-dedup gate and its recall audit so the audit measures the
+    deployed plan."""
     sigs = _video_frame_sig_table(spark, sf_dir)
     wd = Window.partitionBy("doc_id").orderBy("frame_idx")
     sh = (
@@ -4323,7 +4337,38 @@ def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nf") > _CLIP_FP_CAP)
         .select("fp")
     )
-    fps = fps0.join(hot, "fp", "left_anti")
+    return fps0.join(hot, "fp", "left_anti")
+
+
+def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-level video near-dup — the temporal layer over
+    ``multimodal_video_frame_dedup``: identical frames are caught there,
+    but real recycled footage is the same frame SEQUENCE re-cut to a
+    different length, which no per-frame groupBy can see.  Each clip's
+    decoded frame-signature sequence (shared materialized table) is
+    shingled into consecutive-frame 2-grams, hashed, and WINNOWED
+    (window-2 minimum — ``doc_winnow``'s scheme applied to frames): any
+    shared run of 3+ frames is guaranteed a shared fingerprint, and the
+    fingerprint count drops ~2x.  Clips sharing a fingerprint become
+    candidate pairs via one equi-join; the verdict is exact CONTAINMENT
+    (shared / smaller fingerprint set — Jaccard punishes honest
+    truncations, containment is 1.0 for a clip that is a cut of
+    another).  ``dup`` stays integer-exact: shared == min(n1, n2).
+
+    Winnowing's guarantee is shared runs of >= W+1 = 3 frames; the
+    fixture's 2-frame cuts sit below it, so measured recall on the
+    doc-id-arithmetic ground truth is 205/244 same-footage pairs at
+    sf0.01 with precision 1.0 — production clips run thousands of
+    frames, far above the guarantee threshold.
+
+    At 100 TB: shingle + winnow are per-clip windows (a clip never
+    crosses an exchange), the pair join is on a fingerprint key with the
+    ``_CLIP_FP_CAP`` stoplist bounding any hot bucket in-plan, and the
+    per-clip fingerprint count scales with frames/clip, not corpus size
+    — no all-pairs, no similarity join.  The oracle replays the decoded
+    MCU grid, the shingle hash, and the winnow closed-form, so a walker
+    that drops a frame or a winnow off by one window hash-fails."""
+    fps = _video_clip_fps(spark, sf_dir)
     per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     pairs = (
         fps.select(F.col("doc_id").alias("doc1"), "fp")
@@ -4353,8 +4398,9 @@ def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_VIDEO_CLIP_DEDUP_SQL = f"""
-WITH g AS (
+# the fps CTE chain (decoded grid -> shingle -> winnow -> stoplist) is
+# shared by the clip-dedup oracle and its recall-audit oracle
+_VIDEO_CLIP_FPS_CTES = f"""g AS (
   SELECT doc_id,
          17 + doc_id % 32 AS w,
          17 + doc_id % 16 AS h,
@@ -4394,7 +4440,11 @@ fps0 AS (
 fps AS (
   SELECT doc_id, fp FROM fps0
   WHERE fp NOT IN (SELECT fp FROM fps0 GROUP BY fp
-                   HAVING COUNT(*) > {_CLIP_FP_CAP})),
+                   HAVING COUNT(*) > {_CLIP_FP_CAP}))"""
+
+
+MULTIMODAL_VIDEO_CLIP_DEDUP_SQL = f"""
+WITH {_VIDEO_CLIP_FPS_CTES},
 per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
@@ -4411,6 +4461,97 @@ FROM pairs p
 JOIN per x ON x.doc_id = p.doc1
 JOIN per y ON y.doc_id = p.doc2
 ORDER BY doc1, doc2
+"""
+
+
+def multimodal_video_clip_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY LOOP for the temporal video dedup, measured in-plan — the
+    same move ``multimodal_phash_recall_audit`` makes for images: ground
+    truth is pure doc-id arithmetic (clips with the same id mod 256 are
+    the same footage — same dimensions, identical frames up to the
+    shorter cut), so the audit joins the EXACT winnowed-fingerprint
+    candidate pairs the dedup gate runs (shared ``_video_clip_fps``)
+    against that truth and reports: overall same-footage recall,
+    DESIGNED-TOLERANCE recall over the pairs the winnow scheme
+    guarantees (both clips >= 3 frames → a shared 2-shingle window must
+    survive, modulo the hot-fingerprint stoplist, which never trips on
+    the fixture), and precision (cross-footage fingerprint collisions).
+    One summary row; costs what the dedup costs plus two arithmetic
+    aggregates over doc ids."""
+    fps = _video_clip_fps(spark, sf_dir)
+    cand = (
+        fps.select(F.col("doc_id").alias("doc1"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    same = (F.col("doc1") % 256) == (F.col("doc2") % 256)
+    frames = lambda c: F.lit(2) + c % 5  # noqa: E731 — the fixture arithmetic
+    guaranteed = same & (
+        F.least(frames(F.col("doc1")), frames(F.col("doc2"))) >= 3
+    )
+    found = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"),
+        F.sum(F.when(same, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(guaranteed, 1).otherwise(0))
+        .cast("bigint").alias("tp_guaranteed"),
+    )
+    (docs,) = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        (F.col("doc_id") % 256).alias("r"),
+        (frames(F.col("doc_id")) >= 3).cast("int").alias("long_enough"),
+    )
+    truth = (
+        keys.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("long_enough").alias("k3"),
+        )
+        .agg(
+            F.sum(F.col("k") * (F.col("k") - 1) / 2)
+            .cast("bigint").alias("n_true_pairs"),
+            F.sum(F.col("k3") * (F.col("k3") - 1) / 2)
+            .cast("bigint").alias("n_guaranteed_pairs"),
+        )
+    )
+    return found.crossJoin(truth).select(
+        "n_true_pairs", "n_guaranteed_pairs", "n_cand_pairs",
+        "tp", "tp_guaranteed",
+        (F.col("tp") * 1.0 / F.col("n_true_pairs")).alias("recall"),
+        (F.col("tp_guaranteed") * 1.0 / F.col("n_guaranteed_pairs"))
+        .alias("guaranteed_recall"),
+        (F.col("tp") * 1.0 / F.col("n_cand_pairs")).alias("precision"),
+    )
+
+
+MULTIMODAL_VIDEO_CLIP_RECALL_AUDIT_SQL = f"""
+WITH {_VIDEO_CLIP_FPS_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+found AS (
+  SELECT COUNT(*) AS n_cand_pairs,
+         SUM(CASE WHEN doc1 % 256 = doc2 % 256 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN doc1 % 256 = doc2 % 256
+                   AND LEAST(2 + doc1 % 5, 2 + doc2 % 5) >= 3
+              THEN 1 ELSE 0 END) AS tp_guaranteed
+  FROM cand),
+truth AS (
+  SELECT CAST(SUM(k * (k - 1) / 2) AS BIGINT) AS n_true_pairs,
+         CAST(SUM(k3 * (k3 - 1) / 2) AS BIGINT) AS n_guaranteed_pairs
+  FROM (
+    SELECT doc_id % 256 AS r, COUNT(*) AS k,
+           SUM(CASE WHEN 2 + doc_id % 5 >= 3 THEN 1 ELSE 0 END) AS k3
+    FROM documents GROUP BY r))
+SELECT t.n_true_pairs, t.n_guaranteed_pairs,
+       CAST(f.n_cand_pairs AS BIGINT) AS n_cand_pairs,
+       CAST(f.tp AS BIGINT) AS tp,
+       CAST(f.tp_guaranteed AS BIGINT) AS tp_guaranteed,
+       f.tp * 1.0 / t.n_true_pairs AS recall,
+       f.tp_guaranteed * 1.0 / t.n_guaranteed_pairs AS guaranteed_recall,
+       f.tp * 1.0 / f.n_cand_pairs AS precision
+FROM found f, truth t
 """
 
 
@@ -6667,13 +6808,13 @@ def _ann_recall_audit_sql() -> str:
     a derived table, so CTE names inside them cannot collide), then one
     stats row per method — mirrors the Spark builder column-for-column."""
 
-    def block(tag: str, scored_sql: str) -> str:
+    def block(tag: str, scored_sql: str, score: str, direction: str) -> str:
         return f"""{tag}_sc AS MATERIALIZED (
-  SELECT query_id, cand_id, cos_sim FROM ({scored_sql})),
+  SELECT query_id, cand_id, {score} FROM ({scored_sql})),
 {tag}_top AS (
   SELECT query_id, cand_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY cos_sim DESC, cand_id) AS rank
+                                 ORDER BY {score} {direction}, cand_id) AS rank
     FROM {tag}_sc) WHERE rank <= {_TOPK}),
 {tag}_pq AS (
   SELECT g.query_id, COUNT(a.cand_id) AS h, COUNT(*) AS g
@@ -6698,9 +6839,11 @@ def _ann_recall_audit_sql() -> str:
     return f"""
 WITH gold AS (
   SELECT query_id, cand_id FROM ({ANN_BRUTEFORCE_SQL})),
-{block('ivf', _IVF_SCORED_SQL)},
-{block('srp', _SRP_SCORED_SQL)}
-SELECT * FROM ivf_row UNION ALL SELECT * FROM srp_row ORDER BY method
+{block('ivf', _IVF_SCORED_SQL, 'cos_sim', 'DESC')},
+{block('ivfpq', _IVF_PQ_SCORED_SQL, 'adc_dist', 'ASC')},
+{block('srp', _SRP_SCORED_SQL, 'cos_sim', 'DESC')}
+SELECT * FROM ivf_row UNION ALL SELECT * FROM ivfpq_row
+UNION ALL SELECT * FROM srp_row ORDER BY method
 """
 
 
@@ -6852,6 +6995,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_video_clip_dedup", multimodal_video_clip_dedup,
               MULTIMODAL_VIDEO_CLIP_DEDUP_SQL,
               "clip-level near-dup: winnowed frame-shingle fingerprints + containment"),
+    QuerySpec("multimodal_video_clip_recall_audit",
+              multimodal_video_clip_recall_audit,
+              MULTIMODAL_VIDEO_CLIP_RECALL_AUDIT_SQL,
+              "clip-dedup quality loop: recall/precision vs doc-id-arithmetic truth"),
     QuerySpec("multimodal_video_frame_dedup", multimodal_video_frame_dedup,
               MULTIMODAL_VIDEO_FRAME_DEDUP_SQL,
               "video frame dedup: per-frame block signatures grouped exactly"),
