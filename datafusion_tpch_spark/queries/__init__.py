@@ -35,7 +35,7 @@ class QuerySpec:
 _CHECK_FIRST = [
     # -- round-11 additions / rebuilt gates; new queries land HERE --
     "multimodal_video_clip_dedup", "multimodal_video_clip_recall_audit",
-    "ann_ingest_topk",
+    "ann_ingest_topk", "ann_ivf_pq_refine_topk",
     "ann_ivf_topk", "ann_ivf_pq_topk", "ann_recall_audit",
     "ann_lsh_topk", "ann_filtered_topk",
     # -- the 27 rotation-debt queries (latest record r06) --
@@ -50,7 +50,7 @@ _CHECK_FIRST = [
     "customer_orders_full_outer", "customer_set_ops", "customer_window_suite",
     "dedup_canonical", "dedup_embedding_cosine", "dedup_incremental",
     "dedup_ngram_jaccard", "dedup_simhash", "doc_winnow",
-    "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
+    "docs_boilerplate_strip", "docs_chunk_dedup",
 ]
 
 
