@@ -4129,6 +4129,112 @@ ORDER BY s.doc_id
 """
 
 
+_PHB_CAP = 512  # band buckets holding more signatures are stoplisted —
+                # at corpus scale a hot 16-bit band (flat logos, blank
+                # frames) would otherwise pair quadratically; exact-equal
+                # clusters are already collapsed by the groupBy dedups
+
+
+def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIDER-tolerance perceptual image dedup (Hamming ≤ 2) via the
+    pigeonhole band index — the upgrade the τ=1 gate's recall audit
+    prices out: ``multimodal_phash_dedup`` catches light (one-bit)
+    retouches with 65 fixed probes, but the heavy (two-bit) retouch
+    level sits at distance 2, and probing C(64,2) flips would cost 2081
+    rows per image.  Instead the 64-bit dHash splits into FOUR 16-bit
+    bands; any pair within Hamming ≤ 3 must agree exactly on at least
+    one band (pigeonhole), so candidates fall out of one equi-join on
+    (band_idx, band_val) — a constant 4-row fan-out per image — and one
+    exact popcount verify keeps pairs at distance ≤ 2.  Output: every
+    near-dup pair with its exact Hamming distance.
+
+    At 100 TB: the band index is 4 small ints per image (scan-side
+    kernel, no blob crosses an exchange), the join key is a 16-bit value
+    namespaced by band position, and the ``_PHB_CAP`` stoplist bounds
+    hot buckets in-plan.  Tolerance scales by band count (k+1 bands
+    catch Hamming ≤ k exactly) — a parameter, not a new plan.  The
+    oracle replays signatures closed-form and the same band/stoplist/
+    verify pipeline."""
+    sigs = _phash_sig_table(spark, sf_dir)
+    band_val = (
+        F.when(F.col("b") == 0, F.expr("sig_hi div 65536 % 65536"))
+        .when(F.col("b") == 1, F.col("sig_hi") % 65536)
+        .when(F.col("b") == 2, F.expr("sig_lo div 65536 % 65536"))
+        .otherwise(F.col("sig_lo") % 65536)
+    )
+    bands = (
+        sigs.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("b"),
+            "sig_hi", "sig_lo",
+        )
+        .select("doc_id", "b", band_val.alias("bv"))
+    )
+    hot = (
+        bands.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") > _PHB_CAP)
+        .select("b", "bv")
+    )
+    ok = bands.join(hot, ["b", "bv"], "left_anti")
+    cand = (
+        ok.select(F.col("doc_id").alias("doc1"), "b", "bv")
+        .join(ok.select(F.col("doc_id").alias("doc2"), "b", "bv"),
+              ["b", "bv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"),
+                     F.col("sig_hi").alias("h1"), F.col("sig_lo").alias("l1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"),
+                     F.col("sig_hi").alias("h2"), F.col("sig_lo").alias("l2"))
+    hamming = (
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
+    )
+    return (
+        cand.join(s1, "doc1").join(s2, "doc2")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("doc1", "doc2", "hamming")
+        .orderBy("doc1", "doc2")
+    )
+
+
+MULTIMODAL_PHASH_BAND_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 64 AS scene, doc_id // 64 AS copy,
+         2 + (doc_id % 64) % 2 AS m
+  FROM documents),
+{_PH_SIG_CTES},
+bands AS (
+  SELECT doc_id, b,
+         CASE b WHEN 0 THEN (sig_hi // 65536) % 65536
+                WHEN 1 THEN sig_hi % 65536
+                WHEN 2 THEN (sig_lo // 65536) % 65536
+                ELSE sig_lo % 65536 END AS bv
+  FROM sig, UNNEST(range(0, 4)) t(b)),
+hot AS (
+  SELECT b, bv FROM bands GROUP BY b, bv HAVING COUNT(*) > {_PHB_CAP}),
+ok AS (
+  SELECT a.doc_id, a.b, a.bv FROM bands a
+  ANTI JOIN hot h ON a.b = h.b AND a.bv = h.bv),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, o.doc_id AS doc2
+  FROM ok a JOIN ok o ON a.b = o.b AND a.bv = o.bv AND a.doc_id < o.doc_id)
+SELECT c.doc1, c.doc2,
+       CAST(bit_count(xor(s1.sig_hi, s2.sig_hi))
+            + bit_count(xor(s1.sig_lo, s2.sig_lo)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.doc1
+JOIN sig s2 ON s2.doc_id = c.doc2
+WHERE bit_count(xor(s1.sig_hi, s2.sig_hi))
+      + bit_count(xor(s1.sig_lo, s2.sig_lo)) <= 2
+ORDER BY doc1, doc2
+"""
+
+
 def multimodal_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-CODEC perceptual dedup — the match byte-level dedup can never
     make: every document is a crawled copy of one of 64 scene images
@@ -7096,6 +7202,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_audio_fp_dedup", multimodal_audio_fp_dedup,
               MULTIMODAL_AUDIO_FP_SQL,
               "audio fingerprint dedup: gain-invariant frame-energy hash"),
+    QuerySpec("multimodal_phash_band_dedup", multimodal_phash_band_dedup,
+              MULTIMODAL_PHASH_BAND_DEDUP_SQL,
+              "Hamming<=2 image near-dup via pigeonhole 16-bit bands + popcount verify"),
     QuerySpec("multimodal_video_clip_dedup", multimodal_video_clip_dedup,
               MULTIMODAL_VIDEO_CLIP_DEDUP_SQL,
               "clip-level near-dup: winnowed frame-shingle fingerprints + containment"),
