@@ -3766,6 +3766,73 @@ def decoded_audio_fingerprints(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, "doc_id long, fp long")
 
 
+def _afp_shifted_samples(doc_id: int) -> "tuple[np.ndarray, int]":
+    """Closed-form stream of a TIME-SHIFTED crawled copy: same master
+    stream as ``_afp_samples`` but the copy starts ``(copy % 4)`` frames
+    later (the lead-in trim re-posted clips actually differ by) and is
+    re-encoded at the per-copy integer gain.  SQL-recomputable: sample
+    index ``j = off + i`` into the same scene master."""
+    scene, copy = doc_id % _AFP_SCENES, doc_id // _AFP_SCENES
+    amp = 1 + copy % 3
+    off = (copy % 4) * _AFP_FRAME_N
+    j = np.arange(off, off + _AFP_N, dtype=np.int64)
+    base = (scene * (_AFP_K + j) + j * j * 7919) % 255 - 127
+    return (amp * base).astype(np.int16), 8000 + (scene % 3) * 4000
+
+
+def documents_as_shifted_wav_assets(docs: DataFrame) -> DataFrame:
+    """Real-container audio assets for the CLIP-dedup gate: per document
+    the ``_afp_shifted_samples`` stream (same scene master, per-copy
+    frame offset + gain) encoded as a genuine RIFF/WAVE file, born
+    distributed in one Arrow kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                s, rate = _afp_shifted_samples(aid)
+                note = (b"note", b"y" * (1 + aid % 3))
+                out.append(
+                    (aid, "audio", "audio/wav",
+                     encode_wav_pcm16(s, rate, extra_chunks=(note,)))
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_audio_frame_bits(assets: DataFrame) -> DataFrame:
+    """(doc_id, f, bit) rows — the per-frame form of
+    ``audio_fingerprint_32`` for SEQUENCE fingerprinting: exact integer
+    frame energies over the 33 fixed 8-sample frames, bit f = 1 iff
+    ``e[f] > e[f+1]``, gain-invariant for the same reason the packed
+    fingerprint is.  Decode + energy + bits fused in ONE Arrow kernel;
+    32 (doc, f, bit) ints per clip cross the exchange."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _rate, s = decode_wav(row.content)
+                v = np.asarray(s).astype(np.int64)
+                if v.ndim != 1 or len(v) != _AFP_N:
+                    raise ValueError(
+                        f"frame bits expect {_AFP_N} mono samples"
+                    )
+                e = (v * v).reshape(_AFP_FRAMES, _AFP_FRAME_N).sum(axis=1)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                for f, b in enumerate(bits):
+                    out.append((row.asset_id, f, int(b)))
+            yield pd.DataFrame(out, columns=["doc_id", "f", "bit"])
+
+    return assets.mapInPandas(run, "doc_id long, f int, bit int")
+
+
 def decoded_video_frame_signatures(assets: DataFrame) -> DataFrame:
     """Per-frame perceptual block signature of every frame of every
     AVI/MJPEG clip, strictly from container bytes: walk the RIFF chunks,

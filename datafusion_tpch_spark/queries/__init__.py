@@ -36,7 +36,7 @@ _CHECK_FIRST = [
     # -- round-11 additions / rebuilt gates; new queries land HERE --
     "multimodal_video_clip_dedup", "multimodal_video_clip_recall_audit",
     "ann_ingest_topk", "ann_ivf_pq_refine_topk",
-    "multimodal_phash_band_dedup",
+    "multimodal_phash_band_dedup", "multimodal_audio_clip_dedup",
     "ann_ivf_topk", "ann_ivf_pq_topk", "ann_recall_audit",
     "ann_lsh_topk", "ann_filtered_topk",
     # -- the 27 rotation-debt queries (latest record r06) --
@@ -46,12 +46,11 @@ _CHECK_FIRST = [
     "q19_spec", "q20_spec", "q21_spec", "q22_spec",
     "q15_window", "events_stream_stream_join", "multimodal_decode_roundtrip",
     "multimodal_pixel_stats", "multimodal_wav_roundtrip",
-    # -- backfill: 13 oldest of the r07 cohort --
+    # -- backfill: 12 oldest of the r07 cohort --
     "ann_bruteforce_topk", "ann_pq_topk", "customer_orders_bucketed",
     "customer_orders_full_outer", "customer_set_ops", "customer_window_suite",
     "dedup_canonical", "dedup_embedding_cosine", "dedup_incremental",
     "dedup_ngram_jaccard", "dedup_simhash", "doc_winnow",
-    "docs_boilerplate_strip",
 ]
 
 

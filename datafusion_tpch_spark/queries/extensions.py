@@ -4145,8 +4145,12 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands; any pair within Hamming ≤ 3 must agree exactly on at least
     one band (pigeonhole), so candidates fall out of one equi-join on
     (band_idx, band_val) — a constant 4-row fan-out per image — and one
-    exact popcount verify keeps pairs at distance ≤ 2.  Output: every
-    near-dup pair with its exact Hamming distance.
+    exact popcount verify keeps pairs at distance ≤ 2.  Output is the
+    per-image VERDICT (how many neighbors at τ≤1 and τ≤2, the canonical
+    min-id survivor over the τ≤2 neighborhood, kept flag) — linear in
+    the corpus however dense the duplicate clusters, where a pair list
+    would grow quadratically with duplication density (measured: the
+    10x id-shifted fixture has ~780 copies/scene and 4.8M true pairs).
 
     At 100 TB: the band index is 4 small ints per image (scan-side
     kernel, no blob crosses an exchange), the join key is a 16-bit value
@@ -4193,12 +4197,35 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
         + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
     )
-    return (
+    pairs = (
         cand.join(s1, "doc1").join(s2, "doc2")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 2)
         .select("doc1", "doc2", "hamming")
-        .orderBy("doc1", "doc2")
+    )
+    directed = pairs.unionByName(
+        pairs.select(F.col("doc2").alias("doc1"),
+                     F.col("doc1").alias("doc2"), "hamming")
+    )
+    per = directed.groupBy("doc1").agg(
+        F.sum(F.when(F.col("hamming") <= 1, 1).otherwise(0))
+        .cast("bigint").alias("n_near1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_near2"),
+        F.min("doc2").alias("mn"),
+    )
+    canon = F.least(F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id"))
+    return (
+        sigs.join(per, sigs["doc_id"] == per["doc1"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_near1"), F.lit(0))
+            .cast("bigint").alias("n_near1"),
+            F.coalesce(F.col("n_near2"), F.lit(0))
+            .cast("bigint").alias("n_near2"),
+            canon.alias("canon"),
+            (canon == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -4222,16 +4249,29 @@ ok AS (
   ANTI JOIN hot h ON a.b = h.b AND a.bv = h.bv),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, o.doc_id AS doc2
-  FROM ok a JOIN ok o ON a.b = o.b AND a.bv = o.bv AND a.doc_id < o.doc_id)
-SELECT c.doc1, c.doc2,
-       CAST(bit_count(xor(s1.sig_hi, s2.sig_hi))
-            + bit_count(xor(s1.sig_lo, s2.sig_lo)) AS INTEGER) AS hamming
-FROM cand c
-JOIN sig s1 ON s1.doc_id = c.doc1
-JOIN sig s2 ON s2.doc_id = c.doc2
-WHERE bit_count(xor(s1.sig_hi, s2.sig_hi))
-      + bit_count(xor(s1.sig_lo, s2.sig_lo)) <= 2
-ORDER BY doc1, doc2
+  FROM ok a JOIN ok o ON a.b = o.b AND a.bv = o.bv AND a.doc_id <> o.doc_id),
+pairs AS (
+  SELECT c.doc1, c.doc2,
+         bit_count(xor(s1.sig_hi, s2.sig_hi))
+         + bit_count(xor(s1.sig_lo, s2.sig_lo)) AS hamming
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.doc1
+  JOIN sig s2 ON s2.doc_id = c.doc2
+  WHERE bit_count(xor(s1.sig_hi, s2.sig_hi))
+        + bit_count(xor(s1.sig_lo, s2.sig_lo)) <= 2),
+per AS (
+  SELECT doc1,
+         SUM(CASE WHEN hamming <= 1 THEN 1 ELSE 0 END) AS n_near1,
+         COUNT(*) AS n_near2,
+         MIN(doc2) AS mn
+  FROM pairs GROUP BY doc1)
+SELECT s.doc_id,
+       CAST(COALESCE(p.n_near1, 0) AS BIGINT) AS n_near1,
+       CAST(COALESCE(p.n_near2, 0) AS BIGINT) AS n_near2,
+       LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) AS canon,
+       LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) = s.doc_id AS kept
+FROM sig s LEFT JOIN per p ON s.doc_id = p.doc1
+ORDER BY s.doc_id
 """
 
 
@@ -4393,6 +4433,179 @@ ORDER BY f.doc_id
 """
 
 
+_ACD_W = 16          # bits per audio shingle (consecutive comparison bits)
+_ACD_TH = 0.75       # containment threshold: offsets up to 3 frames keep
+                     # >= 13/16 of winnowed fingerprints by construction
+_CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
+                   # (boilerplate intros/outros) before pairing — the same
+                   # hot-key cap the text LSH joins carry in-plan; shared by
+                   # the audio and video clip-dedup gates
+
+
+def multimodal_audio_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SHIFT-tolerant audio near-dup — the temporal layer for the
+    audio modality, completing the trio (images: τ=2 bands, video:
+    frame-sequence winnowing): re-posted clips differ by a lead-in trim
+    and a gain, which breaks ``multimodal_audio_fp_dedup``'s whole-clip
+    fingerprint (every bit position shifts).  Each clip's gain-invariant
+    frame-comparison BIT SEQUENCE (``decoded_audio_frame_bits`` — one
+    Arrow kernel, 32 ints/clip) is shingled into {w}-bit windows, hashed,
+    and window-2 winnowed exactly like the video clips; clips sharing a
+    fingerprint pair up via one equi-join under the hot-fingerprint
+    stoplist, and the verdict is exact containment ≥ {th} (a copy
+    trimmed by k ≤ 3 frames shares 16-k of 16 winnow windows by
+    construction, so true shifted copies clear the threshold and random
+    collisions — one window of 16 — land at 1/16).
+
+    At 100 TB: shingle + winnow are per-clip array expressions (a clip
+    never crosses an exchange), the pair join is a fingerprint equi-join
+    — no alignment search, no cross-correlation, no all-pairs.  The
+    oracle replays stream → energies → bits → shingles → winnow closed
+    form INCLUDING the per-copy offset and gain, so a kernel that
+    mis-frames by one sample hash-fails."""
+    from ..operators.multimodal import (
+        decoded_audio_frame_bits,
+        documents_as_shifted_wav_assets,
+    )
+
+    def build() -> DataFrame:
+        (docs,) = _t(spark, sf_dir, "documents")
+        ids = (
+            docs.select("doc_id")
+            .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return decoded_audio_frame_bits(documents_as_shifted_wav_assets(ids))
+
+    bits = _session_table(spark, sf_dir, "audio_frame_bits", build)
+    nsh = 32 - _ACD_W + 1  # shingles per clip (17)
+    barr = bits.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("f", "bit"))),
+            lambda s: s["bit"],
+        ).alias("b")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.lit(nsh - 1)),
+        lambda f: hashing.md5_int(
+            F.concat_ws(
+                "",
+                F.transform(F.slice(F.col("b"), f + 1, _ACD_W),
+                            lambda x: x.cast("string")),
+            )
+        ),
+    )
+    wn = F.transform(
+        F.sequence(F.lit(0), F.lit(nsh - 2)),
+        lambda f: F.least(
+            F.element_at(F.col("sh"), f + 1),
+            F.element_at(F.col("sh"), f + 2),
+        ),
+    )
+    fps0 = (
+        barr.withColumn("sh", sh)
+        .select("doc_id", F.explode(F.array_distinct(wn)).alias("fp"))
+    )
+    hot = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") > _CLIP_FP_CAP)
+        .select("fp")
+    )
+    fps = fps0.join(hot, "fp", "left_anti")
+    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    pairs = (
+        fps.select(F.col("doc_id").alias("doc1"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = (
+        F.col("n_shared").cast("double")
+        / F.least(F.col("n1"), F.col("n2")).cast("double")
+    )
+    return (
+        pairs
+        .join(per.select(F.col("doc_id").alias("doc1"),
+                         F.col("nfp").alias("n1")), "doc1")
+        .join(per.select(F.col("doc_id").alias("doc2"),
+                         F.col("nfp").alias("n2")), "doc2")
+        .select(
+            "doc1", "doc2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            containment.alias("containment"),
+            (containment >= F.lit(_ACD_TH)).alias("dup"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+multimodal_audio_clip_dedup.__doc__ = (
+    multimodal_audio_clip_dedup.__doc__ or ""
+).format(w=_ACD_W, th=_ACD_TH)
+
+
+def _audio_clip_sql() -> str:
+    nsh = 32 - _ACD_W + 1
+    shingle = hashing.md5_int_sql(
+        f"array_to_string(list_slice(b, f + 1, f + {_ACD_W}), '')"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS scene, doc_id // 40 AS copy,
+         ((doc_id // 40) % 4) * 8 AS off
+  FROM documents),
+sq AS (
+  SELECT doc_id, (i - off) // 8 AS f,
+         ((scene * (9176 + i) + i * i * 7919) % 255 - 127)
+         * ((scene * (9176 + i) + i * i * 7919) % 255 - 127) AS s2
+  FROM d, UNNEST(range(off, off + 264)) t(i)),
+e AS (SELECT doc_id, f, SUM(s2) AS e FROM sq GROUP BY doc_id, f),
+bits AS (
+  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 32),
+bl AS (SELECT doc_id, list(bit ORDER BY f) AS b FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, f, {shingle} AS hh
+  FROM bl, UNNEST(range(0, {nsh})) t(f)),
+win AS (
+  SELECT doc_id, hh,
+         LEAD(hh) OVER (PARTITION BY doc_id ORDER BY f) AS nhh
+  FROM sh),
+fps0 AS (
+  SELECT DISTINCT doc_id, LEAST(hh, nhh) AS fp
+  FROM win WHERE nhh IS NOT NULL),
+hotfp AS (
+  SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > {_CLIP_FP_CAP}),
+fps AS (
+  SELECT a.doc_id, a.fp FROM fps0 a ANTI JOIN hotfp h ON a.fp = h.fp),
+per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc1, p.doc2,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(x.nfp AS BIGINT) AS n1,
+       CAST(y.nfp AS BIGINT) AS n2,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) AS containment,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) >= {_ACD_TH} AS dup
+FROM pairs p
+JOIN per x ON x.doc_id = p.doc1
+JOIN per y ON y.doc_id = p.doc2
+ORDER BY doc1, doc2
+"""
+
+
+MULTIMODAL_AUDIO_CLIP_DEDUP_SQL = _audio_clip_sql()
+
+
 def _video_frame_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame block-mean signature table (doc_id, frame_idx, width,
     height, sig1, sig2), every AVI/MJPEG frame entropy-decoded in one
@@ -4489,11 +4702,6 @@ FROM sig s JOIN grp g
   ON s.w = g.w AND s.h = g.h AND s.sig1 = g.sig1 AND s.sig2 = g.sig2
 ORDER BY s.doc_id, frame_idx
 """
-
-
-_CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
-                   # (boilerplate intros/outros) before pairing — the same
-                   # hot-key cap the text LSH joins carry in-plan
 
 
 def _video_clip_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7202,6 +7410,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_audio_fp_dedup", multimodal_audio_fp_dedup,
               MULTIMODAL_AUDIO_FP_SQL,
               "audio fingerprint dedup: gain-invariant frame-energy hash"),
+    QuerySpec("multimodal_audio_clip_dedup", multimodal_audio_clip_dedup,
+              MULTIMODAL_AUDIO_CLIP_DEDUP_SQL,
+              "shift-tolerant audio near-dup: winnowed bit-shingles + containment"),
     QuerySpec("multimodal_phash_band_dedup", multimodal_phash_band_dedup,
               MULTIMODAL_PHASH_BAND_DEDUP_SQL,
               "Hamming<=2 image near-dup via pigeonhole 16-bit bands + popcount verify"),

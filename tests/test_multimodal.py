@@ -1502,3 +1502,35 @@ def test_video_signature_kernel_validates_frames(spark):
         )
         with pytest.raises(Exception, match=msg):
             decoded_video_frame_signatures(df).collect()
+
+
+def test_audio_shifted_copies_share_shifted_bit_streams():
+    """The shifted-WAV fixture's contract: a copy trimmed by k frames has
+    frame-comparison bits equal to the scene master's bit stream shifted
+    by k — the property the audio clip dedup's shingle containment rides
+    on — and the per-copy gain cancels exactly."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _AFP_FRAME_N,
+        _AFP_FRAMES,
+        _afp_shifted_samples,
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    def bits_of(doc_id):
+        s, rate = _afp_shifted_samples(doc_id)
+        # through the real container, like the kernel
+        _r, dec = decode_wav(encode_wav_pcm16(s, rate))
+        v = np.asarray(dec).astype(np.int64)
+        e = (v * v).reshape(_AFP_FRAMES, _AFP_FRAME_N).sum(axis=1)
+        return list((e[:-1] > e[1:]).astype(int))
+
+    scene = 7
+    b0 = bits_of(scene)            # copy 0: offset 0, amp 1
+    b1 = bits_of(scene + 40)       # copy 1: offset 1 frame, amp 2
+    b3 = bits_of(scene + 120)      # copy 3: offset 3 frames, amp 1
+    assert b1[:31] == b0[1:32]
+    assert b3[:29] == b0[3:32]
+    # gain alone (copy 4: offset 0 again, amp 2) leaves bits identical
+    b4 = bits_of(scene + 160)
+    assert b4 == b0

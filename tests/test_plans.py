@@ -353,3 +353,23 @@ def test_video_clip_dedup_no_cartesian_windows_per_clip(spark):
 
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "doc_id" in spec, plan[:2000]
+
+
+def test_phash_band_dedup_equi_join_only(spark):
+    """multimodal_phash_band_dedup: candidates must come from the
+    (band, value) equi-join — no cartesian/BNLJ pair enumeration and no
+    sort-merge join (band buckets are capped, sides stay hash-joinable)."""
+    df = _build(spark, "multimodal_phash_band_dedup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_refine_shortlist_broadcasts(spark):
+    """The refine step must broadcast the (query x R) shortlist against
+    the vector table — re-reading R raw rows per query is the refine IO
+    contract; a shuffled join of the corpus would break it."""
+    df = _build(spark, "ann_ivf_pq_refine_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert broadcast_join_count(df) >= 2

@@ -37,8 +37,12 @@ def main() -> None:
     batch = [
         "ann_ivf_topk",
         "ann_ivf_pq_topk",
+        "ann_ivf_pq_refine_topk",
         "ann_recall_audit",
         "multimodal_video_clip_dedup",
+        "multimodal_video_clip_recall_audit",
+        "multimodal_phash_band_dedup",
+        "multimodal_audio_clip_dedup",
     ]
     for name in batch:
         for sf_dir, tag in ((SRC, "1x"), (DST, "10x")):
