@@ -4460,9 +4460,14 @@ def multimodal_audio_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: shingle + winnow are per-clip array expressions (a clip
     never crosses an exchange), the pair join is a fingerprint equi-join
     — no alignment search, no cross-correlation, no all-pairs.  The
-    oracle replays stream → energies → bits → shingles → winnow closed
-    form INCLUDING the per-copy offset and gain, so a kernel that
-    mis-frames by one sample hash-fails."""
+    ``_CLIP_FP_CAP`` stoplist is load-bearing here: on the 10x id-shifted
+    sweep fixture (~1,250 copies per master — a pathological 25%-dup
+    corpus) every fingerprint goes hot and the gate returns zero pairs
+    instead of enumerating ~31M — mega-clusters are a cluster-level
+    problem (exact-fp groupBy + election, ``multimodal_audio_fp_dedup``'s
+    shape), not a pair-list one.  The oracle replays stream → energies →
+    bits → shingles → winnow closed form INCLUDING the per-copy offset
+    and gain, so a kernel that mis-frames by one sample hash-fails."""
     from ..operators.multimodal import (
         decoded_audio_frame_bits,
         documents_as_shifted_wav_assets,
