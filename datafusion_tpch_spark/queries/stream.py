@@ -896,7 +896,10 @@ def _emb_incoming_layout(spark: SparkSession, sf_dir: str) -> str:
 
 def _emb_corpus_centroids(spark: SparkSession, sf_dir: str) -> list:
     """The deployed IVF index: the 64 CORPUS vectors (vec_id < split)
-    with smallest md5(vec_id) — the same fixed-k recipe as ann_ivf_topk,
+    with smallest md5(vec_id) — the seed recipe ann_ivf_topk's trained
+    index starts from (the monitoring gate keeps raw seeds: its oracle
+    contract predates the round-11 training and its alarm thresholds
+    were tuned against these cells),
     restricted to the corpus so the index is a static artifact while the
     stream runs.  Bounded driver collect (64 rows)."""
     from ..catalog import load_table
