@@ -573,7 +573,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranking the ADC shortlist against raw vectors (the FAISS refine
     step); the uncompressed ivf row IS that exact ranking over the same
     probed cells, so the pair of rows brackets the refine step's win."""
-    gold = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    # the gold top-k is consumed once per method row and each method's
+    # pair frame feeds both its top-k branch and its count branch —
+    # checkpoint the small frames (<= a few thousand rows) so the audit
+    # executes each candidate plan once, not once per consumer
+    gold = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint()
+    )
     (emb,) = _t(spark, sf_dir, "embeddings")
     n_corpus = emb.agg(F.count(F.lit(1)).alias("nc"))
     out = None
@@ -591,6 +599,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("srp", _srp_multiprobe_pairs(spark, sf_dir),
          F.col("cos_sim").desc()),
     ):
+        pairs = pairs.localCheckpoint()
         w = Window.partitionBy("query_id").orderBy(order, F.col("cand_id"))
         top = (
             pairs.withColumn("rank", F.row_number().over(w))
@@ -4442,6 +4451,79 @@ _CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
                    # the audio and video clip-dedup gates
 
 
+def _capped_fps(fps0: DataFrame) -> DataFrame:
+    """Apply the ``_CLIP_FP_CAP`` hot-fingerprint stoplist to a
+    (doc_id, fp) frame — shared by the audio and video clip gates."""
+    hot = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") > _CLIP_FP_CAP)
+        .select("fp")
+    )
+    return fps0.join(hot, "fp", "left_anti")
+
+
+def _fp_containment_pairs(fps: DataFrame, dup_pred) -> DataFrame:
+    """Shared containment-verdict tail over a capped (doc_id, fp)
+    fingerprint frame: per-clip distinct-fingerprint counts, fingerprint
+    equi-join (doc1 < doc2), shared counts, exact containment, and the
+    gate-specific ``dup_pred(containment, n_shared, n1, n2)`` verdict —
+    ONE implementation for the audio and video clip-dedup gates so a
+    stoplist or threshold fix cannot drift between them."""
+    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    pairs = (
+        fps.select(F.col("doc_id").alias("doc1"), "fp")
+        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = (
+        F.col("n_shared").cast("double")
+        / F.least(F.col("n1"), F.col("n2")).cast("double")
+    )
+    return (
+        pairs
+        .join(per.select(F.col("doc_id").alias("doc1"),
+                         F.col("nfp").alias("n1")), "doc1")
+        .join(per.select(F.col("doc_id").alias("doc2"),
+                         F.col("nfp").alias("n2")), "doc2")
+        .select(
+            "doc1", "doc2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            containment.alias("containment"),
+            dup_pred(containment, F.col("n_shared"),
+                     F.col("n1"), F.col("n2")).alias("dup"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _fp_containment_sql_tail(dup_sql: str) -> str:
+    """Oracle mirror of ``_fp_containment_pairs``: per/pairs/verdict CTEs
+    over an existing ``fps(doc_id, fp)`` CTE; ``dup_sql`` is the gate's
+    dup predicate over (n_shared, nmin) spelled in SQL."""
+    return f"""per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc1, p.doc2,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(x.nfp AS BIGINT) AS n1,
+       CAST(y.nfp AS BIGINT) AS n2,
+       CAST(p.n_shared AS DOUBLE)
+         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) AS containment,
+       {dup_sql} AS dup
+FROM pairs p
+JOIN per x ON x.doc_id = p.doc1
+JOIN per y ON y.doc_id = p.doc2
+ORDER BY doc1, doc2
+"""
+
+
 def multimodal_audio_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-SHIFT-tolerant audio near-dup — the temporal layer for the
     audio modality, completing the trio (images: τ=2 bands, video:
@@ -4511,40 +4593,9 @@ def multimodal_audio_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         barr.withColumn("sh", sh)
         .select("doc_id", F.explode(F.array_distinct(wn)).alias("fp"))
     )
-    hot = (
-        fps0.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nf"))
-        .filter(F.col("nf") > _CLIP_FP_CAP)
-        .select("fp")
-    )
-    fps = fps0.join(hot, "fp", "left_anti")
-    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
-    pairs = (
-        fps.select(F.col("doc_id").alias("doc1"), "fp")
-        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    containment = (
-        F.col("n_shared").cast("double")
-        / F.least(F.col("n1"), F.col("n2")).cast("double")
-    )
-    return (
-        pairs
-        .join(per.select(F.col("doc_id").alias("doc1"),
-                         F.col("nfp").alias("n1")), "doc1")
-        .join(per.select(F.col("doc_id").alias("doc2"),
-                         F.col("nfp").alias("n2")), "doc2")
-        .select(
-            "doc1", "doc2",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.col("n1").cast("long").alias("n1"),
-            F.col("n2").cast("long").alias("n2"),
-            containment.alias("containment"),
-            (containment >= F.lit(_ACD_TH)).alias("dup"),
-        )
-        .orderBy("doc1", "doc2")
+    return _fp_containment_pairs(
+        _capped_fps(fps0),
+        lambda containment, *_: containment >= F.lit(_ACD_TH),
     )
 
 
@@ -4561,11 +4612,16 @@ def _audio_clip_sql() -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, doc_id % 40 AS scene, doc_id // 40 AS copy,
+         1 + (doc_id // 40) % 3 AS amp,
          ((doc_id // 40) % 4) * 8 AS off
   FROM documents),
 sq AS (
+  -- amp is carried INTO the energies (matching the decoded samples) so
+  -- the oracle genuinely exercises the gain-cancellation property the
+  -- comparison bits claim, instead of assuming it
   SELECT doc_id, (i - off) // 8 AS f,
-         ((scene * (9176 + i) + i * i * 7919) % 255 - 127)
+         amp * amp
+         * ((scene * (9176 + i) + i * i * 7919) % 255 - 127)
          * ((scene * (9176 + i) + i * i * 7919) % 255 - 127) AS s2
   FROM d, UNNEST(range(off, off + 264)) t(i)),
 e AS (SELECT doc_id, f, SUM(s2) AS e FROM sq GROUP BY doc_id, f),
@@ -4588,24 +4644,9 @@ hotfp AS (
   SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > {_CLIP_FP_CAP}),
 fps AS (
   SELECT a.doc_id, a.fp FROM fps0 a ANTI JOIN hotfp h ON a.fp = h.fp),
-per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT p.doc1, p.doc2,
-       CAST(p.n_shared AS BIGINT) AS n_shared,
-       CAST(x.nfp AS BIGINT) AS n1,
-       CAST(y.nfp AS BIGINT) AS n2,
-       CAST(p.n_shared AS DOUBLE)
-         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) AS containment,
-       CAST(p.n_shared AS DOUBLE)
-         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) >= {_ACD_TH} AS dup
-FROM pairs p
-JOIN per x ON x.doc_id = p.doc1
-JOIN per y ON y.doc_id = p.doc2
-ORDER BY doc1, doc2
-"""
+{_fp_containment_sql_tail(
+    f"CAST(p.n_shared AS DOUBLE) / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) >= {_ACD_TH}"
+)}"""
 
 
 MULTIMODAL_AUDIO_CLIP_DEDUP_SQL = _audio_clip_sql()
@@ -4749,13 +4790,7 @@ def _video_clip_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    hot = (
-        fps0.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nf"))
-        .filter(F.col("nf") > _CLIP_FP_CAP)
-        .select("fp")
-    )
-    return fps0.join(hot, "fp", "left_anti")
+    return _capped_fps(fps0)
 
 
 def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4786,33 +4821,11 @@ def multimodal_video_clip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no all-pairs, no similarity join.  The oracle replays the decoded
     MCU grid, the shingle hash, and the winnow closed-form, so a walker
     that drops a frame or a winnow off by one window hash-fails."""
-    fps = _video_clip_fps(spark, sf_dir)
-    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
-    pairs = (
-        fps.select(F.col("doc_id").alias("doc1"), "fp")
-        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    return (
-        pairs
-        .join(per.select(F.col("doc_id").alias("doc1"),
-                         F.col("nfp").alias("n1")), "doc1")
-        .join(per.select(F.col("doc_id").alias("doc2"),
-                         F.col("nfp").alias("n2")), "doc2")
-        .select(
-            "doc1", "doc2",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.col("n1").cast("long").alias("n1"),
-            F.col("n2").cast("long").alias("n2"),
-            (F.col("n_shared").cast("double")
-             / F.least(F.col("n1"), F.col("n2")).cast("double"))
-            .alias("containment"),
-            (F.col("n_shared") == F.least(F.col("n1"), F.col("n2")))
-            .alias("dup"),
-        )
-        .orderBy("doc1", "doc2")
+    return _fp_containment_pairs(
+        _video_clip_fps(spark, sf_dir),
+        # a clip that is a CUT of another shares the smaller set exactly:
+        # integer-exact dup rule, no float threshold needed
+        lambda _c, n_shared, n1, n2: n_shared == F.least(n1, n2),
     )
 
 
@@ -4863,23 +4876,7 @@ fps AS (
 
 MULTIMODAL_VIDEO_CLIP_DEDUP_SQL = f"""
 WITH {_VIDEO_CLIP_FPS_CTES},
-per AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT p.doc1, p.doc2,
-       CAST(p.n_shared AS BIGINT) AS n_shared,
-       CAST(x.nfp AS BIGINT) AS n1,
-       CAST(y.nfp AS BIGINT) AS n2,
-       CAST(p.n_shared AS DOUBLE)
-         / CAST(LEAST(x.nfp, y.nfp) AS DOUBLE) AS containment,
-       p.n_shared = LEAST(x.nfp, y.nfp) AS dup
-FROM pairs p
-JOIN per x ON x.doc_id = p.doc1
-JOIN per y ON y.doc_id = p.doc2
-ORDER BY doc1, doc2
-"""
+{_fp_containment_sql_tail("p.n_shared = LEAST(x.nfp, y.nfp)")}"""
 
 
 def multimodal_video_clip_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

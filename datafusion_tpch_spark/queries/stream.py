@@ -1117,21 +1117,23 @@ def ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") < _EMB_SPLIT
         )
-        holder: dict = {
-            "idx": ivf_assign(corpus, centroids).localCheckpoint(),
-            "n": 0,
-        }
+        # per-batch cost = one assignment kernel pass + one checkpoint of
+        # THAT BATCH ONLY; segments union lazily at serve time (appending
+        # a cell-keyed partition, never re-materializing the accumulated
+        # index — checkpointing the running union here would make batch k
+        # re-copy the corpus plus k-1 prior batches)
+        segments: list[DataFrame] = [
+            ivf_assign(corpus, centroids).localCheckpoint()
+        ]
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            assigned = ivf_assign(
-                batch_df.select("vec_id", "embedding"), centroids
+            segments.append(
+                ivf_assign(
+                    batch_df.select("vec_id", "embedding"), centroids
+                ).localCheckpoint()
             )
-            holder["idx"] = holder["idx"].unionByName(
-                assigned
-            ).localCheckpoint()
-            holder["n"] += 1
 
         path = _emb_incoming_layout(spark, sf_dir)
         schema = spark.read.parquet(path).schema
@@ -1141,7 +1143,10 @@ def ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         run_foreach_batch(spark, feed, apply_batch, "ann_ingest_topk")
-        states[sf_dir] = (holder["idx"], holder["n"], centroids)
+        idx = segments[0]
+        for seg in segments[1:]:
+            idx = idx.unionByName(seg)
+        states[sf_dir] = (idx, len(segments) - 1, centroids)
     idx, _, centroids = states[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings")
     q = _ivf_query_probes(emb, centroids)

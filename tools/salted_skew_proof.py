@@ -11,7 +11,7 @@ AQE cannot split a skewed partition when the join sits below an
 aggregation that reuses the same hash partitioning, and pre-AQE engines
 lack it entirely).
 
-1. Replicate the sf0.1 events fixture 100x (10M rows) and redirect ~20%
+1. Replicate the sf0.1 events fixture 500x (50M rows) and redirect ~20%
    of ALL rows onto user_id=1; write a per-user profile dimension.
 2. Run the enrich join (join on user_id -> per-user aggregate) three
    ways, warm best-of-3: UNSALTED (AQE skew off), SALTED 8-way
@@ -134,6 +134,12 @@ def main() -> None:
     t_salt, r_salt = run(spark, big, dim, salted=True, aqe_skew=False)
     t_aqe, r_aqe = run(spark, big, dim, salted=False, aqe_skew=True)
     assert r_plain == r_salt == r_aqe, "variants disagree"
+    # the straggler evidence below must measure the UNMITIGATED shapes:
+    # undo the AQE-variant's runtime confs before probing partition sizes
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     print(f"unsalted (AQE skew off): {t_plain:.2f}s")
     print(f"salted {SALT_N}-way      : {t_salt:.2f}s  "
           f"({t_plain / t_salt:.2f}x)")
