@@ -19,6 +19,21 @@ from __future__ import annotations
 
 import json
 import os
+
+# Pin BLAS/OpenMP pools to ONE thread, set before numpy first loads (BLAS
+# reads these at library init).  Two reasons: (1) host_calibration's
+# GFLOP/s probe is documented as a single-core speed measure — unpinned it
+# used every core, conflating clock speed with core count and making `cal`
+# incomparable across hosts/thread configs; (2) the JVM forks 32 Python
+# workers for the Arrow kernels, and 32 workers x an N-thread BLAS pool is
+# oversubscription — one thread per worker is the standard Spark setting.
+# The env propagates driver -> JVM -> python workers in local mode.
+# NOTE: `cal` GFLOP/s values from rounds <= 11 were multi-core; compare
+# r12+ calibrations only with each other.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"
+
 import sys
 import time
 
@@ -85,7 +100,9 @@ def fmt(v: float):
 
 def host_calibration() -> dict:
     """Single-core CPU speed probe, ~2 s: a fixed pure-python loop
-    (M iterations/s) and one 1500^2 float64 matmul (GFLOP/s).
+    (M iterations/s) and one 1500^2 float64 matmul (GFLOP/s) — the BLAS
+    pool is pinned to one thread at module import, so the GFLOP/s number
+    measures clock speed, not core count (single-thread from r12 on).
 
     This host's effective CPU speed varies ~3x across hours under
     hypervisor throttling that the guest cannot observe (idle loadavg,

@@ -575,12 +575,16 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells, so the pair of rows brackets the refine step's win."""
     # the gold top-k is consumed once per method row and each method's
     # pair frame feeds both its top-k branch and its count branch —
-    # checkpoint the small frames (<= a few thousand rows) so the audit
-    # executes each candidate plan once, not once per consumer
+    # persist the small frames (<= a few thousand rows) so the audit
+    # executes each candidate plan once, not once per consumer.  persist
+    # (not localCheckpoint) keeps the build LAZY — plan-only consumers
+    # (explain, PLANS.md, registry smoke) never run the brute-force scan
+    # — and keeps lineage, so a lost executor recomputes instead of
+    # failing the job.
     gold = (
         ann_bruteforce_topk(spark, sf_dir)
         .select("query_id", "cand_id")
-        .localCheckpoint()
+        .persist()
     )
     (emb,) = _t(spark, sf_dir, "embeddings")
     n_corpus = emb.agg(F.count(F.lit(1)).alias("nc"))
@@ -599,7 +603,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("srp", _srp_multiprobe_pairs(spark, sf_dir),
          F.col("cos_sim").desc()),
     ):
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.persist()
         w = Window.partitionBy("query_id").orderBy(order, F.col("cand_id"))
         top = (
             pairs.withColumn("rank", F.row_number().over(w))
@@ -1916,13 +1920,18 @@ def _ivf_cent_ctes(prefix: str = "", corpus_where: str = "") -> str:
     return ",\n".join(parts)
 
 
-def _ivf_probe_ctes(prefix: str = "", assign_from: str | None = None) -> str:
+def _ivf_probe_ctes(prefix: str = "", assign_from: str | None = None,
+                    query_from: str = "embeddings") -> str:
     """Corpus assignment + query nprobe-cell probes against the trained
     ``{prefix}cent`` table — the oracle mirror of ``ivf_assign`` +
     ``_ivf_query_probes``, shared by the IVF-flat, IVF-PQ, and
     streaming-ingest oracles.  ``assign_from`` overrides the assignment
     slice (the ingest gate trains on the pre-stream corpus but assigns
-    corpus + streamed rows)."""
+    corpus + streamed rows).  ``query_from`` is the table the query
+    probes scan — it deliberately does NOT follow ``_ivf_cent_ctes``'s
+    ``corpus_where``: restricting the TRAINING slice must not restrict
+    which vectors may act as queries (both current callers want the full
+    table; a caller slicing the corpus must choose explicitly)."""
     p = prefix
     src = assign_from or f"{p}ebase"
     return f"""{p}assigned AS MATERIALIZED (
@@ -1937,7 +1946,7 @@ def _ivf_probe_ctes(prefix: str = "", assign_from: str | None = None) -> str:
     SELECT q.vec_id, q.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {_l2q_sql('q.embedding', 'c.ce')}, c.cid) AS rn
-    FROM embeddings q CROSS JOIN {p}cent c
+    FROM {query_from} q CROSS JOIN {p}cent c
     WHERE q.vec_id < {_NQUERY})
   WHERE rn <= {_IVF_NPROBE})"""
 
@@ -4167,7 +4176,16 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets in-plan.  Tolerance scales by band count (k+1 bands
     catch Hamming ≤ k exactly) — a parameter, not a new plan.  The
     oracle replays signatures closed-form and the same band/stoplist/
-    verify pipeline."""
+    verify pipeline.
+
+    The stoplist is visible, not silent: a duplicate cluster larger than
+    ``_PHB_CAP`` caps all four of ITS OWN bands, so its members (and
+    their τ≤2 near-misses) would report n_near=0 / kept=true exactly
+    like genuinely unique images.  Every row therefore carries
+    ``n_bands_live`` (how many of its 4 bands actually participated in
+    candidate generation) and ``saturated`` (zero live bands — the
+    verdict is blind, route the image to an escalation pass), so a
+    consumer can tell "no neighbors" from "bucket capped"."""
     sigs = _phash_sig_table(spark, sf_dir)
     band_val = (
         F.when(F.col("b") == 0, F.expr("sig_hi div 65536 % 65536"))
@@ -4190,6 +4208,9 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", "bv")
     )
     ok = bands.join(hot, ["b", "bv"], "left_anti")
+    live = ok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands_live")
+    )
     cand = (
         ok.select(F.col("doc_id").alias("doc1"), "b", "bv")
         .join(ok.select(F.col("doc_id").alias("doc2"), "b", "bv"),
@@ -4223,14 +4244,18 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc2").alias("mn"),
     )
     canon = F.least(F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id"))
+    nbl = F.coalesce(F.col("n_bands_live"), F.lit(0)).cast("int")
     return (
         sigs.join(per, sigs["doc_id"] == per["doc1"], "left")
+        .join(live, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_near1"), F.lit(0))
             .cast("bigint").alias("n_near1"),
             F.coalesce(F.col("n_near2"), F.lit(0))
             .cast("bigint").alias("n_near2"),
+            nbl.alias("n_bands_live"),
+            (nbl == F.lit(0)).alias("saturated"),
             canon.alias("canon"),
             (canon == F.col("doc_id")).alias("kept"),
         )
@@ -4273,13 +4298,18 @@ per AS (
          SUM(CASE WHEN hamming <= 1 THEN 1 ELSE 0 END) AS n_near1,
          COUNT(*) AS n_near2,
          MIN(doc2) AS mn
-  FROM pairs GROUP BY doc1)
+  FROM pairs GROUP BY doc1),
+live AS (
+  SELECT doc_id, COUNT(*) AS nb FROM ok GROUP BY doc_id)
 SELECT s.doc_id,
        CAST(COALESCE(p.n_near1, 0) AS BIGINT) AS n_near1,
        CAST(COALESCE(p.n_near2, 0) AS BIGINT) AS n_near2,
+       CAST(COALESCE(lv.nb, 0) AS INTEGER) AS n_bands_live,
+       COALESCE(lv.nb, 0) = 0 AS saturated,
        LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) AS canon,
        LEAST(COALESCE(p.mn, s.doc_id), s.doc_id) = s.doc_id AS kept
 FROM sig s LEFT JOIN per p ON s.doc_id = p.doc1
+LEFT JOIN live lv ON s.doc_id = lv.doc_id
 ORDER BY s.doc_id
 """
 

@@ -1,7 +1,17 @@
 """Write PERF.md: per-query wall time, this engine (Spark local[N]) vs the
 DuckDB oracle running the equivalent SQL on the same parquet.
 
-Usage: python tools/perf_compare.py [sf_dir]
+Usage: python tools/perf_compare.py [sf_dir] [query ...]
+
+A full pass at 233 gates takes ~2h at sf0.1 and round 11's attempt was
+killed mid-run losing everything, so every completed row is CHECKPOINTED
+to PERF_ROWS.json as it lands: re-running resumes where the kill
+happened (rows already recorded for the same sf_dir are skipped), and
+naming queries on the command line re-measures exactly those rows
+(overwriting their sidecar entries — how new gates get appended without
+re-timing the other 233).  PERF.md is regenerated from the full sidecar
+at the end of every run.  For a from-scratch regen, delete
+PERF_ROWS.json first.
 
 Both sides get a warm-up and best-of-2.  Streaming gates are timed COLD:
 the always-on sink-reuse caches (memory-sink registry, CDC/SCD2 state
@@ -16,7 +26,15 @@ crossover is.
 
 from __future__ import annotations
 
+import json
 import os
+
+# same single-thread BLAS pinning as bench.py, for the same two reasons:
+# comparable timings and no 32-worker x N-thread BLAS oversubscription
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"
+
 import sys
 import time
 
@@ -102,8 +120,34 @@ def _stream_caches_populated(spark) -> bool:
     )
 
 
+ROWS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PERF_ROWS.json",
+)
+
+
+def _load_sidecar(sf_dir: str) -> dict:
+    """Completed rows from a prior (possibly killed) run at this sf_dir."""
+    try:
+        with open(ROWS_PATH) as fh:
+            data = json.load(fh)
+        if data.get("sf_dir") == sf_dir:
+            return data.get("rows", {})
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _save_sidecar(sf_dir: str, done: dict) -> None:
+    with open(ROWS_PATH, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "rows": done}, fh,
+                  separators=(",", ":"), sort_keys=True)
+        fh.write("\n")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     spark = build_session("perf-compare")
     spark.range(1).count()
 
@@ -114,8 +158,15 @@ def main() -> None:
         )
 
     specs = all_queries()
-    rows = []
+    if only:
+        missing = only - set(specs)
+        assert not missing, f"unknown queries: {sorted(missing)}"
+    done = _load_sidecar(sf_dir)
     for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        if not only and name in done:
+            continue  # resume: already measured at this sf_dir
         s_best = d_best = float("inf")
         sink_s = None
         # one untimed warm-up per side (codegen, python-worker fork, OS
@@ -145,8 +196,13 @@ def main() -> None:
                 d_best = min(d_best, time.perf_counter() - t0)
         else:
             d_best = None  # rows-only gate: no SQL-expressible oracle
-        ratio = s_best / d_best if d_best else None
-        rows.append((name, n, s_best, d_best, ratio, sink_s))
+        done[name] = {
+            "n": n,
+            "s": round(s_best, 4),
+            "d": round(d_best, 4) if d_best is not None else None,
+            "sink": round(sink_s, 4) if sink_s is not None else None,
+        }
+        _save_sidecar(sf_dir, done)  # checkpoint after EVERY query
         extra = f" sink {sink_s:.2f}s" if sink_s is not None else ""
         d_txt = f"{d_best:.2f}s" if d_best is not None else "-"
         print(
@@ -154,6 +210,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # regenerate the table from the FULL sidecar (this run + prior
+    # checkpointed rows), restricted to names still in the registry
+    rows = [
+        (name, r["n"], r["s"], r["d"],
+         (r["s"] / r["d"]) if r["d"] else None, r["sink"])
+        for name, r in sorted(done.items())
+        if name in specs
+    ]
     lines = [
         "# PERF — this engine vs the DuckDB oracle, identical queries, identical parquet",
         "",
