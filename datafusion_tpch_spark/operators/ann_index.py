@@ -1,0 +1,135 @@
+"""Persisted ANN index artifacts: build-to-parquet, validate, reload.
+
+The in-session IVF family (``queries/extensions.py``) memoizes its trained
+centroids and cell-assigned corpus per SparkSession — one session's memory.
+A production vector pipeline separates those lifetimes: an INDEX BUILD JOB
+trains once and writes the artifacts to storage, and any number of later
+SERVE sessions read them back without retraining.  This module is that
+separation:
+
+- ``centroids/`` — the k trained centroid vectors (one small parquet file;
+  every serve session collects it — k x d doubles, corpus-size-independent
+  driver traffic).
+- ``cells/`` — the cell-assigned corpus, written ``partitionBy("cell")`` so
+  the cell id is a PARTITION COLUMN: a serve-time probe of nprobe cells is
+  a statically partition-pruned scan that never touches the other k-nprobe
+  directories.  At 100 TB this is the layout every IVF store uses — the
+  inverted lists ARE the partition directories.
+- ``manifest.json`` — index parameters + a corpus fingerprint (row count,
+  id-sum, value-sensitive quantized sum of the leading dimension).  A
+  serve session validates the manifest against the live corpus and only
+  rebuilds when the corpus actually changed; a FRESH session over an
+  unchanged corpus serves with zero training work
+  (``tests/test_ann_index.py`` proves this by making training raise).
+
+No reference-engine counterpart: ``/root/reference/src/lib.rs`` has no
+vector indexing; this extends the engine for the LLM-data-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT_VERSION = 1
+
+
+def default_index_root() -> str:
+    """Repo-local artifact root (spark-warehouse/ is gitignored); override
+    with SPARK_GRAFT_INDEX_DIR (a shared filesystem / object-store prefix
+    in a real deployment)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR", os.path.join(repo, "spark-warehouse", "ann_index")
+    )
+
+
+def index_path(sf_dir: str, root: str | None = None) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(root or default_index_root(), base)
+
+
+def corpus_fingerprint(emb: DataFrame) -> str:
+    """Cheap corpus identity: row count + id-sum + a value-sensitive term
+    (quantized sum of the leading embedding dimension), so both reshaped
+    and regenerated-with-different-values corpora invalidate the index.
+    One aggregate scan, three longs to the driver."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").cast("long").alias("ids"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        ).cast("long").alias("v"),
+    ).collect()[0]
+    return f"{row.n}:{row.ids}:{row.v}"
+
+
+def write_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    fingerprint: str,
+    params: dict | None = None,
+) -> None:
+    """The index build job: persist centroids + the cell-partitioned
+    corpus, then the manifest LAST — a killed build leaves no manifest, so
+    serve sessions treat the directory as absent instead of reading a
+    half-written index."""
+    from ..inline import inline_table
+    from .similarity import ivf_assign
+
+    spark = emb.sparkSession
+    cent_df = inline_table(
+        spark,
+        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(centroids)],
+        "cid long, ce array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    ivf_assign(emb, centroids).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    manifest = {"format": FORMAT_VERSION, "fingerprint": fingerprint,
+                "k": len(centroids), **(params or {})}
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+        fh.write("\n")
+
+
+def read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, "manifest.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def index_is_current(path: str, fingerprint: str, params: dict | None = None) -> bool:
+    """True iff a complete index exists at ``path`` for exactly this
+    corpus AND these build parameters (an nprobe change is serve-side and
+    does NOT invalidate; a k/iters change rebuilds)."""
+    m = read_manifest(path)
+    if m is None or m.get("format") != FORMAT_VERSION:
+        return False
+    if m.get("fingerprint") != fingerprint:
+        return False
+    return all(m.get(k) == v for k, v in (params or {}).items())
+
+
+def load_centroids(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
+    """k rows to the driver — the bounded collect every probe needs."""
+    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    return sorted((int(r.cid), [float(x) for x in r.ce]) for r in rows)
+
+
+def load_cells(spark: SparkSession, path: str, cell_ids: list[int]) -> DataFrame:
+    """The probed inverted lists: a static IN-filter on the partition
+    column, so the scan lists only the probed directories."""
+    return (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin([int(c) for c in cell_ids]))
+    )

@@ -1,0 +1,96 @@
+"""Persisted ANN index: build→write→reload→serve lifecycle.
+
+The production claim under test: the index artifacts on disk are
+sufficient to serve — a session that never trained anything (and CANNOT
+train, we make training raise) answers identically to the in-session
+trained path, and the serve scan is statically partition-pruned to the
+probed cells.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_tpch_spark.operators import ann_index as ai
+from datafusion_tpch_spark.queries import extensions as ext
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def index_dir(tmp_path, monkeypatch):
+    root = str(tmp_path / "ann_index")
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", root)
+    return root
+
+
+def _fresh_build(spark, index_dir):
+    df = ext.ann_persisted_index_topk(spark, SF_DIR)
+    rows = df.collect()
+    return df, rows
+
+
+def test_build_writes_artifacts_and_serves(spark, index_dir):
+    _, rows = _fresh_build(spark, index_dir)
+    assert len(rows) > 0
+    path = ai.index_path(SF_DIR, index_dir)
+    assert os.path.exists(os.path.join(path, "manifest.json"))
+    assert os.path.isdir(os.path.join(path, "centroids"))
+    # cell-partitioned layout: the inverted lists are directories
+    cell_dirs = [d for d in os.listdir(os.path.join(path, "cells"))
+                 if d.startswith("cell=")]
+    assert len(cell_dirs) > 1
+
+
+def test_matches_in_session_ivf(spark, index_dir):
+    """Persistence changes the index's lifetime, not its answers."""
+    _, rows = _fresh_build(spark, index_dir)
+    expect = ext.ann_ivf_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expect]
+
+
+def test_fresh_session_serves_without_retraining(spark, index_dir, monkeypatch):
+    """Simulated fresh session: training memo cleared AND training made to
+    raise — serve must succeed purely from the parquet artifacts."""
+    _fresh_build(spark, index_dir)  # the build job, session 1
+
+    # "session 2": no trained-centroid memo, training forbidden
+    monkeypatch.setattr(ext, "_IVF_CENT_CACHE", {})
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("serve path attempted to retrain the index")
+
+    monkeypatch.setattr(ext, "_ivf_trained_centroids", boom)
+    rows = ext.ann_persisted_index_topk(spark, SF_DIR).collect()
+    assert len(rows) > 0
+
+
+def test_corpus_change_invalidates(spark, index_dir):
+    path = ai.index_path(SF_DIR, index_dir)
+    emb = ext._t(spark, SF_DIR, "embeddings")[0]
+    fp = ai.corpus_fingerprint(emb)
+    params = {"ivf_k": ext._IVF_K, "ivf_iters": ext._IVF_ITERS}
+    assert not ai.index_is_current(path, fp, params)  # nothing written yet
+    _fresh_build(spark, index_dir)
+    assert ai.index_is_current(path, fp, params)
+    assert not ai.index_is_current(path, fp + "x", params)       # corpus moved
+    assert not ai.index_is_current(path, fp, {"ivf_k": 7})       # params moved
+
+
+def test_serve_scan_is_partition_pruned(spark, index_dir):
+    """The probed-cell filter must reach the cells scan as a static
+    partition filter — at scale this is the difference between reading
+    nprobe directories and reading the corpus."""
+    _fresh_build(spark, index_dir)
+    path = ai.index_path(SF_DIR, index_dir)
+    df = ext._serve_persisted_ivf_topk(spark, SF_DIR, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the cells scan is the only one with a partition column; Location
+    # paths are truncated in plan strings, so key on the filter itself
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters: [cell#" in ln]
+    assert pruned, plan
+    for ln in pruned:
+        assert "INSET" in ln or "IN (" in ln, ln
