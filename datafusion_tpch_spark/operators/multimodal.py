@@ -3955,3 +3955,469 @@ def decoded_phash_dim_signatures(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(
         run, "doc_id long, width int, height int, sig_hi long, sig_lo long"
     )
+
+
+# ===========================================================================
+# EXIF / APP1 metadata: parse, census, GPS scrub
+# ===========================================================================
+# Strict byte-level TIFF/EXIF IFD handling — the image-side counterpart of
+# events_pii_scrub.  No reference-engine counterpart (/root/reference has no
+# image surface); the segment walk reuses the JPEG marker grammar
+# decode_jpeg already implements.  Supported IFD entry types are the five
+# every camera IFD0 uses (BYTE/ASCII/SHORT/LONG/RATIONAL); anything else
+# raises by name (the library boundary), while MALFORMED streams (truncated
+# segments, bad magic, out-of-bounds value offsets) degrade to "no EXIF" —
+# a crawler must not die on a corrupt header, but silently misreading a
+# foreign type would fabricate metadata.
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_GPS_IFD = 0x8825
+# nested-IFD pointer tags the scrubber cannot relocate yet (would need a
+# full offset-rewriting TIFF serializer): raise by name, never emit a
+# stream with dangling pointers
+_EXIF_POINTER_TAGS = {0x8769: "ExifIFD", 0xA005: "InteropIFD"}
+_GPS_TAG_LAT_REF = 0x0001
+_GPS_TAG_LAT = 0x0002
+_GPS_TAG_LON_REF = 0x0003
+_GPS_TAG_LON = 0x0004
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def _exif_ascii(v: str) -> bytes:
+    return v.encode("ascii") + b"\0"
+
+
+def _exif_rationals(pairs) -> bytes:
+    out = bytearray()
+    for num, den in pairs:
+        out += int(num).to_bytes(4, "little") + int(den).to_bytes(4, "little")
+    return bytes(out)
+
+
+def _ifd_block_size(entries) -> int:
+    return 2 + 12 * len(entries) + 4 + sum(
+        len(p) for _, _, _, p in entries if len(p) > 4
+    )
+
+
+def _ifd_block(entries, base_off: int, next_off: int = 0) -> bytes:
+    """Serialize one little-endian IFD (entries sorted by tag, per TIFF
+    §2) at ``base_off`` from the TIFF header; >4-byte payloads go to the
+    block's own data area with absolute offsets."""
+    table = bytearray()
+    data = bytearray()
+    data_start = base_off + 2 + 12 * len(entries) + 4
+    table += len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, payload in sorted(entries):
+        table += tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+        table += int(cnt).to_bytes(4, "little")
+        if len(payload) <= 4:
+            table += payload.ljust(4, b"\0")
+        else:
+            table += (data_start + len(data)).to_bytes(4, "little")
+            data += payload
+    table += next_off.to_bytes(4, "little")
+    return bytes(table) + bytes(data)
+
+
+def encode_exif_app1(*, make: str | None = None, model: str | None = None,
+                     orientation: int | None = None,
+                     taken_at: str | None = None,
+                     gps=None) -> bytes:
+    """APP1 body ("Exif\\0\\0" + little-endian TIFF) with IFD0
+    Make/Model/Orientation/DateTime and, when ``gps`` is given, a GPS IFD.
+    ``gps`` = (lat_ref, (deg, min, (sec_num, sec_den)), lon_ref, (...)) —
+    degrees/minutes as exact rationals over 1, seconds as the given
+    rational, the layout real cameras write."""
+    ifd0 = []
+    if make is not None:
+        b = _exif_ascii(make)
+        ifd0.append((_EXIF_TAG_MAKE, 2, len(b), b))
+    if model is not None:
+        b = _exif_ascii(model)
+        ifd0.append((_EXIF_TAG_MODEL, 2, len(b), b))
+    if orientation is not None:
+        ifd0.append((_EXIF_TAG_ORIENTATION, 3, 1,
+                     int(orientation).to_bytes(2, "little")))
+    if taken_at is not None:
+        b = _exif_ascii(taken_at)
+        ifd0.append((_EXIF_TAG_DATETIME, 2, len(b), b))
+    gps_block = b""
+    if gps is not None:
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+
+        def dms(v):
+            d, m, (sn, sd) = v
+            return _exif_rationals([(d, 1), (m, 1), (sn, sd)])
+
+        gps_entries = [
+            (_GPS_TAG_LAT_REF, 2, 2, _exif_ascii(lat_ref)),
+            (_GPS_TAG_LAT, 5, 3, dms(lat_dms)),
+            (_GPS_TAG_LON_REF, 2, 2, _exif_ascii(lon_ref)),
+            (_GPS_TAG_LON, 5, 3, dms(lon_dms)),
+        ]
+        with_ptr = ifd0 + [(_EXIF_TAG_GPS_IFD, 4, 1, b"\0\0\0\0")]
+        gps_off = 8 + _ifd_block_size(with_ptr)
+        ifd0.append((_EXIF_TAG_GPS_IFD, 4, 1,
+                     gps_off.to_bytes(4, "little")))
+        gps_block = _ifd_block(gps_entries, gps_off)
+    tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + _ifd_block(ifd0, 8) + gps_block)
+    return b"Exif\x00\x00" + tiff
+
+
+def insert_app1(jpeg: bytes, app1_body: bytes) -> bytes:
+    """Splice an APP1 segment immediately after SOI — where cameras put
+    it; decode_jpeg skips APPn, so pixels are untouched."""
+    buf = bytes(jpeg)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("insert_app1: not a JPEG stream")
+    return buf[:2] + _seg(0xE1, app1_body) + buf[2:]
+
+
+def _find_exif_app1(buf: bytes):
+    """Marker-walk to the first APP1 Exif segment before SOS.  Returns
+    (segment_start, segment_end, tiff_bytes) or None; ValueError on a
+    malformed marker stream."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("EXIF: not a JPEG stream")
+    pos = 2
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("EXIF: expected marker")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: EXIF must precede scan data
+            return None
+        if pos + 4 > len(buf):
+            raise ValueError("EXIF: truncated segment header")
+        seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        body = buf[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("EXIF: truncated segment body")
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return pos, pos + 2 + seglen, body[6:]
+        pos += 2 + seglen
+    return None
+
+
+def _ifd_entries(t: bytes, off: int, bo: str) -> dict:
+    """-> {tag: (typ, cnt, raw_value_bytes)}; ValueError on truncation /
+    out-of-bounds offsets, NotImplementedError (by name) on IFD entry
+    types outside the five supported ones."""
+    if off < 0 or off + 2 > len(t):
+        raise ValueError("EXIF: IFD offset out of bounds")
+    n = int.from_bytes(t[off:off + 2], bo)
+    if off + 2 + 12 * n + 4 > len(t):
+        raise ValueError("EXIF: truncated IFD table")
+    out = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag = int.from_bytes(t[e:e + 2], bo)
+        typ = int.from_bytes(t[e + 2:e + 4], bo)
+        cnt = int.from_bytes(t[e + 4:e + 8], bo)
+        if typ not in _TIFF_TYPE_SIZE:
+            raise NotImplementedError(
+                f"EXIF: IFD entry type {typ} (tag 0x{tag:04X}) not supported"
+            )
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = t[e + 8:e + 8 + size]
+        else:
+            voff = int.from_bytes(t[e + 8:e + 12], bo)
+            if voff + size > len(t):
+                raise ValueError("EXIF: value offset out of bounds")
+            raw = t[voff:voff + size]
+        out[tag] = (typ, cnt, raw)
+    return out
+
+
+def _exif_str(entry) -> str | None:
+    typ, _, raw = entry
+    if typ != 2:
+        return None
+    return raw.split(b"\0")[0].decode("ascii", "replace")
+
+
+def _exif_short(entry, bo: str) -> int | None:
+    typ, cnt, raw = entry
+    if typ != 3 or cnt < 1 or len(raw) < 2:
+        return None
+    return int.from_bytes(raw[:2], bo)
+
+
+def _exif_rational_list(entry, bo: str):
+    typ, cnt, raw = entry
+    if typ != 5 or len(raw) < 8 * cnt:
+        return None
+    return [
+        (int.from_bytes(raw[8 * i:8 * i + 4], bo),
+         int.from_bytes(raw[8 * i + 4:8 * i + 8], bo))
+        for i in range(cnt)
+    ]
+
+
+def _dms_to_dd(rats, ref: str | None) -> float | None:
+    """Decimal degrees; term order fixed (deg + min/60 + sec/3600) so the
+    oracle's double arithmetic replays it bit-for-bit."""
+    if rats is None or len(rats) != 3:
+        return None
+    if any(den == 0 for _, den in rats):
+        return None
+    dd = (rats[0][0] / rats[0][1]
+          + (rats[1][0] / rats[1][1]) / 60.0
+          + (rats[2][0] / rats[2][1]) / 3600.0)
+    if ref in ("S", "W"):
+        dd = -dd
+    return dd
+
+
+def parse_exif(content: bytes) -> dict | None:
+    """EXIF metadata strictly from bytes: Make/Model/Orientation/DateTime
+    + GPS decimal degrees.  None for absent OR malformed EXIF (truncated,
+    bad magic, bad offsets); NotImplementedError by name for foreign IFD
+    entry types."""
+    buf = bytes(content)
+    try:
+        found = _find_exif_app1(buf)
+        if found is None:
+            return None
+        tiff = found[2]
+        if len(tiff) < 8:
+            return None
+        if tiff[:2] == b"II":
+            bo = "little"
+        elif tiff[:2] == b"MM":
+            bo = "big"
+        else:
+            return None
+        if int.from_bytes(tiff[2:4], bo) != 42:
+            return None
+        ifd0 = _ifd_entries(tiff, int.from_bytes(tiff[4:8], bo), bo)
+        meta = {
+            "make": _exif_str(ifd0[_EXIF_TAG_MAKE]) if _EXIF_TAG_MAKE in ifd0 else None,
+            "model": _exif_str(ifd0[_EXIF_TAG_MODEL]) if _EXIF_TAG_MODEL in ifd0 else None,
+            "orientation": _exif_short(ifd0[_EXIF_TAG_ORIENTATION], bo)
+            if _EXIF_TAG_ORIENTATION in ifd0 else None,
+            "taken_at": _exif_str(ifd0[_EXIF_TAG_DATETIME])
+            if _EXIF_TAG_DATETIME in ifd0 else None,
+            "lat_dd": None,
+            "lon_dd": None,
+        }
+        if _EXIF_TAG_GPS_IFD in ifd0:
+            typ, _, raw = ifd0[_EXIF_TAG_GPS_IFD]
+            if typ == 4 and len(raw) == 4:
+                gps = _ifd_entries(tiff, int.from_bytes(raw, bo), bo)
+                lat_ref = _exif_str(gps[_GPS_TAG_LAT_REF]) if _GPS_TAG_LAT_REF in gps else None
+                lon_ref = _exif_str(gps[_GPS_TAG_LON_REF]) if _GPS_TAG_LON_REF in gps else None
+                if _GPS_TAG_LAT in gps:
+                    meta["lat_dd"] = _dms_to_dd(
+                        _exif_rational_list(gps[_GPS_TAG_LAT], bo), lat_ref)
+                if _GPS_TAG_LON in gps:
+                    meta["lon_dd"] = _dms_to_dd(
+                        _exif_rational_list(gps[_GPS_TAG_LON], bo), lon_ref)
+        return meta
+    except ValueError:
+        return None
+
+
+def _le_raw(typ: int, cnt: int, raw: bytes, bo: str) -> bytes:
+    """Re-emit a parsed value payload little-endian (identity when the
+    source TIFF was already II)."""
+    if bo == "little" or typ in (1, 2):
+        return raw
+    esz = 2 if typ == 3 else 4  # SHORT; LONG and each RATIONAL half
+    return b"".join(
+        int.from_bytes(raw[i:i + esz], bo).to_bytes(esz, "little")
+        for i in range(0, len(raw), esz)
+    )
+
+
+def strip_gps_exif(content: bytes) -> bytes:
+    """PII scrub: rebuild the APP1 without the GPS IFD (pointer entry AND
+    the pointed-to block), preserving every other IFD0 tag.  Byte-identical
+    passthrough when there is no parseable EXIF or no GPS; raises by name
+    on nested pointer tags the rebuild cannot relocate."""
+    buf = bytes(content)
+    try:
+        found = _find_exif_app1(buf)
+    except ValueError:
+        return buf
+    if found is None:
+        return buf
+    seg_start, seg_end, tiff = found
+    if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        return buf
+    bo = "little" if tiff[:2] == b"II" else "big"
+    if int.from_bytes(tiff[2:4], bo) != 42:
+        return buf
+    try:
+        ifd0 = _ifd_entries(tiff, int.from_bytes(tiff[4:8], bo), bo)
+    except ValueError:
+        return buf
+    if _EXIF_TAG_GPS_IFD not in ifd0:
+        return buf
+    for tag, name in _EXIF_POINTER_TAGS.items():
+        if tag in ifd0:
+            raise NotImplementedError(
+                f"EXIF scrub: cannot relocate nested {name} pointer (tag 0x{tag:04X})"
+            )
+    kept = [
+        (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
+        for tag, (typ, cnt, raw) in sorted(ifd0.items())
+        if tag != _EXIF_TAG_GPS_IFD
+    ]
+    new_tiff = (b"II" + (42).to_bytes(2, "little")
+                + (8).to_bytes(4, "little") + _ifd_block(kept, 8))
+    return (buf[:seg_start] + _seg(0xE1, b"Exif\x00\x00" + new_tiff)
+            + buf[seg_end:])
+
+
+# -- fixture + kernels -------------------------------------------------------
+
+_EXIF_PX_K = 2654435761
+
+
+def _exif_fixture_meta(doc_id: int):
+    """Closed-form per-doc metadata the census oracle replays: no EXIF at
+    all when id%7==0, GPS only when id%3!=0 — so the census proves NULL
+    handling on real absent/partial streams, not just the happy path."""
+    if doc_id % 7 == 0:
+        return None
+    meta = {
+        "make": "CamCo",
+        "model": f"M{doc_id % 5}",
+        "orientation": 1 + doc_id % 8,
+        "taken_at": (
+            f"2024:{1 + doc_id % 12:02d}:{1 + doc_id % 28:02d} "
+            f"{doc_id % 24:02d}:{(doc_id * 7) % 60:02d}:{(doc_id * 13) % 60:02d}"
+        ),
+        "gps": None,
+    }
+    if doc_id % 3 != 0:
+        meta["gps"] = (
+            "N" if doc_id % 2 == 0 else "S",
+            (doc_id % 90, (doc_id * 3) % 60, ((doc_id * 7) % 6000, 100)),
+            "E" if (doc_id // 2) % 2 == 0 else "W",
+            (doc_id % 180, (doc_id * 5) % 60, ((doc_id * 11) % 6000, 100)),
+        )
+    return meta
+
+
+def documents_as_exif_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Per document: a REAL baseline JPEG (8×8 gray raster
+    ``v[i] = (id*K + i) % 256``) with a camera-style APP1 EXIF block
+    spliced after SOI — Make/Model/Orientation/DateTime, and a GPS IFD
+    with rational degrees/minutes/seconds for the id%3!=0 cohort.  The
+    id%7==0 cohort ships NO APP1 (the absent-metadata rows every census
+    must survive).  All metadata is closed-form in doc_id, so the oracle
+    replays it without parsing a byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                v = (aid * _EXIF_PX_K + np.arange(64, dtype=np.int64)) % 256
+                blob = encode_jpeg(v.astype(np.uint8).reshape(8, 8))
+                meta = _exif_fixture_meta(aid)
+                if meta is not None:
+                    app1 = encode_exif_app1(
+                        make=meta["make"], model=meta["model"],
+                        orientation=meta["orientation"],
+                        taken_at=meta["taken_at"], gps=meta["gps"],
+                    )
+                    blob = insert_app1(blob, app1)
+                out.append((aid, "image", "image/jpeg", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def decoded_exif_metadata(assets: DataFrame) -> DataFrame:
+    """One Arrow kernel: blob in, parsed EXIF row out.  Absent/malformed
+    EXIF yields NULL columns (has_exif=false); GPS converts to decimal
+    degrees in the fixed term order the oracle mirrors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = parse_exif(row.content)
+                if m is None:
+                    out.append((int(row.asset_id), False, None, None,
+                                None, None, False, None, None))
+                else:
+                    has_gps = m["lat_dd"] is not None and m["lon_dd"] is not None
+                    out.append((int(row.asset_id), True, m["make"], m["model"],
+                                m["orientation"], m["taken_at"], has_gps,
+                                m["lat_dd"], m["lon_dd"]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "has_exif", "make", "model",
+                              "orientation", "taken_at", "has_gps",
+                              "lat_dd", "lon_dd"],
+            ).astype({"orientation": "Int32"})
+
+    return assets.mapInPandas(
+        run,
+        "doc_id long, has_exif boolean, make string, model string, "
+        "orientation int, taken_at string, has_gps boolean, "
+        "lat_dd double, lon_dd double",
+    )
+
+
+def gps_scrub_verdicts(assets: DataFrame) -> DataFrame:
+    """Scrub + verify fused in one kernel: strip the GPS IFD, re-parse the
+    scrubbed bytes, and prove (per image, in the output) that GPS is gone,
+    the other EXIF fields survived, and the PIXELS are bit-identical —
+    the scrub rewrites metadata, never the scan data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.content)
+                before = parse_exif(blob)
+                scrubbed = strip_gps_exif(blob)
+                after = parse_exif(scrubbed)
+                had_gps = (before is not None
+                           and before["lat_dd"] is not None)
+                gps_after = (after is not None
+                             and after["lat_dd"] is not None)
+                o_kept = (before is None and after is None) or (
+                    before is not None and after is not None
+                    and after["orientation"] == before["orientation"]
+                )
+                t_kept = (before is None and after is None) or (
+                    before is not None and after is not None
+                    and after["taken_at"] == before["taken_at"]
+                )
+                intact = bool(np.array_equal(decode_jpeg(blob),
+                                             decode_jpeg(scrubbed)))
+                out.append((int(row.asset_id), before is not None, had_gps,
+                            gps_after, o_kept, t_kept, intact,
+                            len(blob) - len(scrubbed)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "had_exif", "had_gps", "gps_after",
+                              "orientation_kept", "taken_at_kept",
+                              "raster_intact", "bytes_removed"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "doc_id long, had_exif boolean, had_gps boolean, gps_after boolean, "
+        "orientation_kept boolean, taken_at_kept boolean, "
+        "raster_intact boolean, bytes_removed int",
+    )

@@ -5329,6 +5329,102 @@ ORDER BY asset_id
 """
 
 
+def multimodal_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata census over a JPEG crawl: every document becomes a
+    REAL baseline JPEG with a camera-style APP1 block (TIFF IFD0 with
+    Make/Model/Orientation/DateTime + a GPS IFD of rational D/M/S), and
+    one Arrow kernel parses each blob strictly from its bytes
+    (``operators/multimodal.parse_exif``: marker walk → APP1 → TIFF
+    endianness/magic → IFD entries → GPS decimal degrees).  The fixture
+    deliberately ships absent-EXIF (id%7==0) and GPS-less (id%3==0)
+    cohorts, so the census proves NULL handling — a parser that fabricated
+    defaults or died on a missing segment hash-fails.  Malformed streams
+    degrade to has_exif=false; foreign IFD entry types raise by name
+    (tested in ``tests/test_multimodal.py``).
+
+    At 100 TB this is scan-side metadata extraction: decode+parse fused
+    in the kernel, nine small columns cross the exchange, never the blob.
+    The oracle replays the closed-form metadata arithmetic per doc_id —
+    including the exact double term order of the D/M/S→decimal
+    conversion."""
+    from ..operators.multimodal import (
+        decoded_exif_metadata,
+        documents_as_exif_jpeg_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return decoded_exif_metadata(
+        documents_as_exif_jpeg_assets(docs)
+    ).orderBy("doc_id")
+
+
+_EXIF_HAS = "doc_id % 7 <> 0"
+_EXIF_GPS = "doc_id % 7 <> 0 AND doc_id % 3 <> 0"
+# decimal-degree replay in the kernel's exact term order:
+# deg + min/60 + sec/3600, negated for S/W
+_EXIF_LAT_DD = """(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         * (CAST(doc_id % 90 AS DOUBLE)
+            + CAST((doc_id * 3) % 60 AS DOUBLE) / 60.0
+            + (CAST((doc_id * 7) % 6000 AS DOUBLE) / 100.0) / 3600.0)"""
+_EXIF_LON_DD = """(CASE WHEN (doc_id // 2) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         * (CAST(doc_id % 180 AS DOUBLE)
+            + CAST((doc_id * 5) % 60 AS DOUBLE) / 60.0
+            + (CAST((doc_id * 11) % 6000 AS DOUBLE) / 100.0) / 3600.0)"""
+
+MULTIMODAL_EXIF_CENSUS_SQL = f"""
+SELECT doc_id,
+       {_EXIF_HAS} AS has_exif,
+       CASE WHEN {_EXIF_HAS} THEN 'CamCo' END AS make,
+       CASE WHEN {_EXIF_HAS} THEN 'M' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+       CASE WHEN {_EXIF_HAS} THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+       CASE WHEN {_EXIF_HAS} THEN printf('2024:%02d:%02d %02d:%02d:%02d',
+            1 + doc_id % 12, 1 + doc_id % 28, doc_id % 24,
+            (doc_id * 7) % 60, (doc_id * 13) % 60) END AS taken_at,
+       {_EXIF_GPS} AS has_gps,
+       CASE WHEN {_EXIF_GPS} THEN {_EXIF_LAT_DD} END AS lat_dd,
+       CASE WHEN {_EXIF_GPS} THEN {_EXIF_LON_DD} END AS lon_dd
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def multimodal_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS PII scrub with in-plan proof — the image-side counterpart of
+    ``events_pii_scrub``: one Arrow kernel strips each JPEG's GPS IFD
+    (pointer entry AND pointed-to block, APP1 rebuilt with correct
+    offsets/lengths), re-parses the SCRUBBED bytes, and re-decodes both
+    streams.  The output row per image is the scrub contract: GPS gone,
+    Orientation/DateTime preserved, pixels bit-identical (the scrub
+    rewrites metadata, never scan data), and the exact byte shrinkage
+    (the GPS IFD block + one IFD0 entry — a fixed 114 bytes under this
+    layout, 0 for GPS-less inputs).  Verification rides the same kernel
+    pass as the scrub, so at 100 TB the audit is free — no second read
+    of the corpus."""
+    from ..operators.multimodal import (
+        documents_as_exif_jpeg_assets,
+        gps_scrub_verdicts,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gps_scrub_verdicts(
+        documents_as_exif_jpeg_assets(docs)
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_EXIF_GPS_SCRUB_SQL = f"""
+SELECT doc_id,
+       {_EXIF_HAS} AS had_exif,
+       {_EXIF_GPS} AS had_gps,
+       FALSE AS gps_after,
+       TRUE AS orientation_kept,
+       TRUE AS taken_at_kept,
+       TRUE AS raster_intact,
+       CAST(CASE WHEN {_EXIF_GPS} THEN 114 ELSE 0 END AS INTEGER) AS bytes_removed
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-container decode end-to-end: documents → deterministic
     mono PCM16 streams ENCODED AS GENUINE RIFF/WAVE FILES in one Arrow
@@ -7463,6 +7559,14 @@ SPECS: list[QuerySpec] = [
               "catalog listing (tpch() result shape / SHOW TABLES)"),
     QuerySpec("multimodal_pixel_stats", multimodal_pixel_stats, MULTIMODAL_PIXEL_STATS_SQL,
               "binary asset column -> mapInPandas decode stub -> pixel stats"),
+    QuerySpec("multimodal_exif_census", multimodal_exif_census,
+              MULTIMODAL_EXIF_CENSUS_SQL,
+              "EXIF/APP1 metadata census: byte-level TIFF IFD parse, "
+              "GPS decimal degrees, absent/partial cohorts"),
+    QuerySpec("multimodal_exif_gps_scrub", multimodal_exif_gps_scrub,
+              MULTIMODAL_EXIF_GPS_SCRUB_SQL,
+              "GPS PII scrub with fused in-plan proof: GPS gone, EXIF kept, "
+              "pixels bit-identical"),
     QuerySpec("multimodal_decode_roundtrip", multimodal_decode_roundtrip,
               MULTIMODAL_DECODE_ROUNDTRIP_SQL,
               "PGM encode -> binary column -> REAL header+raster decode -> stats"),

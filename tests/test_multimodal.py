@@ -1534,3 +1534,147 @@ def test_audio_shifted_copies_share_shifted_bit_streams():
     # gain alone (copy 4: offset 0 again, amp 2) leaves bits identical
     b4 = bits_of(scene + 160)
     assert b4 == b0
+
+
+# --- EXIF / APP1 -------------------------------------------------------------
+
+
+def _exif_jpeg(aid: int) -> bytes:
+    from datafusion_tpch_spark.operators.multimodal import (
+        _EXIF_PX_K,
+        _exif_fixture_meta,
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+    )
+
+    v = (aid * _EXIF_PX_K + np.arange(64, dtype=np.int64)) % 256
+    blob = encode_jpeg(v.astype(np.uint8).reshape(8, 8))
+    meta = _exif_fixture_meta(aid)
+    if meta is not None:
+        blob = insert_app1(blob, encode_exif_app1(
+            make=meta["make"], model=meta["model"],
+            orientation=meta["orientation"], taken_at=meta["taken_at"],
+            gps=meta["gps"]))
+    return blob
+
+
+def test_exif_roundtrip_and_scrub():
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg,
+        parse_exif,
+        strip_gps_exif,
+    )
+
+    blob = _exif_jpeg(1)  # has EXIF + GPS
+    m = parse_exif(blob)
+    assert m["make"] == "CamCo" and m["orientation"] == 2
+    assert m["lat_dd"] is not None and m["lon_dd"] is not None
+    scrubbed = strip_gps_exif(blob)
+    m2 = parse_exif(scrubbed)
+    assert m2["lat_dd"] is None and m2["lon_dd"] is None
+    assert m2["orientation"] == m["orientation"]
+    assert m2["taken_at"] == m["taken_at"]
+    assert np.array_equal(decode_jpeg(blob), decode_jpeg(scrubbed))
+    assert len(blob) - len(scrubbed) == 114  # GPS IFD block + IFD0 entry
+
+
+def test_exif_absent_and_malformed_yield_none():
+    from datafusion_tpch_spark.operators.multimodal import (
+        parse_exif,
+        strip_gps_exif,
+    )
+
+    plain = _exif_jpeg(0)  # id%7==0: no APP1 at all
+    assert parse_exif(plain) is None
+    assert strip_gps_exif(plain) == plain  # byte-identical passthrough
+    gpsless = _exif_jpeg(3)
+    assert parse_exif(gpsless)["lat_dd"] is None
+    assert strip_gps_exif(gpsless) == gpsless
+    # truncated APP1 body: malformed -> None, scrub -> passthrough
+    cut = _exif_jpeg(1)[:40]
+    assert parse_exif(cut) is None
+    assert strip_gps_exif(cut) == cut
+
+
+def test_exif_big_endian_tiff_parses():
+    """MM byte order: parser must honor the declared endianness."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _EXIF_TAG_ORIENTATION,
+        insert_app1,
+        parse_exif,
+    )
+
+    # hand-built MM TIFF: header + one-entry IFD0 (Orientation=5)
+    tiff = (b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big")
+            + _EXIF_TAG_ORIENTATION.to_bytes(2, "big")
+            + (3).to_bytes(2, "big") + (1).to_bytes(4, "big")
+            + (5).to_bytes(2, "big") + b"\0\0"
+            + (0).to_bytes(4, "big"))
+    blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
+    m = parse_exif(blob)
+    assert m["orientation"] == 5 and m["make"] is None
+
+
+def test_exif_foreign_ifd_type_raises_by_name():
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        insert_app1,
+        parse_exif,
+    )
+
+    # type 7 (UNDEFINED) entry: a supported-looking IFD with a foreign type
+    tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (0x9286).to_bytes(2, "little")      # UserComment
+            + (7).to_bytes(2, "little")           # UNDEFINED
+            + (4).to_bytes(4, "little") + b"abcd"
+            + (0).to_bytes(4, "little"))
+    blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
+    with pytest.raises(NotImplementedError, match="type 7"):
+        parse_exif(blob)
+
+
+def test_exif_scrub_refuses_nested_pointers_by_name():
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        _ifd_block,
+        insert_app1,
+        strip_gps_exif,
+    )
+
+    # IFD0 with a GPS pointer AND an ExifIFD pointer: the rebuild cannot
+    # relocate the nested block, so it must refuse loudly, never emit a
+    # stream with a dangling offset
+    entries = [
+        (0x8769, 4, 1, (26).to_bytes(4, "little")),   # ExifIFD pointer
+        (0x8825, 4, 1, (26).to_bytes(4, "little")),   # GPS pointer
+    ]
+    inner = _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 26)
+    tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + _ifd_block(entries, 8) + inner + inner)
+    blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
+    with pytest.raises(NotImplementedError, match="ExifIFD"):
+        strip_gps_exif(blob)
+
+
+def test_exif_census_gate_null_cohorts(spark):
+    from datafusion_tpch_spark.operators.multimodal import (
+        decoded_exif_metadata,
+        documents_as_exif_jpeg_assets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    rows = {r.doc_id: r for r in decoded_exif_metadata(
+        documents_as_exif_jpeg_assets(docs)).collect()}
+    for did, r in rows.items():
+        if did % 7 == 0:
+            assert not r.has_exif and r.make is None and r.lat_dd is None
+        else:
+            assert r.has_exif and r.make == "CamCo"
+            assert r.has_gps == (did % 3 != 0)
+            if r.has_gps:
+                assert -90 <= r.lat_dd <= 90 and -180 <= r.lon_dd <= 180
