@@ -1565,7 +1565,251 @@ ORDER BY d.doc_id
 """
 
 
+_XSUB_YIELD_MAX = 0.5   # ExactSubstr stage: cut docs with > half their
+                        # k-token spans duplicated within the stage corpus
+
+
+def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production curation funnel — six composed stages, each
+    filtering the previous stage's survivors, with per-stage doc AND token
+    yields:
+
+      1. raw
+      2. exact_dedup      — min-doc_id survivor per normalized fingerprint
+      3. near_dedup       — MinHash(16) 4×4-band LSH over stage-2
+                            survivors (hot-bucket cap re-applied to the
+                            stage corpus); a doc is cut when any bucket
+                            pairs it with a lower-id survivor
+      4. exact_substr     — Lee et al. ExactSubstr over stage-3 survivors:
+                            cut when > {xmax} of a doc's {k}-token spans
+                            recur anywhere in the stage corpus
+      5. length_floor     — >= {mintok} tokens
+      6. decontaminated   — training slice with no {n}-gram overlap
+                            against the held-out benchmark slice
+
+    Stage rules are EXACTLY the standalone gates' (``dedup_exact``,
+    ``dedup_minhash_lsh``, ``docs_exact_substring_dedup``,
+    ``docs_decontaminate``), composed: near-dup candidates come from
+    bucket equi-joins (never all-pairs), span recurrence is two
+    map-side-combinable aggregations over the span-hash multiset, and
+    contamination is a broadcast join against the eval shingle set.  The
+    whole funnel is one lazy plan of per-doc survival flags folded by a
+    single conditional aggregate — at 100 TB each stage boundary is where
+    a production run would checkpoint survivors to parquet, and every
+    shuffle here is hash-partitioned on content-derived keys, so the plan
+    survives that split verbatim."""
+    from .extensions import _LSH_MAX_BUCKET, _lsh_buckets_raw
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.token_count(F.col("text")).alias("n_tok"),
+    )
+    fpw = Window.partitionBy("fp")
+    s2f = toks.withColumn(
+        "in_s2", F.col("doc_id") == F.min("doc_id").over(fpw)
+    )
+    s2_ids = s2f.filter(F.col("in_s2")).select("doc_id")
+
+    # stage 3: banded LSH restricted to stage-2 survivors, cap re-applied
+    # to the restricted buckets (the stage corpus IS the dedup input)
+    bk = _lsh_buckets_raw(spark, sf_dir).join(s2_ids, "doc_id")
+    bw = Window.partitionBy("band", "bkey")
+    bk = (
+        bk.withColumn("n_in_bucket", F.count(F.lit(1)).over(bw))
+        .filter(F.col("n_in_bucket") <= _LSH_MAX_BUCKET)
+        .select("doc_id", "band", "bkey")
+    )
+    nd_drop = (
+        bk.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("nd_dropped", F.lit(True))
+    )
+    s3f = (
+        s2f.join(nd_drop, "doc_id", "left")
+        .withColumn("in_s3", F.col("in_s2") & F.col("nd_dropped").isNull())
+    )
+    s3_ids = s3f.filter(F.col("in_s3")).select("doc_id")
+
+    # stage 4: ExactSubstr duplicated-span fraction WITHIN the stage-3
+    # corpus (span totals count survivor occurrences only)
+    pair = (
+        docs.join(s3_ids, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                text.positional_kgrams(F.col("text"), _XSUB_K)
+            ).alias("gram"),
+        )
+        .select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
+    xs = (
+        pair.join(tot, "h")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias("dup_frac")
+        )
+    )
+    s4f = (
+        s3f.join(xs, "doc_id", "left")
+        .withColumn(
+            "in_s4",
+            F.col("in_s3")
+            & (F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= _XSUB_YIELD_MAX),
+        )
+        .withColumn("in_s5", F.col("in_s4") & (F.col("n_tok") >= _YIELD_MIN_TOK))
+        .withColumn("is_train", F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    )
+
+    # stage 6: decontamination of the stage-5 training slice
+    sh = F.explode(text.shingles(F.col("text"), _DECON_N)).alias("shingle")
+    eval_sh = (
+        docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select(sh)
+        .distinct()
+    )
+    contam = (
+        s4f.filter(F.col("in_s5") & F.col("is_train"))
+        .select("doc_id", sh)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    final = s4f.join(contam, "doc_id", "left").withColumn(
+        "in_s6",
+        F.col("in_s5") & F.col("is_train") & F.col("is_contam").isNull(),
+    )
+
+    def cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0))
+
+    def tok(flag):
+        return F.sum(F.when(flag, F.col("n_tok")).otherwise(0))
+
+    agg = final.agg(
+        F.count(F.lit(1)).alias("c1"), F.sum("n_tok").alias("t1"),
+        cnt(F.col("in_s2")).alias("c2"), tok(F.col("in_s2")).alias("t2"),
+        cnt(F.col("in_s3")).alias("c3"), tok(F.col("in_s3")).alias("t3"),
+        cnt(F.col("in_s4")).alias("c4"), tok(F.col("in_s4")).alias("t4"),
+        cnt(F.col("in_s5")).alias("c5"), tok(F.col("in_s5")).alias("t5"),
+        cnt(F.col("in_s6")).alias("c6"), tok(F.col("in_s6")).alias("t6"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 1, 'raw', c1, t1, 2, 'exact_dedup', c2, t2, "
+            "3, 'near_dedup', c3, t3, 4, 'exact_substr', c4, t4, "
+            "5, 'length_floor', c5, t5, 6, 'decontaminated', c6, t6) "
+            "AS (stage_idx, stage, n_docs, n_tokens)"
+        )
+    ).orderBy("stage_idx")
+
+
+docs_pipeline_yield_full.__doc__ = (docs_pipeline_yield_full.__doc__ or "").format(
+    xmax=_XSUB_YIELD_MAX, k=_XSUB_K, mintok=_YIELD_MIN_TOK, n=_DECON_N
+)
+
+
+def _pipeline_yield_full_sql() -> str:
+    from .extensions import _LSH_MAX_BUCKET, _band_sql, _minhash_sig_sql
+
+    gram = (
+        "array_to_string(list_slice(tk, i, i + " + str(_XSUB_K - 1) + "), ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {text.fingerprint_sql('text')} AS fp,
+         {text.token_count_sql('text')} AS n_tok
+  FROM documents),
+s2 AS (
+  SELECT t.* FROM toks t
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM toks GROUP BY fp) k
+    ON t.fp = k.fp AND t.doc_id = k.doc_id),
+sig_all AS ({_minhash_sig_sql()}),
+sig AS (SELECT s.* FROM sig_all s JOIN s2 USING (doc_id)),
+b_all AS ({_band_sql('sig')}),
+hot AS (SELECT band, bkey FROM b_all
+        GROUP BY band, bkey HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
+bk AS (
+  SELECT b.* FROM b_all b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.bkey = b.bkey)),
+nd_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+xg AS (
+  SELECT doc_id, {hashing.md5_int_sql(gram)} AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM s3),
+       UNNEST(range(1, greatest(len(tk) - {_XSUB_K - 1}, 0) + 1)) t(i)),
+xc AS (SELECT h, COUNT(*) AS cnt FROM xg GROUP BY h),
+xs AS (
+  SELECT doc_id,
+         SUM(CASE WHEN xc.cnt >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+           AS dup_frac
+  FROM xg JOIN xc USING (h) GROUP BY doc_id),
+s4 AS (
+  SELECT s3.* FROM s3 LEFT JOIN xs USING (doc_id)
+  WHERE COALESCE(xs.dup_frac, 0.0) <= {_XSUB_YIELD_MAX}),
+s5 AS (SELECT * FROM s4 WHERE n_tok >= {_YIELD_MIN_TOK}),
+eval_sh AS (
+  SELECT DISTINCT unnest({text.shingles_sql('text', _DECON_N)}) AS shingle
+  FROM documents WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+train AS (SELECT * FROM s5 WHERE doc_id % {_DECON_EVAL_MOD} <> 0),
+contam AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({text.shingles_sql('text', _DECON_N)}) AS shingle
+        FROM train) x
+  JOIN eval_sh USING (shingle)),
+s6 AS (SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT stage_idx, stage, n_docs, n_tokens FROM (
+  SELECT CAST(1 AS INTEGER) AS stage_idx, 'raw' AS stage,
+         COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM toks
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'exact_dedup', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'near_dedup', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT CAST(4 AS INTEGER), 'exact_substr', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s4
+  UNION ALL
+  SELECT CAST(5 AS INTEGER), 'length_floor', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s5
+  UNION ALL
+  SELECT CAST(6 AS INTEGER), 'decontaminated', COUNT(*),
+         CAST(SUM(n_tok) AS BIGINT) FROM s6)
+ORDER BY stage_idx
+"""
+
+
+DOCS_PIPELINE_YIELD_FULL_SQL = _pipeline_yield_full_sql()
+
+
 SPECS = [
+    QuerySpec(
+        "docs_pipeline_yield_full", docs_pipeline_yield_full,
+        DOCS_PIPELINE_YIELD_FULL_SQL,
+        "six-stage curation funnel: exact + MinHash-LSH + ExactSubstr "
+        "dedup, length floor, decontamination — per-stage doc/token yields",
+    ),
     QuerySpec(
         "docs_exact_substring_dedup", docs_exact_substring_dedup,
         DOCS_EXACT_SUBSTRING_SQL,

@@ -308,3 +308,20 @@ def test_exact_substring_dedup_semantics(spark, tmp_path):
     assert rows[3].n_spans == 0 and rows[3].n_dup_spans == 0
     assert rows[3].dup_frac == 0.0
     assert abs(rows[2].dup_frac - 2.0 / 9.0) < 1e-12
+
+
+def test_pipeline_yield_full_funnel_monotone(spark):
+    from datafusion_tpch_spark.queries.curation import docs_pipeline_yield_full
+
+    rows = docs_pipeline_yield_full(spark, SF_DIR).collect()
+    assert [r.stage for r in rows] == [
+        "raw", "exact_dedup", "near_dedup", "exact_substr",
+        "length_floor", "decontaminated",
+    ]
+    docs = [r.n_docs for r in rows]
+    toks = [r.n_tokens for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    # the added stages actually cut something on the fixture
+    assert docs[2] < docs[1], "near-dup stage must drop docs"
+    assert docs[-1] > 0 and toks[-1] > 0
