@@ -25,32 +25,37 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 11 (per the round-10 verdict): the round-11
-# additions and the gates materially rebuilt this round (the trained-IVF
-# ANN family) first, then ALL 27 queries whose latest record is still r06
-# (the 22 q*_spec + q15_window + events_stream_stream_join + 3 multimodal
-# round-trips — the backfill the round-10 comment promised), then the
-# oldest of the r07 cohort up to the 50-key window.  Everything not listed
-# keeps registration order after these.
+# correctness record.  Round 12 (per the round-11 verdict): the four
+# round-12 additions first, then multimodal_phash_band_dedup (its output
+# schema gained n_bands_live/saturated this round, so its r11 record is for
+# the old shape), then the ENTIRE 37-gate cohort whose latest record is
+# still r07 (the verdict's item 2), then the oldest of the r08 cohort up
+# to the 50-key window.  Everything not listed keeps registration order
+# after these.
 _CHECK_FIRST = [
-    # -- round-11 additions / rebuilt gates; new queries land HERE --
-    "multimodal_video_clip_dedup", "multimodal_video_clip_recall_audit",
-    "ann_ingest_topk", "ann_ivf_pq_refine_topk",
-    "multimodal_phash_band_dedup", "multimodal_audio_clip_dedup",
-    "ann_ivf_topk", "ann_ivf_pq_topk", "ann_recall_audit",
-    "ann_lsh_topk", "ann_filtered_topk",
-    # -- the 27 rotation-debt queries (latest record r06) --
-    "q1_spec", "q2_spec", "q3_spec", "q4_spec", "q5_spec", "q6_spec",
-    "q7_spec", "q8_spec", "q9_spec", "q10_spec", "q11_spec", "q12_spec",
-    "q13_spec", "q14_spec", "q15_spec", "q16_spec", "q17_spec", "q18_spec",
-    "q19_spec", "q20_spec", "q21_spec", "q22_spec",
-    "q15_window", "events_stream_stream_join", "multimodal_decode_roundtrip",
-    "multimodal_pixel_stats", "multimodal_wav_roundtrip",
-    # -- backfill: 12 oldest of the r07 cohort --
-    "ann_bruteforce_topk", "ann_pq_topk", "customer_orders_bucketed",
-    "customer_orders_full_outer", "customer_set_ops", "customer_window_suite",
-    "dedup_canonical", "dedup_embedding_cosine", "dedup_incremental",
-    "dedup_ngram_jaccard", "dedup_simhash", "doc_winnow",
+    # -- round-12 additions / schema-changed gates; new queries land HERE --
+    "ann_persisted_index_topk", "multimodal_exif_census",
+    "multimodal_exif_gps_scrub", "docs_pipeline_yield_full",
+    "multimodal_phash_band_dedup",
+    # -- the 37 rotation-debt queries (latest record r07) --
+    "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
+    "docs_length_quartiles", "docs_lm_score", "docs_mixture_sample",
+    "docs_mixture_weights", "docs_pmi_bigrams", "docs_quality_filter",
+    "docs_repetition", "embedding_centroids", "embeddings_gram",
+    "events_anomaly", "events_asof_join", "events_dedup_stream",
+    "events_funnel", "events_gapfill", "events_histogram",
+    "events_hll_distinct", "events_moving_avg", "events_pii_scrub",
+    "events_pivot", "events_range_join", "events_salted_enrich",
+    "events_sliding_stream", "events_triangle_count",
+    "events_user_retention", "info_schema_columns", "lang_id",
+    "limit_scan", "multimodal_png_roundtrip", "orders_rollup",
+    "tables_listing", "text_quality", "tfidf_top_terms", "token_topk",
+    "top_docs_per_lang",
+    # -- backfill: 8 oldest of the r08 cohort --
+    "embeddings_knn_graph", "dedup_lsh_recall_audit",
+    "embeddings_sq8_recall", "dedup_threshold_sweep", "lang_id_metrics",
+    "dedup_simhash_hamming1", "multimodal_png_palette_roundtrip",
+    "multimodal_png16_roundtrip",
 ]
 
 
