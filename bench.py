@@ -67,7 +67,10 @@ HEADLINE = [
     "ann_pq_topk", "ann_ivf_pq_topk", "ann_recall_audit",
     "pq_distortion_audit",
     "embeddings_kmeans", "embeddings_knn_graph",
-    "events_multibatch_stream", "events_stream_stream_join",
+    # (events_multibatch_stream rotated out in r12 to keep the line inside
+    # the driver tail — the streaming family keeps 8 other entries; its
+    # timing still lands in BENCH_DETAIL.json)
+    "events_stream_stream_join",
     "events_stateful_sessions", "events_sliding_stream",
     "events_trending_stream", "events_hll_stream",
     "events_pagerank", "events_communities",
@@ -80,6 +83,10 @@ HEADLINE = [
     "multimodal_phash_dedup", "docs_exact_substring_dedup",
     # round-11 family representatives: temporal video dedup + streaming ANN
     "multimodal_video_clip_dedup", "ann_ingest_topk",
+    # round-12 representative: the six-stage curation funnel (the other
+    # r12 gates are members of already-represented families, and the
+    # printed line must stay safely inside the driver's 2000-char tail)
+    "docs_pipeline_yield_full",
 ]
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
