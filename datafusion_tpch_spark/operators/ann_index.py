@@ -100,6 +100,20 @@ def write_index(
         fh.write("\n")
 
 
+def update_manifest(path: str, **extra) -> None:
+    """Merge keys into an existing manifest — e.g. the ingest gate marks
+    ``ingested=True`` only AFTER its stream completes, so a killed ingest
+    leaves an unmarked manifest and the next session rebuilds instead of
+    serving a half-appended index."""
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError(f"no manifest to update at {path}")
+    m.update(extra)
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(m, fh, sort_keys=True)
+        fh.write("\n")
+
+
 def read_manifest(path: str) -> dict | None:
     try:
         with open(os.path.join(path, "manifest.json")) as fh:

@@ -34,9 +34,9 @@ class QuerySpec:
 # after these.
 _CHECK_FIRST = [
     # -- round-12 additions / schema-changed gates; new queries land HERE --
-    "ann_persisted_index_topk", "multimodal_exif_census",
-    "multimodal_exif_gps_scrub", "docs_pipeline_yield_full",
-    "multimodal_phash_band_dedup",
+    "ann_persisted_index_topk", "ann_persisted_ingest_topk",
+    "multimodal_exif_census", "multimodal_exif_gps_scrub",
+    "docs_pipeline_yield_full", "multimodal_phash_band_dedup",
     # -- the 37 rotation-debt queries (latest record r07) --
     "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
     "docs_length_quartiles", "docs_lm_score", "docs_mixture_sample",
@@ -51,11 +51,10 @@ _CHECK_FIRST = [
     "limit_scan", "multimodal_png_roundtrip", "orders_rollup",
     "tables_listing", "text_quality", "tfidf_top_terms", "token_topk",
     "top_docs_per_lang",
-    # -- backfill: 8 oldest of the r08 cohort --
+    # -- backfill: 7 oldest of the r08 cohort --
     "embeddings_knn_graph", "dedup_lsh_recall_audit",
     "embeddings_sq8_recall", "dedup_threshold_sweep", "lang_id_metrics",
     "dedup_simhash_hamming1", "multimodal_png_palette_roundtrip",
-    "multimodal_png16_roundtrip",
 ]
 
 

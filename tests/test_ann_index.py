@@ -94,3 +94,39 @@ def test_serve_scan_is_partition_pruned(spark, index_dir):
     assert pruned, plan
     for ln in pruned:
         assert "INSET" in ln or "IN (" in ln, ln
+
+
+def test_persisted_ingest_durable_serve(spark, index_dir, monkeypatch):
+    """build -> persist -> stream-append -> serve; then a simulated fresh
+    session with BOTH training and streaming forcibly disabled must serve
+    corpus + streamed rows from the artifacts alone."""
+    from datafusion_tpch_spark.queries import stream as st
+    from datafusion_tpch_spark.streaming import maintenance as mt
+
+    rows1 = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
+    assert any(r.from_stream for r in rows1), "streamed rows must be searchable"
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("durable serve touched training/streaming")
+
+    monkeypatch.setattr(st, "_ingest_trained_centroids", boom)
+    monkeypatch.setattr(mt, "run_foreach_batch", boom)
+    rows2 = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
+
+
+def test_persisted_ingest_rebuilds_after_unclean_ingest(spark, index_dir):
+    """A manifest without the ingested mark (killed mid-stream) must not
+    be served: the gate rebuilds and re-ingests."""
+    from datafusion_tpch_spark.operators import ann_index as ai
+    from datafusion_tpch_spark.queries import stream as st
+
+    rows1 = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
+    path = ai.index_path(SF_DIR, index_dir) + "_ingest"
+    m = ai.read_manifest(path)
+    assert m and m.get("ingested") is True
+    # simulate the kill: un-mark the manifest (appends may be partial)
+    ai.update_manifest(path, ingested=False)
+    rows2 = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
+    assert ai.read_manifest(path).get("ingested") is True
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
