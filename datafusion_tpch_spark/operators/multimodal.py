@@ -4421,3 +4421,136 @@ def gps_scrub_verdicts(assets: DataFrame) -> DataFrame:
         "orientation_kept boolean, taken_at_kept boolean, "
         "raster_intact boolean, bytes_removed int",
     )
+
+
+# -- orientation-invariant dedup ---------------------------------------------
+
+_ORIENT_SCENES = 50
+_ORIENT_Q_MUL = 37   # quadrant q of scene s: (s*K + q*37) % 256
+
+
+def _orient_canonical_raster(scene: int) -> np.ndarray:
+    """16×16 gray raster, constant per 8×8 quadrant — constant JPEG blocks
+    make quant-1 encode→decode EXACT, so orientation normalization can
+    collapse copies bit-identically; a rotation/flip permutes quadrants,
+    never blends them."""
+    q = (scene * _EXIF_PX_K
+         + np.arange(4, dtype=np.int64) * _ORIENT_Q_MUL) % 256
+    img = np.empty((16, 16), dtype=np.uint8)
+    for qi in range(4):
+        img[(qi // 2) * 8:(qi // 2) * 8 + 8,
+            (qi % 2) * 8:(qi % 2) * 8 + 8] = q[qi]
+    return img
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """FORWARD transform: how a camera stored the raster given the EXIF
+    orientation tag it wrote (tag semantics per EXIF §4.6.4: the value
+    names the transform a VIEWER must apply; storing is its inverse —
+    both sides below are exact inverses, pinned by test)."""
+    if orientation == 1:
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return img.T
+    if orientation == 6:
+        return np.rot90(img, k=-1)
+    if orientation == 7:
+        return np.rot90(img, k=-1)[:, ::-1]
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    raise ValueError(f"EXIF orientation {orientation} out of range")
+
+
+def undo_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Inverse of :func:`apply_exif_orientation` — the normalization a
+    viewer (or a dedup kernel) applies before comparing pixels."""
+    if orientation == 1:
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return img.T
+    if orientation == 6:
+        return np.rot90(img, k=1)
+    if orientation == 7:
+        # forward is flipH∘rot90cw, so the inverse is rot90ccw∘flipH
+        return np.rot90(img[:, ::-1], k=1)
+    if orientation == 8:
+        return np.rot90(img, k=-1)
+    raise ValueError(f"EXIF orientation {orientation} out of range")
+
+
+def documents_as_oriented_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Per document: one of {scenes} scene images, stored the way a
+    rotated camera would store it — the raster PRE-TRANSFORMED by an EXIF
+    orientation in 1..8 (cycling over copies) and the orientation recorded
+    in the APP1 block.  Orientation-1 copies ship with NO EXIF at all
+    (the tag's documented default), so the dedup must treat absent
+    metadata as identity, not as unknown."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                scene, copy = aid % _ORIENT_SCENES, aid // _ORIENT_SCENES
+                orientation = 1 + copy % 8
+                img = apply_exif_orientation(
+                    _orient_canonical_raster(scene), orientation
+                )
+                blob = encode_jpeg(img)
+                if orientation != 1:
+                    blob = insert_app1(blob, encode_exif_app1(
+                        orientation=orientation))
+                out.append((aid, "image", "image/jpeg", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+documents_as_oriented_jpeg_assets.__doc__ = (
+    documents_as_oriented_jpeg_assets.__doc__ or ""
+).format(scenes=_ORIENT_SCENES)
+
+
+def decoded_orientation_signatures(assets: DataFrame) -> DataFrame:
+    """One Arrow kernel: decode the JPEG strictly from bytes, parse the
+    EXIF orientation (absent EXIF = 1, the spec default), UNDO the
+    orientation, and emit a position-sensitive checksum of the normalized
+    raster — Σ v[i]·(i+1) over the flattened pixels, so any mis-rotation
+    changes the signature (a position-free sum would not)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.content)
+                meta = parse_exif(blob)
+                orientation = 1
+                if meta is not None and meta["orientation"] is not None:
+                    orientation = int(meta["orientation"])
+                img = undo_exif_orientation(decode_jpeg(blob), orientation)
+                v = img.astype(np.int64).ravel()
+                sig = int((v * (np.arange(v.size, dtype=np.int64) + 1)).sum())
+                out.append((int(row.asset_id), orientation, sig))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "orientation", "sig"]
+            ).astype({"orientation": "int32"})
+
+    return assets.mapInPandas(
+        run, "doc_id long, orientation int, sig long"
+    )

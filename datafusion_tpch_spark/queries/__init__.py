@@ -36,6 +36,7 @@ _CHECK_FIRST = [
     # -- round-12 additions / schema-changed gates; new queries land HERE --
     "ann_persisted_index_topk", "ann_persisted_ingest_topk",
     "multimodal_exif_census", "multimodal_exif_gps_scrub",
+    "multimodal_orientation_dedup",
     "docs_pipeline_yield_full", "multimodal_phash_band_dedup",
     # -- the 37 rotation-debt queries (latest record r07) --
     "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
@@ -51,10 +52,10 @@ _CHECK_FIRST = [
     "limit_scan", "multimodal_png_roundtrip", "orders_rollup",
     "tables_listing", "text_quality", "tfidf_top_terms", "token_topk",
     "top_docs_per_lang",
-    # -- backfill: 7 oldest of the r08 cohort --
+    # -- backfill: 6 oldest of the r08 cohort --
     "embeddings_knn_graph", "dedup_lsh_recall_audit",
     "embeddings_sq8_recall", "dedup_threshold_sweep", "lang_id_metrics",
-    "dedup_simhash_hamming1", "multimodal_png_palette_roundtrip",
+    "dedup_simhash_hamming1",
 ]
 
 

@@ -5425,6 +5425,72 @@ ORDER BY doc_id
 """
 
 
+def multimodal_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIENTATION-INVARIANT image dedup — the duplicate class EXIF metadata
+    creates and pixel hashing alone cannot close: cameras store the same
+    shot rotated/flipped (EXIF orientation 1–8) and a byte-level or even
+    perceptual-hash dedup sees eight different images.  One Arrow kernel
+    decodes each JPEG strictly from bytes, parses the APP1 orientation
+    (absent EXIF = 1, the spec default — the no-metadata cohort ships
+    without an APP1 at all), UNDOES the stored transform
+    (``undo_exif_orientation``, exact inverse of all eight tag values,
+    property-pinned against ``apply_exif_orientation``), and emits a
+    position-sensitive checksum of the NORMALIZED raster; duplicates then
+    collapse under one exact groupBy.  Verdict per image: group size, how
+    many distinct orientations the duplicate set spans (the proof the
+    dedup crossed rotations), min-id survivor, kept flag.
+
+    At 100 TB: decode + orientation-undo + checksum fused scan-side (3
+    small ints cross the exchange, never a raster), and the dedup is an
+    exact hash aggregate — map-side combinable, no similarity join.  The
+    oracle replays the canonical raster closed-form per scene and the same
+    grouping, so a kernel that mis-inverted any orientation (e.g. rot90
+    direction, the transpose/transverse pair) hash-fails."""
+    from ..operators.multimodal import (
+        decoded_orientation_signatures,
+        documents_as_oriented_jpeg_assets,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sigs = decoded_orientation_signatures(
+        documents_as_oriented_jpeg_assets(docs)
+    )
+    grp = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.countDistinct("orientation").cast("bigint").alias("n_orientations"),
+        F.min("doc_id").alias("canon"),
+    )
+    return (
+        sigs.join(grp, "sig")
+        .select(
+            "doc_id", "orientation", "sig", "n_copies", "n_orientations",
+            "canon", (F.col("doc_id") == F.col("canon")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_ORIENTATION_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(1 + (doc_id // 50) % 8 AS INTEGER) AS orientation,
+         list_aggregate(list_transform(range(0, 256),
+           i -> (((doc_id % 50) * 2654435761 + ((i // 128) * 2 + (i % 16) // 8) * 37) % 256)
+                * (i + 1)), 'sum') AS sig
+  FROM documents),
+grp AS (
+  SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(COUNT(DISTINCT orientation) AS BIGINT) AS n_orientations,
+         MIN(doc_id) AS canon
+  FROM base GROUP BY sig)
+SELECT b.doc_id, b.orientation, CAST(b.sig AS BIGINT) AS sig,
+       g.n_copies, g.n_orientations, g.canon,
+       b.doc_id = g.canon AS kept
+FROM base b JOIN grp g ON b.sig = g.sig
+ORDER BY b.doc_id
+"""
+
+
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-container decode end-to-end: documents → deterministic
     mono PCM16 streams ENCODED AS GENUINE RIFF/WAVE FILES in one Arrow
@@ -7567,6 +7633,10 @@ SPECS: list[QuerySpec] = [
               MULTIMODAL_EXIF_GPS_SCRUB_SQL,
               "GPS PII scrub with fused in-plan proof: GPS gone, EXIF kept, "
               "pixels bit-identical"),
+    QuerySpec("multimodal_orientation_dedup", multimodal_orientation_dedup,
+              MULTIMODAL_ORIENTATION_DEDUP_SQL,
+              "orientation-invariant image dedup: EXIF-normalized rasters "
+              "collapse rotated/flipped copies under one exact groupBy"),
     QuerySpec("multimodal_decode_roundtrip", multimodal_decode_roundtrip,
               MULTIMODAL_DECODE_ROUNDTRIP_SQL,
               "PGM encode -> binary column -> REAL header+raster decode -> stats"),

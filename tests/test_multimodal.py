@@ -1678,3 +1678,43 @@ def test_exif_census_gate_null_cohorts(spark):
             assert r.has_gps == (did % 3 != 0)
             if r.has_gps:
                 assert -90 <= r.lat_dd <= 90 and -180 <= r.lon_dd <= 180
+
+
+def test_exif_orientation_transforms_invert_exactly():
+    from datafusion_tpch_spark.operators.multimodal import (
+        apply_exif_orientation,
+        undo_exif_orientation,
+    )
+
+    x = np.arange(256, dtype=np.uint8).reshape(16, 16)  # fully asymmetric
+    for o in range(1, 9):
+        assert np.array_equal(
+            undo_exif_orientation(apply_exif_orientation(x, o), o), x
+        ), f"orientation {o} does not invert"
+    import pytest
+    with pytest.raises(ValueError, match="orientation 9"):
+        apply_exif_orientation(x, 9)
+
+
+def test_orientation_dedup_groups_span_orientations(spark):
+    from datafusion_tpch_spark.operators.multimodal import (
+        _ORIENT_SCENES,
+        decoded_orientation_signatures,
+        documents_as_oriented_jpeg_assets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = decoded_orientation_signatures(
+        documents_as_oriented_jpeg_assets(docs)
+    ).collect()
+    by_scene = {}
+    for r in rows:
+        by_scene.setdefault(r.doc_id % _ORIENT_SCENES, set()).add(r.sig)
+    # every scene's copies — across all 8 stored orientations — collapse
+    # to ONE normalized signature
+    assert all(len(sigs) == 1 for sigs in by_scene.values())
+    # and different scenes do not collide
+    all_sigs = {next(iter(s)) for s in by_scene.values()}
+    assert len(all_sigs) == len(by_scene)
+    # the no-EXIF cohort (orientation 1) parsed as the default
+    assert {r.orientation for r in rows} == set(range(1, 9))
