@@ -77,10 +77,17 @@ def write_index(
     """The index build job: persist centroids + the cell-partitioned
     corpus, then the manifest LAST — a killed build leaves no manifest, so
     serve sessions treat the directory as absent instead of reading a
-    half-written index."""
+    half-written index.  On a REBUILD the old manifest is deleted FIRST,
+    for the same reason: a kill between the artifact overwrite and the new
+    manifest must not leave yesterday's valid-looking manifest on top of
+    destroyed artifacts."""
     from ..inline import inline_table
     from .similarity import ivf_assign
 
+    try:
+        os.remove(os.path.join(path, "manifest.json"))
+    except OSError:
+        pass
     spark = emb.sparkSession
     cent_df = inline_table(
         spark,

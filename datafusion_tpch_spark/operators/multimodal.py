@@ -4259,8 +4259,9 @@ def strip_gps_exif(content: bytes) -> bytes:
     bo = "little" if tiff[:2] == b"II" else "big"
     if int.from_bytes(tiff[2:4], bo) != 42:
         return buf
+    ifd0_off = int.from_bytes(tiff[4:8], bo)
     try:
-        ifd0 = _ifd_entries(tiff, int.from_bytes(tiff[4:8], bo), bo)
+        ifd0 = _ifd_entries(tiff, ifd0_off, bo)
     except ValueError:
         return buf
     if _EXIF_TAG_GPS_IFD not in ifd0:
@@ -4270,6 +4271,17 @@ def strip_gps_exif(content: bytes) -> bytes:
             raise NotImplementedError(
                 f"EXIF scrub: cannot relocate nested {name} pointer (tag 0x{tag:04X})"
             )
+    # chained IFD1 (thumbnail IFD): same relocation problem as the nested
+    # pointers — refuse by name rather than silently dropping the chain.
+    # Entry count read from the table itself (the parsed dict collapses
+    # duplicate tags, so len() could undercount)
+    n_entries = int.from_bytes(tiff[ifd0_off:ifd0_off + 2], bo)
+    next_pos = ifd0_off + 2 + 12 * n_entries
+    if (next_pos + 4 <= len(tiff)
+            and int.from_bytes(tiff[next_pos:next_pos + 4], bo) != 0):
+        raise NotImplementedError(
+            "EXIF scrub: cannot relocate chained IFD1 (thumbnail IFD)"
+        )
     kept = [
         (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
         for tag, (typ, cnt, raw) in sorted(ifd0.items())

@@ -1998,7 +1998,7 @@ def ann_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     path = ai.index_path(sf_dir)
-    fp = ai.corpus_fingerprint(emb)
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
     params = {"ivf_k": _IVF_K, "ivf_iters": _IVF_ITERS}
     if not ai.index_is_current(path, fp, params):
         ai.write_index(
@@ -2007,20 +2007,49 @@ def ann_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_persisted_ivf_topk(spark, sf_dir, path)
 
 
+_CORPUS_FP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_corpus_fingerprint(spark: SparkSession, sf_dir: str,
+                               emb: DataFrame) -> str:
+    """Session-memoized ``ann_index.corpus_fingerprint`` — the fixture
+    cannot change under a live session, so plan sweeps (test_plans,
+    plan_audit) pay the aggregate collect once, not once per gate build.
+    The MANIFEST check stays per-call (a cheap file read), so on-disk
+    state changes within a session are still honored."""
+    from ..operators import ann_index as ai
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _CORPUS_FP_CACHE if k[0] != app_id]:
+        del _CORPUS_FP_CACHE[k]
+    key = (app_id, sf_dir)
+    v = _CORPUS_FP_CACHE.get(key)
+    if v is None:
+        v = ai.corpus_fingerprint(emb)
+        _CORPUS_FP_CACHE[key] = v
+    return v
+
+
 def _serve_persisted_ivf_topk(
     spark: SparkSession, sf_dir: str, path: str
 ) -> DataFrame:
     """The serve-session plan: artifacts in, top-k out, zero training."""
+    from ..inline import inline_table
     from ..operators import ann_index as ai
 
     centroids = ai.load_centroids(spark, path)
     (emb,) = _t(spark, sf_dir, "embeddings")
-    probes = _ivf_query_probes(emb, centroids)
-    # bounded collect: <= nq x nprobe rows, distinct-ed to <= k cell ids —
-    # turning them into literals is what makes the cells scan STATICALLY
-    # partition-pruned instead of a runtime join filter
-    probed = sorted(
-        int(r.qcell) for r in probes.select("qcell").distinct().collect()
+    # ONE bounded collect (<= nq x nprobe rows): the probe rows become an
+    # inline literal table, so the probe plan executes exactly once — not
+    # again as the join's broadcast side — and the distinct probed cells
+    # become the STATIC partition filter on the cells scan
+    rows = _ivf_query_probes(emb, centroids).collect()
+    probed = sorted({int(r.qcell) for r in rows})
+    probes = inline_table(
+        spark,
+        [(int(r.query_id), [float(x) for x in r.qe], int(r.qcell))
+         for r in rows],
+        "query_id long, qe array<float>, qcell long",
     )
     cells = ai.load_cells(spark, path, probed).select(
         F.col("vec_id").alias("cand_id"),

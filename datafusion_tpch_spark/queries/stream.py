@@ -1235,16 +1235,22 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors
     from ..operators import ann_index as ai
     from ..operators.similarity import ivf_assign
+    from ..inline import inline_table
     from ..streaming.maintenance import run_foreach_batch
-    from .extensions import _TOPK, _ivf_query_probes
+    from .extensions import (
+        _TOPK,
+        _cached_corpus_fingerprint,
+        _ivf_query_probes,
+    )
 
     from pyspark.sql.window import Window
 
     path = ai.index_path(sf_dir) + "_ingest"
     emb = load_table(spark, sf_dir, "embeddings")
     # fingerprint covers corpus AND incoming slice (both derive from the
-    # embeddings table), so either changing invalidates the marked index
-    fp = ai.corpus_fingerprint(emb)
+    # embeddings table), so either changing invalidates the marked index;
+    # session-memoized so plan sweeps pay the collect once
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
     params = {"variant": "ingest", "split": _EMB_SPLIT}
     if not ai.index_is_current(path, fp, {**params, "ingested": True}):
         shutil.rmtree(path, ignore_errors=True)  # stale or half-appended
@@ -1273,11 +1279,17 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_foreach_batch(spark, feed, apply_batch, "ann_persisted_ingest")
         ai.update_manifest(path, ingested=True)  # durability point — LAST
 
-    # serve session: artifacts + probed cells only, no training state
+    # serve session: artifacts + probed cells only, no training state.
+    # One bounded collect; the probe rows join as an inline literal table
+    # so the probe plan never re-executes as the broadcast side
     centroids = ai.load_centroids(spark, path)
-    q = _ivf_query_probes(emb, centroids)
-    probed = sorted(
-        int(r.qcell) for r in q.select("qcell").distinct().collect()
+    rows = _ivf_query_probes(emb, centroids).collect()
+    probed = sorted({int(r.qcell) for r in rows})
+    q = inline_table(
+        spark,
+        [(int(r.query_id), [float(x) for x in r.qe], int(r.qcell))
+         for r in rows],
+        "query_id long, qe array<float>, qcell long",
     )
     c = ai.load_cells(spark, path, probed).select(
         F.col("vec_id").alias("cand_id"),

@@ -1718,3 +1718,29 @@ def test_orientation_dedup_groups_span_orientations(spark):
     assert len(all_sigs) == len(by_scene)
     # the no-EXIF cohort (orientation 1) parsed as the default
     assert {r.orientation for r in rows} == set(range(1, 9))
+
+
+def test_exif_scrub_refuses_chained_ifd1_by_name():
+    import pytest
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        _ifd_block,
+        insert_app1,
+        strip_gps_exif,
+    )
+
+    # IFD0 (orientation + GPS pointer) whose next-IFD offset chains to an
+    # IFD1: the rebuild cannot relocate the chain, so it must refuse
+    ifd0_entries = [
+        (0x0112, 3, 1, (1).to_bytes(2, "little")),
+        (0x8825, 4, 1, (60).to_bytes(4, "little")),
+    ]
+    ifd1 = _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 80)
+    ifd0 = bytearray(_ifd_block(ifd0_entries, 8))
+    ifd0[-4:] = (80).to_bytes(4, "little")  # next-IFD pointer -> IFD1
+    gps = _ifd_block([(0x0001, 2, 2, b"N\0")], 60)
+    tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + bytes(ifd0) + gps + ifd1)
+    blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
+    with pytest.raises(NotImplementedError, match="IFD1"):
+        strip_gps_exif(blob)

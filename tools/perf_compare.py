@@ -146,8 +146,19 @@ def _save_sidecar(sf_dir: str, done: dict) -> None:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dir = os.path.normpath(
+        os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    )
     only = set(sys.argv[2:])
+    if only and os.path.exists(ROWS_PATH) and not _load_sidecar(sf_dir):
+        # named-query mode REFINES an existing table; a silent sf_dir
+        # mismatch (trailing slash, relative path, different fixture)
+        # would overwrite hours of checkpointed rows with the subset
+        raise SystemExit(
+            f"PERF_ROWS.json exists but holds rows for a different sf_dir "
+            f"than {sf_dir!r}; delete it first if you really want to "
+            f"re-measure the named queries at this fixture"
+        )
     spark = build_session("perf-compare")
     spark.range(1).count()
 

@@ -58,8 +58,10 @@ def main() -> None:
 
     batch = [
         "ann_persisted_index_topk",      # warm = serve-only (index on disk)
+        "ann_persisted_ingest_topk",     # first run ingests, warm = serve
         "multimodal_exif_census",
         "multimodal_exif_gps_scrub",
+        "multimodal_orientation_dedup",
         "docs_pipeline_yield_full",
         "multimodal_phash_band_dedup",   # schema-extended this round
     ]
