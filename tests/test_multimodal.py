@@ -1744,3 +1744,22 @@ def test_exif_scrub_refuses_chained_ifd1_by_name():
     blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
     with pytest.raises(NotImplementedError, match="IFD1"):
         strip_gps_exif(blob)
+
+
+def test_phash_band_saturation_flag_visible(spark, monkeypatch):
+    """The stoplist must be VISIBLE, not silent: with the hot-band cap
+    forced below the fixture's duplicate-cluster sizes, capped images
+    must report n_bands_live < 4 and fully-capped ones saturated=true —
+    so a consumer can tell 'no neighbors' from 'bucket capped'."""
+    from datafusion_tpch_spark.queries import extensions as ext
+
+    monkeypatch.setattr(ext, "_PHB_CAP", 2)
+    rows = ext.multimodal_phash_band_dedup(spark, SF_DIR).collect()
+    sat = [r for r in rows if r.saturated]
+    assert sat, "cap=2 must saturate some duplicate clusters"
+    for r in sat:
+        assert r.n_bands_live == 0
+        # blind verdict looks like 'unique' — exactly why the flag exists
+        assert r.n_near1 == 0 and r.n_near2 == 0 and r.kept
+    for r in rows:
+        assert r.saturated == (r.n_bands_live == 0)
