@@ -66,3 +66,67 @@ def test_gen_slice_exact_partition(n, num_parts):
     assert spans[0][0] == 0 and spans[-1][1] == n
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 == lo2 and lo1 <= hi1
+
+
+# --- EXIF encode/parse/scrub ------------------------------------------------
+
+_exif_ascii_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=24,
+)
+_dms_st = st.tuples(
+    st.integers(0, 179), st.integers(0, 59),
+    st.tuples(st.integers(0, 5999), st.integers(1, 1000)),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    make=st.one_of(st.none(), _exif_ascii_st),
+    model=st.one_of(st.none(), _exif_ascii_st),
+    orientation=st.one_of(st.none(), st.integers(1, 8)),
+    taken_at=st.one_of(st.none(), _exif_ascii_st),
+    gps=st.one_of(
+        st.none(),
+        st.tuples(st.sampled_from(["N", "S"]), _dms_st,
+                  st.sampled_from(["E", "W"]), _dms_st),
+    ),
+)
+def test_exif_roundtrip_property(make, model, orientation, taken_at, gps):
+    """encode → insert → parse recovers every field exactly, for arbitrary
+    ASCII strings, any orientation, and arbitrary D/M/S rationals; the
+    scrub is idempotent and only ever removes the GPS block."""
+    import numpy as np
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+        parse_exif,
+        strip_gps_exif,
+    )
+
+    base = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    blob = insert_app1(base, encode_exif_app1(
+        make=make, model=model, orientation=orientation,
+        taken_at=taken_at, gps=gps))
+    m = parse_exif(blob)
+    assert m is not None
+    assert m["make"] == make and m["model"] == model
+    assert m["orientation"] == orientation and m["taken_at"] == taken_at
+    if gps is None:
+        assert m["lat_dd"] is None and m["lon_dd"] is None
+        assert strip_gps_exif(blob) == blob  # nothing to scrub
+    else:
+        lat_ref, (d, mi, (sn, sd)), lon_ref, _ = gps
+        want = d + mi / 60.0 + (sn / sd) / 3600.0
+        if lat_ref == "S":
+            want = -want
+        assert m["lat_dd"] == want
+        scrubbed = strip_gps_exif(blob)
+        m2 = parse_exif(scrubbed)
+        assert m2["lat_dd"] is None and m2["lon_dd"] is None
+        assert m2["make"] == make and m2["orientation"] == orientation
+        assert m2["taken_at"] == taken_at
+        assert len(scrubbed) < len(blob)
+        assert strip_gps_exif(scrubbed) == scrubbed  # idempotent
