@@ -28,13 +28,16 @@ vector indexing; this extends the engine for the LLM-data-pipeline tier.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMAT_VERSION = 1
+from . import artifact_io
+
+FORMAT_VERSION = 2  # v2: fingerprint gained the all-dims L1 term
 
 
 def default_index_root() -> str:
@@ -48,23 +51,37 @@ def default_index_root() -> str:
 
 
 def index_path(sf_dir: str, root: str | None = None) -> str:
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(root or default_index_root(), base)
+    """Artifact directory for one fixture.  Keyed on the basename (human-
+    readable) PLUS a hash of the normalized absolute path, so two fixtures
+    that share a basename under different parents (``/root/testdata/sf0.1``
+    vs ``/tmp/other/sf0.1``) get distinct index directories instead of
+    silently invalidating each other on every alternation."""
+    norm = os.path.normpath(sf_dir)
+    base = os.path.basename(norm)
+    tag = hashlib.md5(os.path.abspath(norm).encode("utf-8")).hexdigest()[:8]
+    return os.path.join(root or default_index_root(), f"{base}-{tag}")
 
 
 def corpus_fingerprint(emb: DataFrame) -> str:
-    """Cheap corpus identity: row count + id-sum + a value-sensitive term
-    (quantized sum of the leading embedding dimension), so both reshaped
-    and regenerated-with-different-values corpora invalidate the index.
-    One aggregate scan, three longs to the driver."""
+    """Cheap corpus identity: row count + id-sum + two value-sensitive
+    terms — the quantized sum of the leading embedding dimension AND the
+    quantized sum of full-vector L1 norms, so an edit confined to dims 2+
+    (ids and count unchanged) still invalidates the index.  Still ONE
+    aggregate scan; four longs to the driver."""
+    l1 = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x.cast("double")),
+    )
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vec_id").cast("long").alias("ids"),
         F.sum(
             F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
         ).cast("long").alias("v"),
+        F.sum(F.floor(l1 * 1e6)).cast("long").alias("l1"),
     ).collect()[0]
-    return f"{row.n}:{row.ids}:{row.v}"
+    return f"{row.n}:{row.ids}:{row.v}:{row.l1}"
 
 
 def write_index(
@@ -84,11 +101,8 @@ def write_index(
     from ..inline import inline_table
     from .similarity import ivf_assign
 
-    try:
-        os.remove(os.path.join(path, "manifest.json"))
-    except OSError:
-        pass
     spark = emb.sparkSession
+    artifact_io.delete(_manifest_path(path), spark=spark)
     cent_df = inline_table(
         spark,
         [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(centroids)],
@@ -102,38 +116,51 @@ def write_index(
     )
     manifest = {"format": FORMAT_VERSION, "fingerprint": fingerprint,
                 "k": len(centroids), **(params or {})}
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-        fh.write("\n")
+    write_manifest(path, manifest, spark=spark)
 
 
-def update_manifest(path: str, **extra) -> None:
+def _manifest_path(path: str) -> str:
+    # object-store prefixes are URIs — never os.path.join a scheme'd path
+    return path.rstrip("/") + "/manifest.json"
+
+
+def write_manifest(path: str, manifest: dict,
+                   spark: SparkSession | None = None) -> None:
+    artifact_io.write_text(
+        _manifest_path(path), json.dumps(manifest, sort_keys=True) + "\n",
+        spark=spark,
+    )
+
+
+def update_manifest(path: str, spark: SparkSession | None = None,
+                    **extra) -> None:
     """Merge keys into an existing manifest — e.g. the ingest gate marks
     ``ingested=True`` only AFTER its stream completes, so a killed ingest
     leaves an unmarked manifest and the next session rebuilds instead of
     serving a half-appended index."""
-    m = read_manifest(path)
+    m = read_manifest(path, spark=spark)
     if m is None:
         raise ValueError(f"no manifest to update at {path}")
     m.update(extra)
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(m, fh, sort_keys=True)
-        fh.write("\n")
+    write_manifest(path, m, spark=spark)
 
 
-def read_manifest(path: str) -> dict | None:
+def read_manifest(path: str, spark: SparkSession | None = None) -> dict | None:
+    text = artifact_io.read_text(_manifest_path(path), spark=spark)
+    if text is None:
+        return None
     try:
-        with open(os.path.join(path, "manifest.json")) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
+        return json.loads(text)
+    except ValueError:
         return None
 
 
-def index_is_current(path: str, fingerprint: str, params: dict | None = None) -> bool:
+def index_is_current(path: str, fingerprint: str, params: dict | None = None,
+                     spark: SparkSession | None = None) -> bool:
     """True iff a complete index exists at ``path`` for exactly this
     corpus AND these build parameters (an nprobe change is serve-side and
     does NOT invalidate; a k/iters change rebuilds)."""
-    m = read_manifest(path)
+    m = read_manifest(path, spark=spark)
     if m is None or m.get("format") != FORMAT_VERSION:
         return False
     if m.get("fingerprint") != fingerprint:

@@ -4469,19 +4469,26 @@ def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     if orientation == 4:
         return img[::-1, :]
     if orientation == 5:
+        # transpose (main diagonal), self-inverse
         return img.T
     if orientation == 6:
-        return np.rot90(img, k=-1)
-    if orientation == 7:
-        return np.rot90(img, k=-1)[:, ::-1]
-    if orientation == 8:
+        # viewer must rotate 90° CW, so the camera stored rot90 CCW
         return np.rot90(img, k=1)
+    if orientation == 7:
+        # transverse (anti-diagonal), self-inverse
+        return img[::-1, ::-1].T
+    if orientation == 8:
+        # viewer must rotate 90° CCW, so the camera stored rot90 CW
+        return np.rot90(img, k=-1)
     raise ValueError(f"EXIF orientation {orientation} out of range")
 
 
 def undo_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
-    """Inverse of :func:`apply_exif_orientation` — the normalization a
-    viewer (or a dedup kernel) applies before comparing pixels."""
+    """Inverse of :func:`apply_exif_orientation` — the viewer transform
+    the tag value names (EXIF §4.6.4), i.e. the normalization a viewer
+    (or a dedup kernel) applies before comparing pixels.  Matches PIL's
+    ``ImageOps.exif_transpose`` mapping: 2 flipH, 3 rot180, 4 flipV,
+    5 transpose, 6 rot90 CW, 7 transverse, 8 rot90 CCW."""
     if orientation == 1:
         return img
     if orientation == 2:
@@ -4493,12 +4500,11 @@ def undo_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     if orientation == 5:
         return img.T
     if orientation == 6:
-        return np.rot90(img, k=1)
-    if orientation == 7:
-        # forward is flipH∘rot90cw, so the inverse is rot90ccw∘flipH
-        return np.rot90(img[:, ::-1], k=1)
-    if orientation == 8:
         return np.rot90(img, k=-1)
+    if orientation == 7:
+        return img[::-1, ::-1].T
+    if orientation == 8:
+        return np.rot90(img, k=1)
     raise ValueError(f"EXIF orientation {orientation} out of range")
 
 

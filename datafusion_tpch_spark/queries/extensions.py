@@ -466,6 +466,83 @@ dedup_incremental_lsh.__doc__ = (dedup_incremental_lsh.__doc__ or "").format(
 )
 
 
+def dedup_persisted_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_lsh`` with the bucket index's lifetime moved
+    from the session to STORAGE — the deployment shape where an index
+    build job hashes the corpus once and every later crawl-ingest session
+    admits its batch from the artifacts alone.  Build: corpus (band, bkey)
+    occupancy written ``partitionBy("band")`` with a fingerprint manifest
+    (manifest LAST, so a killed build is invisible; see
+    ``operators/lsh_index.py``).  Serve: hash ONLY the incoming batch, one
+    semi-join against the stored cells under the serve-side hot-cell cap —
+    the corpus is never rehashed, never reshuffled, never even scanned.
+
+    Verdicts are defined to match ``dedup_incremental_lsh`` row-for-row
+    (same oracle), so persistence provably changed the index's lifetime,
+    not its answers — ``tests/test_lsh_index.py`` serves a fresh session
+    with corpus bucket-building forcibly disabled to prove it.
+
+    At 100 TB: the bucket table is tiny relative to the corpus (one row
+    per occupied cell), the probe is an equi-semi-join whose build side is
+    the index, and the cap keeps per-doc fan-out bounded regardless of
+    boilerplate density."""
+    from ..operators import lsh_index as li
+    from ..streaming.maintenance import admit_batch
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    path = li.lsh_index_path(sf_dir)
+    fp = _cached_lsh_fingerprint(spark, sf_dir, docs)
+    params = {"bands": _MH_BANDS, "rows": _MH_ROWS, "split": _INCR_SPLIT}
+    if not li.lsh_index_is_current(path, fp, params, spark=spark):
+        _build_lsh_bucket_index(docs, path, fp, params)
+    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    cells = (
+        li.load_lsh_cells(spark, path)
+        .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)  # serve-side cap
+        .select("band", "bkey")
+    )
+    return admit_batch(
+        _buckets_of(incoming), incoming.select("doc_id"), cells
+    ).orderBy("doc_id")
+
+
+def _build_lsh_bucket_index(docs: DataFrame, path: str, fp: str,
+                            params: dict) -> None:
+    """The LSH index BUILD JOB — the only place the corpus is hashed.
+    Kept as a named seam so the fresh-session test can make it raise and
+    prove the serve path runs from artifacts alone."""
+    from ..operators import lsh_index as li
+
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    cells = (
+        _buckets_of(corpus)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    li.write_lsh_index(cells, path, fp, params)
+
+
+_LSH_FP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_lsh_fingerprint(spark: SparkSession, sf_dir: str,
+                            docs: DataFrame) -> str:
+    """Session-memoized ``lsh_index.corpus_text_fingerprint`` (same
+    rationale as ``_cached_corpus_fingerprint``: the fixture cannot change
+    under a live session; the manifest check stays per-call)."""
+    from ..operators import lsh_index as li
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _LSH_FP_CACHE if k[0] != app_id]:
+        del _LSH_FP_CACHE[k]
+    key = (app_id, sf_dir)
+    v = _LSH_FP_CACHE.get(key)
+    if v is None:
+        v = li.corpus_text_fingerprint(docs)
+        _LSH_FP_CACHE[key] = v
+    return v
+
+
 DEDUP_INCREMENTAL_LSH_SQL = f"""
 WITH sig AS ({_minhash_sig_sql()}),
 buckets_all AS ({_band_sql('sig')}),
@@ -2000,7 +2077,7 @@ def ann_persisted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ai.index_path(sf_dir)
     fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
     params = {"ivf_k": _IVF_K, "ivf_iters": _IVF_ITERS}
-    if not ai.index_is_current(path, fp, params):
+    if not ai.index_is_current(path, fp, params, spark=spark):
         ai.write_index(
             emb, _ivf_trained_centroids(spark, sf_dir), path, fp, params
         )
@@ -7568,6 +7645,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_incremental_lsh", dedup_incremental_lsh,
               DEDUP_INCREMENTAL_LSH_SQL,
               "incoming batch probes the prebuilt LSH index (near-dup admission)"),
+    QuerySpec("dedup_persisted_lsh", dedup_persisted_lsh,
+              DEDUP_INCREMENTAL_LSH_SQL,
+              "LSH admission from PERSISTED band-partitioned bucket index artifacts"),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
               "3-gram Jaccard near-dup pairs"),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL,

@@ -1228,12 +1228,10 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells (static partition filter), ranking exactly as
     ``ann_ingest_topk`` — same oracle, so durability provably changed the
     index's lifetime, not its answers."""
-    import os
-    import shutil
-
     from ..catalog import load_table
     from ..functions import vectors
     from ..operators import ann_index as ai
+    from ..operators import artifact_io
     from ..operators.similarity import ivf_assign
     from ..inline import inline_table
     from ..streaming.maintenance import run_foreach_batch
@@ -1252,14 +1250,16 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-memoized so plan sweeps pay the collect once
     fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
     params = {"variant": "ingest", "split": _EMB_SPLIT}
-    if not ai.index_is_current(path, fp, {**params, "ingested": True}):
-        shutil.rmtree(path, ignore_errors=True)  # stale or half-appended
+    if not ai.index_is_current(path, fp, {**params, "ingested": True},
+                               spark=spark):
+        # stale or half-appended — storage-agnostic recursive delete
+        artifact_io.delete(path, recursive=True, spark=spark)
         centroids = _ingest_trained_centroids(spark, sf_dir)
         ai.write_index(
             emb.filter(F.col("vec_id") < _EMB_SPLIT), centroids, path, fp,
             params,
         )
-        cells_dir = os.path.join(path, "cells")
+        cells_dir = path.rstrip("/") + "/cells"
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -1277,7 +1277,7 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(layout)
         )
         run_foreach_batch(spark, feed, apply_batch, "ann_persisted_ingest")
-        ai.update_manifest(path, ingested=True)  # durability point — LAST
+        ai.update_manifest(path, spark=spark, ingested=True)  # durability point — LAST
 
     # serve session: artifacts + probed cells only, no training state.
     # One bounded collect; the probe rows join as an inline literal table

@@ -67,6 +67,94 @@ def test_fresh_session_serves_without_retraining(spark, index_dir, monkeypatch):
     assert len(rows) > 0
 
 
+def test_artifact_io_scheme_dispatch():
+    """Keyed off the path scheme: bare local paths stay POSIX; any URI
+    scheme routes to the Hadoop FileSystem connector."""
+    from datafusion_tpch_spark.operators import artifact_io as aio
+
+    assert aio.path_scheme("/tmp/x/manifest.json") is None
+    assert aio.path_scheme("relative/path") is None
+    assert aio.path_scheme("file:///tmp/x") == "file"
+    assert aio.path_scheme("s3a://bucket/prefix/idx") == "s3a"
+    assert aio.path_scheme("hdfs://nn:8020/idx") == "hdfs"
+    assert aio.path_scheme("abfs://c@a.dfs.core.windows.net/p") == "abfs"
+
+
+def test_artifact_io_roundtrip_through_hadoop_fs(spark, tmp_path):
+    """A ``file:`` URI exercises the real Hadoop FileSystem code path —
+    the same connector layer an ``s3a://`` prefix would hit — end to end:
+    write, read, exists, overwrite, delete."""
+    from datafusion_tpch_spark.operators import artifact_io as aio
+
+    uri = f"file://{tmp_path}/deep/nested/manifest.json"
+    assert aio.read_text(uri, spark=spark) is None
+    assert not aio.exists(uri, spark=spark)
+    aio.write_text(uri, '{"a": 1}\n', spark=spark)
+    assert aio.exists(uri, spark=spark)
+    assert aio.read_text(uri, spark=spark) == '{"a": 1}\n'
+    aio.write_text(uri, '{"a": 2}\n', spark=spark)      # overwrite
+    assert aio.read_text(uri, spark=spark) == '{"a": 2}\n'
+    aio.delete(uri, spark=spark)
+    assert not aio.exists(uri, spark=spark)
+    # recursive delete of a tree
+    tree = f"file://{tmp_path}/deep"
+    aio.write_text(tree + "/again.json", "x", spark=spark)
+    aio.delete(tree, recursive=True, spark=spark)
+    assert not aio.exists(tree, spark=spark)
+    # and the POSIX fast path agrees with the connector path
+    local = str(tmp_path / "local" / "manifest.json")
+    aio.write_text(local, "posix\n")
+    assert aio.read_text(local) == "posix\n"
+    aio.delete(local)
+    assert aio.read_text(local) is None
+
+
+def test_manifest_io_reaches_scheme_qualified_paths(spark, tmp_path):
+    """The full manifest lifecycle (write, read, update, current-check,
+    delete) over a ``file:`` URI — proof the index metadata can live on
+    whatever store the parquet artifacts do."""
+    path = f"file://{tmp_path}/idx"
+    ai.write_manifest(path, {"format": ai.FORMAT_VERSION,
+                             "fingerprint": "f1", "k": 3}, spark=spark)
+    assert ai.read_manifest(path, spark=spark)["k"] == 3
+    assert ai.index_is_current(path, "f1", spark=spark)
+    assert not ai.index_is_current(path, "f2", spark=spark)
+    ai.update_manifest(path, spark=spark, ingested=True)
+    assert ai.read_manifest(path, spark=spark)["ingested"] is True
+
+
+def test_fingerprint_sensitive_to_non_leading_dims(spark):
+    """An edit confined to dims 2+ (count, ids, and dim-1 unchanged) must
+    still invalidate the index."""
+    from pyspark.sql import functions as F
+
+    emb = ext._t(spark, SF_DIR, "embeddings")[0]
+    fp1 = ai.corpus_fingerprint(emb)
+    bumped = emb.withColumn(
+        "embedding",
+        F.concat(
+            F.slice("embedding", 1, 1),
+            F.transform(
+                F.slice("embedding", 2, 10_000),
+                lambda x: x + F.lit(0.25).cast("float"),
+            ),
+        ),
+    )
+    fp2 = ai.corpus_fingerprint(bumped)
+    assert fp1 != fp2
+    n1, ids1, v1, _ = fp1.split(":")
+    n2, ids2, v2, _ = fp2.split(":")
+    # only the all-dims L1 term may move — that term IS the regression guard
+    assert (n1, ids1, v1) == (n2, ids2, v2)
+
+
+def test_index_path_distinguishes_same_basename(tmp_path):
+    a = ai.index_path(str(tmp_path / "one" / "sf0.1"), "/idxroot")
+    b = ai.index_path(str(tmp_path / "two" / "sf0.1"), "/idxroot")
+    assert a != b
+    assert "sf0.1" in a and "sf0.1" in b  # still human-readable
+
+
 def test_corpus_change_invalidates(spark, index_dir):
     path = ai.index_path(SF_DIR, index_dir)
     emb = ext._t(spark, SF_DIR, "embeddings")[0]

@@ -1696,6 +1696,45 @@ def test_exif_orientation_transforms_invert_exactly():
         apply_exif_orientation(x, 9)
 
 
+def test_exif_orientation_viewer_transforms_match_spec_vectors():
+    """Pin each tag's VIEWER transform to hand-derived EXIF 4.6.4 vectors
+    on an asymmetric non-square matrix — the apply/undo inversion property
+    alone cannot catch a consistently-swapped pair (e.g. 5↔7 both set to
+    the main-diagonal transpose, or 6/8 both reversed).  Expected outputs
+    are PIL ``ImageOps.exif_transpose``'s documented mapping: 2 flipH,
+    3 rot180, 4 flipV, 5 transpose, 6 rot90 CW, 7 transverse (anti-
+    diagonal), 8 rot90 CCW."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        apply_exif_orientation,
+        undo_exif_orientation,
+    )
+
+    p = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)  # stored raster
+    expected = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],
+        3: [[6, 5, 4], [3, 2, 1]],
+        4: [[4, 5, 6], [1, 2, 3]],
+        5: [[1, 4], [2, 5], [3, 6]],
+        6: [[4, 1], [5, 2], [6, 3]],
+        7: [[6, 3], [5, 2], [4, 1]],
+        8: [[3, 6], [2, 5], [1, 4]],
+    }
+    for o, want in expected.items():
+        got = undo_exif_orientation(p, o)
+        assert np.array_equal(got, np.array(want, dtype=np.uint8)), (
+            f"orientation {o}: viewer transform {got.tolist()} != {want}"
+        )
+        # and the forward (store) side round-trips the DISPLAYED image
+        assert np.array_equal(
+            apply_exif_orientation(np.array(want, dtype=np.uint8), o), p
+        ), f"orientation {o}: store transform is not the viewer inverse"
+    # 5 and 7 must differ (main- vs anti-diagonal) on any asymmetric input
+    assert not np.array_equal(
+        undo_exif_orientation(p, 5), undo_exif_orientation(p, 7)
+    )
+
+
 def test_orientation_dedup_groups_span_orientations(spark):
     from datafusion_tpch_spark.operators.multimodal import (
         _ORIENT_SCENES,
