@@ -24,21 +24,59 @@ def plan_string(df: DataFrame, mode: str = "simple") -> str:
     return plan.split(marker)[0] if marker in plan else plan
 
 
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop every subtree under an ``InMemoryRelation`` node.
+
+    Shared intermediates are persist()ed (lazily — see
+    ``queries/extensions._session_table``), so a consumer's plan prints
+    the cached build plan indented below the ``InMemoryTableScan`` that
+    serves it.  Those build shuffles run ONCE per (application, fixture)
+    and every subsequent execution reads the cache — counting them as
+    per-query cost would charge the amortized build to every consumer,
+    exactly what the shared-intermediate pattern exists to avoid."""
+    out, skip_below = [], None
+    for line in plan.splitlines():
+        d = _tree_depth(line)
+        if skip_below is not None:
+            if d > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryRelation" in line:
+            skip_below = d
+        out.append(line)
+    return "\n".join(out)
+
+
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (each is a full cluster-wide data
-    movement — THE scale-limiting operator count).
+    """Number of shuffle exchanges PER EXECUTION (each is a full
+    cluster-wide data movement — THE scale-limiting operator count).
 
     A ``ReusedExchange`` line re-prints its target as
     ``ReusedExchange [...], Exchange hashpartitioning(...)`` — that is a
     reference to an already-counted shuffle, not a new one, so reuse
-    lines are excluded."""
-    plan = plan_string(df)
+    lines are excluded.  Exchanges inside a cached-intermediate build
+    subtree are likewise excluded (amortized once per session, not paid
+    per query); ``cached_build_exchange_count`` reports them."""
+    plan = strip_cached_subtrees(plan_string(df))
     return sum(
         1
         for line in plan.splitlines()
         if re.search(r"\bExchange (hash|range)partitioning", line)
         and "ReusedExchange" not in line
     )
+
+
+def cached_build_exchange_count(df: DataFrame) -> int:
+    """Shuffles inside cached-intermediate build subtrees — the one-time
+    per-session cost ``exchange_count`` amortizes away."""
+    plan = plan_string(df)
+    total = sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\bExchange (hash|range)partitioning", line)
+        and "ReusedExchange" not in line
+    )
+    return total - exchange_count(df)
 
 
 def broadcast_join_count(df: DataFrame) -> int:
@@ -170,7 +208,10 @@ class PlanAudit:
 
 
 def audit(name: str, df: DataFrame) -> PlanAudit:
-    plan = plan_string(df)
+    # per-execution view: cached-intermediate build subtrees are amortized
+    # (see strip_cached_subtrees); their one-time shuffles are not charged
+    # to every consumer
+    plan = strip_cached_subtrees(plan_string(df))
     return PlanAudit(
         name=name,
         exchanges=len(

@@ -25,37 +25,37 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 12 (per the round-11 verdict): the four
-# round-12 additions first, then multimodal_phash_band_dedup (its output
-# schema gained n_bands_live/saturated this round, so its r11 record is for
-# the old shape), then the ENTIRE 37-gate cohort whose latest record is
-# still r07 (the verdict's item 2), then the oldest of the r08 cohort up
-# to the 50-key window.  Everything not listed keeps registration order
-# after these.
+# correctness record.  Round 13 (per the round-12 verdict): the two
+# round-13 additions first, then the ENTIRE 43-gate cohort whose latest
+# record is still r08 (the verdict's item 2), then the alphabetically
+# first of the r09 cohort (48 gates) up to the 50-key window; the r09
+# remainder fronts round 14.  Everything not listed keeps registration
+# order after these.
 _CHECK_FIRST = [
-    # -- round-12 additions / schema-changed gates; new queries land HERE --
-    "ann_persisted_index_topk", "ann_persisted_ingest_topk",
-    "multimodal_exif_census", "multimodal_exif_gps_scrub",
-    "multimodal_orientation_dedup",
-    "docs_pipeline_yield_full", "multimodal_phash_band_dedup",
-    # -- the 37 rotation-debt queries (latest record r07) --
-    "docs_boilerplate_strip", "docs_chunk_dedup", "docs_decontaminate",
-    "docs_length_quartiles", "docs_lm_score", "docs_mixture_sample",
-    "docs_mixture_weights", "docs_pmi_bigrams", "docs_quality_filter",
-    "docs_repetition", "embedding_centroids", "embeddings_gram",
-    "events_anomaly", "events_asof_join", "events_dedup_stream",
-    "events_funnel", "events_gapfill", "events_histogram",
-    "events_hll_distinct", "events_moving_avg", "events_pii_scrub",
-    "events_pivot", "events_range_join", "events_salted_enrich",
-    "events_sliding_stream", "events_triangle_count",
-    "events_user_retention", "info_schema_columns", "lang_id",
-    "limit_scan", "multimodal_png_roundtrip", "orders_rollup",
-    "tables_listing", "text_quality", "tfidf_top_terms", "token_topk",
-    "top_docs_per_lang",
-    # -- backfill: 6 oldest of the r08 cohort --
-    "embeddings_knn_graph", "dedup_lsh_recall_audit",
-    "embeddings_sq8_recall", "dedup_threshold_sweep", "lang_id_metrics",
-    "dedup_simhash_hamming1",
+    # -- round-13 additions; new queries land HERE --
+    "dedup_persisted_lsh", "docs_pipeline_resumable",
+    # -- the 43 rotation-debt queries (latest record r08) --
+    "docs_bpe_pairs", "docs_containment", "docs_dsir_score",
+    "embeddings_kmeans", "embeddings_top_eigvec", "events_ab_lift",
+    "events_cooccurrence_lift", "events_corrupt_json_audit",
+    "events_ewma_daily", "events_feature_hash", "events_interval_union",
+    "events_longest_streak", "events_path_ngrams",
+    "events_props_key_census", "events_stickiness", "events_time_rollup",
+    "events_trailing_window", "events_train_test_split",
+    "events_type_dow_chisq", "events_user_bitmap", "lineitem_band_join",
+    "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_grouping_sets",
+    "lineitem_hist_quantile_sketch", "lineitem_late_dim",
+    "lineitem_pit_supplier", "lineitem_price_model",
+    "lineitem_profile_moments", "lineitem_running_total",
+    "lineitem_zorder", "multimodal_frame_sample",
+    "multimodal_gif_roundtrip", "multimodal_png16_roundtrip",
+    "multimodal_png_adam7_roundtrip", "multimodal_png_palette_roundtrip",
+    "orders_changelog", "orders_changelog_apply", "orders_constraints",
+    "orders_cube", "orders_merge_upsert", "supplier_scd2",
+    "token_cms_topk",
+    # -- backfill: 5 of the r09 cohort (alphabetical; remainder lands r14) --
+    "customer_record_linkage", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_semantic", "docs_bpe_encode",
 ]
 
 

@@ -1803,12 +1803,221 @@ ORDER BY stage_idx
 DOCS_PIPELINE_YIELD_FULL_SQL = _pipeline_yield_full_sql()
 
 
+# ===========================================================================
+# Checkpointable funnel: per-stage survivor parquet + resume
+# ===========================================================================
+
+_FUNNEL_FORMAT = 1
+_FUNNEL_STAGES = [
+    "raw", "exact_dedup", "near_dedup", "exact_substr",
+    "length_floor", "decontaminated",
+]
+
+
+def _funnel_path(sf_dir: str) -> str:
+    from ..operators import ann_index as ai
+
+    return ai.index_path(sf_dir) + "_funnel"
+
+
+def _funnel_stage_dir(path: str, idx: int) -> str:
+    return path.rstrip("/") + f"/s{idx}"
+
+
+def _funnel_stage_build(spark: SparkSession, sf_dir: str, path: str,
+                        idx: int) -> None:
+    """Compute stage ``idx``'s survivors (doc_id, n_tok) FROM the previous
+    stage's checkpoint parquet and write them to this stage's directory.
+    Each stage applies exactly the rule ``docs_pipeline_yield_full``
+    applies lazily — proven equal by the shared oracle and
+    ``tests/test_funnel_resume.py``."""
+    from .extensions import _LSH_MAX_BUCKET, _lsh_buckets_raw
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def prev_ids(i):
+        return spark.read.parquet(_funnel_stage_dir(path, i))
+
+    if idx == 1:
+        out = docs.select(
+            "doc_id", text.token_count(F.col("text")).alias("n_tok")
+        )
+    elif idx == 2:
+        prev = prev_ids(1)
+        fps = docs.join(prev.select("doc_id"), "doc_id").select(
+            "doc_id", text.fingerprint(F.col("text")).alias("fp")
+        )
+        w = Window.partitionBy("fp")
+        keep = (
+            fps.withColumn("m", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("m"))
+            .select("doc_id")
+        )
+        out = prev.join(keep, "doc_id")
+    elif idx == 3:
+        prev = prev_ids(2)
+        bk = _lsh_buckets_raw(spark, sf_dir).join(
+            prev.select("doc_id"), "doc_id"
+        )
+        bw = Window.partitionBy("band", "bkey")
+        bk = (
+            bk.withColumn("n_in_bucket", F.count(F.lit(1)).over(bw))
+            .filter(F.col("n_in_bucket") <= _LSH_MAX_BUCKET)
+            .select("doc_id", "band", "bkey")
+        )
+        drop = (
+            bk.alias("a")
+            .join(
+                bk.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        out = prev.join(drop, "doc_id", "left_anti")
+    elif idx == 4:
+        prev = prev_ids(3)
+        pair = (
+            docs.join(prev.select("doc_id"), "doc_id")
+            .select(
+                "doc_id",
+                F.explode(
+                    text.positional_kgrams(F.col("text"), _XSUB_K)
+                ).alias("gram"),
+            )
+            .select("doc_id", hashing.md5_int(F.col("gram")).alias("h"))
+            .groupBy("doc_id", "h")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
+        xs = (
+            pair.join(tot, "h")
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(0))
+                    / F.sum("c")
+                ).alias("dup_frac")
+            )
+        )
+        out = (
+            prev.join(xs, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("dup_frac"), F.lit(0.0)) <= _XSUB_YIELD_MAX
+            )
+            .select("doc_id", "n_tok")
+        )
+    elif idx == 5:
+        out = prev_ids(4).filter(F.col("n_tok") >= _YIELD_MIN_TOK)
+    elif idx == 6:
+        prev = prev_ids(5).filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        sh = F.explode(text.shingles(F.col("text"), _DECON_N)).alias("shingle")
+        eval_sh = (
+            docs.filter(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+            .select(sh)
+            .distinct()
+        )
+        contam = (
+            docs.join(prev.select("doc_id"), "doc_id")
+            .select("doc_id", sh)
+            .join(F.broadcast(eval_sh), "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        out = prev.join(contam, "doc_id", "left_anti")
+    else:  # pragma: no cover - bounded by _FUNNEL_STAGES
+        raise ValueError(f"funnel stage {idx} out of range")
+    out.write.mode("overwrite").parquet(_funnel_stage_dir(path, idx))
+
+
+def docs_pipeline_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_pipeline_yield_full`` with the checkpointing its docstring
+    promises made REAL: each stage materializes its survivor ids (+ token
+    counts) to parquet under the artifact root, a stage manifest records
+    completion AFTER each stage's write lands (the ``write_index``
+    manifest-last discipline, applied per stage), and a rerun RESUMES from
+    the first unrecorded stage — a run killed between stages repeats only
+    the interrupted stage, never the finished ones
+    (``tests/test_funnel_resume.py`` kills stage 4 and proves stages 1-3
+    are not recomputed).
+
+    The yield report is computed from the checkpoints alone, so it is
+    byte-identical to the one-shot lazy plan's (same oracle).  At 100 TB
+    this is the only deployable shape for a multi-day curation run: stage
+    boundaries are restart points, survivors are plain parquet any
+    downstream consumer can read, and a corpus change invalidates via the
+    same fingerprint manifest the index artifacts use."""
+    from ..operators import ann_index as ai
+    from ..operators import artifact_io
+    from .extensions import _cached_lsh_fingerprint
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    path = _funnel_path(sf_dir)
+    fp = _cached_lsh_fingerprint(spark, sf_dir, docs)
+    params = {
+        "xsub_k": _XSUB_K, "xsub_max": _XSUB_YIELD_MAX,
+        "min_tok": _YIELD_MIN_TOK, "decon_n": _DECON_N,
+        "eval_mod": _DECON_EVAL_MOD,
+    }
+    m = ai.read_manifest(path, spark=spark)
+    current = (
+        m is not None
+        and m.get("format") == _FUNNEL_FORMAT
+        and m.get("fingerprint") == fp
+        and all(m.get(k) == v for k, v in params.items())
+    )
+    if not current:
+        artifact_io.delete(path, recursive=True, spark=spark)
+        ai.write_manifest(
+            path,
+            {"format": _FUNNEL_FORMAT, "fingerprint": fp, **params,
+             "stages_done": []},
+            spark=spark,
+        )
+        m = ai.read_manifest(path, spark=spark)
+    done = set(m.get("stages_done", []))
+    for idx in range(1, len(_FUNNEL_STAGES) + 1):
+        if idx in done:
+            continue
+        _funnel_stage_build(spark, sf_dir, path, idx)
+        done.add(idx)
+        # durability point: recorded only after the stage parquet landed
+        ai.update_manifest(path, spark=spark, stages_done=sorted(done))
+
+    reports = [
+        spark.read.parquet(_funnel_stage_dir(path, idx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs", "n_tokens",
+        )
+        for idx, name in enumerate(_FUNNEL_STAGES, 1)
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")
+
+
 SPECS = [
     QuerySpec(
         "docs_pipeline_yield_full", docs_pipeline_yield_full,
         DOCS_PIPELINE_YIELD_FULL_SQL,
         "six-stage curation funnel: exact + MinHash-LSH + ExactSubstr "
         "dedup, length floor, decontamination — per-stage doc/token yields",
+    ),
+    QuerySpec(
+        "docs_pipeline_resumable", docs_pipeline_resumable,
+        DOCS_PIPELINE_YIELD_FULL_SQL,
+        "the funnel with REAL per-stage parquet checkpoints + stage "
+        "manifest: a killed run resumes from the last completed stage",
     ),
     QuerySpec(
         "docs_exact_substring_dedup", docs_exact_substring_dedup,

@@ -32,6 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # subplans across separately-submitted queries.  Materialize each once
 # per (application, fixture) — the in-session form of "write the
 # intermediate table once", which is what a 100 TB pipeline does on disk.
+# persist() (not localCheckpoint) keeps the build LAZY — plan-only
+# consumers (explain, PLANS.md, registry smoke) trigger no jobs — and
+# keeps LINEAGE, so executor loss during a long session recomputes the
+# lost blocks instead of failing the job.  The session-scoped cache is
+# also what stops re-invocations from stacking fresh persisted copies in
+# storage memory: every caller of the same (fixture, tag) shares ONE
+# persisted frame per application.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -40,7 +47,7 @@ def _session_table(spark: SparkSession, sf_dir: str, tag: str,
     app_id = spark.sparkContext.applicationId
     # only one SparkContext is live per process, so entries from any other
     # applicationId belong to a stopped session — drop them instead of
-    # pinning dead checkpoint references for process lifetime (long-lived
+    # pinning dead cache references for process lifetime (long-lived
     # multi-session processes such as test runners)
     stale = [k for k in _TABLE_CACHE if k[0] != app_id]
     for k in stale:
@@ -48,7 +55,7 @@ def _session_table(spark: SparkSession, sf_dir: str, tag: str,
     key = (app_id, sf_dir, tag)
     cached = _TABLE_CACHE.get(key)
     if cached is None:
-        cached = build().localCheckpoint()
+        cached = build().persist()
         _TABLE_CACHE[key] = cached
     return cached
 
@@ -652,35 +659,38 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells, so the pair of rows brackets the refine step's win."""
     # the gold top-k is consumed once per method row and each method's
     # pair frame feeds both its top-k branch and its count branch —
-    # persist the small frames (<= a few thousand rows) so the audit
-    # executes each candidate plan once, not once per consumer.  persist
-    # (not localCheckpoint) keeps the build LAZY — plan-only consumers
-    # (explain, PLANS.md, registry smoke) never run the brute-force scan
-    # — and keeps lineage, so a lost executor recomputes instead of
-    # failing the job.
-    gold = (
-        ann_bruteforce_topk(spark, sf_dir)
-        .select("query_id", "cand_id")
-        .persist()
+    # persist the small frames (<= a few thousand rows) via the session
+    # cache so the audit executes each candidate plan once, not once per
+    # consumer, AND re-invocations (bench warm-up + best-of-2, plan/scale
+    # sweeps) reuse the same persisted frames instead of stacking fresh
+    # copies in storage memory for the process lifetime.
+    gold = _session_table(
+        spark, sf_dir, "audit_gold",
+        lambda: ann_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "cand_id"
+        ),
     )
     (emb,) = _t(spark, sf_dir, "embeddings")
     n_corpus = emb.agg(F.count(F.lit(1)).alias("nc"))
     out = None
-    for method, pairs, order in (
-        ("ivf", _ivf_pairs(spark, sf_dir), F.col("cos_sim").desc()),
+    for method, pairs_build, order in (
+        ("ivf", lambda: _ivf_pairs(spark, sf_dir), F.col("cos_sim").desc()),
         # ivfpq probes the SAME cells as ivf but ranks by compressed ADC
         # distance — its recall delta vs the ivf row is exactly what the
         # 64x compression costs the SEARCH (distortion audit covers the
         # reconstruction side)
-        ("ivfpq", _ivf_pq_pairs(spark, sf_dir), F.col("adc_dist").asc()),
+        ("ivfpq", lambda: _ivf_pq_pairs(spark, sf_dir),
+         F.col("adc_dist").asc()),
         # the refine row's cand_frac counts RAW-vector reads (the refine
         # IO budget: _PQ_REFINE_R per query), not the ADC scan behind it
-        ("ivfpq_refine", _ivf_pq_refine_pairs(spark, sf_dir),
+        ("ivfpq_refine", lambda: _ivf_pq_refine_pairs(spark, sf_dir),
          F.col("cos_sim").desc()),
-        ("srp", _srp_multiprobe_pairs(spark, sf_dir),
+        ("srp", lambda: _srp_multiprobe_pairs(spark, sf_dir),
          F.col("cos_sim").desc()),
     ):
-        pairs = pairs.persist()
+        pairs = _session_table(
+            spark, sf_dir, f"audit_pairs_{method}", pairs_build
+        )
         w = Window.partitionBy("query_id").orderBy(order, F.col("cand_id"))
         top = (
             pairs.withColumn("rank", F.row_number().over(w))
@@ -7118,10 +7128,15 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value")).cast("long").alias("bucket"),
         F.when(F.col("ts") < split, 1).otherwise(0).alias("in_a"),
     )
-    cells = bucketed.groupBy("event_type", "bucket").agg(
-        F.sum("in_a").cast("bigint").alias("c_a"),
-        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("c_b"),
-    ).localCheckpoint()
+    # session-persisted (lazy, lineage kept): cells feed both the totals
+    # aggregate and the final join, so the raw-event scan runs once
+    cells = _session_table(
+        spark, sf_dir, "drift_cells",
+        lambda: bucketed.groupBy("event_type", "bucket").agg(
+            F.sum("in_a").cast("bigint").alias("c_a"),
+            F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("c_b"),
+        ),
+    )
     # totals re-aggregate FROM the cells (mergeable partials — the rollup
     # pattern), so raw events are scanned once, not once per aggregation
     totals = cells.groupBy("event_type").agg(

@@ -373,3 +373,25 @@ def test_ivf_pq_refine_shortlist_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert broadcast_join_count(df) >= 2
+
+
+def test_session_table_builds_are_lazy_no_jobs(spark):
+    """The shared-intermediate cache persists LAZILY (persist, never an
+    eager localCheckpoint): BUILDING a gate DataFrame backed by
+    _session_table — the LSH bucket table, the drift cell table — must
+    trigger zero Spark jobs.  Plan-only consumers (explain, PLANS.md,
+    registry smoke) pay nothing; only an action materializes."""
+    from datafusion_tpch_spark.queries import extensions as ext
+
+    sc = spark.sparkContext
+    # warm the fixture schemas so footer sniffing doesn't muddy the count
+    ext._t(spark, SF_DIR, "documents", "events")
+    ext._TABLE_CACHE.clear()
+    sc.setJobGroup("lazy-build-check", "plan-only build must run no jobs")
+    try:
+        ext.dedup_minhash_lsh(spark, SF_DIR)          # LSH bucket cache
+        ext.events_distribution_drift(spark, SF_DIR)  # drift cell cache
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-build-check")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"plan-only build ran jobs: {jobs}"

@@ -150,14 +150,16 @@ def main() -> None:
         os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     )
     only = set(sys.argv[2:])
-    if only and os.path.exists(ROWS_PATH) and not _load_sidecar(sf_dir):
-        # named-query mode REFINES an existing table; a silent sf_dir
-        # mismatch (trailing slash, relative path, different fixture)
-        # would overwrite hours of checkpointed rows with the subset
+    if only and not _load_sidecar(sf_dir):
+        # named-query mode REFINES an existing table; with no sidecar (or
+        # one from a different sf_dir — trailing slash, relative path,
+        # different fixture) the regenerated PERF.md would hold ONLY the
+        # named rows, silently replacing the full table
         raise SystemExit(
-            f"PERF_ROWS.json exists but holds rows for a different sf_dir "
-            f"than {sf_dir!r}; delete it first if you really want to "
-            f"re-measure the named queries at this fixture"
+            f"named-query mode needs an existing PERF_ROWS.json for "
+            f"{sf_dir!r} (it refines a complete table; a subset run must "
+            f"not replace it) — run a full pass first, or delete the "
+            f"sidecar and re-measure everything"
         )
     spark = build_session("perf-compare")
     spark.range(1).count()
