@@ -3979,6 +3979,11 @@ _EXIF_TAG_GPS_IFD = 0x8825
 # full offset-rewriting TIFF serializer): raise by name, never emit a
 # stream with dangling pointers
 _EXIF_POINTER_TAGS = {0x8769: "ExifIFD", 0xA005: "InteropIFD"}
+# IFD1 (thumbnail IFD) tags: compression scheme + the embedded JPEG's
+# absolute offset/length — the offset is what the scrub must RELOCATE
+_IFD1_TAG_COMPRESSION = 0x0103
+_IFD1_TAG_JPEG_IF = 0x0201
+_IFD1_TAG_JPEG_IF_LEN = 0x0202
 _GPS_TAG_LAT_REF = 0x0001
 _GPS_TAG_LAT = 0x0002
 _GPS_TAG_LON_REF = 0x0003
@@ -4023,15 +4028,35 @@ def _ifd_block(entries, base_off: int, next_off: int = 0) -> bytes:
     return bytes(table) + bytes(data)
 
 
+def _gps_ifd_entries(gps) -> list:
+    """(lat_ref, (deg, min, (sec_num, sec_den)), lon_ref, (...)) → GPS IFD
+    entries — degrees/minutes as exact rationals over 1, seconds as the
+    given rational, the layout real cameras write."""
+    lat_ref, lat_dms, lon_ref, lon_dms = gps
+
+    def dms(v):
+        d, m, (sn, sd) = v
+        return _exif_rationals([(d, 1), (m, 1), (sn, sd)])
+
+    return [
+        (_GPS_TAG_LAT_REF, 2, 2, _exif_ascii(lat_ref)),
+        (_GPS_TAG_LAT, 5, 3, dms(lat_dms)),
+        (_GPS_TAG_LON_REF, 2, 2, _exif_ascii(lon_ref)),
+        (_GPS_TAG_LON, 5, 3, dms(lon_dms)),
+    ]
+
+
 def encode_exif_app1(*, make: str | None = None, model: str | None = None,
                      orientation: int | None = None,
                      taken_at: str | None = None,
-                     gps=None) -> bytes:
+                     gps=None, thumbnail: bytes | None = None,
+                     thumb_gps=None) -> bytes:
     """APP1 body ("Exif\\0\\0" + little-endian TIFF) with IFD0
     Make/Model/Orientation/DateTime and, when ``gps`` is given, a GPS IFD.
-    ``gps`` = (lat_ref, (deg, min, (sec_num, sec_den)), lon_ref, (...)) —
-    degrees/minutes as exact rationals over 1, seconds as the given
-    rational, the layout real cameras write."""
+    With ``thumbnail`` given, IFD0 chains to a real IFD1 (thumbnail IFD:
+    Compression=6 + JPEGInterchangeFormat/Length pointing at the embedded
+    bytes), optionally with ITS OWN GPS IFD (``thumb_gps``) — the layout
+    real camera JPEGs carry and the scrub must relocate."""
     ifd0 = []
     if make is not None:
         b = _exif_ascii(make)
@@ -4047,25 +4072,40 @@ def encode_exif_app1(*, make: str | None = None, model: str | None = None,
         ifd0.append((_EXIF_TAG_DATETIME, 2, len(b), b))
     gps_block = b""
     if gps is not None:
-        lat_ref, lat_dms, lon_ref, lon_dms = gps
-
-        def dms(v):
-            d, m, (sn, sd) = v
-            return _exif_rationals([(d, 1), (m, 1), (sn, sd)])
-
-        gps_entries = [
-            (_GPS_TAG_LAT_REF, 2, 2, _exif_ascii(lat_ref)),
-            (_GPS_TAG_LAT, 5, 3, dms(lat_dms)),
-            (_GPS_TAG_LON_REF, 2, 2, _exif_ascii(lon_ref)),
-            (_GPS_TAG_LON, 5, 3, dms(lon_dms)),
-        ]
         with_ptr = ifd0 + [(_EXIF_TAG_GPS_IFD, 4, 1, b"\0\0\0\0")]
         gps_off = 8 + _ifd_block_size(with_ptr)
         ifd0.append((_EXIF_TAG_GPS_IFD, 4, 1,
                      gps_off.to_bytes(4, "little")))
-        gps_block = _ifd_block(gps_entries, gps_off)
+        gps_block = _ifd_block(_gps_ifd_entries(gps), gps_off)
+    ifd1_block = b""
+    thumb_bytes = b""
+    ifd1_off = 0
+    if thumbnail is not None:
+        ifd1_off = 8 + _ifd_block_size(ifd0) + len(gps_block)
+        ifd1 = [
+            (_IFD1_TAG_COMPRESSION, 3, 1, (6).to_bytes(2, "little")),
+            (_IFD1_TAG_JPEG_IF, 4, 1, b"\0\0\0\0"),  # offset patched below
+            (_IFD1_TAG_JPEG_IF_LEN, 4, 1,
+             len(thumbnail).to_bytes(4, "little")),
+        ]
+        tgps_block = b""
+        if thumb_gps is not None:
+            with_ptr1 = ifd1 + [(_EXIF_TAG_GPS_IFD, 4, 1, b"\0\0\0\0")]
+            tgps_off = ifd1_off + _ifd_block_size(with_ptr1)
+            ifd1.append((_EXIF_TAG_GPS_IFD, 4, 1,
+                         tgps_off.to_bytes(4, "little")))
+            tgps_block = _ifd_block(_gps_ifd_entries(thumb_gps), tgps_off)
+        thumb_off = ifd1_off + _ifd_block_size(ifd1) + len(tgps_block)
+        ifd1 = [
+            (t, ty, c,
+             thumb_off.to_bytes(4, "little") if t == _IFD1_TAG_JPEG_IF else p)
+            for t, ty, c, p in ifd1
+        ]
+        ifd1_block = _ifd_block(ifd1, ifd1_off) + tgps_block
+        thumb_bytes = bytes(thumbnail)
     tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
-            + _ifd_block(ifd0, 8) + gps_block)
+            + _ifd_block(ifd0, 8, next_off=ifd1_off) + gps_block
+            + ifd1_block + thumb_bytes)
     return b"Exif\x00\x00" + tiff
 
 
@@ -4229,6 +4269,63 @@ def parse_exif(content: bytes) -> dict | None:
         return None
 
 
+def _ifd1_view(tiff: bytes, ifd0_off: int, bo: str):
+    """(ifd1_entries|None, thumbnail_bytes) — follows IFD0's next-IFD
+    pointer; ValueError on truncation, None when IFD0 is terminal.
+    Thumbnail bytes resolved from JPEGInterchangeFormat/Length when both
+    are present and in-bounds (else b"")."""
+    n0 = int.from_bytes(tiff[ifd0_off:ifd0_off + 2], bo)
+    next_pos = ifd0_off + 2 + 12 * n0
+    if next_pos + 4 > len(tiff):
+        raise ValueError("EXIF: truncated IFD0 next pointer")
+    next_off = int.from_bytes(tiff[next_pos:next_pos + 4], bo)
+    if next_off == 0:
+        return None, b""
+    ifd1 = _ifd_entries(tiff, next_off, bo)
+    thumb = b""
+    if _IFD1_TAG_JPEG_IF in ifd1 and _IFD1_TAG_JPEG_IF_LEN in ifd1:
+        t_typ, _, t_raw = ifd1[_IFD1_TAG_JPEG_IF]
+        l_typ, _, l_raw = ifd1[_IFD1_TAG_JPEG_IF_LEN]
+        if t_typ == 4 and l_typ == 4 and len(t_raw) == 4 and len(l_raw) == 4:
+            toff = int.from_bytes(t_raw, bo)
+            tlen = int.from_bytes(l_raw, bo)
+            if toff + tlen > len(tiff):
+                raise ValueError("EXIF: thumbnail bytes out of bounds")
+            thumb = tiff[toff:toff + tlen]
+    # IFD1's own next pointer (an IFD2 chain) is the caller's concern
+    return ifd1, thumb
+
+
+def parse_exif_ifd1(content: bytes) -> dict | None:
+    """Thumbnail-IFD view of an EXIF stream: compression, whether IFD1
+    carries its own GPS pointer, and the embedded thumbnail bytes.  None
+    for absent/malformed EXIF or a terminal IFD0."""
+    buf = bytes(content)
+    try:
+        found = _find_exif_app1(buf)
+        if found is None:
+            return None
+        tiff = found[2]
+        if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+            return None
+        bo = "little" if tiff[:2] == b"II" else "big"
+        if int.from_bytes(tiff[2:4], bo) != 42:
+            return None
+        ifd0_off = int.from_bytes(tiff[4:8], bo)
+        _ifd_entries(tiff, ifd0_off, bo)  # bounds-validate IFD0
+        ifd1, thumb = _ifd1_view(tiff, ifd0_off, bo)
+        if ifd1 is None:
+            return None
+        return {
+            "compression": _exif_short(ifd1[_IFD1_TAG_COMPRESSION], bo)
+            if _IFD1_TAG_COMPRESSION in ifd1 else None,
+            "has_gps": _EXIF_TAG_GPS_IFD in ifd1,
+            "thumbnail": thumb,
+        }
+    except ValueError:
+        return None
+
+
 def _le_raw(typ: int, cnt: int, raw: bytes, bo: str) -> bytes:
     """Re-emit a parsed value payload little-endian (identity when the
     source TIFF was already II)."""
@@ -4242,10 +4339,14 @@ def _le_raw(typ: int, cnt: int, raw: bytes, bo: str) -> bytes:
 
 
 def strip_gps_exif(content: bytes) -> bytes:
-    """PII scrub: rebuild the APP1 without the GPS IFD (pointer entry AND
-    the pointed-to block), preserving every other IFD0 tag.  Byte-identical
-    passthrough when there is no parseable EXIF or no GPS; raises by name
-    on nested pointer tags the rebuild cannot relocate."""
+    """PII scrub: rebuild the APP1 without GPS IFDs — the pointer entries
+    AND the pointed-to blocks, WHEREVER they appear (IFD0 and the chained
+    IFD1 thumbnail IFD; real camera thumbnails sometimes carry their own
+    GPS) — preserving every other tag and RELOCATING the embedded
+    thumbnail bytes with a corrected JPEGInterchangeFormat offset.
+    Byte-identical passthrough when there is no parseable EXIF or no GPS
+    anywhere; raises by name on nested pointer tags (ExifIFD/InteropIFD,
+    whose sub-structure can hold further offsets) and on an IFD2 chain."""
     buf = bytes(content)
     try:
         found = _find_exif_app1(buf)
@@ -4262,33 +4363,60 @@ def strip_gps_exif(content: bytes) -> bytes:
     ifd0_off = int.from_bytes(tiff[4:8], bo)
     try:
         ifd0 = _ifd_entries(tiff, ifd0_off, bo)
+        ifd1, thumb = _ifd1_view(tiff, ifd0_off, bo)
     except ValueError:
         return buf
-    if _EXIF_TAG_GPS_IFD not in ifd0:
+    if (_EXIF_TAG_GPS_IFD not in ifd0
+            and (ifd1 is None or _EXIF_TAG_GPS_IFD not in ifd1)):
         return buf
-    for tag, name in _EXIF_POINTER_TAGS.items():
-        if tag in ifd0:
-            raise NotImplementedError(
-                f"EXIF scrub: cannot relocate nested {name} pointer (tag 0x{tag:04X})"
-            )
-    # chained IFD1 (thumbnail IFD): same relocation problem as the nested
-    # pointers — refuse by name rather than silently dropping the chain.
-    # Entry count read from the table itself (the parsed dict collapses
-    # duplicate tags, so len() could undercount)
-    n_entries = int.from_bytes(tiff[ifd0_off:ifd0_off + 2], bo)
-    next_pos = ifd0_off + 2 + 12 * n_entries
-    if (next_pos + 4 <= len(tiff)
-            and int.from_bytes(tiff[next_pos:next_pos + 4], bo) != 0):
-        raise NotImplementedError(
-            "EXIF scrub: cannot relocate chained IFD1 (thumbnail IFD)"
+    for entries in (ifd0,) if ifd1 is None else (ifd0, ifd1):
+        for tag, name in _EXIF_POINTER_TAGS.items():
+            if tag in entries:
+                raise NotImplementedError(
+                    f"EXIF scrub: cannot relocate nested {name} pointer "
+                    f"(tag 0x{tag:04X})"
+                )
+    if ifd1 is not None:
+        # IFD1 chaining further (an IFD2): refuse by name rather than
+        # silently dropping the chain.  Entry count read from the table
+        # itself (the parsed dict collapses duplicate tags)
+        n0 = int.from_bytes(tiff[ifd0_off:ifd0_off + 2], bo)
+        ifd1_off = int.from_bytes(
+            tiff[ifd0_off + 2 + 12 * n0:ifd0_off + 2 + 12 * n0 + 4], bo
         )
-    kept = [
+        n1 = int.from_bytes(tiff[ifd1_off:ifd1_off + 2], bo)
+        next1 = ifd1_off + 2 + 12 * n1
+        if (next1 + 4 <= len(tiff)
+                and int.from_bytes(tiff[next1:next1 + 4], bo) != 0):
+            raise NotImplementedError(
+                "EXIF scrub: cannot relocate chained IFD2"
+            )
+    kept0 = [
         (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
         for tag, (typ, cnt, raw) in sorted(ifd0.items())
         if tag != _EXIF_TAG_GPS_IFD
     ]
-    new_tiff = (b"II" + (42).to_bytes(2, "little")
-                + (8).to_bytes(4, "little") + _ifd_block(kept, 8))
+    if ifd1 is None:
+        new_tiff = (b"II" + (42).to_bytes(2, "little")
+                    + (8).to_bytes(4, "little") + _ifd_block(kept0, 8))
+    else:
+        kept1 = [
+            (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
+            for tag, (typ, cnt, raw) in sorted(ifd1.items())
+            if tag != _EXIF_TAG_GPS_IFD
+        ]
+        new_ifd1_off = 8 + _ifd_block_size(kept0)
+        new_thumb_off = new_ifd1_off + _ifd_block_size(kept1)
+        kept1 = [
+            (tag, typ, cnt,
+             new_thumb_off.to_bytes(4, "little")
+             if tag == _IFD1_TAG_JPEG_IF else payload)
+            for tag, typ, cnt, payload in kept1
+        ]
+        new_tiff = (b"II" + (42).to_bytes(2, "little")
+                    + (8).to_bytes(4, "little")
+                    + _ifd_block(kept0, 8, next_off=new_ifd1_off)
+                    + _ifd_block(kept1, new_ifd1_off) + thumb)
     return (buf[:seg_start] + _seg(0xE1, b"Exif\x00\x00" + new_tiff)
             + buf[seg_end:])
 
@@ -4433,6 +4561,125 @@ def gps_scrub_verdicts(assets: DataFrame) -> DataFrame:
         "orientation_kept boolean, taken_at_kept boolean, "
         "raster_intact boolean, bytes_removed int",
     )
+
+
+# -- thumbnail-IFD (IFD1) scrub fixture + kernel ------------------------------
+
+# one GPS IFD costs exactly 114 bytes: the 12-byte pointer entry + a
+# 102-byte block (2 count + 4x12 entries + 4 next + 2x24 rational data);
+# the scrub's shrinkage is 114 per GPS IFD removed, wherever it lived
+_EXIF_GPS_IFD_BYTES = 114
+_THUMB_LEN = 48
+
+
+def _thumb_fixture_meta(doc_id: int):
+    """Closed-form per-doc thumbnail metadata the oracle replays: no EXIF
+    at all when id%7==0; otherwise an IFD1 with a {n}-byte embedded
+    thumbnail, a primary GPS IFD when id%3!=0, and a THUMBNAIL GPS IFD
+    when id%2==0 — so the gate proves the scrub fires on head-only,
+    thumb-only, both, and neither."""
+    if doc_id % 7 == 0:
+        return None
+    gps = None
+    if doc_id % 3 != 0:
+        gps = ("N" if doc_id % 2 == 0 else "S",
+               (doc_id % 90, (doc_id * 3) % 60, ((doc_id * 7) % 6000, 100)),
+               "E" if (doc_id // 2) % 2 == 0 else "W",
+               (doc_id % 180, (doc_id * 5) % 60, ((doc_id * 11) % 6000, 100)))
+    tgps = None
+    if doc_id % 2 == 0:
+        tgps = ("S", (doc_id % 45, (doc_id * 7) % 60, ((doc_id * 13) % 6000, 100)),
+                "W", (doc_id % 90, (doc_id * 9) % 60, ((doc_id * 17) % 6000, 100)))
+    thumb = bytes(
+        int(x) for x in
+        (doc_id * _EXIF_PX_K + np.arange(_THUMB_LEN, dtype=np.int64)) % 256
+    )
+    return {"gps": gps, "tgps": tgps, "thumb": thumb}
+
+
+_thumb_fixture_meta.__doc__ = (_thumb_fixture_meta.__doc__ or "").format(
+    n=_THUMB_LEN
+)
+
+
+def documents_as_thumb_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Per document: a baseline JPEG whose APP1 chains IFD0 → IFD1 with an
+    embedded thumbnail payload — the real camera layout — per
+    ``_thumb_fixture_meta``'s closed-form GPS placement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                v = (aid * _EXIF_PX_K + np.arange(64, dtype=np.int64)) % 256
+                blob = encode_jpeg(v.astype(np.uint8).reshape(8, 8))
+                meta = _thumb_fixture_meta(aid)
+                if meta is not None:
+                    blob = insert_app1(blob, encode_exif_app1(
+                        make="CamCo", orientation=1 + aid % 8,
+                        gps=meta["gps"], thumbnail=meta["thumb"],
+                        thumb_gps=meta["tgps"],
+                    ))
+                out.append((aid, "image", "image/jpeg", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def thumb_scrub_verdicts(assets: DataFrame) -> DataFrame:
+    """Scrub + verify fused in one kernel, thumbnail-aware: strip GPS from
+    BOTH IFDs, then prove per image that no GPS survives anywhere, the
+    relocated thumbnail bytes are intact, the pixels are bit-identical,
+    and the shrinkage is exactly {b} bytes per GPS IFD removed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.content)
+                before0 = parse_exif(blob)
+                before1 = parse_exif_ifd1(blob)
+                scrubbed = strip_gps_exif(blob)
+                after0 = parse_exif(scrubbed)
+                after1 = parse_exif_ifd1(scrubbed)
+                had_gps0 = (before0 is not None
+                            and before0["lat_dd"] is not None)
+                had_tgps = before1 is not None and before1["has_gps"]
+                gps_after = (
+                    (after0 is not None and after0["lat_dd"] is not None)
+                    or (after1 is not None and after1["has_gps"])
+                )
+                thumb_kept = (before1 is None and after1 is None) or (
+                    before1 is not None and after1 is not None
+                    and after1["thumbnail"] == before1["thumbnail"]
+                )
+                intact = bool(np.array_equal(decode_jpeg(blob),
+                                             decode_jpeg(scrubbed)))
+                out.append((int(row.asset_id), before0 is not None,
+                            had_gps0, had_tgps, gps_after, thumb_kept,
+                            intact, len(blob) - len(scrubbed)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "had_exif", "had_gps", "had_thumb_gps",
+                              "gps_after", "thumb_kept", "raster_intact",
+                              "bytes_removed"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "doc_id long, had_exif boolean, had_gps boolean, "
+        "had_thumb_gps boolean, gps_after boolean, thumb_kept boolean, "
+        "raster_intact boolean, bytes_removed int",
+    )
+
+
+thumb_scrub_verdicts.__doc__ = (thumb_scrub_verdicts.__doc__ or "").format(
+    b=_EXIF_GPS_IFD_BYTES
+)
 
 
 # -- orientation-invariant dedup ---------------------------------------------

@@ -5541,6 +5541,47 @@ ORDER BY doc_id
 """
 
 
+def multimodal_exif_thumb_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-aware GPS scrub — the blind spot a head-IFD-only scrubber
+    has: real camera JPEGs chain IFD0 to an IFD1 (thumbnail IFD) that can
+    carry ITS OWN GPS IFD, and the embedded thumbnail bytes live at an
+    absolute TIFF offset the rebuild must RELOCATE.  The fixture places
+    GPS in the head IFD (id%3!=0), the thumbnail IFD (id%2==0), both, or
+    neither; one Arrow kernel scrubs and proves per image: no GPS survives
+    in EITHER IFD, the relocated thumbnail is byte-identical, pixels are
+    untouched, and the shrinkage is exactly 114 bytes PER GPS IFD removed
+    (pointer entry + block — same constant as the head-only gate, counted
+    per occurrence).  Verification rides the scrub's kernel pass; at
+    100 TB the audit is free."""
+    from ..operators.multimodal import (
+        documents_as_thumb_jpeg_assets,
+        thumb_scrub_verdicts,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return thumb_scrub_verdicts(
+        documents_as_thumb_jpeg_assets(docs)
+    ).orderBy("doc_id")
+
+
+_EXIF_TGPS = f"({_EXIF_HAS} AND doc_id % 2 = 0)"
+
+MULTIMODAL_EXIF_THUMB_SCRUB_SQL = f"""
+SELECT doc_id,
+       {_EXIF_HAS} AS had_exif,
+       {_EXIF_GPS} AS had_gps,
+       {_EXIF_TGPS} AS had_thumb_gps,
+       FALSE AS gps_after,
+       TRUE AS thumb_kept,
+       TRUE AS raster_intact,
+       CAST(114 * (CASE WHEN {_EXIF_GPS} THEN 1 ELSE 0 END
+                   + CASE WHEN {_EXIF_TGPS} THEN 1 ELSE 0 END)
+            AS INTEGER) AS bytes_removed
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def multimodal_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORIENTATION-INVARIANT image dedup — the duplicate class EXIF metadata
     creates and pixel hashing alone cannot close: cameras store the same
@@ -7753,6 +7794,9 @@ SPECS: list[QuerySpec] = [
               MULTIMODAL_EXIF_CENSUS_SQL,
               "EXIF/APP1 metadata census: byte-level TIFF IFD parse, "
               "GPS decimal degrees, absent/partial cohorts"),
+    QuerySpec("multimodal_exif_thumb_scrub", multimodal_exif_thumb_scrub,
+              MULTIMODAL_EXIF_THUMB_SCRUB_SQL,
+              "thumbnail-IFD-aware GPS scrub: IFD1 relocated, GPS gone from both IFDs"),
     QuerySpec("multimodal_exif_gps_scrub", multimodal_exif_gps_scrub,
               MULTIMODAL_EXIF_GPS_SCRUB_SQL,
               "GPS PII scrub with fused in-plan proof: GPS gone, EXIF kept, "

@@ -1759,7 +1759,97 @@ def test_orientation_dedup_groups_span_orientations(spark):
     assert {r.orientation for r in rows} == set(range(1, 9))
 
 
-def test_exif_scrub_refuses_chained_ifd1_by_name():
+_TGPS = ("N", (10, 20, (3000, 100)), "W", (30, 40, (1500, 100)))
+_TGPS2 = ("S", (45, 5, (100, 100)), "E", (90, 10, (200, 100)))
+
+
+def test_exif_ifd1_thumbnail_roundtrip():
+    """encode → parse of a real thumbnail IFD: IFD0 chains to an IFD1
+    whose JPEGInterchangeFormat/Length resolve the embedded bytes; IFD0
+    parsing is unaffected by the chain."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        encode_exif_app1,
+        insert_app1,
+        parse_exif,
+        parse_exif_ifd1,
+    )
+
+    thumb = bytes(range(256)) * 3  # stand-in embedded JPEG payload
+    blob = insert_app1(_exif_jpeg(0), encode_exif_app1(
+        make="CamCo", orientation=6, gps=_TGPS,
+        thumbnail=thumb, thumb_gps=_TGPS2,
+    ))
+    m = parse_exif(blob)
+    assert m["make"] == "CamCo" and m["orientation"] == 6
+    assert m["lat_dd"] is not None
+    t = parse_exif_ifd1(blob)
+    assert t is not None
+    assert t["compression"] == 6
+    assert t["has_gps"] is True
+    assert t["thumbnail"] == thumb
+    # no IFD1 -> None, not a fabricated dict
+    plain = insert_app1(_exif_jpeg(1), encode_exif_app1(make="CamCo"))
+    assert parse_exif_ifd1(plain) is None
+
+
+def test_exif_scrub_relocates_ifd1_and_scrubs_its_gps():
+    """The scrub must remove GPS WHEREVER it appears (IFD0 and the
+    thumbnail IFD), relocate the thumbnail bytes with a corrected offset,
+    keep every other tag, and leave the pixels bit-identical."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_exif_app1,
+        insert_app1,
+        parse_exif,
+        parse_exif_ifd1,
+        strip_gps_exif,
+    )
+
+    thumb = b"\xffthumb-bytes\x00" * 17
+    base = _exif_jpeg(2)
+    blob = insert_app1(base, encode_exif_app1(
+        make="CamCo", model="M1", orientation=8,
+        taken_at="2024:01:02 03:04:05", gps=_TGPS,
+        thumbnail=thumb, thumb_gps=_TGPS2,
+    ))
+    scrubbed = strip_gps_exif(blob)
+    assert len(scrubbed) < len(blob)
+    m = parse_exif(scrubbed)
+    assert m["lat_dd"] is None and m["lon_dd"] is None
+    assert m["make"] == "CamCo" and m["model"] == "M1"
+    assert m["orientation"] == 8 and m["taken_at"] == "2024:01:02 03:04:05"
+    t = parse_exif_ifd1(scrubbed)
+    assert t is not None and t["has_gps"] is False
+    assert t["compression"] == 6
+    assert t["thumbnail"] == thumb  # relocated, not dropped or corrupted
+    assert (decode_jpeg(scrubbed) == decode_jpeg(blob)).all()
+    # idempotent: a GPS-free stream (even with IFD1) passes through
+    assert strip_gps_exif(scrubbed) == scrubbed
+
+
+def test_exif_scrub_fires_on_ifd1_only_gps():
+    """GPS carried ONLY by the thumbnail IFD (IFD0 clean) must still
+    trigger the scrub — the blind spot a head-IFD-only scrubber has."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        encode_exif_app1,
+        insert_app1,
+        parse_exif_ifd1,
+        strip_gps_exif,
+    )
+
+    thumb = b"T" * 99
+    blob = insert_app1(_exif_jpeg(3), encode_exif_app1(
+        make="CamCo", orientation=3,
+        thumbnail=thumb, thumb_gps=_TGPS2,
+    ))
+    assert parse_exif_ifd1(blob)["has_gps"] is True
+    scrubbed = strip_gps_exif(blob)
+    assert scrubbed != blob
+    t = parse_exif_ifd1(scrubbed)
+    assert t["has_gps"] is False and t["thumbnail"] == thumb
+
+
+def test_exif_scrub_refuses_chained_ifd2_by_name():
     import pytest
 
     from datafusion_tpch_spark.operators.multimodal import (
@@ -1768,20 +1858,27 @@ def test_exif_scrub_refuses_chained_ifd1_by_name():
         strip_gps_exif,
     )
 
-    # IFD0 (orientation + GPS pointer) whose next-IFD offset chains to an
-    # IFD1: the rebuild cannot relocate the chain, so it must refuse
+    # IFD0 (orientation + GPS pointer) -> IFD1 -> IFD2: the rebuild
+    # relocates one thumbnail IFD, not an arbitrary chain — refuse
     ifd0_entries = [
         (0x0112, 3, 1, (1).to_bytes(2, "little")),
         (0x8825, 4, 1, (60).to_bytes(4, "little")),
     ]
-    ifd1 = _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 80)
+    ifd1 = bytearray(
+        _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 80)
+    )
+    ifd1[-4:] = (102).to_bytes(4, "little")  # next-IFD pointer -> IFD2
+    ifd2 = _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 102)
     ifd0 = bytearray(_ifd_block(ifd0_entries, 8))
     ifd0[-4:] = (80).to_bytes(4, "little")  # next-IFD pointer -> IFD1
     gps = _ifd_block([(0x0001, 2, 2, b"N\0")], 60)
+    # lay blocks at the offsets the pointers claim: ifd0 @8 (30 B),
+    # gps @60 (18 B), ifd1 @80 (18 B), ifd2 @102 (18 B)
     tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
-            + bytes(ifd0) + gps + ifd1)
+            + bytes(ifd0) + b"\0" * (60 - 38) + gps + b"\0" * (80 - 78)
+            + bytes(ifd1) + b"\0" * (102 - 98) + ifd2)
     blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
-    with pytest.raises(NotImplementedError, match="IFD1"):
+    with pytest.raises(NotImplementedError, match="IFD2"):
         strip_gps_exif(blob)
 
 
