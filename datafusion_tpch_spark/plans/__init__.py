@@ -11,9 +11,11 @@ by tools/plan_audit.py (writes PLANS.md).
 from .audit import (  # noqa: F401
     audit,
     broadcast_join_count,
+    cached_build_exchange_count,
     exchange_count,
     plan_string,
     pushed_filters,
     scan_columns,
+    strip_cached_subtrees,
     unbounded_global_windows,
 )

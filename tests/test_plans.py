@@ -77,6 +77,10 @@ def test_ngram_jaccard_hot_shingle_cap_in_plan(spark):
         _shingle_set,
     )
 
+    # audit the BUILD plan: if an earlier test materialized the session-
+    # cached twin, the CacheManager would substitute InMemoryTableScan for
+    # this identical plan and hide the pre-checkpoint shape
+    spark.catalog.clearCache()
     plan = plan_string(_shingle_set(spark, SF_DIR, checkpoint=False))
     assert "LeftAnti" in plan, plan
     assert f"> {_SHINGLE_MAX_DF}" in plan, plan
@@ -92,6 +96,7 @@ def test_minhash_lsh_hot_bucket_cap_in_plan(spark):
         _lsh_buckets,
     )
 
+    spark.catalog.clearCache()  # see the shingle-cap test's note
     plan = plan_string(_lsh_buckets(spark, SF_DIR, checkpoint=False))
     assert "Window" in plan, plan
     assert f"<= {_LSH_MAX_BUCKET}" in plan, plan
@@ -110,13 +115,14 @@ def test_pairwise_cosine_no_driver_materialization(spark):
 
 
 def test_semantic_pair_pipeline_plan(spark):
-    """dedup_semantic's pre-materialization pipeline (the plan PLANS.md
-    can't see past the shared localCheckpoint) must be the fused bucket
-    kernel: posexplode of band buckets into one FlatMapGroupsInPandas —
-    no corpus broadcast, no driver materialization."""
+    """dedup_semantic's pre-materialization pipeline (the build plan the
+    shared persist() amortizes) must be the fused bucket kernel:
+    posexplode of band buckets into one FlatMapGroupsInPandas — no corpus
+    broadcast, no driver materialization."""
     from datafusion_tpch_spark.plans import plan_string
     from datafusion_tpch_spark.queries.extensions import _sem_pairs_plan
 
+    spark.catalog.clearCache()  # see the shingle-cap test's note
     plan = plan_string(_sem_pairs_plan(spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Broadcast" not in plan, plan
@@ -313,6 +319,14 @@ def test_perceptual_dedup_gates_group_join_broadcasts(spark):
     join must broadcast the (small, signature-width) group table and
     never sort-merge; the whole plan is kernel pass + one aggregation +
     that broadcast join."""
+    from datafusion_tpch_spark.plans import strip_cached_subtrees
+    from datafusion_tpch_spark.queries import extensions as ext
+
+    # audit the from-scratch plan: depending on test order the signature
+    # tables may already be session-persisted, and the CacheManager would
+    # splice differently-shaped InMemoryTableScan trees into the audit
+    spark.catalog.clearCache()
+    ext._TABLE_CACHE.clear()
     for name in (
         "multimodal_cross_codec_dedup",
         "multimodal_audio_fp_dedup",
@@ -320,7 +334,9 @@ def test_perceptual_dedup_gates_group_join_broadcasts(spark):
         "multimodal_scale_invariant_dedup",
     ):
         df = _build(spark, name)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = strip_cached_subtrees(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
         assert "SortMergeJoin" not in plan, name
         assert broadcast_join_count(df) >= 1, name
         assert exchange_count(df) <= 3, (name, exchange_count(df))
