@@ -87,6 +87,10 @@ HEADLINE = [
     # r12 gates are members of already-represented families, and the
     # printed line must stay safely inside the driver's 2000-char tail)
     "docs_pipeline_yield_full",
+    # round-13 representative: the persisted-LSH admission serve (the
+    # other r13 gates — resumable funnel, thumb scrub, durable stream —
+    # are members of already-represented families)
+    "dedup_persisted_lsh",
 ]
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -856,6 +856,111 @@ def docs_dedup_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.orderBy("doc_id")
 
 
+def dedup_persisted_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``docs_dedup_ingest_stream`` with the crawl state moved to STORAGE —
+    the full durable admission loop: the corpus's LSH bucket MEMBERSHIP
+    (doc_id, band, bkey) is persisted band-partitioned with a fingerprint
+    manifest (``operators/lsh_index.py``); each incoming micro-batch is
+    hashed, admitted, its VERDICTS appended to a ``verdicts/`` parquet
+    table, and the ADMITTED docs' membership appended into the index's
+    band directories — so the stored index reflects the post-crawl corpus
+    for the next build cycle; ``ingested`` is marked in the manifest only
+    after the stream completes, so a killed ingest rebuilds instead of
+    serving half-appended state.  A fresh session serves the verdict table
+    (and the grown index) from the artifacts alone, with hashing AND
+    streaming forcibly disabled (``tests/test_lsh_index.py``).
+
+    The ADMISSION CONTRACT matches ``dedup_incremental_lsh`` exactly:
+    verdicts score against the corpus-capped cells only, so they are
+    provably independent of how the crawl is cut into batches and share
+    the batch gate's oracle — durability changes the state's lifetime,
+    not its answers.  At 100 TB: per batch, hash + one semi-join whose
+    build side is the (tiny) cell table + two cell-keyed parquet appends;
+    the corpus is never rehashed or reshuffled."""
+    from ..operators import ann_index as ai
+    from ..operators import artifact_io
+    from ..operators import lsh_index as li
+    from ..catalog import load_table
+    from ..streaming.maintenance import admit_batch, run_foreach_batch
+    from .extensions import (
+        _INCR_SPLIT,
+        _LSH_MAX_BUCKET,
+        _MH_BANDS,
+        _MH_ROWS,
+        _buckets_of,
+        _cached_lsh_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = li.lsh_index_path(sf_dir) + "_ingest"
+    verd_dir = path.rstrip("/") + "/verdicts"
+    cells_dir = path.rstrip("/") + "/cells"
+    fp = _cached_lsh_fingerprint(spark, sf_dir, docs)
+    params = {"variant": "ingest", "bands": _MH_BANDS, "rows": _MH_ROWS,
+              "split": _INCR_SPLIT}
+    if not li.lsh_index_is_current(path, fp, {**params, "ingested": True},
+                                   spark=spark):
+        artifact_io.delete(path, recursive=True, spark=spark)
+        membership = _buckets_of(
+            docs.filter(F.col("doc_id") < _INCR_SPLIT)
+        ).select("doc_id", "band", "bkey",
+                 F.lit(False).alias("from_stream"))
+        li.write_lsh_index(membership, path, fp, params)
+        # the admission index: corpus-capped cells DERIVED FROM THE STORED
+        # membership (what a fresh build job would read back), shared by
+        # every micro-batch
+        corpus_cells = (
+            li.load_lsh_cells(spark, path)
+            .filter(~F.col("from_stream"))
+            .groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
+            .select("band", "bkey")
+            .persist()
+        )
+        # verdicts table seeded EMPTY so an empty incoming slice still
+        # leaves a readable (zero-row) parquet table
+        spark.createDataFrame(
+            [], "doc_id bigint, n_hit_buckets bigint, kept boolean"
+        ).write.mode("overwrite").parquet(verd_dir)
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            bb = _buckets_of(batch_df)
+            v = admit_batch(bb, batch_df.select("doc_id"), corpus_cells)
+            v.write.mode("append").parquet(verd_dir)
+            (
+                bb.join(v.filter(F.col("kept")).select("doc_id"), "doc_id")
+                .select("doc_id", "band", "bkey",
+                        F.lit(True).alias("from_stream"))
+                .write.mode("append").partitionBy("band").parquet(cells_dir)
+            )
+
+        layout = _docs_incoming_layout(spark, sf_dir)
+        schema = spark.read.parquet(layout).schema
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(layout)
+        )
+        run_foreach_batch(spark, feed, apply_batch,
+                          "dedup_persisted_ingest_stream")
+        corpus_cells.unpersist()
+        ai.update_manifest(path, spark=spark, ingested=True)  # LAST
+
+    # serve session: the verdict table from the artifacts alone
+    return (
+        spark.read.parquet(verd_dir)
+        .select(
+            "doc_id",
+            F.col("n_hit_buckets").cast("bigint").alias("n_hit_buckets"),
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Maintained per-(cell, dim) IVF occupancy, same session-cache contract;
 # the cached value also carries the centroid list the finalize rollup
 # compares against: (occupancy DataFrame, n_batches, centroids).
@@ -1544,6 +1649,13 @@ SPECS: list[QuerySpec] = [
         docs_dedup_ingest_stream,
         DOCS_DEDUP_INGEST_STREAM_SQL,
         "foreachBatch near-dup admission vs corpus LSH index (== batch)",
+    ),
+    QuerySpec(
+        "dedup_persisted_ingest_stream",
+        dedup_persisted_ingest_stream,
+        DOCS_DEDUP_INGEST_STREAM_SQL,
+        "durable admission loop: persisted LSH membership + appended "
+        "verdicts/admitted cells, fresh-session serve from artifacts",
     ),
     QuerySpec(
         "docs_token_meter_stream",

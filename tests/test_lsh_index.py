@@ -127,3 +127,50 @@ def test_serve_side_cap_changes_need_no_rebuild(spark, index_dir,
     rows = ext.dedup_persisted_lsh(spark, SF_DIR).collect()
     # cap=1 keeps only singleton cells -> strictly fewer collisions
     assert len(rows) > 0
+
+
+def test_persisted_ingest_stream_durable_serve(spark, index_dir, monkeypatch):
+    """build -> stream-admit -> serve; then a simulated fresh session with
+    BOTH batch hashing and streaming forcibly disabled must serve the
+    verdict table from the artifacts alone, and the stored index must have
+    GROWN by exactly the admitted docs' membership."""
+    from datafusion_tpch_spark.queries import stream as st
+    from datafusion_tpch_spark.streaming import maintenance as mt
+
+    rows1 = st.dedup_persisted_ingest_stream(spark, SF_DIR).collect()
+    assert rows1, "incoming slice must produce verdicts"
+    # the admission contract matches the session-cached stream gate
+    expect = st.docs_dedup_ingest_stream(spark, SF_DIR).orderBy("doc_id").collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in expect]
+
+    # index growth: admitted docs' membership appended as from_stream rows
+    path = li.lsh_index_path(SF_DIR, index_dir) + "_ingest"
+    stored = li.load_lsh_cells(spark, path)
+    grown = {r.doc_id for r in
+             stored.filter("from_stream").select("doc_id").distinct().collect()}
+    assert grown == {r.doc_id for r in rows1 if r.kept}
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("durable serve touched hashing/streaming")
+
+    monkeypatch.setattr(mt, "run_foreach_batch", boom)
+    from datafusion_tpch_spark.queries import extensions as ext
+    monkeypatch.setattr(ext, "_buckets_of", boom)
+    rows2 = st.dedup_persisted_ingest_stream(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
+
+
+def test_persisted_ingest_stream_rebuilds_after_unclean_ingest(spark,
+                                                               index_dir):
+    """A manifest without the ingested mark (killed mid-stream) must not
+    be served: the gate rebuilds and re-ingests."""
+    from datafusion_tpch_spark.queries import stream as st
+
+    rows1 = st.dedup_persisted_ingest_stream(spark, SF_DIR).collect()
+    path = li.lsh_index_path(SF_DIR, index_dir) + "_ingest"
+    m = ai.read_manifest(path)
+    assert m and m.get("ingested") is True
+    ai.update_manifest(path, ingested=False)  # simulate the kill
+    rows2 = st.dedup_persisted_ingest_stream(spark, SF_DIR).collect()
+    assert ai.read_manifest(path).get("ingested") is True
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
