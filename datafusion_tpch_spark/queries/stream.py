@@ -961,6 +961,64 @@ def dedup_persisted_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def dedup_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE for the durable admission index — the maintenance job the
+    streamed appends make necessary: every ``dedup_persisted_ingest_stream``
+    micro-batch leaves one small parquet file per touched band directory,
+    and after enough crawl cycles the scan pays per-file open/footer/
+    scheduling cost plus driver listing.  This gate bin-packs the
+    membership table into ~one file per band (``repartition`` on the
+    partition column + ``maxRecordsPerFile``), PRESERVING the band
+    partitioning so probe pruning still works, then proves the rewrite by
+    SERVING from the compacted layout: admission verdicts for the incoming
+    batch against the corpus-capped cells, identical to
+    ``dedup_incremental_lsh`` (same oracle) — compaction changed the file
+    layout, never the answers.  ``tests/test_lsh_index.py`` additionally
+    asserts the file count actually drops and partition pruning holds on
+    the compacted directory.
+
+    At 100 TB this is the nightly OPTIMIZE every streaming-ingest table
+    needs; with Delta/Iceberg the same plan runs under their OPTIMIZE
+    entry points."""
+    from ..operators import lsh_index as li
+    from ..operators.maintenance import data_file_count
+    from ..catalog import load_table
+    from ..streaming.maintenance import admit_batch
+    from .extensions import _INCR_SPLIT, _LSH_MAX_BUCKET, _buckets_of
+
+    # ensure the streamed index exists (idempotent, manifest-gated)
+    dedup_persisted_ingest_stream(spark, sf_dir)
+    path = li.lsh_index_path(sf_dir) + "_ingest"
+    cells_dir = path.rstrip("/") + "/cells"
+    compact_dir = path.rstrip("/") + "/cells_compact"
+    n_before = data_file_count(cells_dir)
+    (
+        spark.read.parquet(cells_dir)
+        .repartition(4, "band")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("band")
+        .parquet(compact_dir)
+    )
+    n_after = data_file_count(compact_dir)
+    assert n_after <= n_before, (n_after, n_before)
+    # serve FROM THE COMPACTED LAYOUT: corpus-capped admission, the same
+    # contract (and oracle) as the live index
+    corpus_cells = (
+        spark.read.parquet(compact_dir)
+        .filter(~F.col("from_stream"))
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)
+        .select("band", "bkey")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    return admit_batch(
+        _buckets_of(incoming), incoming.select("doc_id"), corpus_cells
+    ).orderBy("doc_id")
+
+
 # Maintained per-(cell, dim) IVF occupancy, same session-cache contract;
 # the cached value also carries the centroid list the finalize rollup
 # compares against: (occupancy DataFrame, n_batches, centroids).
@@ -1656,6 +1714,13 @@ SPECS: list[QuerySpec] = [
         DOCS_DEDUP_INGEST_STREAM_SQL,
         "durable admission loop: persisted LSH membership + appended "
         "verdicts/admitted cells, fresh-session serve from artifacts",
+    ),
+    QuerySpec(
+        "dedup_persisted_compact",
+        dedup_persisted_compact,
+        DOCS_DEDUP_INGEST_STREAM_SQL,
+        "OPTIMIZE the streamed index: bin-pack band dirs, serve unchanged "
+        "admission verdicts from the compacted layout",
     ),
     QuerySpec(
         "docs_token_meter_stream",

@@ -174,3 +174,33 @@ def test_persisted_ingest_stream_rebuilds_after_unclean_ingest(spark,
     rows2 = st.dedup_persisted_ingest_stream(spark, SF_DIR).collect()
     assert ai.read_manifest(path).get("ingested") is True
     assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
+
+
+def test_persisted_compact_reduces_files_and_preserves_answers(spark,
+                                                               index_dir):
+    """The OPTIMIZE job: bin-packing the streamed band directories must
+    cut the file count, keep the band partitioning (pruning still works),
+    and serve bit-identical admission verdicts."""
+    from datafusion_tpch_spark.operators.maintenance import data_file_count
+    from datafusion_tpch_spark.queries import stream as st
+
+    rows = st.dedup_persisted_compact(spark, SF_DIR).collect()
+    expect = ext.dedup_incremental_lsh(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expect]
+
+    path = li.lsh_index_path(SF_DIR, index_dir) + "_ingest"
+    n_before = data_file_count(os.path.join(path, "cells"))
+    n_after = data_file_count(os.path.join(path, "cells_compact"))
+    assert n_after < n_before, (n_after, n_before)
+    band_dirs = [d for d in os.listdir(os.path.join(path, "cells_compact"))
+                 if d.startswith("band=")]
+    assert len(band_dirs) == ext._MH_BANDS
+    # pruning on the compacted layout
+    from pyspark.sql import functions as F
+
+    pruned_df = (
+        spark.read.parquet(os.path.join(path, "cells_compact"))
+        .filter(F.col("band").isin([0, 2]))
+    )
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters: [band#" in ln for ln in plan.splitlines()), plan
