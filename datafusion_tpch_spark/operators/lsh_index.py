@@ -64,12 +64,14 @@ def write_lsh_index(
     fingerprint: str,
     params: dict | None = None,
 ) -> None:
-    """The index build job: persist the (band, bkey, n_docs) bucket table
-    band-partitioned, then the manifest LAST.  On a REBUILD the stale
-    manifest is deleted FIRST (same crash discipline as
-    ``ann_index.write_index``): a kill between the cell overwrite and the
-    new manifest must not leave yesterday's valid-looking manifest on top
-    of destroyed cells."""
+    """The index build job: persist a band-keyed bucket table — the
+    (band, bkey, n_docs) occupancy form for batch admission, or the
+    per-doc (doc_id, band, bkey, from_stream) MEMBERSHIP form the durable
+    ingest loop appends to — band-partitioned, then the manifest LAST.
+    On a REBUILD the stale manifest is deleted FIRST (same crash
+    discipline as ``ann_index.write_index``): a kill between the cell
+    overwrite and the new manifest must not leave yesterday's
+    valid-looking manifest on top of destroyed cells."""
     from . import artifact_io
 
     spark = cells.sparkSession
