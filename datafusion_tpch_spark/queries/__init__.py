@@ -36,6 +36,7 @@ _CHECK_FIRST = [
     "dedup_persisted_lsh", "docs_pipeline_resumable",
     "multimodal_exif_thumb_scrub", "dedup_persisted_ingest_stream",
     "docs_bpe_persisted_encode", "dedup_persisted_compact",
+    "ann_persisted_compact",
     # -- the 43 rotation-debt queries (latest record r08) --
     "docs_bpe_pairs", "docs_containment", "docs_dsir_score",
     "embeddings_kmeans", "embeddings_top_eigvec", "events_ab_lift",
@@ -55,8 +56,6 @@ _CHECK_FIRST = [
     "orders_changelog", "orders_changelog_apply", "orders_constraints",
     "orders_cube", "orders_merge_upsert", "supplier_scd2",
     "token_cms_topk",
-    # -- backfill: 1 of the r09 cohort (alphabetical; remainder lands r14) --
-    "customer_record_linkage",
 ]
 
 

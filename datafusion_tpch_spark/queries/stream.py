@@ -1442,9 +1442,23 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_foreach_batch(spark, feed, apply_batch, "ann_persisted_ingest")
         ai.update_manifest(path, spark=spark, ingested=True)  # durability point — LAST
 
-    # serve session: artifacts + probed cells only, no training state.
-    # One bounded collect; the probe rows join as an inline literal table
-    # so the probe plan never re-executes as the broadcast side
+    # serve session: artifacts + probed cells only, no training state
+    return _serve_ingest_ann(spark, emb, path)
+
+
+def _serve_ingest_ann(spark: SparkSession, emb: DataFrame, path: str,
+                      cells_subdir: str = "cells") -> DataFrame:
+    """The durable-index serve plan, shared by the live and the COMPACTED
+    cell layouts: one bounded collect (the probe rows join as an inline
+    literal table so the probe plan never re-executes as the broadcast
+    side) + a statically partition-pruned scan of the probed cells."""
+    from ..functions import vectors
+    from ..operators import ann_index as ai
+    from ..inline import inline_table
+    from .extensions import _TOPK, _ivf_query_probes
+
+    from pyspark.sql.window import Window
+
     centroids = ai.load_centroids(spark, path)
     rows = _ivf_query_probes(emb, centroids).collect()
     probed = sorted({int(r.qcell) for r in rows})
@@ -1454,10 +1468,14 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in rows],
         "query_id long, qe array<float>, qcell long",
     )
-    c = ai.load_cells(spark, path, probed).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-        F.col("cell").cast("long").alias("ccell"),
+    c = (
+        spark.read.parquet(path.rstrip("/") + "/" + cells_subdir)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            F.col("cell").cast("long").alias("ccell"),
+        )
     )
     cos = vectors.exact_dot(F.col("qe"), F.col("ce")) / (
         vectors.norm(F.col("qe")) * vectors.norm(F.col("ce"))
@@ -1479,6 +1497,41 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ann_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE for the durable ANN index — the vector-side twin of
+    ``dedup_persisted_compact``: every streamed micro-batch appends one
+    small parquet file per touched cell directory, and after enough
+    ingest cycles the probed-cell scans pay per-file open/footer cost.
+    Bin-pack the cell-partitioned corpus ∪ stream into ~one file per cell
+    (``repartition`` on the partition column + ``maxRecordsPerFile``),
+    preserving the cell partitioning the probe pruning depends on, then
+    prove the rewrite by SERVING top-k from the compacted layout —
+    ranking identical to ``ann_persisted_ingest_topk`` (same oracle).
+    ``tests/test_ann_index.py`` pins the file-count drop and pruning on
+    the compacted directory."""
+    from ..catalog import load_table
+    from ..operators import ann_index as ai
+    from ..operators.maintenance import data_file_count
+
+    # ensure the streamed index exists (idempotent, manifest-gated)
+    ann_persisted_ingest_topk(spark, sf_dir)
+    path = ai.index_path(sf_dir) + "_ingest"
+    cells_dir = path.rstrip("/") + "/cells"
+    compact_dir = path.rstrip("/") + "/cells_compact"
+    n_before = data_file_count(cells_dir)
+    (
+        spark.read.parquet(cells_dir)
+        .repartition(8, "cell")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy("cell")
+        .parquet(compact_dir)
+    )
+    assert data_file_count(compact_dir) <= n_before
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _serve_ingest_ann(spark, emb, path, cells_subdir="cells_compact")
 
 
 # Maintained per-source token meter, same session-cache contract.
@@ -1745,6 +1798,13 @@ SPECS: list[QuerySpec] = [
         ann_ingest_topk,
         ANN_INGEST_TOPK_SQL,
         "streamed vectors searchable: IVF top-k over corpus + ingested rows",
+    ),
+    QuerySpec(
+        "ann_persisted_compact",
+        ann_persisted_compact,
+        ANN_INGEST_TOPK_SQL,
+        "OPTIMIZE the streamed ANN index: bin-pack cell dirs, serve "
+        "identical top-k from the compacted layout",
     ),
     QuerySpec(
         "ann_persisted_ingest_topk",

@@ -80,6 +80,24 @@ def test_artifact_io_scheme_dispatch():
     assert aio.path_scheme("abfs://c@a.dfs.core.windows.net/p") == "abfs"
 
 
+def test_artifact_io_scheme_without_session_raises(tmp_path):
+    """A scheme-qualified path with NO active SparkSession must fail loudly
+    (the connector lives in the JVM) — never fall back to POSIX and
+    silently write s3a://... as a local relative directory."""
+    from pyspark.sql import SparkSession
+
+    from datafusion_tpch_spark.operators import artifact_io as aio
+
+    if SparkSession.getActiveSession() is not None:
+        import pytest
+
+        pytest.skip("an active session would legitimately serve the call")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="SparkSession"):
+        aio.write_text("s3a://bucket/idx/manifest.json", "x")
+
+
 def test_artifact_io_roundtrip_through_hadoop_fs(spark, tmp_path):
     """A ``file:`` URI exercises the real Hadoop FileSystem code path —
     the same connector layer an ``s3a://`` prefix would hit — end to end:
@@ -218,3 +236,29 @@ def test_persisted_ingest_rebuilds_after_unclean_ingest(spark, index_dir):
     rows2 = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
     assert ai.read_manifest(path).get("ingested") is True
     assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
+
+
+def test_persisted_compact_reduces_files_and_preserves_topk(spark, index_dir):
+    """The vector-side OPTIMIZE: bin-packing the streamed cell directories
+    must cut the file count, keep the cell partitioning (probe pruning
+    still works), and serve bit-identical top-k."""
+    from datafusion_tpch_spark.operators.maintenance import data_file_count
+    from datafusion_tpch_spark.queries import stream as st
+
+    rows = st.ann_persisted_compact(spark, SF_DIR).collect()
+    expect = st.ann_persisted_ingest_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expect]
+
+    path = ai.index_path(SF_DIR, index_dir) + "_ingest"
+    n_before = data_file_count(os.path.join(path, "cells"))
+    n_after = data_file_count(os.path.join(path, "cells_compact"))
+    assert n_after < n_before, (n_after, n_before)
+
+    from pyspark.sql import functions as F
+
+    pruned_df = (
+        spark.read.parquet(os.path.join(path, "cells_compact"))
+        .filter(F.col("cell").isin([0, 1]))
+    )
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters: [cell#" in ln for ln in plan.splitlines()), plan
