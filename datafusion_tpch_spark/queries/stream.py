@@ -1391,20 +1391,22 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells (static partition filter), ranking exactly as
     ``ann_ingest_topk`` — same oracle, so durability provably changed the
     index's lifetime, not its answers."""
+    path, emb = _ensure_ann_ingest_index(spark, sf_dir)
+    # serve session: artifacts + probed cells only, no training state
+    return _serve_ingest_ann(spark, emb, path)
+
+
+def _ensure_ann_ingest_index(spark: SparkSession, sf_dir: str):
+    """Build-if-needed for the durable ingest index (manifest-gated);
+    returns ``(path, embeddings)``.  Shared by the serve gate and the
+    compaction job, so OPTIMIZE never pays a serve-plan probe collect
+    just to check the index exists."""
     from ..catalog import load_table
-    from ..functions import vectors
     from ..operators import ann_index as ai
     from ..operators import artifact_io
     from ..operators.similarity import ivf_assign
-    from ..inline import inline_table
     from ..streaming.maintenance import run_foreach_batch
-    from .extensions import (
-        _TOPK,
-        _cached_corpus_fingerprint,
-        _ivf_query_probes,
-    )
-
-    from pyspark.sql.window import Window
+    from .extensions import _cached_corpus_fingerprint
 
     path = ai.index_path(sf_dir) + "_ingest"
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1441,9 +1443,7 @@ def ann_persisted_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_foreach_batch(spark, feed, apply_batch, "ann_persisted_ingest")
         ai.update_manifest(path, spark=spark, ingested=True)  # durability point — LAST
-
-    # serve session: artifacts + probed cells only, no training state
-    return _serve_ingest_ann(spark, emb, path)
+    return path, emb
 
 
 def _serve_ingest_ann(spark: SparkSession, emb: DataFrame, path: str,
@@ -1511,26 +1511,33 @@ def ann_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking identical to ``ann_persisted_ingest_topk`` (same oracle).
     ``tests/test_ann_index.py`` pins the file-count drop and pruning on
     the compacted directory."""
-    from ..catalog import load_table
     from ..operators import ann_index as ai
     from ..operators.maintenance import data_file_count
 
-    # ensure the streamed index exists (idempotent, manifest-gated)
-    ann_persisted_ingest_topk(spark, sf_dir)
-    path = ai.index_path(sf_dir) + "_ingest"
+    # ensure the streamed index exists (idempotent, manifest-gated) —
+    # without building the serve gate's probe plan
+    path, emb = _ensure_ann_ingest_index(spark, sf_dir)
     cells_dir = path.rstrip("/") + "/cells"
     compact_dir = path.rstrip("/") + "/cells_compact"
+    # incremental OPTIMIZE semantics: skip the rewrite when the source
+    # layout is unchanged since the last compaction (real OPTIMIZE skips
+    # already-compacted tables); new appends change the file count and
+    # trigger a re-compact.  The marker lands in the manifest AFTER the
+    # write, so a killed compaction re-runs instead of serving half a
+    # rewrite.
     n_before = data_file_count(cells_dir)
-    (
-        spark.read.parquet(cells_dir)
-        .repartition(8, "cell")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 1_000_000)
-        .partitionBy("cell")
-        .parquet(compact_dir)
-    )
-    assert data_file_count(compact_dir) <= n_before
-    emb = load_table(spark, sf_dir, "embeddings")
+    m = ai.read_manifest(path, spark=spark) or {}
+    if m.get("compact_src_files") != n_before:
+        (
+            spark.read.parquet(cells_dir)
+            .repartition(8, "cell")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 1_000_000)
+            .partitionBy("cell")
+            .parquet(compact_dir)
+        )
+        assert data_file_count(compact_dir) <= n_before
+        ai.update_manifest(path, spark=spark, compact_src_files=n_before)
     return _serve_ingest_ann(spark, emb, path, cells_subdir="cells_compact")
 
 

@@ -262,3 +262,16 @@ def test_persisted_compact_reduces_files_and_preserves_topk(spark, index_dir):
     )
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
     assert any("PartitionFilters: [cell#" in ln for ln in plan.splitlines()), plan
+
+    # incremental OPTIMIZE: an unchanged source layout skips the rewrite
+    import glob
+
+    before_mtimes = {f: os.path.getmtime(f) for f in glob.glob(
+        os.path.join(path, "cells_compact", "**", "*.parquet"),
+        recursive=True)}
+    rows3 = st.ann_persisted_compact(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows3] == [tuple(r) for r in rows]
+    after_mtimes = {f: os.path.getmtime(f) for f in glob.glob(
+        os.path.join(path, "cells_compact", "**", "*.parquet"),
+        recursive=True)}
+    assert after_mtimes == before_mtimes, "unchanged source must skip rewrite"
