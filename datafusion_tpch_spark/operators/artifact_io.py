@@ -71,7 +71,9 @@ def read_text(path: str, spark: SparkSession | None = None) -> str | None:
 def write_text(path: str, data: str, spark: SparkSession | None = None) -> None:
     """Overwrite a small text artifact, creating parent dirs as needed."""
     if path_scheme(path) is None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(data)
         return

@@ -27,16 +27,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def data_file_count(path: str) -> int:
+def data_file_count(path: str, spark: SparkSession | None = None) -> int:
     """Number of parquet data files under ``path`` (driver-side listing,
-    same cost the scan's file index pays)."""
+    same cost the scan's file index pays).
+
+    Scheme-qualified roots (``s3a://``, ``hdfs://``, ...) are listed via
+    the Hadoop FileSystem recursive ``listFiles`` API — ``os.walk`` would
+    silently return 0 there, which made the incremental-OPTIMIZE markers
+    (``compact_src_files``) record 0 and permanently skip recompaction.
+    """
+    from datafusion_tpch_spark.operators import artifact_io
+
+    def _is_data(name: str) -> bool:
+        return name.endswith(".parquet") and not name.startswith(("_", "."))
+
+    if artifact_io.path_scheme(path) is None:
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            n += sum(1 for f in files if _is_data(f))
+        return n
+    fs, _jvm, hpath = artifact_io._hadoop_fs(path, spark)
+    if not fs.exists(hpath):
+        return 0
+    it = fs.listFiles(hpath, True)  # recursive
     n = 0
-    for root, _dirs, files in os.walk(path):
-        n += sum(
-            1
-            for f in files
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
+    while it.hasNext():
+        status = it.next()
+        if _is_data(status.getPath().getName()):
+            n += 1
     return n
 
 

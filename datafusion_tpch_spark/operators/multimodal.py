@@ -3963,22 +3963,33 @@ def decoded_phash_dim_signatures(assets: DataFrame) -> DataFrame:
 # Strict byte-level TIFF/EXIF IFD handling — the image-side counterpart of
 # events_pii_scrub.  No reference-engine counterpart (/root/reference has no
 # image surface); the segment walk reuses the JPEG marker grammar
-# decode_jpeg already implements.  Supported IFD entry types are the five
-# every camera IFD0 uses (BYTE/ASCII/SHORT/LONG/RATIONAL); anything else
-# raises by name (the library boundary), while MALFORMED streams (truncated
-# segments, bad magic, out-of-bounds value offsets) degrade to "no EXIF" —
-# a crawler must not die on a corrupt header, but silently misreading a
-# foreign type would fabricate metadata.
+# decode_jpeg already implements.  Supported IFD entry types are all twelve
+# TIFF 6.0 types (BYTE..DOUBLE — real ExifIFDs carry UNDEFINED ExifVersion
+# and SRATIONAL exposure-bias entries, so the census/scrub must read them);
+# a type id outside 1..12 raises by name (the library boundary), while
+# MALFORMED streams (truncated segments, bad magic, out-of-bounds value
+# offsets) degrade to "no EXIF" — a crawler must not die on a corrupt
+# header, but silently misreading a foreign type would fabricate metadata.
 
 _EXIF_TAG_MAKE = 0x010F
 _EXIF_TAG_MODEL = 0x0110
 _EXIF_TAG_ORIENTATION = 0x0112
 _EXIF_TAG_DATETIME = 0x0132
 _EXIF_TAG_GPS_IFD = 0x8825
-# nested-IFD pointer tags the scrubber cannot relocate yet (would need a
-# full offset-rewriting TIFF serializer): raise by name, never emit a
-# stream with dangling pointers
+# nested-IFD pointer tags the scrub RELOCATES during the APP1 rebuild
+# (every real camera JPEG carries the ExifIFD pointer; Interop usually
+# hangs off the ExifIFD per EXIF 4.6.3): parsed as a sub-IFD tree and
+# re-emitted with patched offsets.  What still refuses by name: a sub-IFD
+# with its own nonzero next pointer (a chained sub-IFD) and an IFD2 chain.
 _EXIF_POINTER_TAGS = {0x8769: "ExifIFD", 0xA005: "InteropIFD"}
+_EXIF_TAG_EXIF_IFD = 0x8769
+_EXIF_TAG_INTEROP_IFD = 0xA005
+# ExifIFD tags the fixture writes / the sub-IFD census reads
+_EXIF_TAG_EXPOSURE = 0x829A   # RATIONAL
+_EXIF_TAG_FNUMBER = 0x829D    # RATIONAL
+_EXIF_TAG_ISO = 0x8827        # SHORT
+_EXIF_TAG_EXIF_VER = 0x9000   # UNDEFINED, count 4
+_INTEROP_TAG_INDEX = 0x0001   # ASCII ("R98")
 # IFD1 (thumbnail IFD) tags: compression scheme + the embedded JPEG's
 # absolute offset/length — the offset is what the scrub must RELOCATE
 _IFD1_TAG_COMPRESSION = 0x0103
@@ -3988,7 +3999,14 @@ _GPS_TAG_LAT_REF = 0x0001
 _GPS_TAG_LAT = 0x0002
 _GPS_TAG_LON_REF = 0x0003
 _GPS_TAG_LON = 0x0004
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+# all twelve TIFF 6.0 entry types: BYTE ASCII SHORT LONG RATIONAL SBYTE
+# UNDEFINED SSHORT SLONG SRATIONAL FLOAT DOUBLE
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8,
+                   6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+# element width for endian re-emission (RATIONAL/SRATIONAL swap per
+# 4-byte half, DOUBLE as one 8-byte unit)
+_TIFF_SWAP_WIDTH = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4,
+                    6: 1, 7: 1, 8: 2, 9: 4, 10: 4, 11: 4, 12: 8}
 
 
 def _exif_ascii(v: str) -> bytes:
@@ -4046,17 +4064,42 @@ def _gps_ifd_entries(gps) -> list:
     ]
 
 
+def _exif_subifd_entries(d: dict) -> list:
+    """ExifIFD entries from the fixture dict: ExposureTime/FNumber as
+    RATIONALs, ISO as SHORT, ExifVersion as a 4-byte UNDEFINED — the
+    mandatory-tag mix (incl. type 7) every real camera ExifIFD carries."""
+    out = []
+    if "exposure" in d:
+        out.append((_EXIF_TAG_EXPOSURE, 5, 1,
+                    _exif_rationals([d["exposure"]])))
+    if "fnumber" in d:
+        out.append((_EXIF_TAG_FNUMBER, 5, 1,
+                    _exif_rationals([d["fnumber"]])))
+    if "iso" in d:
+        out.append((_EXIF_TAG_ISO, 3, 1,
+                    int(d["iso"]).to_bytes(2, "little")))
+    if "version" in d:
+        v = bytes(d["version"])
+        out.append((_EXIF_TAG_EXIF_VER, 7, len(v), v))
+    return out
+
+
 def encode_exif_app1(*, make: str | None = None, model: str | None = None,
                      orientation: int | None = None,
                      taken_at: str | None = None,
                      gps=None, thumbnail: bytes | None = None,
-                     thumb_gps=None) -> bytes:
+                     thumb_gps=None, exif_ifd: dict | None = None,
+                     interop: str | None = None) -> bytes:
     """APP1 body ("Exif\\0\\0" + little-endian TIFF) with IFD0
     Make/Model/Orientation/DateTime and, when ``gps`` is given, a GPS IFD.
-    With ``thumbnail`` given, IFD0 chains to a real IFD1 (thumbnail IFD:
-    Compression=6 + JPEGInterchangeFormat/Length pointing at the embedded
-    bytes), optionally with ITS OWN GPS IFD (``thumb_gps``) — the layout
-    real camera JPEGs carry and the scrub must relocate."""
+    With ``exif_ifd`` given, IFD0 carries an ExifIFD pointer (0x8769) to a
+    sub-IFD of ExposureTime/FNumber/ISO/ExifVersion — and ``interop``
+    hangs an InteropIFD (0xA005 INSIDE the ExifIFD, per EXIF 4.6.3) with
+    an ASCII InteroperabilityIndex.  With ``thumbnail`` given, IFD0 chains
+    to a real IFD1 (thumbnail IFD: Compression=6 +
+    JPEGInterchangeFormat/Length pointing at the embedded bytes),
+    optionally with ITS OWN GPS IFD (``thumb_gps``) — the full layout real
+    camera JPEGs carry and the scrub must relocate."""
     ifd0 = []
     if make is not None:
         b = _exif_ascii(make)
@@ -4071,17 +4114,33 @@ def encode_exif_app1(*, make: str | None = None, model: str | None = None,
         b = _exif_ascii(taken_at)
         ifd0.append((_EXIF_TAG_DATETIME, 2, len(b), b))
     gps_block = b""
+    exif_block = b""
+    # each pointer entry is a LONG (inline payload): exactly +12 bytes
+    n_ptrs = (1 if gps is not None else 0) + (1 if exif_ifd is not None else 0)
+    off = 8 + _ifd_block_size(ifd0) + 12 * n_ptrs
     if gps is not None:
-        with_ptr = ifd0 + [(_EXIF_TAG_GPS_IFD, 4, 1, b"\0\0\0\0")]
-        gps_off = 8 + _ifd_block_size(with_ptr)
-        ifd0.append((_EXIF_TAG_GPS_IFD, 4, 1,
-                     gps_off.to_bytes(4, "little")))
-        gps_block = _ifd_block(_gps_ifd_entries(gps), gps_off)
+        ifd0.append((_EXIF_TAG_GPS_IFD, 4, 1, off.to_bytes(4, "little")))
+        gps_block = _ifd_block(_gps_ifd_entries(gps), off)
+        off += len(gps_block)
+    if exif_ifd is not None:
+        ifd0.append((_EXIF_TAG_EXIF_IFD, 4, 1, off.to_bytes(4, "little")))
+        sub = _exif_subifd_entries(exif_ifd)
+        if interop is not None:
+            iop_off = off + _ifd_block_size(sub) + 12
+            sub.append((_EXIF_TAG_INTEROP_IFD, 4, 1,
+                        iop_off.to_bytes(4, "little")))
+            b = _exif_ascii(interop)
+            exif_block = (_ifd_block(sub, off)
+                          + _ifd_block([(_INTEROP_TAG_INDEX, 2, len(b), b)],
+                                       iop_off))
+        else:
+            exif_block = _ifd_block(sub, off)
+        off += len(exif_block)
     ifd1_block = b""
     thumb_bytes = b""
     ifd1_off = 0
     if thumbnail is not None:
-        ifd1_off = 8 + _ifd_block_size(ifd0) + len(gps_block)
+        ifd1_off = off
         ifd1 = [
             (_IFD1_TAG_COMPRESSION, 3, 1, (6).to_bytes(2, "little")),
             (_IFD1_TAG_JPEG_IF, 4, 1, b"\0\0\0\0"),  # offset patched below
@@ -4105,7 +4164,7 @@ def encode_exif_app1(*, make: str | None = None, model: str | None = None,
         thumb_bytes = bytes(thumbnail)
     tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
             + _ifd_block(ifd0, 8, next_off=ifd1_off) + gps_block
-            + ifd1_block + thumb_bytes)
+            + exif_block + ifd1_block + thumb_bytes)
     return b"Exif\x00\x00" + tiff
 
 
@@ -4326,27 +4385,167 @@ def parse_exif_ifd1(content: bytes) -> dict | None:
         return None
 
 
+def parse_exif_subifd(content: bytes) -> dict | None:
+    """ExifIFD (0x8769) view of an EXIF stream: exposure/fnumber as exact
+    (num, den) pairs, ISO, the ExifVersion bytes, and the InteropIFD's
+    InteroperabilityIndex when chained off the ExifIFD.  None for
+    absent/malformed EXIF or an IFD0 without an ExifIFD pointer."""
+    buf = bytes(content)
+    try:
+        found = _find_exif_app1(buf)
+        if found is None:
+            return None
+        tiff = found[2]
+        if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+            return None
+        bo = "little" if tiff[:2] == b"II" else "big"
+        if int.from_bytes(tiff[2:4], bo) != 42:
+            return None
+        ifd0 = _ifd_entries(tiff, int.from_bytes(tiff[4:8], bo), bo)
+        if _EXIF_TAG_EXIF_IFD not in ifd0:
+            return None
+        typ, _, raw = ifd0[_EXIF_TAG_EXIF_IFD]
+        if typ != 4 or len(raw) != 4:
+            return None
+        sub = _ifd_entries(tiff, int.from_bytes(raw, bo), bo)
+
+        def rat(tag):
+            if tag not in sub:
+                return None
+            t, _, r = sub[tag]
+            if t != 5 or len(r) < 8:
+                return None
+            return (int.from_bytes(r[:4], bo), int.from_bytes(r[4:8], bo))
+
+        iop_index = None
+        if _EXIF_TAG_INTEROP_IFD in sub:
+            t, _, r = sub[_EXIF_TAG_INTEROP_IFD]
+            if t == 4 and len(r) == 4:
+                iop = _ifd_entries(tiff, int.from_bytes(r, bo), bo)
+                if _INTEROP_TAG_INDEX in iop:
+                    iop_index = _exif_str(iop[_INTEROP_TAG_INDEX])
+        return {
+            "exposure": rat(_EXIF_TAG_EXPOSURE),
+            "fnumber": rat(_EXIF_TAG_FNUMBER),
+            "iso": _exif_short(sub[_EXIF_TAG_ISO], bo)
+            if _EXIF_TAG_ISO in sub else None,
+            "version": sub[_EXIF_TAG_EXIF_VER][2]
+            if _EXIF_TAG_EXIF_VER in sub else None,
+            "interop_index": iop_index,
+        }
+    except ValueError:
+        return None
+
+
 def _le_raw(typ: int, cnt: int, raw: bytes, bo: str) -> bytes:
     """Re-emit a parsed value payload little-endian (identity when the
-    source TIFF was already II)."""
-    if bo == "little" or typ in (1, 2):
+    source TIFF was already II).  A pure per-element byte reversal —
+    correct for unsigned, signed, and IEEE-float types alike."""
+    esz = _TIFF_SWAP_WIDTH[typ]
+    if bo == "little" or esz == 1:
         return raw
-    esz = 2 if typ == 3 else 4  # SHORT; LONG and each RATIONAL half
     return b"".join(
-        int.from_bytes(raw[i:i + esz], bo).to_bytes(esz, "little")
-        for i in range(0, len(raw), esz)
+        raw[i:i + esz][::-1] for i in range(0, len(raw), esz)
     )
+
+
+_SUB_IFD_TAGS = (_EXIF_TAG_EXIF_IFD, _EXIF_TAG_INTEROP_IFD,
+                 _EXIF_TAG_GPS_IFD)
+
+
+def _parse_ifd_tree(tiff: bytes, off: int, bo: str, depth: int = 0,
+                    is_sub: bool = False) -> dict:
+    """One IFD plus its sub-IFDs (ExifIFD / InteropIFD / GPS pointers),
+    recursively: ``{"entries": {tag: (typ, cnt, raw)}, "subs": {tag:
+    subtree}}``.  ValueError on truncation/out-of-bounds (the caller's
+    malformed-stream policy applies); NotImplementedError by name on a
+    non-LONG sub-IFD pointer, nesting deeper than 3, or a sub-IFD that
+    chains onward via its own next pointer (relocating a chain the spec
+    says should not exist would silently reorder it)."""
+    if depth > 3:
+        raise NotImplementedError("EXIF: sub-IFD nesting deeper than 3")
+    entries = _ifd_entries(tiff, off, bo)
+    if is_sub:
+        n = int.from_bytes(tiff[off:off + 2], bo)
+        np_ = off + 2 + 12 * n
+        if (np_ + 4 <= len(tiff)
+                and int.from_bytes(tiff[np_:np_ + 4], bo) != 0):
+            raise NotImplementedError(
+                "EXIF scrub: cannot relocate chained sub-IFD "
+                "(nonzero next pointer)"
+            )
+    subs = {}
+    for tag in _SUB_IFD_TAGS:
+        if tag in entries:
+            typ, _cnt, raw = entries[tag]
+            if typ != 4 or len(raw) != 4:
+                raise NotImplementedError(
+                    f"EXIF scrub: non-LONG sub-IFD pointer (tag 0x{tag:04X})"
+                )
+            subs[tag] = _parse_ifd_tree(
+                tiff, int.from_bytes(raw, bo), bo, depth + 1, is_sub=True
+            )
+    return {"entries": entries, "subs": subs}
+
+
+def _tree_has_gps(node: dict) -> bool:
+    return _EXIF_TAG_GPS_IFD in node["entries"] or any(
+        _tree_has_gps(s) for s in node["subs"].values()
+    )
+
+
+def _emit_ifd_tree(node: dict, base_off: int, bo: str, next_off: int = 0,
+                   drop: tuple = (), patch: dict | None = None) -> bytes:
+    """Serialize an IFD tree little-endian at ``base_off``, depth-first
+    (own block, then each sub-IFD's tree), DROPPING every GPS sub-IFD and
+    patching the surviving pointer entries to the relocated offsets.
+    ``drop`` removes additional top-level tags; ``patch`` overrides
+    top-level payloads (the thumbnail-offset rewrite).  Output length is
+    invariant to ``next_off``/``patch`` values, so a measuring pass
+    followed by a final pass is exact."""
+    kept = [
+        (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
+        for tag, (typ, cnt, raw) in sorted(node["entries"].items())
+        if tag != _EXIF_TAG_GPS_IFD and tag not in drop
+    ]
+    patched = dict(patch or {})
+    sub_off = base_off + _ifd_block_size(kept)
+    blocks = []
+    for tag in sorted(node["subs"]):
+        if tag == _EXIF_TAG_GPS_IFD:
+            continue
+        blk = _emit_ifd_tree(node["subs"][tag], sub_off, bo)
+        patched[tag] = sub_off.to_bytes(4, "little")
+        blocks.append(blk)
+        sub_off += len(blk)
+    kept = [(t, ty, c, patched.get(t, p)) for t, ty, c, p in kept]
+    return _ifd_block(kept, base_off, next_off) + b"".join(blocks)
 
 
 def strip_gps_exif(content: bytes) -> bytes:
     """PII scrub: rebuild the APP1 without GPS IFDs — the pointer entries
-    AND the pointed-to blocks, WHEREVER they appear (IFD0 and the chained
-    IFD1 thumbnail IFD; real camera thumbnails sometimes carry their own
-    GPS) — preserving every other tag and RELOCATING the embedded
-    thumbnail bytes with a corrected JPEGInterchangeFormat offset.
-    Byte-identical passthrough when there is no parseable EXIF or no GPS
-    anywhere; raises by name on nested pointer tags (ExifIFD/InteropIFD,
-    whose sub-structure can hold further offsets) and on an IFD2 chain."""
+    AND the pointed-to blocks, WHEREVER they appear (IFD0, the ExifIFD /
+    InteropIFD sub-IFD tree, and the chained IFD1 thumbnail IFD; real
+    camera thumbnails sometimes carry their own GPS) — preserving every
+    other tag, RELOCATING the ExifIFD/Interop sub-IFDs and the embedded
+    thumbnail bytes with corrected offsets.  Byte-identical passthrough
+    when there is no parseable EXIF or no GPS anywhere.
+
+    Failure policy (PII scrubs must fail CLOSED):
+
+    - unreadable head IFD → passthrough (GPS presence is unknowable, and
+      every later consumer sees the same unreadable stream);
+    - readable IFD0 but a MALFORMED thumbnail chain → scrub IFD0 and
+      TRUNCATE the chain (the broken region could hide GPS; returning the
+      original bytes would silently retain it);
+    - JPEGInterchangeFormat present but not strictly resolvable (missing
+      length twin, non-LONG type, out of bounds) → both interchange tags
+      are dropped rather than rewritten into a dangling pointer;
+    - refuses by name on a chained sub-IFD and on an IFD2 chain.
+
+    MakerNote (UNDEFINED payload) is relocated verbatim; offsets a vendor
+    hid INSIDE that opaque payload are not rewritten — the standard
+    metadata-editor caveat."""
     buf = bytes(content)
     try:
         found = _find_exif_app1(buf)
@@ -4362,61 +4561,76 @@ def strip_gps_exif(content: bytes) -> bytes:
         return buf
     ifd0_off = int.from_bytes(tiff[4:8], bo)
     try:
-        ifd0 = _ifd_entries(tiff, ifd0_off, bo)
-        ifd1, thumb = _ifd1_view(tiff, ifd0_off, bo)
+        tree0 = _parse_ifd_tree(tiff, ifd0_off, bo)
     except ValueError:
         return buf
-    if (_EXIF_TAG_GPS_IFD not in ifd0
-            and (ifd1 is None or _EXIF_TAG_GPS_IFD not in ifd1)):
-        return buf
-    for entries in (ifd0,) if ifd1 is None else (ifd0, ifd1):
-        for tag, name in _EXIF_POINTER_TAGS.items():
-            if tag in entries:
-                raise NotImplementedError(
-                    f"EXIF scrub: cannot relocate nested {name} pointer "
-                    f"(tag 0x{tag:04X})"
-                )
-    if ifd1 is not None:
-        # IFD1 chaining further (an IFD2): refuse by name rather than
-        # silently dropping the chain.  Entry count read from the table
-        # itself (the parsed dict collapses duplicate tags)
+    # IFD1 in its OWN try: a malformed thumbnail chain must not fail the
+    # whole scrub open while IFD0 carries parseable GPS
+    tree1 = None
+    thumb = b""
+    thumb_resolved = False
+    chain_broken = False
+    try:
         n0 = int.from_bytes(tiff[ifd0_off:ifd0_off + 2], bo)
-        ifd1_off = int.from_bytes(
-            tiff[ifd0_off + 2 + 12 * n0:ifd0_off + 2 + 12 * n0 + 4], bo
-        )
-        n1 = int.from_bytes(tiff[ifd1_off:ifd1_off + 2], bo)
-        next1 = ifd1_off + 2 + 12 * n1
-        if (next1 + 4 <= len(tiff)
-                and int.from_bytes(tiff[next1:next1 + 4], bo) != 0):
-            raise NotImplementedError(
-                "EXIF scrub: cannot relocate chained IFD2"
-            )
-    kept0 = [
-        (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
-        for tag, (typ, cnt, raw) in sorted(ifd0.items())
-        if tag != _EXIF_TAG_GPS_IFD
-    ]
-    if ifd1 is None:
-        new_tiff = (b"II" + (42).to_bytes(2, "little")
-                    + (8).to_bytes(4, "little") + _ifd_block(kept0, 8))
+        next_pos = ifd0_off + 2 + 12 * n0
+        if next_pos + 4 > len(tiff):
+            raise ValueError("EXIF: truncated IFD0 next pointer")
+        ifd1_off = int.from_bytes(tiff[next_pos:next_pos + 4], bo)
+        if ifd1_off != 0:
+            tree1 = _parse_ifd_tree(tiff, ifd1_off, bo)
+            n1 = int.from_bytes(tiff[ifd1_off:ifd1_off + 2], bo)
+            next1 = ifd1_off + 2 + 12 * n1
+            if (next1 + 4 <= len(tiff)
+                    and int.from_bytes(tiff[next1:next1 + 4], bo) != 0):
+                raise NotImplementedError(
+                    "EXIF scrub: cannot relocate chained IFD2"
+                )
+            e1 = tree1["entries"]
+            if (_IFD1_TAG_JPEG_IF in e1
+                    and _IFD1_TAG_JPEG_IF_LEN in e1):
+                t_typ, _, t_raw = e1[_IFD1_TAG_JPEG_IF]
+                l_typ, _, l_raw = e1[_IFD1_TAG_JPEG_IF_LEN]
+                if (t_typ == 4 and l_typ == 4
+                        and len(t_raw) == 4 and len(l_raw) == 4):
+                    toff = int.from_bytes(t_raw, bo)
+                    tlen = int.from_bytes(l_raw, bo)
+                    if toff + tlen <= len(tiff):
+                        thumb = tiff[toff:toff + tlen]
+                        thumb_resolved = True
+    except ValueError:
+        tree1 = None
+        thumb = b""
+        thumb_resolved = False
+        chain_broken = True
+    if (not chain_broken and not _tree_has_gps(tree0)
+            and (tree1 is None or not _tree_has_gps(tree1))):
+        return buf
+    header = (b"II" + (42).to_bytes(2, "little")
+              + (8).to_bytes(4, "little"))
+    blk0 = _emit_ifd_tree(tree0, 8, bo)
+    if tree1 is None:
+        new_tiff = header + blk0
     else:
-        kept1 = [
-            (tag, typ, cnt, _le_raw(typ, cnt, raw, bo))
-            for tag, (typ, cnt, raw) in sorted(ifd1.items())
-            if tag != _EXIF_TAG_GPS_IFD
-        ]
-        new_ifd1_off = 8 + _ifd_block_size(kept0)
-        new_thumb_off = new_ifd1_off + _ifd_block_size(kept1)
-        kept1 = [
-            (tag, typ, cnt,
-             new_thumb_off.to_bytes(4, "little")
-             if tag == _IFD1_TAG_JPEG_IF else payload)
-            for tag, typ, cnt, payload in kept1
-        ]
-        new_tiff = (b"II" + (42).to_bytes(2, "little")
-                    + (8).to_bytes(4, "little")
-                    + _ifd_block(kept0, 8, next_off=new_ifd1_off)
-                    + _ifd_block(kept1, new_ifd1_off) + thumb)
+        ifd1_new_off = 8 + len(blk0)
+        blk0 = _emit_ifd_tree(tree0, 8, bo, next_off=ifd1_new_off)
+        if thumb_resolved:
+            blk1 = _emit_ifd_tree(tree1, ifd1_new_off, bo)  # measuring pass
+            new_thumb_off = ifd1_new_off + len(blk1)
+            blk1 = _emit_ifd_tree(
+                tree1, ifd1_new_off, bo,
+                patch={_IFD1_TAG_JPEG_IF:
+                       new_thumb_off.to_bytes(4, "little")},
+            )
+            new_tiff = header + blk0 + blk1 + thumb
+        else:
+            e1 = tree1["entries"]
+            drop = ()
+            if (_IFD1_TAG_JPEG_IF in e1
+                    or _IFD1_TAG_JPEG_IF_LEN in e1):
+                drop = (_IFD1_TAG_JPEG_IF, _IFD1_TAG_JPEG_IF_LEN)
+            new_tiff = header + blk0 + _emit_ifd_tree(
+                tree1, ifd1_new_off, bo, drop=drop
+            )
     return (buf[:seg_start] + _seg(0xE1, b"Exif\x00\x00" + new_tiff)
             + buf[seg_end:])
 
@@ -4678,6 +4892,119 @@ def thumb_scrub_verdicts(assets: DataFrame) -> DataFrame:
 
 
 thumb_scrub_verdicts.__doc__ = (thumb_scrub_verdicts.__doc__ or "").format(
+    b=_EXIF_GPS_IFD_BYTES
+)
+
+
+# -- full camera layout (ExifIFD + Interop + IFD1) scrub fixture + kernel -----
+
+
+def _full_fixture_meta(doc_id: int):
+    """Closed-form per-doc metadata for the FULL camera APP1 layout the
+    oracle replays: no EXIF when id%7==0; otherwise IFD0 with an ExifIFD
+    sub-IFD (ExposureTime/FNumber/ISO/ExifVersion incl. a type-7 entry)
+    chaining an InteropIFD, a primary GPS IFD when id%3!=0, and an IFD1
+    thumbnail with its own GPS IFD when id%2==0."""
+    if doc_id % 7 == 0:
+        return None
+    m = _thumb_fixture_meta(doc_id)
+    m["exif_ifd"] = {
+        "exposure": (1, 1 + doc_id % 500),
+        "fnumber": (10 + doc_id % 90, 10),
+        "iso": 100 * (1 + doc_id % 16),
+        "version": b"0232",
+    }
+    m["interop"] = "R98"
+    return m
+
+
+def documents_as_full_exif_assets(docs: DataFrame) -> DataFrame:
+    """Per document: a baseline JPEG whose APP1 carries the COMPLETE real
+    camera layout — IFD0 + GPS IFD + ExifIFD (with a chained InteropIFD)
+    + IFD1 thumbnail (with its own GPS) — per ``_full_fixture_meta``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                aid = int(row.doc_id)
+                v = (aid * _EXIF_PX_K + np.arange(64, dtype=np.int64)) % 256
+                blob = encode_jpeg(v.astype(np.uint8).reshape(8, 8))
+                meta = _full_fixture_meta(aid)
+                if meta is not None:
+                    blob = insert_app1(blob, encode_exif_app1(
+                        make="CamCo", orientation=1 + aid % 8,
+                        gps=meta["gps"], thumbnail=meta["thumb"],
+                        thumb_gps=meta["tgps"],
+                        exif_ifd=meta["exif_ifd"], interop=meta["interop"],
+                    ))
+                out.append((aid, "image", "image/jpeg", blob))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "modality", "mime", "content"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "asset_id long, modality string, mime string, content binary"
+    )
+
+
+def full_scrub_verdicts(assets: DataFrame) -> DataFrame:
+    """Scrub + verify fused in one kernel over the full camera layout:
+    strip GPS everywhere, RELOCATE the ExifIFD/InteropIFD sub-IFD tree and
+    the IFD1 thumbnail, then prove per image that no GPS survives, the
+    whole ExifIFD view (exposure/fnumber/ISO/version/interop index) is
+    value-identical after relocation, the thumbnail bytes are intact, the
+    pixels are bit-identical, and the shrinkage is exactly {b} bytes per
+    GPS IFD removed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.content)
+                before0 = parse_exif(blob)
+                before1 = parse_exif_ifd1(blob)
+                before_sub = parse_exif_subifd(blob)
+                scrubbed = strip_gps_exif(blob)
+                after0 = parse_exif(scrubbed)
+                after1 = parse_exif_ifd1(scrubbed)
+                after_sub = parse_exif_subifd(scrubbed)
+                had_gps0 = (before0 is not None
+                            and before0["lat_dd"] is not None)
+                had_tgps = before1 is not None and before1["has_gps"]
+                gps_after = (
+                    (after0 is not None and after0["lat_dd"] is not None)
+                    or (after1 is not None and after1["has_gps"])
+                )
+                sub_kept = (before_sub is None and after_sub is None) or (
+                    before_sub is not None and after_sub == before_sub
+                )
+                thumb_kept = (before1 is None and after1 is None) or (
+                    before1 is not None and after1 is not None
+                    and after1["thumbnail"] == before1["thumbnail"]
+                )
+                intact = bool(np.array_equal(decode_jpeg(blob),
+                                             decode_jpeg(scrubbed)))
+                out.append((int(row.asset_id), before0 is not None,
+                            had_gps0, had_tgps, gps_after, sub_kept,
+                            thumb_kept, intact,
+                            len(blob) - len(scrubbed)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "had_exif", "had_gps",
+                              "had_thumb_gps", "gps_after", "subifd_kept",
+                              "thumb_kept", "raster_intact",
+                              "bytes_removed"],
+            )
+
+    return assets.mapInPandas(
+        run,
+        "doc_id long, had_exif boolean, had_gps boolean, "
+        "had_thumb_gps boolean, gps_after boolean, subifd_kept boolean, "
+        "thumb_kept boolean, raster_intact boolean, bytes_removed int",
+    )
+
+
+full_scrub_verdicts.__doc__ = (full_scrub_verdicts.__doc__ or "").format(
     b=_EXIF_GPS_IFD_BYTES
 )
 

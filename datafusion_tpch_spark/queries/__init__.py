@@ -25,37 +25,34 @@ class QuerySpec:
 
 # The driver's per-round oracle gate checks the FIRST 50 registry keys only.
 # Rotate this window across rounds so every query accumulates a driver-side
-# correctness record.  Round 13 (per the round-12 verdict): the two
-# round-13 additions first, then the ENTIRE 43-gate cohort whose latest
-# record is still r08 (the verdict's item 2), then the alphabetically
-# first of the r09 cohort (48 gates) up to the 50-key window; the r09
-# remainder fronts round 14.  Everything not listed keeps registration
-# order after these.
+# correctness record.  Round 14 (per the round-13 verdict): the round-14
+# additions first, then 47 of the 48-gate cohort whose latest record is
+# still r09 (the verdict's item 2: the q1-q22 fixture family, the core
+# dedup trio, the jpeg/gif roundtrips, the join-strategy gates).  The one
+# r09 gate deferred to round 15 is supplier_hhi — re-verified locally by
+# the round-13 judge this cycle, so it carries the freshest independent
+# evidence of the cohort.  Everything not listed keeps registration order
+# after these.
 _CHECK_FIRST = [
-    # -- round-13 additions; new queries land HERE --
-    "dedup_persisted_lsh", "docs_pipeline_resumable",
-    "multimodal_exif_thumb_scrub", "dedup_persisted_ingest_stream",
-    "docs_bpe_persisted_encode", "dedup_persisted_compact",
-    "ann_persisted_compact",
-    # -- the 43 rotation-debt queries (latest record r08) --
-    "docs_bpe_pairs", "docs_containment", "docs_dsir_score",
-    "embeddings_kmeans", "embeddings_top_eigvec", "events_ab_lift",
-    "events_cooccurrence_lift", "events_corrupt_json_audit",
-    "events_ewma_daily", "events_feature_hash", "events_interval_union",
-    "events_longest_streak", "events_path_ngrams",
-    "events_props_key_census", "events_stickiness", "events_time_rollup",
-    "events_trailing_window", "events_train_test_split",
-    "events_type_dow_chisq", "events_user_bitmap", "lineitem_band_join",
-    "lineitem_bloom_semi", "lineitem_delta_agg", "lineitem_grouping_sets",
-    "lineitem_hist_quantile_sketch", "lineitem_late_dim",
-    "lineitem_pit_supplier", "lineitem_price_model",
-    "lineitem_profile_moments", "lineitem_running_total",
-    "lineitem_zorder", "multimodal_frame_sample",
-    "multimodal_gif_roundtrip", "multimodal_png16_roundtrip",
-    "multimodal_png_adam7_roundtrip", "multimodal_png_palette_roundtrip",
-    "orders_changelog", "orders_changelog_apply", "orders_constraints",
-    "orders_cube", "orders_merge_upsert", "supplier_scd2",
-    "token_cms_topk",
+    # -- round-14 additions; new queries land HERE --
+    "multimodal_exif_full_scrub",
+    # (ann_pq_persisted_topk and embeddings_drift_retrain join here as
+    # they land this round)
+    # -- the r09 rotation-debt cohort (47 of 48) --
+    "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
+    "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",
+    "q20", "q21", "q22",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_semantic",
+    "customer_record_linkage", "docs_bpe_encode",
+    "docs_dedup_ingest_stream", "docs_negative_pairs",
+    "docs_reservoir_sample", "docs_stratified_sample",
+    "docs_token_budget_bpe", "docs_token_meter_stream", "docs_token_pack",
+    "embeddings_drift", "events_concurrency", "events_hll_stream",
+    "events_kmv_distinct", "multimodal_gif89a_roundtrip",
+    "multimodal_jpeg420_roundtrip", "multimodal_jpeg_roundtrip",
+    "orders_lineitem_hash_join", "orders_lineitem_merge_join",
+    "orders_partitioned_prune", "orders_schema_evolution",
+    "orders_seasonality", "pq_distortion_audit",
 ]
 
 

@@ -5582,6 +5582,52 @@ ORDER BY doc_id
 """
 
 
+def multimodal_exif_full_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS scrub over the COMPLETE real-camera APP1 layout — the gap the
+    round-13 scrub still refused by name: every camera JPEG carries an
+    ExifIFD (0x8769) sub-IFD (with a type-7 UNDEFINED ExifVersion and a
+    chained InteropIFD per EXIF 4.6.3), and the rebuild must RELOCATE that
+    whole sub-IFD tree, not just the IFD1 thumbnail.  The fixture writes
+    IFD0 + GPS (id%3!=0) + ExifIFD(Exposure/FNumber/ISO/Version) +
+    InteropIFD + IFD1 thumbnail with its own GPS (id%2==0); one Arrow
+    kernel scrubs (``operators/multimodal.strip_gps_exif``: sub-IFD tree
+    parse → GPS-dropping depth-first re-emit with patched pointers) and
+    proves per image: no GPS survives in ANY IFD, the ExifIFD view
+    (exposure/fnumber/ISO/version/interop index) is value-identical after
+    relocation, the thumbnail is byte-identical, pixels untouched, and
+    shrinkage is exactly 114 bytes per GPS IFD removed.  Refusals are now
+    narrowed to chained sub-IFDs and IFD2 chains; malformed thumbnail
+    chains fail CLOSED (scrub + truncate, tested in
+    ``tests/test_multimodal.py``).  At 100 TB the audit rides the scrub's
+    kernel pass — no second read of the corpus."""
+    from ..operators.multimodal import (
+        documents_as_full_exif_assets,
+        full_scrub_verdicts,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return full_scrub_verdicts(
+        documents_as_full_exif_assets(docs)
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_EXIF_FULL_SCRUB_SQL = f"""
+SELECT doc_id,
+       {_EXIF_HAS} AS had_exif,
+       {_EXIF_GPS} AS had_gps,
+       {_EXIF_TGPS} AS had_thumb_gps,
+       FALSE AS gps_after,
+       TRUE AS subifd_kept,
+       TRUE AS thumb_kept,
+       TRUE AS raster_intact,
+       CAST(114 * (CASE WHEN {_EXIF_GPS} THEN 1 ELSE 0 END
+                   + CASE WHEN {_EXIF_TGPS} THEN 1 ELSE 0 END)
+            AS INTEGER) AS bytes_removed
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def multimodal_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORIENTATION-INVARIANT image dedup — the duplicate class EXIF metadata
     creates and pixel hashing alone cannot close: cameras store the same
@@ -7797,6 +7843,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("multimodal_exif_thumb_scrub", multimodal_exif_thumb_scrub,
               MULTIMODAL_EXIF_THUMB_SCRUB_SQL,
               "thumbnail-IFD-aware GPS scrub: IFD1 relocated, GPS gone from both IFDs"),
+    QuerySpec("multimodal_exif_full_scrub", multimodal_exif_full_scrub,
+              MULTIMODAL_EXIF_FULL_SCRUB_SQL,
+              "full camera-layout GPS scrub: ExifIFD/InteropIFD sub-IFD tree "
+              "relocated, thumbnail kept, GPS gone everywhere"),
     QuerySpec("multimodal_exif_gps_scrub", multimodal_exif_gps_scrub,
               MULTIMODAL_EXIF_GPS_SCRUB_SQL,
               "GPS PII scrub with fused in-plan proof: GPS gone, EXIF kept, "

@@ -1625,19 +1625,50 @@ def test_exif_foreign_ifd_type_raises_by_name():
         parse_exif,
     )
 
-    # type 7 (UNDEFINED) entry: a supported-looking IFD with a foreign type
+    # type 13 entry: outside the twelve TIFF 6.0 types (UNDEFINED and the
+    # signed/float types are all SUPPORTED now — real ExifIFDs carry them)
     tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
             + (1).to_bytes(2, "little")
             + (0x9286).to_bytes(2, "little")      # UserComment
-            + (7).to_bytes(2, "little")           # UNDEFINED
+            + (13).to_bytes(2, "little")          # foreign type id
             + (4).to_bytes(4, "little") + b"abcd"
             + (0).to_bytes(4, "little"))
     blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
-    with pytest.raises(NotImplementedError, match="type 7"):
+    with pytest.raises(NotImplementedError, match="type 13"):
         parse_exif(blob)
 
 
-def test_exif_scrub_refuses_nested_pointers_by_name():
+def test_exif_scrub_relocates_nested_pointer_ifds():
+    """The round-13 refusal, closed: IFD0 with a GPS pointer AND an
+    ExifIFD pointer now scrubs — the sub-IFD tree is relocated with
+    patched offsets, GPS dropped, every ExifIFD value preserved."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        encode_exif_app1,
+        insert_app1,
+        parse_exif,
+        parse_exif_subifd,
+        strip_gps_exif,
+    )
+
+    blob = insert_app1(_exif_jpeg(0), encode_exif_app1(
+        make="CamCo", orientation=6,
+        gps=("N", (10, 20, (30, 1)), "E", (40, 50, (60, 1))),
+        exif_ifd={"exposure": (1, 125), "fnumber": (28, 10), "iso": 400,
+                  "version": b"0232"},
+        interop="R98",
+    ))
+    before_sub = parse_exif_subifd(blob)
+    assert before_sub is not None and before_sub["interop_index"] == "R98"
+    scrubbed = strip_gps_exif(blob)
+    after = parse_exif(scrubbed)
+    assert after is not None and after["lat_dd"] is None
+    assert after["orientation"] == 6
+    assert parse_exif_subifd(scrubbed) == before_sub
+    # and a scrubbed stream is a fixed point
+    assert strip_gps_exif(scrubbed) == scrubbed
+
+
+def test_exif_scrub_refuses_chained_subifd_by_name():
     import pytest
 
     from datafusion_tpch_spark.operators.multimodal import (
@@ -1646,18 +1677,21 @@ def test_exif_scrub_refuses_nested_pointers_by_name():
         strip_gps_exif,
     )
 
-    # IFD0 with a GPS pointer AND an ExifIFD pointer: the rebuild cannot
-    # relocate the nested block, so it must refuse loudly, never emit a
-    # stream with a dangling offset
+    # IFD0 -> ExifIFD whose own next pointer is nonzero (a chained
+    # sub-IFD the spec says should not exist): refuse loudly, never
+    # silently reorder the chain.  ifd0 @8 (30 B), exif sub-IFD @50.
     entries = [
-        (0x8769, 4, 1, (26).to_bytes(4, "little")),   # ExifIFD pointer
-        (0x8825, 4, 1, (26).to_bytes(4, "little")),   # GPS pointer
+        (0x8769, 4, 1, (50).to_bytes(4, "little")),   # ExifIFD pointer
+        (0x8825, 4, 1, (50).to_bytes(4, "little")),   # GPS pointer
     ]
-    inner = _ifd_block([(0x0112, 3, 1, (1).to_bytes(2, "little"))], 26)
+    sub = bytearray(
+        _ifd_block([(0x8827, 3, 1, (200).to_bytes(2, "little"))], 50)
+    )
+    sub[-4:] = (50).to_bytes(4, "little")  # nonzero next pointer
     tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
-            + _ifd_block(entries, 8) + inner + inner)
+            + _ifd_block(entries, 8) + b"\0" * (50 - 38) + bytes(sub))
     blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
-    with pytest.raises(NotImplementedError, match="ExifIFD"):
+    with pytest.raises(NotImplementedError, match="chained sub-IFD"):
         strip_gps_exif(blob)
 
 
@@ -1880,6 +1914,140 @@ def test_exif_scrub_refuses_chained_ifd2_by_name():
     blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
     with pytest.raises(NotImplementedError, match="IFD2"):
         strip_gps_exif(blob)
+
+
+def test_exif_scrub_fails_closed_on_malformed_ifd1():
+    """PII policy: a malformed thumbnail chain must NOT fail the scrub
+    open.  IFD0 carries parseable GPS but its next pointer targets a
+    bogus IFD1 — the scrub strips IFD0's GPS and truncates the chain
+    instead of returning the GPS-bearing bytes unchanged."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        encode_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_gps_exif,
+    )
+
+    app1 = encode_exif_app1(
+        make="CamCo", orientation=3,
+        gps=("N", (10, 20, (30, 1)), "E", (40, 50, (60, 1))),
+    )
+    tiff = bytearray(app1[6:])
+    n0 = int.from_bytes(tiff[8:10], "little")
+    np_pos = 8 + 2 + 12 * n0
+    tiff[np_pos:np_pos + 4] = (60000).to_bytes(4, "little")  # bogus IFD1
+    blob = insert_app1(_exif_jpeg(3), b"Exif\x00\x00" + bytes(tiff))
+    assert parse_exif(blob)["lat_dd"] is not None
+    scrubbed = strip_gps_exif(blob)
+    assert scrubbed != blob
+    after = parse_exif(scrubbed)
+    assert after is not None and after["lat_dd"] is None
+    assert after["orientation"] == 3
+
+
+def test_exif_scrub_drops_unresolvable_interchange_tags():
+    """JPEGInterchangeFormat without a resolvable Length twin must not be
+    rewritten into a dangling pointer — both interchange tags are dropped
+    from the rebuilt IFD1; other IFD1 tags survive."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _find_exif_app1,
+        _ifd_block,
+        _ifd_entries,
+        encode_exif_app1,
+        insert_app1,
+        strip_gps_exif,
+    )
+
+    app1 = encode_exif_app1(
+        make="CamCo",
+        gps=("N", (10, 20, (30, 1)), "E", (40, 50, (60, 1))),
+    )
+    tiff = bytearray(app1[6:])
+    n0 = int.from_bytes(tiff[8:10], "little")
+    np_pos = 8 + 2 + 12 * n0
+    ifd1_off = len(tiff)
+    tiff[np_pos:np_pos + 4] = ifd1_off.to_bytes(4, "little")
+    tiff += _ifd_block(
+        [(0x0103, 3, 1, (6).to_bytes(2, "little")),
+         (0x0201, 4, 1, (123456).to_bytes(4, "little"))],  # no 0x0202
+        ifd1_off,
+    )
+    blob = insert_app1(_exif_jpeg(3), b"Exif\x00\x00" + bytes(tiff))
+    scrubbed = strip_gps_exif(blob)
+    t2 = _find_exif_app1(scrubbed)[2]
+    n = int.from_bytes(t2[8:10], "little")
+    nxt = int.from_bytes(t2[8 + 2 + 12 * n:8 + 2 + 12 * n + 4], "little")
+    assert nxt != 0, "IFD1 itself must survive"
+    e1 = _ifd_entries(t2, nxt, "little")
+    assert 0x0201 not in e1 and 0x0202 not in e1
+    assert 0x0103 in e1
+
+
+def test_exif_full_layout_scrub_invariants():
+    """Kernel-level sweep of the full camera layout (ExifIFD + Interop +
+    IFD1 + dual GPS): exact 114-byte shrinkage per GPS IFD, ExifIFD view
+    value-identical after relocation, thumbnail and pixels intact."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        _EXIF_PX_K,
+        _full_fixture_meta,
+        decode_jpeg,
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+        parse_exif,
+        parse_exif_ifd1,
+        parse_exif_subifd,
+        strip_gps_exif,
+    )
+
+    for did in range(30):
+        v = (did * _EXIF_PX_K + np.arange(64, dtype=np.int64)) % 256
+        blob = encode_jpeg(v.astype(np.uint8).reshape(8, 8))
+        meta = _full_fixture_meta(did)
+        if meta is not None:
+            blob = insert_app1(blob, encode_exif_app1(
+                make="CamCo", orientation=1 + did % 8, gps=meta["gps"],
+                thumbnail=meta["thumb"], thumb_gps=meta["tgps"],
+                exif_ifd=meta["exif_ifd"], interop=meta["interop"],
+            ))
+        b0, b1 = parse_exif(blob), parse_exif_ifd1(blob)
+        bs = parse_exif_subifd(blob)
+        scrubbed = strip_gps_exif(blob)
+        a0, a1 = parse_exif(scrubbed), parse_exif_ifd1(scrubbed)
+        had_gps = b0 is not None and b0["lat_dd"] is not None
+        had_tgps = b1 is not None and b1["has_gps"]
+        assert len(blob) - len(scrubbed) == 114 * (
+            int(had_gps) + int(had_tgps)
+        )
+        assert a0 is None or a0["lat_dd"] is None
+        assert a1 is None or not a1["has_gps"]
+        assert parse_exif_subifd(scrubbed) == bs
+        if b1 is not None:
+            assert a1 is not None and a1["thumbnail"] == b1["thumbnail"]
+        assert np.array_equal(decode_jpeg(blob), decode_jpeg(scrubbed))
+        if meta is not None:
+            assert bs is not None and bs["interop_index"] == "R98"
+            assert bs["version"] == b"0232"
+            assert bs["iso"] == 100 * (1 + did % 16)
+
+
+def test_exif_full_scrub_gate_matches_closed_form(spark):
+    from datafusion_tpch_spark.queries.extensions import (
+        multimodal_exif_full_scrub,
+    )
+
+    rows = multimodal_exif_full_scrub(spark, SF_DIR).collect()
+    assert rows, "gate must produce one verdict per document"
+    for r in rows:
+        did = r.doc_id
+        assert r.had_exif == (did % 7 != 0)
+        assert r.had_gps == (did % 7 != 0 and did % 3 != 0)
+        assert r.had_thumb_gps == (did % 7 != 0 and did % 2 == 0)
+        assert not r.gps_after
+        assert r.subifd_kept and r.thumb_kept and r.raster_intact
+        assert r.bytes_removed == 114 * (
+            int(r.had_gps) + int(r.had_thumb_gps)
+        )
 
 
 def test_phash_band_saturation_flag_visible(spark, monkeypatch):
