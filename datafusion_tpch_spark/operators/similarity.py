@@ -276,6 +276,42 @@ def pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
+def pq_codes(
+    df: DataFrame,
+    codebook: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Product-quantization encode emitting the CODES (m small ints per
+    vector) instead of the reconstruction — the m-byte artifact a
+    persisted PQ index stores.  Same fixed-point argmin (smallest-code
+    tie-break) as ``pq_encode``, so ``codebook[s][codes[s]]``
+    concatenated over s is bit-identical to ``pq_encode``'s recon."""
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = cb.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                diff = xs[:, None, :] - cb[s][None, :, :]
+                d2 = np.floor(diff * diff * _Q).astype(np.int64).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = pdf[[id_col]].copy()
+            out[out_col] = list(codes)
+            yield out
+
+    schema = f"{id_col} long, {out_col} array<int>"
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def ivf_pq_encode(
     df: DataFrame,
     centroids: "list[tuple[int, list[float]]]",

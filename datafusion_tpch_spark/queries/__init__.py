@@ -35,9 +35,8 @@ class QuerySpec:
 # after these.
 _CHECK_FIRST = [
     # -- round-14 additions; new queries land HERE --
-    "multimodal_exif_full_scrub",
-    # (ann_pq_persisted_topk and embeddings_drift_retrain join here as
-    # they land this round)
+    "multimodal_exif_full_scrub", "ann_pq_persisted_topk",
+    # (embeddings_drift_retrain joins here when it lands this round)
     # -- the r09 rotation-debt cohort (47 of 48) --
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
     "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",

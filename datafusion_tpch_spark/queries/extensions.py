@@ -2305,6 +2305,72 @@ ORDER BY query_id, rank
 """
 
 
+def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN served from a PERSISTED index — closing the one index
+    family whose lifetime was still session-bound: a build job writes the
+    m x k sub-codebooks and the m-byte-per-vector codes table to parquet
+    once (``operators/pq_index.py``, same manifest-LAST/fingerprint
+    discipline as the IVF artifacts), and serve sessions — including
+    FRESH sessions that never derived a codebook — answer queries from
+    the artifacts alone (``tests/test_pq_index.py`` proves this with
+    codebook derivation forcibly disabled).
+
+    The serve plan reads ONLY artifacts: the codebook collect is m*k
+    rows (corpus-size-independent), and the candidate side is the CODES
+    scan decoded in-plan — ``recon = concat_s element_at(codebook_lit[s],
+    codes[s]+1)``, a JVM-side narrow projection with no join, no shuffle,
+    no Python.  Since the reconstruction is exactly the concatenated
+    codebook rows, ranking is bit-identical to ``ann_pq_topk`` and the
+    two gates share one oracle — the strongest statement available that
+    persistence changed the index's LIFETIME, not its answers.
+
+    At 100 TB: the codes artifact is ~1/64 the corpus bytes (m=4 ints vs
+    64 floats), small enough to pin in cluster cache; serve cost is one
+    narrow scan of codes + a broadcast of the queries.  The build never
+    appends (PQ scans everything), so no compaction companion is needed.
+    """
+    from ..operators import ann_index as ai
+    from ..operators import pq_index as pqi
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    path = pqi.pq_index_path(sf_dir)
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
+    params = {"pq_m": _PQ_M, "pq_k": _PQ_K, "pq_sub": _PQ_SUB}
+    if not ai.index_is_current(path, fp, params, spark=spark):
+        pqi.write_pq_index(
+            emb, _pq_codebook(spark, sf_dir), path, fp, params
+        )
+    return _serve_persisted_pq_topk(spark, sf_dir, path)
+
+
+def _serve_persisted_pq_topk(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The serve-session plan: codebook + codes artifacts in, ADC top-k
+    out, zero codebook derivation."""
+    from ..operators import pq_index as pqi
+
+    codebook = pqi.load_pq_codebook(spark, path)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NQUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = pqi.load_pq_codes(spark, path).select(
+        F.col("vec_id").alias("cand_id"),
+        pqi.pq_recon_expr(codebook).alias("cr"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vector-compression quality loop closed in-plan: total / mean /
     worst-vector quantized reconstruction error of the PQ codebook over
@@ -7778,6 +7844,9 @@ SPECS: list[QuerySpec] = [
               "predicate-filtered ANN: label filter pushed below the LSH probe"),
     QuerySpec("ann_pq_topk", ann_pq_topk, ANN_PQ_SQL,
               "product-quantization ADC scan: fixed sub-codebooks, 4-byte codes"),
+    QuerySpec("ann_pq_persisted_topk", ann_pq_persisted_topk, ANN_PQ_SQL,
+              "PQ ADC serve from persisted codebooks + codes artifacts; "
+              "bit-identical ranking to ann_pq_topk"),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL,
               "IVF-flat top-k: trained (exact-Lloyd) centroids, nprobe cell union"),
     QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, ANN_IVF_PQ_SQL,
