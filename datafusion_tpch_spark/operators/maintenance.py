@@ -58,6 +58,15 @@ def data_file_count(path: str, spark: SparkSession | None = None) -> int:
     return n
 
 
+def sized_partitions(n_rows: int, target_records_per_file: int,
+                     max_parts: int = 4096) -> int:
+    """Partition count derived from data volume: ceil(rows / target),
+    clamped — the number every compaction job should pass to
+    ``repartition`` instead of a constant, so the same OPTIMIZE plan
+    bin-packs a 1x and a 100x table correctly."""
+    return max(1, min(max_parts, -(-int(n_rows) // int(target_records_per_file))))
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -75,7 +84,7 @@ def compact(
     """
     df = spark.read.parquet(path)
     total = df.count()
-    n_files = max(1, -(-total // target_records_per_file))
+    n_files = sized_partitions(total, target_records_per_file)
     df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
     (
         df.write.mode("overwrite")

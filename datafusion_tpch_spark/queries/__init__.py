@@ -36,7 +36,7 @@ class QuerySpec:
 _CHECK_FIRST = [
     # -- round-14 additions; new queries land HERE --
     "multimodal_exif_full_scrub", "ann_pq_persisted_topk",
-    # (embeddings_drift_retrain joins here when it lands this round)
+    "embeddings_drift_retrain",
     # -- the r09 rotation-debt cohort (47 of 48) --
     "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10",
     "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18", "q19",

@@ -961,27 +961,45 @@ def dedup_persisted_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# compaction bin-packing target — one OPTIMIZE knob shared by every
+# persisted-artifact compaction gate; partition counts are DERIVED from
+# row counts against it (operators/maintenance.sized_partitions), so the
+# same plan packs a 1x and a 100x table correctly
+_COMPACT_TARGET_RECORDS = 1_000_000
+
+
 def dedup_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE for the durable admission index — the maintenance job the
     streamed appends make necessary: every ``dedup_persisted_ingest_stream``
-    micro-batch leaves one small parquet file per touched band directory,
-    and after enough crawl cycles the scan pays per-file open/footer/
-    scheduling cost plus driver listing.  This gate bin-packs the
-    membership table into ~one file per band (``repartition`` on the
-    partition column + ``maxRecordsPerFile``), PRESERVING the band
-    partitioning so probe pruning still works, then proves the rewrite by
-    SERVING from the compacted layout: admission verdicts for the incoming
-    batch against the corpus-capped cells, identical to
+    micro-batch leaves one small parquet file per touched band directory
+    PLUS one verdict file, and after enough crawl cycles the scans pay
+    per-file open/footer/scheduling cost plus driver listing.  This gate
+    bin-packs BOTH streamed artifacts: the membership table into ~one
+    file per band (``repartition`` on the partition column — partition
+    count derived from the row count — + ``maxRecordsPerFile``),
+    PRESERVING the band partitioning so probe pruning still works, and
+    the unpartitioned verdicts table via a narrow coalesce.  Incremental
+    OPTIMIZE semantics: both source file counts are recorded in the
+    manifest AFTER the rewrite, so an unchanged layout skips the job and
+    a killed compaction re-runs.  The gate then proves the rewrite by
+    SERVING from the compacted layout: admission verdicts for the
+    incoming batch against the corpus-capped cells, identical to
     ``dedup_incremental_lsh`` (same oracle) — compaction changed the file
     layout, never the answers.  ``tests/test_lsh_index.py`` additionally
-    asserts the file count actually drops and partition pruning holds on
-    the compacted directory.
+    asserts both file counts drop, partition pruning holds on the
+    compacted directory, the compacted verdicts are row-identical, and
+    the unchanged-layout skip.
 
     At 100 TB this is the nightly OPTIMIZE every streaming-ingest table
     needs; with Delta/Iceberg the same plan runs under their OPTIMIZE
     entry points."""
+    from ..operators import ann_index as ai
     from ..operators import lsh_index as li
-    from ..operators.maintenance import data_file_count
+    from ..operators.maintenance import (
+        compact,
+        data_file_count,
+        sized_partitions,
+    )
     from ..catalog import load_table
     from ..streaming.maintenance import admit_batch
     from .extensions import _INCR_SPLIT, _LSH_MAX_BUCKET, _buckets_of
@@ -991,17 +1009,33 @@ def dedup_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = li.lsh_index_path(sf_dir) + "_ingest"
     cells_dir = path.rstrip("/") + "/cells"
     compact_dir = path.rstrip("/") + "/cells_compact"
+    verd_dir = path.rstrip("/") + "/verdicts"
+    verd_compact_dir = path.rstrip("/") + "/verdicts_compact"
+    # incremental OPTIMIZE: skip when BOTH streamed artifacts' layouts are
+    # unchanged since the last compaction; the marker lands in the
+    # manifest AFTER the rewrite, so a killed compaction re-runs
     n_before = data_file_count(cells_dir)
-    (
-        spark.read.parquet(cells_dir)
-        .repartition(4, "band")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 1_000_000)
-        .partitionBy("band")
-        .parquet(compact_dir)
-    )
-    n_after = data_file_count(compact_dir)
-    assert n_after <= n_before, (n_after, n_before)
+    nv_before = data_file_count(verd_dir)
+    m = ai.read_manifest(path, spark=spark) or {}
+    if (m.get("compact_src_files") != n_before
+            or m.get("compact_src_verdict_files") != nv_before):
+        cells = spark.read.parquet(cells_dir)
+        parts = sized_partitions(cells.count(), _COMPACT_TARGET_RECORDS)
+        (
+            cells
+            .repartition(parts, "band")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", _COMPACT_TARGET_RECORDS)
+            .partitionBy("band")
+            .parquet(compact_dir)
+        )
+        nv_after = compact(spark, verd_dir, verd_compact_dir,
+                           _COMPACT_TARGET_RECORDS)
+        n_after = data_file_count(compact_dir)
+        assert n_after <= n_before, (n_after, n_before)
+        assert nv_after <= max(nv_before, 1), (nv_after, nv_before)
+        ai.update_manifest(path, spark=spark, compact_src_files=n_before,
+                           compact_src_verdict_files=nv_before)
     # serve FROM THE COMPACTED LAYOUT: corpus-capped admission, the same
     # contract (and oracle) as the live index
     corpus_cells = (
@@ -1141,6 +1175,18 @@ def embeddings_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoints every merge), so cache it as-is
         states[sf_dir] = (holder["occ"], holder["n"], centroids)
     occ, _, centroids = states[sf_dir]
+    return _drift_rollup(spark, occ, centroids).orderBy("cell")
+
+
+def _drift_rollup(spark: SparkSession, occ: DataFrame,
+                  centroids: list) -> DataFrame:
+    """Per-cell drift verdicts from a maintained per-(cell, dim)
+    occupancy table vs the deployed centroid set — the alarm rollup
+    shared by the streaming monitoring gate and the batch retrain gate,
+    so the alarm that TRIGGERS a retrain is provably the one the monitor
+    reports."""
+    from ..inline import inline_table
+
     cent_df = inline_table(
         spark,
         [(cid, vec) for cid, vec in centroids],
@@ -1160,7 +1206,6 @@ def embeddings_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dd").cast("int").alias("n_drifted_dims"),
         )
         .withColumn("drifted", F.col("n_drifted_dims") > F.lit(_EMB_DRIFT_DIMS))
-        .orderBy("cell")
     )
 
 
@@ -1205,6 +1250,261 @@ ORDER BY cell
 
 
 EMBEDDINGS_INGEST_STREAM_SQL = _emb_ingest_oracle()
+
+
+# ------------------------------------ drift alarm -> retrain -> index swap
+
+def _drift_base_path(sf_dir: str) -> str:
+    from ..operators import ann_index as ai
+
+    return ai.index_path(sf_dir) + "_deploy"
+
+
+def _drift_alias_path(base: str) -> str:
+    return base.rstrip("/") + "/active.json"
+
+
+def _drift_v1_params() -> dict:
+    return {"tier": "deploy-v1", "k": _ING_IVF_K}
+
+
+def _drift_v2_params() -> dict:
+    from .extensions import _IVF_ITERS, _IVF_K
+
+    return {"tier": "deploy-v2", "ivf_k": _IVF_K, "ivf_iters": _IVF_ITERS}
+
+
+def _flip_alias(spark: SparkSession, base: str, version: str,
+                fingerprint: str) -> None:
+    """The atomic deployment switch: one small-file overwrite, written
+    LAST — everything the new index needs is already on storage, so a
+    kill anywhere before this line leaves the OLD index active."""
+    import json
+
+    from ..operators import artifact_io
+
+    artifact_io.write_text(
+        _drift_alias_path(base),
+        json.dumps({"active": version, "fingerprint": fingerprint},
+                   sort_keys=True) + "\n",
+        spark=spark,
+    )
+
+
+def _drift_active_version(spark: SparkSession, base: str,
+                          fingerprint: str) -> str:
+    """Which index generation serves: the alias target, honored only if
+    that generation's manifest is current for this corpus — a half-swapped
+    or stale alias falls back to v1 (and v1's own currency is the
+    caller's rebuild check)."""
+    import json
+
+    from ..operators import ann_index as ai
+    from ..operators import artifact_io
+
+    text = artifact_io.read_text(_drift_alias_path(base), spark=spark)
+    if text is None:
+        return "v1"
+    try:
+        alias = json.loads(text)
+    except ValueError:
+        return "v1"
+    version = alias.get("active")
+    if version != "v2" or alias.get("fingerprint") != fingerprint:
+        return "v1"
+    if not ai.index_is_current(base + "/v2", fingerprint,
+                               _drift_v2_params(), spark=spark):
+        return "v1"
+    return "v2"
+
+
+def _drift_serve_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-only path: read the alias, serve that generation — no drift
+    check, no training, no swap.  What a query-serving session runs while
+    the retrain job owns the control loop (and what the kill-mid-swap
+    test calls to prove the old index still serves)."""
+    from ..catalog import load_table
+    from .extensions import _cached_corpus_fingerprint, _serve_persisted_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
+    base = _drift_base_path(sf_dir)
+    version = _drift_active_version(spark, base, fp)
+    return _serve_persisted_ivf_topk(spark, sf_dir, base + "/" + version)
+
+
+def embeddings_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift alarm CLOSED into a control loop — round 13 maintained
+    the per-cell drift trigger (``embeddings_ingest_stream``) but nothing
+    consumed it; this gate is the consumer: detect drift against the
+    DEPLOYED persisted index, re-train centroids, build the replacement
+    index in its own directory, swap via one alias flip written LAST, and
+    serve from whatever the alias says is active.
+
+    Lifecycle (every step idempotent, every kill-window rebuildable):
+
+    1. **v1 (deployed)**: the raw-seed corpus index
+       (``_emb_corpus_centroids``, the same artifact the monitoring gate
+       alarms against) persisted under ``<base>/v1`` with the standard
+       manifest discipline.
+    2. **Detect**: one batch pass of the incoming slice through the SAME
+       per-(cell, dim) occupancy kernel the monitor streams
+       (``ivf_ingest_batch``) and the SAME rollup (``_drift_rollup``) —
+       the alarm that fires here is provably the monitor's alarm.
+    3. **Retrain + swap**: if any cell drifted, train the replacement
+       (``_ivf_trained_centroids``: md5 seeds + exact Lloyd — the
+       production index build) over the FULL corpus, write it under
+       ``<base>/v2`` (manifest LAST), then flip ``active.json`` — the
+       swap is one small-file overwrite AFTER all artifacts land, so a
+       kill mid-swap leaves v1 serving (``tests/test_drift_retrain.py``
+       kills the flip and proves it).
+    4. **Serve**: from the alias target.  Output rows carry
+       ``n_drifted_cells`` and ``index_version`` so the oracle verifies
+       the DECISION as well as the post-swap ranking.
+
+    At 100 TB: detection is one narrow kernel pass over the incoming
+    slice folded to O(k·d) rows; retraining is the standard bounded-
+    driver Lloyd loop; the swap moves no data — generations are
+    directories, deployment is a manifest.  The serve scan stays
+    statically partition-pruned to the probed cells of the ACTIVE
+    generation."""
+    from ..catalog import load_table
+    from ..operators import ann_index as ai
+    from ..streaming.maintenance import ivf_ingest_batch
+    from .extensions import (
+        _cached_corpus_fingerprint,
+        _ivf_trained_centroids,
+        _serve_persisted_ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
+    base = _drift_base_path(sf_dir)
+    v1_path = base + "/v1"
+    if not ai.index_is_current(v1_path, fp, _drift_v1_params(), spark=spark):
+        corpus = emb.filter(F.col("vec_id") < _EMB_SPLIT)
+        ai.write_index(
+            corpus, _emb_corpus_centroids(spark, sf_dir), v1_path, fp,
+            _drift_v1_params(),
+        )
+    cents1 = ai.load_centroids(spark, v1_path)
+    incoming = emb.filter(F.col("vec_id") >= _EMB_SPLIT).select(
+        "vec_id", "embedding"
+    )
+    occ = ivf_ingest_batch(incoming, cents1)
+    report = _drift_rollup(spark, occ, cents1)
+    n_drifted = report.filter(F.col("drifted")).count()  # bounded: <= k rows
+    if n_drifted > 0:
+        v2_path = base + "/v2"
+        if not ai.index_is_current(v2_path, fp, _drift_v2_params(),
+                                   spark=spark):
+            ai.write_index(
+                emb, _ivf_trained_centroids(spark, sf_dir), v2_path, fp,
+                _drift_v2_params(),
+            )
+        _flip_alias(spark, base, "v2", fp)
+    version = _drift_active_version(spark, base, fp)
+    serve = _serve_persisted_ivf_topk(spark, sf_dir, base + "/" + version)
+    return (
+        serve
+        .withColumn("n_drifted_cells", F.lit(int(n_drifted)).cast("int"))
+        .withColumn(
+            "index_version",
+            F.lit(2 if version == "v2" else 1).cast("int"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _drift_retrain_oracle() -> str:
+    """Closed-form replay: the drift decision (raw-seed deployed index vs
+    the incoming slice) AND the post-swap serve — the trained-IVF chain
+    when any cell drifted, the v1 raw-seed serve when none did."""
+    from ..functions import vectors
+    from .extensions import (
+        _IVF_NPROBE,
+        _NQUERY,
+        _TOPK,
+        _ivf_cent_ctes,
+        _ivf_probe_ctes,
+        _l2q_sql,
+    )
+
+    cos = (
+        f"{vectors.exact_dot_sql('q.embedding', 'c.embedding')}"
+        f" / (sqrt({vectors.exact_dot_sql('q.embedding', 'q.embedding')})"
+        f" * sqrt({vectors.exact_dot_sql('c.embedding', 'c.embedding')}))"
+    )
+    return f"""
+WITH {_ivf_cent_ctes()},
+{_ivf_probe_ctes()},
+drcent AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {_EMB_SPLIT}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ING_IVF_K}),
+drassigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2q_sql('e.embedding', 'c.ce')},
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN drcent c
+    WHERE e.vec_id >= {_EMB_SPLIT}) WHERE rn = 1),
+drex AS (
+  SELECT cell, unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM drassigned),
+drperdim AS (
+  SELECT cell, dim,
+         SUM(CAST(floor(CAST(v AS DOUBLE) * 100000000.0)
+                  AS DECIMAL(38,0))) AS sumq,
+         COUNT(*) AS n
+  FROM drex GROUP BY cell, dim),
+drrep AS (
+  SELECT cell,
+         SUM(CASE WHEN abs(CAST(p.sumq AS DOUBLE) / 100000000.0 / p.n
+                           - CAST(c.ce[p.dim + 1] AS DOUBLE))
+                       > {_EMB_DRIFT_TH} THEN 1 ELSE 0 END) AS nd
+  FROM drperdim p JOIN drcent c ON p.cell = c.cid
+  GROUP BY cell),
+drflag AS (
+  SELECT COUNT(*) FILTER (WHERE nd > {_EMB_DRIFT_DIMS}) AS n_drifted
+  FROM drrep),
+v2scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cos_sim
+  FROM qprobe q JOIN assigned c ON c.cell = q.cid AND q.vec_id <> c.vec_id),
+v2ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM v2scored),
+v1ebase AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_EMB_SPLIT}),
+v1cent AS MATERIALIZED (SELECT cid, ce FROM drcent),
+{_ivf_probe_ctes(prefix="v1", query_from="embeddings")},
+v1scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cos_sim
+  FROM v1qprobe q JOIN v1assigned c
+    ON c.cell = q.cid AND q.vec_id <> c.vec_id),
+v1ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM v1scored)
+SELECT query_id, cand_id, cos_sim, CAST(rank AS INTEGER) AS rank,
+       CAST((SELECT n_drifted FROM drflag) AS INTEGER) AS n_drifted_cells,
+       CAST(CASE WHEN (SELECT n_drifted FROM drflag) > 0 THEN 2 ELSE 1 END
+            AS INTEGER) AS index_version
+FROM (
+  SELECT query_id, cand_id, cos_sim, rank FROM v2ranked
+  WHERE (SELECT n_drifted FROM drflag) > 0
+  UNION ALL
+  SELECT query_id, cand_id, cos_sim, rank FROM v1ranked
+  WHERE (SELECT n_drifted FROM drflag) = 0)
+WHERE rank <= {_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+EMBEDDINGS_DRIFT_RETRAIN_SQL = _drift_retrain_oracle()
 
 
 # Streaming ANN serve state: (post-ingest assigned index DataFrame,
@@ -1528,11 +1828,15 @@ def ann_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_before = data_file_count(cells_dir)
     m = ai.read_manifest(path, spark=spark) or {}
     if m.get("compact_src_files") != n_before:
+        from ..operators.maintenance import sized_partitions
+
+        cells = spark.read.parquet(cells_dir)
+        parts = sized_partitions(cells.count(), _COMPACT_TARGET_RECORDS)
         (
-            spark.read.parquet(cells_dir)
-            .repartition(8, "cell")
+            cells
+            .repartition(parts, "cell")
             .write.mode("overwrite")
-            .option("maxRecordsPerFile", 1_000_000)
+            .option("maxRecordsPerFile", _COMPACT_TARGET_RECORDS)
             .partitionBy("cell")
             .parquet(compact_dir)
         )
@@ -1793,6 +2097,13 @@ SPECS: list[QuerySpec] = [
         embeddings_ingest_stream,
         EMBEDDINGS_INGEST_STREAM_SQL,
         "foreachBatch IVF cell occupancy + drift trigger vs fixed centroids",
+    ),
+    QuerySpec(
+        "embeddings_drift_retrain",
+        embeddings_drift_retrain,
+        EMBEDDINGS_DRIFT_RETRAIN_SQL,
+        "drift alarm -> centroid retrain -> persisted-index swap via "
+        "alias flip, serve from the active generation",
     ),
     QuerySpec(
         "docs_substring_ingest_stream",

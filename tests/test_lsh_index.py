@@ -204,3 +204,36 @@ def test_persisted_compact_reduces_files_and_preserves_answers(spark,
     )
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
     assert any("PartitionFilters: [band#" in ln for ln in plan.splitlines()), plan
+
+    # the OPTIMIZE job covers the verdicts table too: fewer files (the
+    # stream appended one per micro-batch), identical rows
+    nv_before = data_file_count(os.path.join(path, "verdicts"))
+    nv_after = data_file_count(os.path.join(path, "verdicts_compact"))
+    assert nv_after < nv_before, (nv_after, nv_before)
+    orig = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(path, "verdicts")).collect()
+    )
+    packed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(path, "verdicts_compact")
+        ).collect()
+    )
+    assert packed == orig
+
+    # incremental OPTIMIZE: an unchanged source layout skips the rewrite
+    import glob
+
+    def mtimes():
+        return {
+            f: os.path.getmtime(f)
+            for d in ("cells_compact", "verdicts_compact")
+            for f in glob.glob(os.path.join(path, d, "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    before = mtimes()
+    rows2 = st.dedup_persisted_compact(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+    assert mtimes() == before, "unchanged source must skip rewrite"
