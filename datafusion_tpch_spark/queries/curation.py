@@ -1710,12 +1710,18 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       6. decontaminated   — training slice with no {n}-gram overlap
                             against the held-out benchmark slice
 
-    Stage rules are EXACTLY the standalone gates' (``dedup_exact``,
+    Stage rules are the standalone gates' (``dedup_exact``,
     ``dedup_minhash_lsh``, ``docs_exact_substring_dedup``,
-    ``docs_decontaminate``), composed: near-dup candidates come from
-    bucket equi-joins (never all-pairs), span recurrence is two
-    map-side-combinable aggregations over the span-hash multiset, and
-    contamination is a broadcast join against the eval shingle set.  The
+    ``docs_decontaminate``), composed — with ONE deliberate upgrade over
+    the standalone near-dup rule: over-cap LSH buckets DEGRADE to
+    deterministic representative sampling (``_capped_lsh_membership``:
+    hash-rank top-{cap} members per bucket) instead of being dropped
+    whole, so at saturation scale the stage still filters with bounded
+    recall rather than silently becoming a no-op.  Near-dup candidates
+    come from bucket equi-joins (never all-pairs, fan-out <= cap^2 per
+    bucket), span recurrence is two map-side-combinable aggregations
+    over the span-hash multiset, and contamination is a broadcast join
+    against the eval shingle set.  The
     whole funnel is one lazy plan of per-doc survival flags folded by a
     single conditional aggregate — at 100 TB each stage boundary is where
     a production run would checkpoint survivors to parquet, and every
@@ -1735,14 +1741,11 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2_ids = s2f.filter(F.col("in_s2")).select("doc_id")
 
-    # stage 3: banded LSH restricted to stage-2 survivors, cap re-applied
-    # to the restricted buckets (the stage corpus IS the dedup input)
-    bk = _lsh_buckets_raw(spark, sf_dir).join(s2_ids, "doc_id")
-    bw = Window.partitionBy("band", "bkey")
-    bk = (
-        bk.withColumn("n_in_bucket", F.count(F.lit(1)).over(bw))
-        .filter(F.col("n_in_bucket") <= _LSH_MAX_BUCKET)
-        .select("doc_id", "band", "bkey")
+    # stage 3: banded LSH restricted to stage-2 survivors, hot-bucket
+    # degradation re-applied to the restricted buckets (the stage corpus
+    # IS the dedup input)
+    bk = _capped_lsh_membership(
+        _lsh_buckets_raw(spark, sf_dir).join(s2_ids, "doc_id")
     )
     nd_drop = (
         bk.alias("a")
@@ -1842,9 +1845,40 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage_idx")
 
 
+def _yield_doc_cap() -> int:
+    from .extensions import _LSH_MAX_BUCKET
+
+    return _LSH_MAX_BUCKET
+
+
 docs_pipeline_yield_full.__doc__ = (docs_pipeline_yield_full.__doc__ or "").format(
-    xmax=_XSUB_YIELD_MAX, k=_XSUB_K, mintok=_YIELD_MIN_TOK, n=_DECON_N
+    xmax=_XSUB_YIELD_MAX, k=_XSUB_K, mintok=_YIELD_MIN_TOK, n=_DECON_N,
+    cap=_yield_doc_cap(),
 )
+
+
+def _capped_lsh_membership(bk: DataFrame) -> DataFrame:
+    """Hot-bucket DEGRADATION for the funnel's near-dup stage: instead of
+    dropping an over-cap (band, bkey) bucket whole (the standalone
+    stoplist, which at saturation scale silently turns near-dedup into a
+    no-op), keep the bucket's top-``_LSH_MAX_BUCKET`` members by
+    deterministic hash rank (md5 of doc_id, id tie-break) as
+    REPRESENTATIVES.  Under-cap buckets are untouched (every member's
+    rank clears the cap); over-cap buckets still generate candidate
+    pairs among their representatives, so the join fan-out stays bounded
+    at cap^2 per bucket while recall degrades gracefully instead of to
+    zero — the measured recall-vs-cap curve at saturation lives in
+    ``SCALE_PROOF.md``."""
+    from .extensions import _LSH_MAX_BUCKET
+
+    rw = Window.partitionBy("band", "bkey").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        bk.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= _LSH_MAX_BUCKET)
+        .select("doc_id", "band", "bkey")
+    )
 
 
 def _pipeline_yield_full_sql() -> str:
@@ -1865,12 +1899,13 @@ s2 AS (
 sig_all AS ({_minhash_sig_sql()}),
 sig AS (SELECT s.* FROM sig_all s JOIN s2 USING (doc_id)),
 b_all AS ({_band_sql('sig')}),
-hot AS (SELECT band, bkey FROM b_all
-        GROUP BY band, bkey HAVING COUNT(*) > {_LSH_MAX_BUCKET}),
 bk AS (
-  SELECT b.* FROM b_all b
-  WHERE NOT EXISTS (SELECT 1 FROM hot h
-                    WHERE h.band = b.band AND h.bkey = b.bkey)),
+  SELECT doc_id, band, bkey FROM (
+    SELECT b.*, ROW_NUMBER() OVER (
+      PARTITION BY band, bkey
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM b_all b)
+  WHERE rnk <= {_LSH_MAX_BUCKET}),
 nd_drop AS (
   SELECT DISTINCT b.doc_id
   FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
@@ -1930,7 +1965,8 @@ DOCS_PIPELINE_YIELD_FULL_SQL = _pipeline_yield_full_sql()
 # Checkpointable funnel: per-stage survivor parquet + resume
 # ===========================================================================
 
-_FUNNEL_FORMAT = 1
+_FUNNEL_FORMAT = 2  # v2: stage-3 hot buckets degrade to representative
+                    # sampling instead of the drop-whole stoplist
 _FUNNEL_STAGES = [
     "raw", "exact_dedup", "near_dedup", "exact_substr",
     "length_floor", "decontaminated",
@@ -1979,14 +2015,10 @@ def _funnel_stage_build(spark: SparkSession, sf_dir: str, path: str,
         out = prev.join(keep, "doc_id")
     elif idx == 3:
         prev = prev_ids(2)
-        bk = _lsh_buckets_raw(spark, sf_dir).join(
-            prev.select("doc_id"), "doc_id"
-        )
-        bw = Window.partitionBy("band", "bkey")
-        bk = (
-            bk.withColumn("n_in_bucket", F.count(F.lit(1)).over(bw))
-            .filter(F.col("n_in_bucket") <= _LSH_MAX_BUCKET)
-            .select("doc_id", "band", "bkey")
+        bk = _capped_lsh_membership(
+            _lsh_buckets_raw(spark, sf_dir).join(
+                prev.select("doc_id"), "doc_id"
+            )
         )
         drop = (
             bk.alias("a")
