@@ -95,6 +95,10 @@ HEADLINE = [
     # other r13 gates — resumable funnel, thumb scrub, durable stream —
     # are members of already-represented families)
     "dedup_persisted_lsh",
+    # round-14 representative: the drift->retrain->swap control loop (the
+    # other r14 gates — persisted PQ, full EXIF scrub — are members of
+    # already-represented families)
+    "embeddings_drift_retrain",
 ]
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
