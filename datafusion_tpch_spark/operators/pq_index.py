@@ -104,6 +104,72 @@ def load_pq_codes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "codes"))
 
 
+def ivfpq_index_path(sf_dir: str, root: str | None = None) -> str:
+    """IVF-PQ artifact directory — sibling tier to ``pq/`` under the
+    fixture's ann_index root."""
+    return ann_index.index_path(sf_dir, root).rstrip("/") + "/ivfpq"
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    codebook: "list[list[list[float]]]",
+    path: str,
+    fingerprint: str,
+    params: dict | None = None,
+) -> None:
+    """The IVF-PQ index build job — the FAISS IVFx,PQy layout on
+    storage: coarse centroids (k rows), sub-codebooks (m*k rows), and
+    the corpus as (vec_id, cell, m-int codes) written
+    ``partitionBy("cell")`` so probes are statically partition-pruned
+    AND each pruned read is ~1/64 the raw bytes.  One fused Arrow pass
+    builds it (``similarity.ivf_pq_codes``); manifest discipline as
+    everywhere (stale manifest deleted FIRST, new manifest LAST)."""
+    from ..inline import inline_table
+    from .similarity import ivf_pq_codes
+
+    spark = emb.sparkSession
+    artifact_io.delete(ann_index._manifest_path(path), spark=spark)
+    inline_table(
+        spark,
+        [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(centroids)],
+        "cid long, ce array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    cb_rows = [
+        (int(s), int(j), [float(x) for x in codebook[s][j]])
+        for s in range(len(codebook))
+        for j in range(len(codebook[s]))
+    ]
+    inline_table(
+        spark, cb_rows, "s int, j int, ce array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    ivf_pq_codes(emb, centroids, codebook).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "cells"))
+    manifest = {
+        "format": ann_index.FORMAT_VERSION,
+        "fingerprint": fingerprint,
+        "k": len(centroids),
+        **(params or {}),
+    }
+    ann_index.write_manifest(path, manifest, spark=spark)
+
+
+def load_ivfpq_cells(spark: SparkSession, path: str,
+                     cell_ids: "list[int]") -> DataFrame:
+    """The probed inverted lists of codes: a static IN-filter on the
+    partition column — only the probed directories are listed, and each
+    carries m ints per vector instead of the raw embedding."""
+    return (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin([int(c) for c in cell_ids]))
+    )
+
+
 def pq_recon_expr(codebook: "list[list[list[float]]]",
                   codes_col: str = "codes") -> Column:
     """The in-plan ADC decode: reconstruction = concatenated codebook

@@ -369,6 +369,57 @@ def ivf_pq_encode(
     return df.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
+def ivf_pq_codes(
+    df: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    codebook: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment + PQ CODES fused into one corpus pass — the
+    persisted-index twin of ``ivf_pq_encode``: instead of the full-width
+    reconstruction it emits (cell, m small ints), the artifact an IVF-PQ
+    store writes per vector.  Same fixed-point argmins, so
+    ``codebook[s][codes[s]]`` concatenated is bit-identical to
+    ``ivf_pq_encode``'s recon and the cell matches ``ivf_assign``."""
+    spark = df.sparkSession
+    cent_sorted = sorted(centroids)
+    c_ids = np.asarray([c[0] for c in cent_sorted], dtype=np.int64)
+    c_mat = np.asarray([c[1] for c in cent_sorted], dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    m, _k, sub = cb.shape
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, cb))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat, b_cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, np.float64) for v in pdf[vec_col]], np.float64
+            )
+            cells = np.empty(len(pdf), dtype=np.int64)
+            step = max(1, 64_000_000 // (b_mat.shape[0] * b_mat.shape[1] * 8))
+            for lo in range(0, len(pdf), step):
+                hi = min(lo + step, len(pdf))
+                diff = x[lo:hi, None, :] - b_mat[None, :, :]
+                d2 = np.floor(diff * diff * _Q).astype(np.int64).sum(axis=2)
+                cells[lo:hi] = b_ids[np.argmin(d2, axis=1)]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                diff = xs[:, None, :] - b_cb[s][None, :, :]
+                d2 = np.floor(diff * diff * _Q).astype(np.int64).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            out = pdf[[id_col]].copy()
+            out["cell"] = cells
+            out["codes"] = list(codes)
+            yield out
+
+    schema = f"{id_col} long, cell long, codes array<int>"
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def srp_bucket(
     df: DataFrame,
     signs: "list[list[int]]",

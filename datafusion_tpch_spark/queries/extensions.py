@@ -2582,6 +2582,82 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED index — the persisted-tier matrix
+    completed: IVF cells persist (``ann_persisted_index_topk``), PQ codes
+    persist (``ann_pq_persisted_topk``), and this gate persists their
+    COMPOSITION, the layout production vector stores actually deploy
+    (FAISS ``IVFx,PQy`` on disk): coarse centroids + sub-codebooks +
+    the corpus as (vec_id, cell, m-int codes) written
+    ``partitionBy("cell")``, one fused Arrow build pass
+    (``operators/similarity.ivf_pq_codes``), standard manifest-LAST /
+    fingerprint discipline (``operators/pq_index.py``).
+
+    The serve plan is the 100 TB shape this family exists for: probes
+    rank the k-row centroid collect, the cells scan is statically
+    partition-pruned to the nprobe probed directories AND each pruned
+    read is ~1/64 the raw bytes (codes, not embeddings), with the ADC
+    reconstruction decoded IN-PLAN from codebook array literals — no
+    join, no Python stage.  Ranking is bit-identical to
+    ``ann_ivf_pq_topk`` (same trained centroids, same codebook, same
+    fixed-point ADC), so the two gates share one oracle — persistence
+    changed the lifetime, not the answers.  Fresh-session serve with
+    training AND codebook derivation forcibly disabled is proven in
+    ``tests/test_pq_index.py``."""
+    from ..operators import ann_index as ai
+    from ..operators import pq_index as pqi
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    path = pqi.ivfpq_index_path(sf_dir)
+    fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
+    params = {"ivf_k": _IVF_K, "ivf_iters": _IVF_ITERS,
+              "pq_m": _PQ_M, "pq_k": _PQ_K, "pq_sub": _PQ_SUB}
+    if not ai.index_is_current(path, fp, params, spark=spark):
+        pqi.write_ivfpq_index(
+            emb, _ivf_trained_centroids(spark, sf_dir),
+            _pq_codebook(spark, sf_dir), path, fp, params,
+        )
+    return _serve_persisted_ivfpq_topk(spark, sf_dir, path)
+
+
+def _serve_persisted_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, path: str
+) -> DataFrame:
+    """The serve-session plan: centroid + codebook + probed code cells in,
+    ADC top-k out, zero training."""
+    from ..inline import inline_table
+    from ..operators import ann_index as ai
+    from ..operators import pq_index as pqi
+
+    centroids = ai.load_centroids(spark, path)
+    codebook = pqi.load_pq_codebook(spark, path)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    rows = _ivf_query_probes(emb, centroids).collect()
+    probed = sorted({int(r.qcell) for r in rows})
+    probes = inline_table(
+        spark,
+        [(int(r.query_id), [float(x) for x in r.qe], int(r.qcell))
+         for r in rows],
+        "query_id long, qe array<float>, qcell long",
+    )
+    cells = pqi.load_ivfpq_cells(spark, path, probed).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("cell").cast("long").alias("ccell"),
+        pqi.pq_recon_expr(codebook).alias("cr"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        F.broadcast(probes)
+        .join(cells, (F.col("qcell") == F.col("ccell"))
+              & (F.col("query_id") != F.col("cand_id")))
+        .withColumn("adc_dist", _l2q(F.col("qe"), F.col("cr")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 _IVF_PQ_REFINE_SCORED_SQL = f"""
 WITH adc AS ({_IVF_PQ_SCORED_SQL}),
 short AS (
@@ -7851,6 +7927,10 @@ SPECS: list[QuerySpec] = [
               "IVF-flat top-k: trained (exact-Lloyd) centroids, nprobe cell union"),
     QuerySpec("ann_ivf_pq_topk", ann_ivf_pq_topk, ANN_IVF_PQ_SQL,
               "IVF-PQ: cell-pruned ADC scan, one-pass fused index build"),
+    QuerySpec("ann_ivf_pq_persisted_topk", ann_ivf_pq_persisted_topk,
+              ANN_IVF_PQ_SQL,
+              "persisted IVF-PQ serve: partition-pruned code cells, "
+              "in-plan ADC decode; bit-identical to ann_ivf_pq_topk"),
     QuerySpec("ann_ivf_pq_refine_topk", ann_ivf_pq_refine_topk,
               ANN_IVF_PQ_REFINE_SQL,
               "IVF-PQ + refine: exact re-rank of the ADC shortlist (constant raw IO)"),

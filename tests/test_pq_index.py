@@ -81,6 +81,51 @@ def test_corpus_or_param_change_invalidates(spark, index_dir):
     assert not ai.index_is_current(path, fp, {"pq_k": 99})
 
 
+def test_ivfpq_persisted_matches_in_session(spark, index_dir):
+    """The persisted composition ranks bit-identically to the in-session
+    IVF-PQ plan — same trained centroids, same codebook, same ADC."""
+    rows = ext.ann_ivf_pq_persisted_topk(spark, SF_DIR).collect()
+    expect = ext.ann_ivf_pq_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in expect]
+    path = pqi.ivfpq_index_path(SF_DIR, index_dir)
+    assert os.path.exists(os.path.join(path, "manifest.json"))
+    cell_dirs = [d for d in os.listdir(os.path.join(path, "cells"))
+                 if d.startswith("cell=")]
+    assert len(cell_dirs) > 1, "inverted code lists must be directories"
+
+
+def test_ivfpq_fresh_session_serves_from_artifacts(spark, index_dir,
+                                                   monkeypatch):
+    """Fresh session: training AND codebook derivation AND the fused
+    encode made to raise — serve must succeed from the artifacts alone."""
+    rows1 = ext.ann_ivf_pq_persisted_topk(spark, SF_DIR).collect()
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("persisted IVF-PQ serve re-derived an index")
+
+    monkeypatch.setattr(ext, "_ivf_trained_centroids", boom)
+    monkeypatch.setattr(ext, "_pq_codebook", boom)
+    monkeypatch.setattr(pqi, "write_ivfpq_index", boom)
+    monkeypatch.setattr(ext, "_IVF_CENT_CACHE", {})
+    rows2 = ext.ann_ivf_pq_persisted_topk(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows1]
+
+
+def test_ivfpq_serve_scan_is_partition_pruned(spark, index_dir):
+    """The probed-cell filter must reach the codes scan as a static
+    partition filter, and the serve plan must stay JVM-only."""
+    ext.ann_ivf_pq_persisted_topk(spark, SF_DIR).collect()
+    path = pqi.ivfpq_index_path(SF_DIR, index_dir)
+    df = ext._serve_persisted_ivfpq_topk(spark, SF_DIR, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters: [cell#" in ln]
+    assert pruned, plan
+    for ln in pruned:
+        assert "INSET" in ln or "IN (" in ln, ln
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_serve_plan_has_no_python_stage(spark, index_dir):
     """The ADC decode is a JVM expression over array literals — the serve
     plan must contain no Python/Arrow eval stage (the encode kernel runs
