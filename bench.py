@@ -78,7 +78,11 @@ HEADLINE = [
     "events_stateful_sessions", "events_sliding_stream",
     "events_trending_stream", "events_hll_stream",
     "events_pagerank", "events_communities",
-    "events_kmv_setops", "events_hll_distinct",
+    # (events_hll_distinct rotated out in r14 to keep the line inside
+    # the driver tail when embeddings_drift_retrain joined — the sketch
+    # family keeps events_kmv_distinct/events_kmv_setops/events_hll_stream;
+    # its timing still lands in BENCH_DETAIL.json)
+    "events_kmv_setops",
     "docs_token_pack", "docs_decontaminate", "docs_dsir_score",
     "docs_bm25_topk", "tfidf_top_terms",
     "multimodal_frame_sample", "multimodal_audio_energy",
