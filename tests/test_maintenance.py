@@ -91,3 +91,28 @@ def test_clustered_scan_skips_files(spark, tmpdirs, fragmented):
         .count()
     )
     assert touched < total
+
+
+def test_sized_partitions_derives_from_volume():
+    from datafusion_tpch_spark.operators.maintenance import sized_partitions
+
+    assert sized_partitions(0, 1_000_000) == 1
+    assert sized_partitions(999_999, 1_000_000) == 1
+    assert sized_partitions(1_000_001, 1_000_000) == 2
+    # the 100x table gets 100x the files under the same target
+    assert sized_partitions(5_000_000, 1_000_000) == 5
+    assert sized_partitions(500_000_000, 1_000_000) == 500
+    # clamped against a runaway row count
+    assert sized_partitions(10**13, 1_000_000, max_parts=4096) == 4096
+
+
+def test_data_file_count_scheme_qualified(spark, tmp_path):
+    """A file: URI exercises the Hadoop listFiles path — the same code an
+    s3a:// root would hit; os.walk would silently return 0 here and
+    permanently disable incremental re-compaction."""
+    local = str(tmp_path / "t")
+    spark.range(100).repartition(3).write.parquet(local)
+    n_posix = data_file_count(local)
+    assert n_posix == 3
+    assert data_file_count(f"file://{local}", spark=spark) == n_posix
+    assert data_file_count(f"file://{local}/absent", spark=spark) == 0

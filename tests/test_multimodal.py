@@ -1916,6 +1916,53 @@ def test_exif_scrub_refuses_chained_ifd2_by_name():
         strip_gps_exif(blob)
 
 
+def test_exif_scrub_relocates_big_endian_subifd_tree():
+    """MM byte order through the FULL relocation path: a hand-built
+    big-endian TIFF with IFD0 -> {ExifIFD (RATIONAL payload in the data
+    area + SHORT), GPS} must scrub to a little-endian stream whose
+    ExifIFD values are preserved exactly — the per-element byte reversal
+    in _le_raw is what's under test."""
+    from datafusion_tpch_spark.operators.multimodal import (
+        insert_app1,
+        parse_exif,
+        parse_exif_subifd,
+        strip_gps_exif,
+    )
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    # ifd0 @8 (3 entries, 42 B) -> exif @50 (2 entries + 8 B data, 38 B)
+    # -> gps @88 (1 entry, 18 B)
+    ifd0 = (be(3, 2)
+            + be(0x0112, 2) + be(3, 2) + be(1, 4) + be(6, 2) + b"\0\0"
+            + be(0x8769, 2) + be(4, 2) + be(1, 4) + be(50, 4)
+            + be(0x8825, 2) + be(4, 2) + be(1, 4) + be(88, 4)
+            + be(0, 4))
+    exif = (be(2, 2)
+            + be(0x829A, 2) + be(5, 2) + be(1, 4) + be(80, 4)  # -> data
+            + be(0x8827, 2) + be(3, 2) + be(1, 4) + be(400, 2) + b"\0\0"
+            + be(0, 4)
+            + be(1, 4) + be(125, 4))  # ExposureTime = 1/125, big-endian
+    gps = (be(1, 2)
+           + be(0x0001, 2) + be(2, 2) + be(2, 4) + b"N\0\0\0"
+           + be(0, 4))
+    tiff = b"MM" + be(42, 2) + be(8, 4) + ifd0 + exif + gps
+    blob = insert_app1(_exif_jpeg(0), b"Exif\x00\x00" + tiff)
+    before = parse_exif_subifd(blob)
+    assert before == {"exposure": (1, 125), "fnumber": None, "iso": 400,
+                      "version": None, "interop_index": None}
+    scrubbed = strip_gps_exif(blob)
+    after = parse_exif(scrubbed)
+    assert after is not None and after["orientation"] == 6
+    assert after["lat_dd"] is None
+    assert parse_exif_subifd(scrubbed) == before
+    # the rebuilt stream is little-endian
+    from datafusion_tpch_spark.operators.multimodal import _find_exif_app1
+
+    assert _find_exif_app1(scrubbed)[2][:2] == b"II"
+
+
 def test_exif_scrub_fails_closed_on_malformed_ifd1():
     """PII policy: a malformed thumbnail chain must NOT fail the scrub
     open.  IFD0 carries parseable GPS but its next pointer targets a
