@@ -99,13 +99,19 @@ def rewrite_sorted(
     path: str,
     out_path: str,
     sort_cols: list[str],
-    n_files: int = 8,
+    n_files: int | None = 8,
+    target_records_per_file: int = 1_000_000,
 ) -> int:
     """Cluster the dataset by ``sort_cols``: range-partition into
     ``n_files`` shards and sort within each, so parquet footer min/max on
     the sort key becomes a file-skipping index.  Returns the output file
-    count."""
+    count.  ``n_files=None`` derives the shard count from the row count
+    against ``target_records_per_file`` (``sized_partitions``) — the form
+    a scheduled re-cluster job should use, so the same call packs a 1x
+    and a 100x table correctly."""
     df = spark.read.parquet(path)
+    if n_files is None:
+        n_files = sized_partitions(df.count(), target_records_per_file)
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)

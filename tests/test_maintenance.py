@@ -116,3 +116,11 @@ def test_data_file_count_scheme_qualified(spark, tmp_path):
     assert n_posix == 3
     assert data_file_count(f"file://{local}", spark=spark) == n_posix
     assert data_file_count(f"file://{local}/absent", spark=spark) == 0
+
+
+def test_rewrite_sorted_derives_shards_from_volume(spark, tmpdirs, fragmented):
+    out = os.path.join(tmpdirs, "clustered_auto")
+    n = rewrite_sorted(spark, fragmented, out, ["o_orderkey"],
+                       n_files=None, target_records_per_file=500)
+    # 1500 rows / 500 per file -> 3 range shards
+    assert n == 3
