@@ -325,3 +325,58 @@ def test_pipeline_yield_full_funnel_monotone(spark):
     # the added stages actually cut something on the fixture
     assert docs[2] < docs[1], "near-dup stage must drop docs"
     assert docs[-1] > 0 and toks[-1] > 0
+
+
+def test_capped_membership_degradation_properties(spark):
+    """The saturation-fallback contract: under-cap buckets are untouched,
+    over-cap buckets keep exactly cap deterministic representatives, and
+    the drops generated from the sampled membership are a SUBSET of the
+    uncapped drops (recall degrades, never fabricates)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_tpch_spark.queries import extensions as ext
+    from datafusion_tpch_spark.queries.curation import _capped_lsh_membership
+
+    cap = ext._LSH_MAX_BUCKET
+    rows = []
+    # bucket A: under cap; bucket B: exactly cap; bucket C: 3x over cap
+    for i in range(5):
+        rows.append((100 + i, 0, "A"))
+    for i in range(cap):
+        rows.append((200 + i, 0, "B"))
+    for i in range(3 * cap):
+        rows.append((300 + i, 1, "C"))
+    bk = spark.createDataFrame(rows, "doc_id long, band int, bkey string")
+
+    out1 = _capped_lsh_membership(bk)
+    kept = {r.bkey: c for r, c in
+            ((row, row.n) for row in
+             out1.groupBy("bkey").agg(F.count("*").alias("n")).collect())}
+    assert kept == {"A": 5, "B": cap, "C": cap}
+    # under-cap and exactly-at-cap buckets keep every member
+    a_ids = {r.doc_id for r in out1.filter(F.col("bkey") == "A").collect()}
+    assert a_ids == {100 + i for i in range(5)}
+    # deterministic: a second evaluation selects the same representatives
+    out2 = _capped_lsh_membership(bk)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+    def drops(m):
+        return {
+            r.doc_id
+            for r in m.alias("a")
+            .join(
+                m.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+            .collect()
+        }
+
+    sampled = drops(out1)
+    uncapped = drops(bk.select("doc_id", "band", "bkey"))
+    assert sampled <= uncapped
+    # the over-cap bucket still yields real drops (bounded recall > 0)
+    assert any(300 <= d < 300 + 3 * cap for d in sampled)
