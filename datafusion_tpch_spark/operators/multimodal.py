@@ -3981,7 +3981,6 @@ _EXIF_TAG_GPS_IFD = 0x8825
 # hangs off the ExifIFD per EXIF 4.6.3): parsed as a sub-IFD tree and
 # re-emitted with patched offsets.  What still refuses by name: a sub-IFD
 # with its own nonzero next pointer (a chained sub-IFD) and an IFD2 chain.
-_EXIF_POINTER_TAGS = {0x8769: "ExifIFD", 0xA005: "InteropIFD"}
 _EXIF_TAG_EXIF_IFD = 0x8769
 _EXIF_TAG_INTEROP_IFD = 0xA005
 # ExifIFD tags the fixture writes / the sub-IFD census reads
