@@ -1963,6 +1963,88 @@ def test_exif_scrub_relocates_big_endian_subifd_tree():
     assert _find_exif_app1(scrubbed)[2][:2] == b"II"
 
 
+def test_exif_scrub_property_over_feature_lattice():
+    """Property over the full APP1 feature lattice (GPS x ExifIFD x
+    Interop x thumbnail x thumb-GPS x orientation x values): the scrub
+    removes every GPS IFD (exactly 114 bytes each), preserves the whole
+    ExifIFD view and the thumbnail bytes, never touches pixels, is
+    byte-identical passthrough when no GPS exists anywhere, and is a
+    fixed point on its own output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_tpch_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+        parse_exif,
+        parse_exif_ifd1,
+        parse_exif_subifd,
+        strip_gps_exif,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.booleans(),                 # gps
+        st.booleans(),                 # exif_ifd
+        st.booleans(),                 # interop (only with exif_ifd)
+        st.sampled_from([None, 1, 48, 97]),  # thumbnail length
+        st.booleans(),                 # thumb_gps (only with thumbnail)
+        st.integers(1, 8),             # orientation
+        st.integers(0, 2**31 - 1),     # value seed
+    )
+    def scrub(has_gps, has_exif, has_iop, tlen, has_tgps, orient, seed):
+        rng = np.random.default_rng(seed)
+        gps = None
+        if has_gps:
+            gps = ("N" if seed % 2 else "S",
+                   (int(rng.integers(0, 90)), int(rng.integers(0, 60)),
+                    (int(rng.integers(0, 6000)), 100)),
+                   "E" if (seed // 2) % 2 else "W",
+                   (int(rng.integers(0, 180)), int(rng.integers(0, 60)),
+                    (int(rng.integers(0, 6000)), 100)))
+        exif_ifd = None
+        if has_exif:
+            exif_ifd = {"exposure": (1, int(rng.integers(1, 4000))),
+                        "fnumber": (int(rng.integers(10, 640)), 10),
+                        "iso": int(rng.integers(50, 25600)),
+                        "version": b"0232"}
+        thumb = bytes(rng.integers(0, 256, tlen, dtype=np.uint8).tolist()) \
+            if tlen is not None else None
+        tgps = None
+        if tlen is not None and has_tgps:
+            tgps = ("S", (int(rng.integers(0, 45)), 0, (1, 1)),
+                    "W", (int(rng.integers(0, 90)), 0, (1, 1)))
+        raster = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        blob = insert_app1(encode_jpeg(raster), encode_exif_app1(
+            make="CamCo", orientation=orient, gps=gps,
+            thumbnail=thumb, thumb_gps=tgps,
+            exif_ifd=exif_ifd, interop="R98" if (has_exif and has_iop) else None,
+        ))
+        before_sub = parse_exif_subifd(blob)
+        before1 = parse_exif_ifd1(blob)
+        scrubbed = strip_gps_exif(blob)
+        n_gps = int(gps is not None) + int(tgps is not None)
+        if n_gps == 0:
+            assert scrubbed == blob  # passthrough, byte-identical
+            return
+        assert len(blob) - len(scrubbed) == 114 * n_gps
+        after = parse_exif(scrubbed)
+        assert after is not None and after["lat_dd"] is None
+        assert after["orientation"] == orient
+        after1 = parse_exif_ifd1(scrubbed)
+        assert (after1 is None) == (before1 is None)
+        if before1 is not None:
+            assert not after1["has_gps"]
+            assert after1["thumbnail"] == before1["thumbnail"]
+        assert parse_exif_subifd(scrubbed) == before_sub
+        assert np.array_equal(decode_jpeg(blob), decode_jpeg(scrubbed))
+        assert strip_gps_exif(scrubbed) == scrubbed  # fixed point
+
+    scrub()
+
+
 def test_exif_scrub_fails_closed_on_malformed_ifd1():
     """PII policy: a malformed thumbnail chain must NOT fail the scrub
     open.  IFD0 carries parseable GPS but its next pointer targets a
