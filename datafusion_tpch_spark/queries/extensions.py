@@ -26,6 +26,28 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def _docs_by_range(docs: DataFrame, *cols: str) -> DataFrame:
+    """Range-partition (by doc_id) + sort-within-partitions front-end for
+    the codec-kernel gates — the same exchange the PNG/GIF/JPEG roundtrip
+    gates already carry, factored out.  Two reasons (guide §2.5 input
+    skew, §2.4 redundant exchanges): (1) the fixture table is ONE parquet
+    row group, so without this exchange every downstream mapInPandas
+    codec kernel runs single-threaded on the one scan task — at 100 TB
+    the scan would be thousands of splits and the exchange a no-op-cost
+    redistribution, but a one-file input must be repartitioned right
+    after the read; (2) range partitioning + in-partition sort makes the
+    kernel output GLOBALLY ordered by doc_id (mapInPandas preserves
+    per-partition order, collect concatenates partitions in range order),
+    so the per-row gates need no trailing orderBy — which would otherwise
+    RE-EXECUTE the whole kernel chain once more in the range-sampling job.
+    Partition count follows the session's parallelism, not a constant."""
+    sc = docs.sparkSession.sparkContext
+    projected = docs.select("doc_id", *cols)
+    return projected.repartitionByRange(
+        sc.defaultParallelism, "doc_id"
+    ).sortWithinPartitions("doc_id")
+
+
 # Shared-intermediate materialization: several gate families derive the
 # same expensive table (capped shingle set, LSH buckets, SimHash
 # signatures, semantic near-dup pairs) and Catalyst does not share
@@ -5526,7 +5548,7 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import asset_pixel_stats, documents_as_assets
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return asset_pixel_stats(documents_as_assets(docs)).orderBy("asset_id")
+    return asset_pixel_stats(documents_as_assets(_docs_by_range(docs, "text")))
 
 
 MULTIMODAL_PIXEL_STATS_SQL = """
@@ -5563,7 +5585,7 @@ def multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return decoded_image_stats(documents_as_pgm_assets(docs)).orderBy("asset_id")
+    return decoded_image_stats(documents_as_pgm_assets(_docs_by_range(docs)))
 
 
 MULTIMODAL_DECODE_ROUNDTRIP_SQL = """
@@ -5612,8 +5634,8 @@ def multimodal_exif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return decoded_exif_metadata(
-        documents_as_exif_jpeg_assets(docs)
-    ).orderBy("doc_id")
+        documents_as_exif_jpeg_assets(_docs_by_range(docs))
+    )
 
 
 _EXIF_HAS = "doc_id % 7 <> 0"
@@ -5665,8 +5687,8 @@ def multimodal_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return gps_scrub_verdicts(
-        documents_as_exif_jpeg_assets(docs)
-    ).orderBy("doc_id")
+        documents_as_exif_jpeg_assets(_docs_by_range(docs))
+    )
 
 
 MULTIMODAL_EXIF_GPS_SCRUB_SQL = f"""
@@ -5702,8 +5724,8 @@ def multimodal_exif_thumb_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return thumb_scrub_verdicts(
-        documents_as_thumb_jpeg_assets(docs)
-    ).orderBy("doc_id")
+        documents_as_thumb_jpeg_assets(_docs_by_range(docs))
+    )
 
 
 _EXIF_TGPS = f"({_EXIF_HAS} AND doc_id % 2 = 0)"
@@ -5749,8 +5771,8 @@ def multimodal_exif_full_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return full_scrub_verdicts(
-        documents_as_full_exif_assets(docs)
-    ).orderBy("doc_id")
+        documents_as_full_exif_assets(_docs_by_range(docs))
+    )
 
 
 MULTIMODAL_EXIF_FULL_SCRUB_SQL = f"""
@@ -5798,7 +5820,7 @@ def multimodal_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     sigs = decoded_orientation_signatures(
-        documents_as_oriented_jpeg_assets(docs)
+        documents_as_oriented_jpeg_assets(_docs_by_range(docs))
     )
     grp = sigs.groupBy("sig").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
@@ -5851,7 +5873,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decoded_wav_stats, documents_as_wav_assets
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return decoded_wav_stats(documents_as_wav_assets(docs)).orderBy("asset_id")
+    return decoded_wav_stats(documents_as_wav_assets(_docs_by_range(docs)))
 
 
 MULTIMODAL_WAV_ROUNDTRIP_SQL = """
@@ -5920,10 +5942,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import documents_as_assets, sample_frames
 
     (docs,) = _t(spark, sf_dir, "documents")
-    assets = documents_as_assets(docs).withColumn(
+    assets = documents_as_assets(_docs_by_range(docs, "text")).withColumn(
         "duration_ms",
         ((1 + F.pmod(F.col("asset_id"), F.lit(5))) * 1000).cast("long"),
     )
+    # the kernel emits frame_idx ascending per asset and assets arrive
+    # range-partitioned/sorted, so the output is already globally ordered
+    # by (asset_id, frame_idx)
     frames = sample_frames(assets, every_ms=1000, frame_bytes=64)
     return frames.select(
         "asset_id",
@@ -5931,7 +5956,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         F.length(F.col("frame")).cast("long").alias("n_frame_bytes"),
         F.md5(F.col("frame")).alias("frame_md5"),
-    ).orderBy("asset_id", "frame_idx")
+    )
 
 
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5945,7 +5970,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_frame_energy, documents_as_audio
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return audio_frame_energy(documents_as_audio(docs)).orderBy("asset_id")
+    return audio_frame_energy(documents_as_audio(_docs_by_range(docs, "text")))
 
 
 MULTIMODAL_AUDIO_ENERGY_SQL = """
