@@ -4834,29 +4834,45 @@ _CLIP_FP_CAP = 64  # winnowed fingerprints held by more clips are stoplisted
 
 def _capped_fps(fps0: DataFrame) -> DataFrame:
     """Apply the ``_CLIP_FP_CAP`` hot-fingerprint stoplist to a
-    (doc_id, fp) frame — shared by the audio and video clip gates."""
-    hot = (
-        fps0.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nf"))
-        .filter(F.col("nf") > _CLIP_FP_CAP)
-        .select("fp")
+    (doc_id, fp) frame — shared by the audio and video clip gates.
+
+    Spelled as a fingerprint-partitioned window count + filter rather
+    than the old groupBy("fp") + broadcast anti-join: the occupancy and
+    the stoplist decision ride ONE exchange of the frame instead of a
+    second full evaluation of the fingerprint derivation (Catalyst does
+    not share subtrees, so the anti-join's build side re-ran the whole
+    shingle/winnow chain — guide §2.4 'remove shuffles outright')."""
+    w = Window.partitionBy("fp")
+    return (
+        fps0.withColumn("nf", F.count(F.lit(1)).over(w))
+        .filter(F.col("nf") <= _CLIP_FP_CAP)
+        .drop("nf")
     )
-    return fps0.join(hot, "fp", "left_anti")
 
 
 def _fp_containment_pairs(fps: DataFrame, dup_pred) -> DataFrame:
     """Shared containment-verdict tail over a capped (doc_id, fp)
-    fingerprint frame: per-clip distinct-fingerprint counts, fingerprint
+    fingerprint frame: per-clip fingerprint counts, fingerprint
     equi-join (doc1 < doc2), shared counts, exact containment, and the
     gate-specific ``dup_pred(containment, n_shared, n1, n2)`` verdict —
     ONE implementation for the audio and video clip-dedup gates so a
-    stoplist or threshold fix cannot drift between them."""
-    per = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    stoplist or threshold fix cannot drift between them.
+
+    The per-clip count is a doc-partitioned window column carried INTO
+    the pair join (n1/n2 are functionally dependent on doc1/doc2, so
+    grouping by them with the pair changes nothing), replacing the old
+    separate groupBy("doc_id") aggregate plus two post-aggregation
+    joins — that shape evaluated the capped-fingerprint subtree three
+    times and ran two extra join stages (guide §2.4)."""
+    wdoc = Window.partitionBy("doc_id")
+    fpsn = fps.withColumn("nfp", F.count(F.lit(1)).over(wdoc))
     pairs = (
-        fps.select(F.col("doc_id").alias("doc1"), "fp")
-        .join(fps.select(F.col("doc_id").alias("doc2"), "fp"), "fp")
+        fpsn.select(F.col("doc_id").alias("doc1"),
+                    F.col("nfp").alias("n1"), "fp")
+        .join(fpsn.select(F.col("doc_id").alias("doc2"),
+                          F.col("nfp").alias("n2"), "fp"), "fp")
         .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        .groupBy("doc1", "doc2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     containment = (
@@ -4864,12 +4880,7 @@ def _fp_containment_pairs(fps: DataFrame, dup_pred) -> DataFrame:
         / F.least(F.col("n1"), F.col("n2")).cast("double")
     )
     return (
-        pairs
-        .join(per.select(F.col("doc_id").alias("doc1"),
-                         F.col("nfp").alias("n1")), "doc1")
-        .join(per.select(F.col("doc_id").alias("doc2"),
-                         F.col("nfp").alias("n2")), "doc2")
-        .select(
+        pairs.select(
             "doc1", "doc2",
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("n1").cast("long").alias("n1"),

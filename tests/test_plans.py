@@ -358,17 +358,19 @@ def test_exact_substring_pair_fold_is_single_kernel_pass(spark):
 def test_video_clip_dedup_no_cartesian_windows_per_clip(spark):
     """multimodal_video_clip_dedup: candidate generation must be the
     fingerprint equi-join (never a cartesian/BNLJ pair enumeration), and
-    every window in the plan is partitioned per clip (doc_id) — a global
-    window here would serialize the corpus at scale."""
+    every window in the plan is partitioned per clip (doc_id) or per
+    fingerprint (fp — the hot-fingerprint stoplist occupancy count) — a
+    GLOBAL window here would serialize the corpus at scale, while both
+    keyed forms stay bounded shuffles."""
     df = _build(spark, "multimodal_video_clip_dedup")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # both Window operators key on doc_id
+    # every Window operator keys on doc_id or fp
     import re
 
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
-        assert "doc_id" in spec, plan[:2000]
+        assert "doc_id" in spec or "fp" in spec, plan[:2000]
 
 
 def test_phash_band_dedup_equi_join_only(spark):
