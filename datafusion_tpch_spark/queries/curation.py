@@ -1635,9 +1635,14 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
+    # global span totals as an h-partitioned window sum over the pair
+    # table: the old groupBy("h") + join-back evaluated the whole
+    # gram-explode chain twice (Catalyst shares no subtrees); the window
+    # rides one exchange of the folded (doc, h, c) rows — still
+    # map-side-combined upstream, still keyed on unique content
+    wh = Window.partitionBy("h")
     per = (
-        pair.join(tot, "h")
+        pair.withColumn("tot", F.sum("c").over(wh))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_spans"),
@@ -1779,9 +1784,10 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
+    # span totals via an h-partitioned window (one evaluation of the
+    # gram-explode chain) — same rewrite as docs_exact_substring_dedup
     xs = (
-        pair.join(tot, "h")
+        pair.withColumn("tot", F.sum("c").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(
             (
@@ -1808,8 +1814,13 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(sh)
         .distinct()
     )
+    # contamination is decided by (doc_id, text) alone, so probe the raw
+    # training slice instead of the stage-5 survivor frame: restricting
+    # the probe to in_s5 rows only shrank the set in_s6 already masks
+    # (in_s6 conjoins in_s5), while re-deriving it from s4f re-evaluated
+    # the entire four-stage funnel a second time for the probe side
     contam = (
-        s4f.filter(F.col("in_s5") & F.col("is_train"))
+        docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
         .select("doc_id", sh)
         .join(F.broadcast(eval_sh), "shingle")
         .select("doc_id")
@@ -2046,9 +2057,12 @@ def _funnel_stage_build(spark: SparkSession, sf_dir: str, path: str,
             .groupBy("doc_id", "h")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
-        tot = pair.groupBy("h").agg(F.sum("c").alias("tot"))
+        # h-partitioned window totals: one evaluation of the gram-explode
+        # chain (same rewrite as docs_exact_substring_dedup)
         xs = (
-            pair.join(tot, "h")
+            pair.withColumn(
+                "tot", F.sum("c").over(Window.partitionBy("h"))
+            )
             .groupBy("doc_id")
             .agg(
                 (

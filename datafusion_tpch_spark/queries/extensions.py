@@ -4552,13 +4552,18 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b", band_val.alias("bv"))
     )
-    hot = (
-        bands.groupBy("b", "bv")
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") > _PHB_CAP)
-        .select("b", "bv")
+    # band-occupancy stoplist as a (b, bv)-partitioned window count +
+    # filter: one exchange of the band table instead of a second full
+    # evaluation of it on the anti-join's build side (Catalyst does not
+    # share subtrees), and the surviving rows stay partitioned by
+    # (b, bv) — exactly the key the candidate self-join needs, so the
+    # join below adds no further exchange (guide §2.4)
+    wband = Window.partitionBy("b", "bv")
+    ok = (
+        bands.withColumn("nb", F.count(F.lit(1)).over(wband))
+        .filter(F.col("nb") <= _PHB_CAP)
+        .select("doc_id", "b", "bv")
     )
-    ok = bands.join(hot, ["b", "bv"], "left_anti")
     live = ok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_bands_live")
     )
@@ -4584,10 +4589,18 @@ def multimodal_phash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .select("doc1", "doc2", "hamming")
     )
-    directed = pairs.unionByName(
-        pairs.select(F.col("doc2").alias("doc1"),
-                     F.col("doc1").alias("doc2"), "hamming")
-    )
+    # both directions in ONE pass over the pair stream (explode of the
+    # two orientations) — the old self-union re-evaluated the whole
+    # cand+verify join chain a second time (Catalyst shares no subtrees)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc1").alias("d"), F.col("doc2").alias("o")),
+                F.struct(F.col("doc2").alias("d"), F.col("doc1").alias("o")),
+            )
+        ).alias("e"),
+        "hamming",
+    ).select(F.col("e.d").alias("doc1"), F.col("e.o").alias("doc2"), "hamming")
     per = directed.groupBy("doc1").agg(
         F.sum(F.when(F.col("hamming") <= 1, 1).otherwise(0))
         .cast("bigint").alias("n_near1"),
