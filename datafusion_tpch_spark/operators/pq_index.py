@@ -179,10 +179,18 @@ def pq_recon_expr(codebook: "list[list[list[float]]]",
     bit-identical to ``pq_encode``'s."""
     subs = []
     for s, sub_cb in enumerate(codebook):
-        cb_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in row]) for row in sub_cb
-        ])
-        subs.append(
-            F.element_at(cb_lit, F.col(codes_col).getItem(s) + F.lit(1))
+        rows = ",".join(
+            "array(" + ",".join(_double_lit(x) for x in row) + ")"
+            for row in sub_cb
         )
-    return F.concat(*subs)
+        subs.append(
+            f"element_at(array({rows}), {codes_col}[{s}] + 1)"
+        )
+    return F.expr("concat(" + ",".join(subs) + ")")
+
+
+def _double_lit(x: float) -> str:
+    """Exact SQL double literal: CAST of Python's shortest round-trip
+    repr — Java's parseDouble is correctly rounded, so the JVM sees the
+    bit-identical double that ``F.lit(float(x))`` would produce."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
