@@ -57,8 +57,46 @@ def _sql_lit(v) -> str:
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, (list, tuple)):
+        if _all_numeric(v):
+            return _packed_numeric_array(v)
         return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
     raise TypeError(f"inline_table: unsupported literal type {type(v).__name__}")
+
+
+def _all_numeric(v) -> bool:
+    return len(v) > 0 and all(
+        x is None
+        or (isinstance(x, (int, float)) and not isinstance(x, bool))
+        for x in v
+    )
+
+
+def _packed_numeric_array(v) -> str:
+    """Numeric arrays render as ONE string literal split at runtime
+    (``split('x,y,…', ',')``) instead of an ``array(...)`` of element
+    literals: the ANTLR parse cost of a VALUES clause is per token, and
+    a 128-row centroid table of 64-double vectors (8k literal tokens)
+    measured ~2.7s to parse against ~60ms in this form.  The column-level
+    CAST to the declared array type converts elementwise; Java's
+    parseDouble/parseFloat of Python's shortest round-trip repr is
+    correctly rounded, so values are bit-identical to the literal form
+    (float targets are exact for float32-representable inputs, which is
+    what every array<float> caller collects from a float column).  A
+    None element renders as the empty token, which casts to NULL."""
+    toks = []
+    for x in v:
+        if x is None:
+            toks.append("")
+        elif isinstance(x, float):
+            if math.isnan(x):
+                toks.append("NaN")
+            elif math.isinf(x):
+                toks.append("-Infinity" if x < 0 else "Infinity")
+            else:
+                toks.append(repr(x))
+        else:
+            toks.append(repr(x))
+    return "split('" + ",".join(toks) + "', ',')"
 
 
 def _split_schema(schema: str) -> list[tuple[str, str]]:

@@ -59,3 +59,34 @@ def test_inline_empty_rows(spark):
 def test_inline_is_local_relation(spark):
     plan = inline_table(spark, [(1,)], "x int")._jdf.queryExecution().optimizedPlan().toString()
     assert "LocalRelation" in plan, plan
+
+
+def test_inline_packed_numeric_array_exact(spark):
+    """Numeric arrays render as one split('…') string literal (the parse
+    cost of 8k element literals measured seconds on the centroid
+    tables); the packed form must stay bit-identical to the element
+    form, including specials, None elements, and float targets."""
+    vals = [0.1, 2.0 / 3.0, 1e-300, float("nan"), float("inf"),
+            float("-inf"), -0.0, None]
+    row = inline_table(
+        spark, [(1, vals)], "k long, v array<double>"
+    ).collect()[0]
+    got = list(row.v)
+    assert math.isnan(got[3]) and got[4] == float("inf") and got[5] == float("-inf")
+    assert got[7] is None
+    assert got[:3] == vals[:3]
+    assert math.copysign(1.0, got[6]) < 0  # signed zero survives
+    # float32 target: exact for float32-representable inputs
+    frow = inline_table(
+        spark, [(1, [1.5, -0.25, None])], "k long, v array<float>"
+    ).collect()[0]
+    assert list(frow.v) == [1.5, -0.25, None]
+
+
+def test_inline_string_array_not_packed(spark):
+    """String arrays must keep the element-literal form — packing would
+    corrupt elements containing the delimiter."""
+    row = inline_table(
+        spark, [(1, ["a,b", "c"])], "k long, v array<string>"
+    ).collect()[0]
+    assert list(row.v) == ["a,b", "c"]
