@@ -281,8 +281,11 @@ def _minhash_sig_of(docs: DataFrame) -> DataFrame:
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range-partition the one-row-group fixture scan so the shingle
+    # explode + md5 map work runs on every core, not the single scan
+    # task (guide §2.5 input skew; the distinct below shuffles anyway)
     (docs,) = _t(spark, sf_dir, "documents")
-    return _minhash_sig_of(docs)
+    return _minhash_sig_of(_docs_by_range(docs, "text"))
 
 
 def _minhash_sig_sql() -> str:
@@ -419,7 +422,9 @@ def _lsh_buckets_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_lsh_buckets``) because a self-join must cap the cells it joins."""
     return _session_table(
         spark, sf_dir, "lsh_buckets_raw",
-        lambda: _buckets_of(_t(spark, sf_dir, "documents")[0]),
+        lambda: _buckets_of(
+            _docs_by_range(_t(spark, sf_dir, "documents")[0], "text")
+        ),
     )
 
 
@@ -524,7 +529,12 @@ def dedup_persisted_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = {"bands": _MH_BANDS, "rows": _MH_ROWS, "split": _INCR_SPLIT}
     if not li.lsh_index_is_current(path, fp, params, spark=spark):
         _build_lsh_bucket_index(docs, path, fp, params)
-    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    # range-partition the batch before hashing: the fixture scan is one
+    # row group, so the shingle/minhash map work would otherwise run on
+    # the single scan task (guide §2.5)
+    incoming = _docs_by_range(docs, "text").filter(
+        F.col("doc_id") >= _INCR_SPLIT
+    )
     cells = (
         li.load_lsh_cells(spark, path)
         .filter(F.col("n_docs") <= _LSH_MAX_BUCKET)  # serve-side cap
@@ -542,7 +552,9 @@ def _build_lsh_bucket_index(docs: DataFrame, path: str, fp: str,
     prove the serve path runs from artifacts alone."""
     from ..operators import lsh_index as li
 
-    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    corpus = _docs_by_range(docs, "text").filter(
+        F.col("doc_id") < _INCR_SPLIT
+    )
     cells = (
         _buckets_of(corpus)
         .groupBy("band", "bkey")

@@ -1047,7 +1047,13 @@ def dedup_persisted_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "bkey")
     )
     docs = load_table(spark, sf_dir, "documents")
-    incoming = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    # range-partition before hashing — the one-row-group fixture scan
+    # would otherwise run the shingle/minhash map work single-task
+    from .extensions import _docs_by_range
+
+    incoming = _docs_by_range(docs, "text").filter(
+        F.col("doc_id") >= _INCR_SPLIT
+    )
     return admit_batch(
         _buckets_of(incoming), incoming.select("doc_id"), corpus_cells
     ).orderBy("doc_id")
