@@ -620,29 +620,32 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_minhash_lsh`) composed lazily — one plan, no intermediate
     materialization; counts are exact integers, ratios identical IEEE
     divides."""
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc1", "doc2")
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc1", "doc2", F.lit(1).alias("_true")
+    )
     cand = dedup_minhash_lsh(spark, sf_dir).select(
         "doc1", "doc2", F.lit(1).alias("_cand")
     )
-    # ONE left join gives n_true (count *) and n_hit (count of matches)
-    # in a single pass — the exact-Jaccard side (the expensive self-join)
-    # executes once, not once per aggregate
-    marked = exact.join(cand, ["doc1", "doc2"], "left")
-    n_true_hit = marked.agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.count("_cand").alias("n_hit"),
+    # ONE full-outer join gives all three counts in a single pass — both
+    # the exact-Jaccard self-join AND the LSH candidate side execute
+    # once each (the old left-join + separate candidate count evaluated
+    # the banded-LSH chain twice; both sides are unique on (doc1, doc2),
+    # so the outer join preserves every count exactly)
+    marked = exact.join(cand, ["doc1", "doc2"], "full_outer")
+    counts = marked.agg(
+        F.count("_true").alias("n_true_pairs"),
+        F.count("_cand").alias("n_candidate_pairs"),
+        F.count(
+            F.when(F.col("_true").isNotNull() & F.col("_cand").isNotNull(), 1)
+        ).alias("n_hit"),
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    return (
-        n_true_hit.crossJoin(n_cand)
-        .select(
-            "n_true_pairs", "n_candidate_pairs", "n_hit",
-            (F.col("n_hit").cast("double")
-             / F.col("n_true_pairs").cast("double")).alias("recall"),
-            (F.col("n_hit").cast("double")
-             / F.col("n_candidate_pairs").cast("double")
-             ).alias("efficiency"),
-        )
+    return counts.select(
+        "n_true_pairs", "n_candidate_pairs", "n_hit",
+        (F.col("n_hit").cast("double")
+         / F.col("n_true_pairs").cast("double")).alias("recall"),
+        (F.col("n_hit").cast("double")
+         / F.col("n_candidate_pairs").cast("double")
+         ).alias("efficiency"),
     )
 
 
