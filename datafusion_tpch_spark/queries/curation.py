@@ -1518,8 +1518,12 @@ def docs_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keyed on doc_id.  No vocabulary-sized state anywhere —
     the hashing trick is exactly what makes DSIR run at web scale.
     """
+    from .extensions import _docs_by_range
+
     (docs,) = _t(spark, sf_dir, "documents")
-    inst = docs.select(
+    # range-partition the one-row-group scan so the word explode feeding
+    # both distribution estimates runs on every core (guide §2.5)
+    inst = _docs_by_range(docs, "lang", "text").select(
         "doc_id",
         (F.col("lang") == "en").alias("is_target"),
         F.explode(text.words(F.col("text"))).alias("w"),

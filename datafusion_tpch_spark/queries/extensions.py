@@ -2885,15 +2885,19 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram, keep the min of each 4-hash sliding window. Returns the compact
     per-doc summary (count + extremes of the selected-fingerprint set) so
     the oracle comparison stays small while pinning the whole set."""
+    # range-partition first: the one-row-group scan would run the heavy
+    # winnow expression single-task, and the trailing orderBy's range
+    # sampling would re-execute it a second time (guide §2.5/§2.4);
+    # range order + in-partition sort keep the output globally ordered
     (docs,) = _t(spark, sf_dir, "documents")
     fps = text.winnow_fingerprints(F.col("text"))
-    return docs.select(
+    return _docs_by_range(docs, "text").select(
         "doc_id",
         F.size(fps).cast("long").alias("n_fps"),
         F.element_at(fps, 1).alias("min_fp"),
         F.element_at(fps, -1).alias("max_fp"),
         F.md5(F.concat_ws(",", fps.cast("array<string>"))).alias("set_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 _WFP = text.winnow_fingerprints_sql("text")
@@ -3217,6 +3221,10 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary scalar broadcast.  At 100 TB the count tables are the
     precomputed LM table this query would read instead of recompute.
     """
+    # (measured: adding a range exchange here HURT — the chain below has
+    # three consumers that each re-evaluate it, so the extra exchange is
+    # paid three times while the single-task scan map is cheap at this
+    # row count; 1.06s -> 2.04s, reverted)
     (docs,) = _t(spark, sf_dir, "documents")
     w = text.words(F.col("text"))
     toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
