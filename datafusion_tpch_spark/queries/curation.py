@@ -1726,11 +1726,13 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic representative sampling (``_capped_lsh_membership``:
     hash-rank top-{cap} members per bucket) instead of being dropped
     whole, so at saturation scale the stage still filters with bounded
-    recall rather than silently becoming a no-op.  Near-dup candidates
-    come from bucket equi-joins (never all-pairs, fan-out <= cap^2 per
-    bucket), span recurrence is two map-side-combinable aggregations
-    over the span-hash multiset, and contamination is a broadcast join
-    against the eval shingle set.  The
+    recall rather than silently becoming a no-op.  The near-dup drop set
+    ("paired with a lower-id member in some bucket") is a (band, bkey)
+    bucket-min window over the capped membership — never a bucket
+    self-join, so there is no pair fan-out at all and the capped-LSH
+    chain is evaluated once; span recurrence is map-side-combinable
+    aggregation over the span-hash multiset, and contamination is a
+    broadcast join against the eval shingle set.  The
     whole funnel is one lazy plan of per-doc survival flags folded by a
     single conditional aggregate — at 100 TB each stage boundary is where
     a production run would checkpoint survivors to parquet, and every
@@ -1756,18 +1758,7 @@ def docs_pipeline_yield_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = _capped_lsh_membership(
         _lsh_buckets_raw(spark, sf_dir).join(s2_ids, "doc_id")
     )
-    nd_drop = (
-        bk.alias("a")
-        .join(
-            bk.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("b.doc_id").alias("doc_id"))
-        .distinct()
-        .withColumn("nd_dropped", F.lit(True))
-    )
+    nd_drop = _bucket_drop_ids(bk).withColumn("nd_dropped", F.lit(True))
     s3f = (
         s2f.join(nd_drop, "doc_id", "left")
         .withColumn("in_s3", F.col("in_s2") & F.col("nd_dropped").isNull())
@@ -1879,11 +1870,11 @@ def _capped_lsh_membership(bk: DataFrame) -> DataFrame:
     no-op), keep the bucket's top-``_LSH_MAX_BUCKET`` members by
     deterministic hash rank (md5 of doc_id, id tie-break) as
     REPRESENTATIVES.  Under-cap buckets are untouched (every member's
-    rank clears the cap); over-cap buckets still generate candidate
-    pairs among their representatives, so the join fan-out stays bounded
-    at cap^2 per bucket while recall degrades gracefully instead of to
-    zero — the measured recall-vs-cap curve at saturation lives in
-    ``SCALE_PROOF.md``."""
+    rank clears the cap); over-cap buckets still pair their
+    representatives (realized as the bucket-min window in
+    ``_bucket_drop_ids``, so no pair set is ever materialized), and
+    recall degrades gracefully instead of to zero — the measured
+    recall-vs-cap curve at saturation lives in ``SCALE_PROOF.md``."""
     from .extensions import _LSH_MAX_BUCKET
 
     rw = Window.partitionBy("band", "bkey").orderBy(
@@ -1893,6 +1884,22 @@ def _capped_lsh_membership(bk: DataFrame) -> DataFrame:
         bk.withColumn("rnk", F.row_number().over(rw))
         .filter(F.col("rnk") <= _LSH_MAX_BUCKET)
         .select("doc_id", "band", "bkey")
+    )
+
+
+def _bucket_drop_ids(bk: DataFrame) -> DataFrame:
+    """Stage-3 drop set: docs paired with a LOWER-id member in any bucket.
+    ``a.doc_id < b.doc_id`` pairs exist for exactly the members above their
+    bucket's minimum doc_id, so the bucket self-join (which evaluated the
+    whole capped-LSH chain twice and fanned out cap^2 rows per bucket) is
+    a (band, bkey)-window min + filter — one evaluation, rides the same
+    (band, bkey) exchange the cap window already made."""
+    bw = Window.partitionBy("band", "bkey")
+    return (
+        bk.withColumn("mn", F.min("doc_id").over(bw))
+        .filter(F.col("doc_id") > F.col("mn"))
+        .select("doc_id")
+        .distinct()
     )
 
 
@@ -2035,18 +2042,7 @@ def _funnel_stage_build(spark: SparkSession, sf_dir: str, path: str,
                 prev.select("doc_id"), "doc_id"
             )
         )
-        drop = (
-            bk.alias("a")
-            .join(
-                bk.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("b.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        out = prev.join(drop, "doc_id", "left_anti")
+        out = prev.join(_bucket_drop_ids(bk), "doc_id", "left_anti")
     elif idx == 4:
         prev = prev_ids(3)
         pair = (

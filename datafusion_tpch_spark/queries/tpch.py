@@ -16,7 +16,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -109,17 +109,20 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
               nat.n_regionkey == reg.r_regionkey)
     )
-    # alias the grouping key so the self-derived join below binds distinct
-    # attributes (same-lineage l_partkey == l_partkey folds trivially true)
-    min_cost = europe.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    # the per-part MIN is a p_partkey-window over the part-joined europe
+    # rows, not a groupBy + join back onto europe: the correlated-subquery
+    # form evaluated the whole europe subtree (lineitem agg + 3 joins)
+    # twice and merged the copies with a sort-merge join; the window form
+    # evaluates it once behind one l_partkey exchange.  Equivalent because
+    # the min is per part key and the part join is a key-equality against
+    # unique p_partkey — it multiplies no europe rows and prunes only
+    # whole partitions, so the surviving groups' minima are unchanged.
     p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    pw = Window.partitionBy("p_partkey")
     return (
         europe.join(F.broadcast(p), europe.l_partkey == p.p_partkey)
-        .join(min_cost,
-              (europe.l_partkey == F.col("mk"))
-              & (F.col("ps_supplycost") == F.col("min_cost")))
+        .withColumn("min_cost", F.min("ps_supplycost").over(pw))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
