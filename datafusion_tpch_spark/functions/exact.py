@@ -50,3 +50,30 @@ def davg(col: Column) -> Column:
 
 def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / COUNT({expr}))"
+
+
+def dsum_q(col: Column) -> Column:
+    """Quantized DECIMAL(38,0) partial sum of a double expression.
+
+    Decimal addition is exact and associative, so partial sums produced by
+    this aggregate can be re-summed at a coarser grouping (or in a window)
+    and ``unq`` of the result is bit-identical to ``dsum`` computed over
+    the finer rows directly — the re-aggregation identity the single-pass
+    query rewrites rely on."""
+    return F.sum(F.floor(col.cast("double") * F.lit(_Q)).cast("decimal(38,0)"))
+
+
+def unq(col: Column) -> Column:
+    """Scale a quantized decimal (partial) sum back to double — ``dsum``'s
+    final step, split out so re-aggregated ``dsum_q`` sums finish the same
+    way."""
+    return col.cast("double") / F.lit(_Q)
+
+
+def davg_over(col: Column, w) -> Column:
+    """Window form of ``davg``: same quantize → decimal-sum → scale → /count
+    expression tree per window partition, so values are bit-identical to a
+    groupBy ``davg`` joined back on the partition key — without a second
+    evaluation of the input subtree."""
+    q = F.floor(col.cast("double") * F.lit(_Q)).cast("decimal(38,0)")
+    return (F.sum(q).over(w).cast("double") / F.lit(_Q)) / F.count(col).over(w)

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..functions.exact import (
+    davg, davg_over, davg_sql, dsum, dsum_q, dsum_sql, unq,
+)
 from . import QuerySpec
 
 
@@ -754,14 +756,14 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     brand = part.filter(F.col("p_brand") == "Brand#3")
-    avg_qty = (
-        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
-        .groupBy(li.l_partkey.alias("ak"))
-        .agg(davg(F.col("l_quantity")).alias("avg_qty"))
-    )
+    # The correlated scalar AVG is a per-part window over the SAME
+    # lineitem⋈brand frame the outer query reads: a groupBy + join-back
+    # would evaluate that subtree twice (Catalyst shares no subtrees), so
+    # the exact average rides one l_partkey exchange instead.
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .withColumn("avg_qty", davg_over(F.col("l_quantity"), w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -868,14 +870,25 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1997-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     ).join(F.broadcast(red), li.l_partkey == red.p_partkey)
-    per_pair = li97.groupBy("l_partkey", "l_suppkey").agg(
-        dsum(F.col("l_quantity")).alias("sq")
-    )
-    per_part = li97.groupBy(F.col("l_partkey").alias("pk")).agg(
-        dsum(F.col("l_quantity")).alias("tq")
-    )
+    # Both aggregation grains read the same li97 frame; keeping the
+    # per-pair sum as its quantized DECIMAL partial (dsum_q) lets the
+    # per-part total be an exact window re-sum of those partials — one
+    # li97 evaluation and no pair⋈part join-back, with bit-identical
+    # doubles after unq (decimal addition is exact at any grouping).
+    # One l_partkey exchange serves both grains: HashPartitioning on
+    # l_partkey satisfies the (l_partkey, l_suppkey) groupBy's clustered
+    # distribution AND the per-part window's, so neither inserts another
+    # shuffle.
+    w = Window.partitionBy("l_partkey")
+    per_pair = li97.repartition("l_partkey").groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(dsum_q(F.col("l_quantity")).alias("sq_q"))
     dominant = (
-        per_pair.join(per_part, per_pair.l_partkey == F.col("pk"))
+        per_pair.select(
+            "l_suppkey",
+            unq(F.col("sq_q")).alias("sq"),
+            unq(F.sum("sq_q").over(w)).alias("tq"),
+        )
         .filter(F.col("sq") > 0.5 * F.col("tq"))
         .select("l_suppkey")
         .distinct()
