@@ -1339,17 +1339,6 @@ def _drift_serve_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_persisted_ivf_topk(spark, sf_dir, base + "/" + version)
 
 
-# Drift-loop session memo: (n_drifted, active_version) per (session,
-# fixture) once a control-loop pass has completed.  The control loop runs
-# on a schedule in production; within one session repeat gate calls are
-# SERVES and must not re-pay detection — the artifacts and alias on
-# storage are the source of truth a fresh session still re-checks.
-_DRIFT_LOOP_STATE: (
-    "weakref.WeakKeyDictionary[SparkSession,"
-    " dict[tuple[str, str], tuple[int, str]]]"
-) = weakref.WeakKeyDictionary()
-
-
 def embeddings_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift alarm CLOSED into a control loop — round 13 maintained
     the per-cell drift trigger (``embeddings_ingest_stream``) but nothing
@@ -1397,21 +1386,6 @@ def embeddings_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     fp = _cached_corpus_fingerprint(spark, sf_dir, emb)
     base = _drift_base_path(sf_dir)
-    _sweep_stopped_sessions(_DRIFT_LOOP_STATE)
-    states = _DRIFT_LOOP_STATE.setdefault(spark, {})
-    cached = states.get((sf_dir, base))
-    if cached is not None:
-        n_drifted, version = cached
-        serve = _serve_persisted_ivf_topk(spark, sf_dir,
-                                          base + "/" + version)
-        return (
-            serve
-            .withColumn("n_drifted_cells",
-                        F.lit(int(n_drifted)).cast("int"))
-            .withColumn("index_version",
-                        F.lit(2 if version == "v2" else 1).cast("int"))
-            .orderBy("query_id", "rank")
-        )
     v1_path = base + "/v1"
     if not ai.index_is_current(v1_path, fp, _drift_v1_params(), spark=spark):
         corpus = emb.filter(F.col("vec_id") < _EMB_SPLIT)
@@ -1436,7 +1410,6 @@ def embeddings_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         _flip_alias(spark, base, "v2", fp)
     version = _drift_active_version(spark, base, fp)
-    states[(sf_dir, base)] = (int(n_drifted), version)  # loop done: memoize
     serve = _serve_persisted_ivf_topk(spark, sf_dir, base + "/" + version)
     return (
         serve
