@@ -70,6 +70,17 @@ def unq(col: Column) -> Column:
     return col.cast("double") / F.lit(_Q)
 
 
+def dsum_weighted(col: Column, weight: Column) -> Column:
+    """``dsum`` of a value repeated ``weight`` times (weight: integer
+    count column).  Quantization happens per distinct value and
+    decimal × integer multiplication is exact, so this is bit-identical
+    to ``dsum`` over the expanded rows — the identity that lets audits
+    re-aggregate a distinct-value counts table instead of rescanning the
+    source (pinned in tests/test_selection_algebra.py)."""
+    q = F.floor(col.cast("double") * F.lit(_Q)).cast("decimal(38,0)")
+    return F.sum(q * weight).cast("double") / F.lit(_Q)
+
+
 def davg_over(col: Column, w) -> Column:
     """Window form of ``davg``: same quantize → decimal-sum → scale → /count
     expression tree per window partition, so values are bit-identical to a

@@ -147,35 +147,47 @@ def salted_topk(
     )
 
 
-def rank_thresholds(
-    df: DataFrame,
+def value_counts(
+    df: DataFrame, *, group_by: Sequence[str], value_col: str
+) -> DataFrame:
+    """Distinct-value counts ``(group…, value_col, _c)`` — the shared
+    input of :func:`rank_thresholds_from_counts` AND of any caller audit
+    pass that re-aggregates the same data weighted by ``_c``.  Keeping
+    both consumers above this ONE aggregation is what lets Catalyst plan
+    the (data-sized) exchange once and reuse it, so the source is scanned
+    once (guide §2.4).  Null values are KEPT as their own (group, null)
+    rows — audits need them (e.g. imputation counts); the rank machinery
+    excludes them without disturbing the shared subtree."""
+    return df.groupBy(*group_by, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+
+
+def rank_thresholds_from_counts(
+    counts: DataFrame,
     *,
     group_by: Sequence[str],
     value_col: str,
     targets: dict[str, Callable[[Column], Column]],
     count_col: str | None = None,
 ) -> DataFrame:
-    """Per-group nearest-rank selections over ``value_col``: for each
-    (name, fn) in ``targets``, emit the smallest value whose cumulative
-    count reaches ``fn(total_count)`` — element ``fn(n)`` of the sorted
-    multiset, computed from a cumulative count over DISTINCT values.
-    ``value_col`` must be numeric.  ``count_col`` optionally emits the
-    per-group total count too.
-
-    No reducer ever holds more than one range bucket of one group's
-    value domain (see the module docstring) — at extreme skew (all mass
-    in one bucket) this degrades to the domain-on-one-reducer shape,
-    never worse; the order-statistics swap at that point is
-    ``approx_percentile`` (sketch-merge execution, same column
-    contract)."""
-    # null values are excluded up front (they have no rank); the explicit
-    # filter also keeps every branch's inferred not-null constraints
-    # identical, which is what lets Catalyst plan the aggregate exchange
-    # once and reuse it
-    counts = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(*group_by, value_col)
-        .agg(F.count(F.lit(1)).alias("_c"))
+    """:func:`rank_thresholds` over a pre-aggregated
+    :func:`value_counts` table (columns ``group…, value_col, _c``) —
+    callers that also need a weighted audit over the same counts pass the
+    shared frame here so the underlying exchange is planned once."""
+    # Null values have no rank.  The filter must NOT push below the
+    # caller-shared counts aggregate (a pushed isnotnull(value) would make
+    # this consumer's scan subtree differ from the audit consumer's and
+    # defeat the exchange reuse), so it is phrased as a single
+    # non-splittable predicate over BOTH the grouping value and the
+    # aggregate output: Catalyst cannot push a predicate referencing an
+    # aggregate column, and there is no conjunct to split off.  ``_c`` is
+    # always >= 1, so the predicate is exactly ``value IS NOT NULL``.
+    counts = counts.where(
+        F.when(F.col(value_col).isNotNull(), F.col("_c")).otherwise(
+            F.lit(0)
+        )
+        > 0
     )
     # The cumulative count must not run as a per-group sort window: for
     # continuous-valued columns (prices, quantized measures) the distinct
@@ -183,16 +195,18 @@ def rank_thresholds(
     # values on one reducer — the very shape this module exists to avoid.
     # Shard the order DETERMINISTICALLY instead: bucket = log-quantized
     # magnitude of the value, a fixed monotone transform computed inline
-    # (no per-group stats pass, no repartitionByRange sampling job — and
-    # because the bucket derives from the value column alone, every
-    # consumer of `counts` prunes to the same columns, so the aggregate's
-    # exchange is planned once and reused instead of re-scanning the
-    # source).  Prefix-sum locally per (group, bucket); carry in earlier
-    # buckets' totals via a broadcast triangle join over the #groups ×
-    # #occupied-buckets rows (bucket count ≤ _BUCKETS_PER_DECADE × value
-    # decades — a few dozen in practice, data-independent).  Values
-    # clustered inside one quantization step share a bucket — degrading
-    # toward the domain-on-one-reducer shape, never worse.
+    # (no per-group stats pass, no repartitionByRange sampling job).
+    # Prefix-sum locally per (group, bucket); the carry from earlier
+    # buckets and the per-group total are WINDOWS over the per-bucket
+    # totals table — #groups × #occupied-buckets rows (bucket count ≤
+    # _BUCKETS_PER_DECADE × value decades, a few dozen in practice,
+    # data-independent), so the per-group window partition is bounded by
+    # the bucket count, never the data or the domain.  (This replaces a
+    # broadcast triangle self-join + a second grouped total pass — same
+    # algebra, property-tested in tests/test_selection_algebra.py, two
+    # fewer stages per call.)  Values clustered inside one quantization
+    # step share a bucket — degrading toward the domain-on-one-reducer
+    # shape, never worse.
     v = F.col(value_col).cast("double")
     # the coalesce is semantically a no-op (both log10 arguments are
     # strictly positive under their guards, and null values are filtered
@@ -214,30 +228,31 @@ def rank_thresholds(
     bkt_tot = bucketed.groupBy(*group_by, "_bkt").agg(
         F.sum("_c").alias("_bt")
     )
-    prior = bkt_tot.select(
-        *[F.col(c).alias(f"_p_{c}") for c in group_by],
-        F.col("_bkt").alias("_p_bkt"),
-        F.col("_bt").alias("_pbt"),
+    # carry = strictly-earlier buckets' total; _cnt = whole-group total.
+    # Both are windows over bkt_tot partitioned by the GROUP — bounded at
+    # #occupied-buckets rows per partition, data-independent.
+    grp_w = Window.partitionBy(*group_by).orderBy("_bkt")
+    carry = bkt_tot.select(
+        *group_by,
+        "_bkt",
+        F.coalesce(
+            F.sum("_bt").over(
+                grp_w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_carry"),
+        F.sum("_bt")
+        .over(
+            grp_w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_cnt"),
     )
-    cond = F.col("_p_bkt") < F.col("_bkt")
-    for c in group_by:
-        cond = cond & (F.col(f"_p_{c}") == F.col(c))
-    # one pass over the tiny bkt_tot yields the carry (strictly-earlier
-    # buckets) AND, as its running high edge, the per-group total — no
-    # separate `tot` subtree re-reading `counts`
-    carry = (
-        bkt_tot.join(F.broadcast(prior), cond, "left")
-        .groupBy(*group_by, "_bkt", "_bt")
-        .agg(F.coalesce(F.sum("_pbt"), F.lit(0)).alias("_carry"))
-        .withColumn("_hi", F.col("_carry") + F.col("_bt"))
-        .drop("_bt")
-    )
-    grp_tot = carry.groupBy(*group_by).agg(F.max("_hi").alias("_cnt"))
     cum = (
         bucketed.withColumn("_lcum", F.sum("_c").over(local_w))
         .join(F.broadcast(carry), [*group_by, "_bkt"])
         .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
-        .join(F.broadcast(grp_tot), list(group_by))
     )
     aggs = [
         F.min(
@@ -248,3 +263,33 @@ def rank_thresholds(
     if count_col is not None:
         aggs.append(F.max("_cnt").alias(count_col))
     return cum.groupBy(*group_by).agg(*aggs)
+
+
+def rank_thresholds(
+    df: DataFrame,
+    *,
+    group_by: Sequence[str],
+    value_col: str,
+    targets: dict[str, Callable[[Column], Column]],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-group nearest-rank selections over ``value_col``: for each
+    (name, fn) in ``targets``, emit the smallest value whose cumulative
+    count reaches ``fn(total_count)`` — element ``fn(n)`` of the sorted
+    multiset, computed from a cumulative count over DISTINCT values.
+    ``value_col`` must be numeric.  ``count_col`` optionally emits the
+    per-group total count too.
+
+    No reducer ever holds more than one range bucket of one group's
+    value domain (see the module docstring) — at extreme skew (all mass
+    in one bucket) this degrades to the domain-on-one-reducer shape,
+    never worse; the order-statistics swap at that point is
+    ``approx_percentile`` (sketch-merge execution, same column
+    contract)."""
+    return rank_thresholds_from_counts(
+        value_counts(df, group_by=group_by, value_col=value_col),
+        group_by=group_by,
+        value_col=value_col,
+        targets=targets,
+        count_col=count_col,
+    )

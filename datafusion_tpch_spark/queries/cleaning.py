@@ -15,8 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, dsum_sql
-from ..operators.selection import rank_thresholds
+from ..functions.exact import dsum_sql, dsum_weighted
+from ..operators.selection import rank_thresholds_from_counts, value_counts
 from . import QuerySpec
 from .extensions import _t
 
@@ -46,28 +46,34 @@ def part_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_retailprice"))
         .alias("price"),
     )
-    ok = dirty.filter(F.col("price").isNotNull())
-    med = rank_thresholds(
-        ok.select("p_brand", "price"),
+    # ONE aggregation to distinct (brand, price) — null prices kept as
+    # their own group (the audit needs them) — consumed by BOTH the
+    # median machinery and the weighted audit below, so the part scan and
+    # its exchange are planned once and reused (guide §2.4; the row-level
+    # join-back this replaces rescanned part a second time)
+    counts = value_counts(
+        dirty.select("p_brand", "price"),
+        group_by=["p_brand"],
+        value_col="price",
+    )
+    med = rank_thresholds_from_counts(
+        counts,
         group_by=["p_brand"],
         value_col="price",
         targets={"brand_median": lambda cnt: F.floor((cnt + 1) / 2)},
     )
-    fixed = dirty.join(F.broadcast(med), "p_brand").select(
-        "p_brand",
-        "price",
-        F.coalesce("price", "brand_median").alias("price_fixed"),
-        "brand_median",
-    )
+    fixed = counts.join(F.broadcast(med), "p_brand")
     return (
         fixed.groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("price").isNull(), 1).otherwise(0))
+            F.sum("_c").alias("n_rows"),
+            F.sum(F.when(F.col("price").isNull(), F.col("_c")).otherwise(0))
             .cast("long")
             .alias("n_imputed"),
             F.max("brand_median").alias("brand_median"),
-            dsum(F.col("price_fixed")).alias("sum_fixed"),
+            dsum_weighted(
+                F.coalesce("price", "brand_median"), F.col("_c")
+            ).alias("sum_fixed"),
         )
         .orderBy("p_brand")
     )
@@ -126,8 +132,16 @@ def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     )
-    th = rank_thresholds(
-        base,
+    # ONE aggregation of lineitem to distinct (flag, price) counts,
+    # consumed by BOTH the threshold machinery and the clip audit — the
+    # clip re-aggregates the counts weighted by _c (every row with the
+    # same price clips identically, and dsum's quantization is per
+    # distinct value, so the weighted form is bit-identical), which
+    # removes the second lineitem scan + row-level broadcast join the
+    # previous shape paid (guide §2.2/§2.4: one exchange, two grains)
+    counts = value_counts(base, group_by=["flag"], value_col="price")
+    th = rank_thresholds_from_counts(
+        counts,
         group_by=["flag"],
         value_col="price",
         targets={
@@ -135,11 +149,12 @@ def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99": lambda cnt: F.floor((F.lit(99) * cnt + 99) / 100),
         },
     )
-    clipped = base.join(F.broadcast(th), "flag").select(
+    clipped = counts.join(F.broadcast(th), "flag").select(
         "flag",
         "price",
         "p01",
         "p99",
+        "_c",
         F.greatest(F.least(F.col("price"), F.col("p99")), F.col("p01")).alias(
             "price_w"
         ),
@@ -147,16 +162,22 @@ def lineitem_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clipped.groupBy("flag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("price") < F.col("p01"), 1).otherwise(0))
+            F.sum("_c").alias("n_rows"),
+            F.sum(
+                F.when(F.col("price") < F.col("p01"), F.col("_c")).otherwise(0)
+            )
             .cast("long")
             .alias("n_capped_low"),
-            F.sum(F.when(F.col("price") > F.col("p99"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("price") > F.col("p99"), F.col("_c")).otherwise(0)
+            )
             .cast("long")
             .alias("n_capped_high"),
             F.max("p01").alias("p01"),
             F.max("p99").alias("p99"),
-            dsum(F.col("price_w")).alias("sum_winsorized"),
+            dsum_weighted(F.col("price_w"), F.col("_c")).alias(
+                "sum_winsorized"
+            ),
         )
         .orderBy("flag")
     )

@@ -78,6 +78,24 @@ def test_sharded_prefix_sum_with_carry(xs, nshards):
 
 
 @settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=200))
+def test_weighted_dsum_equals_rowwise_dsum(xs):
+    """functions.exact.dsum_weighted's identity: quantize each DISTINCT
+    value once and multiply by its multiplicity == quantize every row and
+    sum (floor is deterministic on doubles; integer multiplication is
+    exact) — the audit-over-value_counts rewrite relies on this."""
+    import math
+
+    q = lambda v: math.floor(v * 10**8)  # noqa: E731
+    rowwise = sum(q(v) for v in xs)
+    weighted = sum(q(v) * c for v, c in
+                   {v: xs.count(v) for v in set(xs)}.items())
+    assert rowwise == weighted
+
+
+@settings(max_examples=200, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 1000)),
                 min_size=1, max_size=200))
 def test_min_struct_equals_rank_one(pairs):
