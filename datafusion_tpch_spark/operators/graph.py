@@ -19,6 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Loop-shuffle sizing: one loop task holds on the order of this many edge
+# rows.  Derived from the MEASURED edge count — the edge list is
+# localCheckpoint-materialized first, so the count is one small job over
+# cached blocks — and clamped to the session's parallelism; never a
+# constant.  A vocabulary-sized transition graph runs its rounds in one
+# task instead of scheduling session-width empty tasks per stage, while a
+# 100 TB edge list keeps full cluster width.  (The checkpointed RDD's own
+# partition count is NOT a usable proxy: a union/narrow tail is never
+# AQE-coalesced, so it reflects session width, not data size.)
+_LOOP_ROWS_PER_TASK = 65_536
+
+
+def _loop_width(checkpointed: DataFrame) -> int:
+    cap = checkpointed.sparkSession.sparkContext.defaultParallelism
+    n_rows = checkpointed.count()
+    return max(1, min(cap, -(-n_rows // _LOOP_ROWS_PER_TASK)))
+
 
 def connected_components(
     edges: DataFrame,
@@ -47,20 +64,22 @@ def connected_components(
     # this each round would recompute the whole edge derivation.  Only the
     # label loop runs under the narrowed shuffle width: num_partitions
     # sizes the loop's shuffles to the graph (a small graph on a wide
-    # session wastes each round on empty-task scheduling; size it
-    # ~ edge_count / rows-per-task at scale, None keeps session width).
+    # session wastes each round on empty-task scheduling); when None it is
+    # DERIVED from the measured doubled-edge count — never a constant.
     # The conf is restored after the loop; the returned frame is
     # localCheckpoint-materialized inside the scope.
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    if num_partitions is None:
+        # the count in _loop_width materializes the lazy checkpoint
+        num_partitions = _loop_width(both)
     saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if num_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-        # the checkpoint above ran at session width; coalesce (narrow, no
-        # shuffle, no recompute) so every round's scan schedules
-        # num_partitions tasks instead of session-width mostly-empty ones
-        both = both.coalesce(num_partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    # the checkpoint above ran at session width; coalesce (narrow, no
+    # shuffle, no recompute) so every round's scan schedules
+    # num_partitions tasks instead of session-width mostly-empty ones
+    both = both.coalesce(num_partitions)
     try:
         return _cc_loop(both, max_iter)
     finally:
@@ -148,10 +167,15 @@ def pagerank(
     floor-quantized decimal reducer (functions.exact.dsum), so the result
     is order-independent and bit-identical to the unrolled SQL oracle.
 
-    Scale: identical shuffle pair per iteration, keyed on node ids; the
-    edge list is localCheckpoint-materialized once and reused by every
-    round.  Iterations is O(1) in data size — rank converges in a fixed
-    handful of rounds regardless of corpus scale.
+    Scale/plan shape: the loop-invariant tables are checkpointed
+    PRE-PARTITIONED on their loop join keys at a width derived from the
+    measured edge count — ``e`` hashed on ``e_src``, ``nodes`` on
+    ``node`` — so every unrolled round plans exactly ONE exchange (the
+    contribution re-key onto dst); the rank→edges join and the
+    rank-update join reuse the checkpointed partitionings (guide §2.4;
+    previously each round re-shuffled the edge list AND the node table).
+    Iterations is O(1) in data size — rank converges in a fixed handful
+    of rounds regardless of corpus scale.
     """
     from ..functions.exact import dsum
 
@@ -160,18 +184,26 @@ def pagerank(
         if weight
         else F.lit(1.0)
     )
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w.alias("e_w")
-    ).localCheckpoint()
-    outw = e.groupBy("e_src").agg(F.sum("e_w").alias("e_ow"))
-    # checkpoint AFTER the out-weight join: all `iterations` unrolled
-    # rounds (and the node derivation) scan the saved blocks instead of
-    # re-planning the join per branch
-    e = e.join(outw, "e_src").localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # the count in _loop_width materializes the lazy checkpoint — ONE job
+    # both saves the edge derivation and sizes the loop
+    p = _loop_width(e0)
+    outw = e0.groupBy("e_src").agg(F.sum("e_w").alias("e_ow"))
+    # checkpoint AFTER the out-weight join, hash-partitioned on the loop
+    # join key: all `iterations` unrolled rounds (and the node
+    # derivation) scan the saved blocks with their partitioning intact
+    e = (
+        e0.join(outw, "e_src")
+        .repartition(p, "e_src")
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .union(e.select("e_dst"))
         .distinct()
+        .repartition(p, "node")
         .localCheckpoint()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -185,6 +217,10 @@ def pagerank(
                 F.col("e_dst").alias("node"),
                 (F.col("pr") * F.col("e_w") / F.col("e_ow")).alias("c"),
             )
+            # the round's one exchange: re-key contributions onto the
+            # destination at loop width; both grouped aggregates and the
+            # rank-update join below ride this partitioning
+            .repartition(p, "node")
             .groupBy("node")
             .agg(dsum(F.col("c")).alias("csum"))
         )
@@ -218,23 +254,41 @@ def label_propagation(
     one two-level aggregation (label counts → per-node argmax via
     a min(struct) argmax election) — node-keyed shuffles only, nothing
     data-sized on the driver, fixed round count → one Catalyst plan.
-    The same loop at 100 TB partitions by node id; the doubled edge
-    list is materialized once and reused by every round.
+
+    Plan shape: the doubled edge list is checkpointed PRE-PARTITIONED on
+    ``v`` (the loop join key) at a width derived from the measured edge
+    count, and each round's label counts ride ONE explicit re-key onto
+    ``u`` — hash-partitioning on ``node`` satisfies the finer
+    (node, label) grouping too, so both aggregation levels AND the next
+    round's join reuse it (guide §2.4; previously each round planned a
+    join exchange plus two aggregate exchanges at session width).
     """
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    labels = und.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # the count in _loop_width materializes the lazy checkpoint — one job
+    p = _loop_width(und)
+    und = und.repartition(p, "v").localCheckpoint()
+    # seed labels pre-keyed on node at loop width (the distinct rides the
+    # same exchange), so even the FIRST round's join is exchange-free
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .repartition(p, "node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
     )
     for _ in range(iterations):
         neigh = und.join(
             labels.withColumnRenamed("node", "v"), "v"
         ).select(F.col("u").alias("node"), "label")
-        counts = neigh.groupBy("node", "label").agg(
+        # the round's one exchange: re-key onto the adopting node at loop
+        # width; (node) hash-partitioning satisfies the (node, label)
+        # grouping below, the per-node argmax, and — after the rename —
+        # the next round's join on v
+        counts = neigh.repartition(p, "node").groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("n")
         )
         # argmax(count) with ties to the smallest label, as a hash

@@ -1062,7 +1062,7 @@ def _sem_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_table(
         spark, sf_dir, "sem_cc",
         lambda: connected_components(
-            _sem_pairs(spark, sf_dir), src="id1", dst="id2", num_partitions=4
+            _sem_pairs(spark, sf_dir), src="id1", dst="id2"
         ),
     )
 
@@ -1079,9 +1079,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same closure as a recursive CTE — label-set enumeration to the same
     min-label fixpoint.
     """
-    # fixture-scale graphs: a few hundred edges — the loop shuffles are
-    # scoped narrow inside the shared label table (production sizes this
-    # from the edge count)
+    # the loop shuffle width is derived from the measured edge count
+    # inside connected_components (narrow for fixture-scale graphs, full
+    # cluster width at 100 TB)
     cc = _sem_cc_labels(spark, sf_dir)
     return (
         cc.groupBy("component")
@@ -2808,22 +2808,34 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nearest-rank median via the shared domain-bounded selection
     # (operators/selection.rank_thresholds): reducer input is the token
-    # count domain, never the corpus
-    from ..operators.selection import rank_thresholds
+    # count domain, never the corpus.  ONE aggregation to distinct
+    # (lang, n_tokens) counts feeds both the median machinery and the
+    # keep-stats audit (weighted by _c) — the tokenizer runs once and the
+    # documents scan's exchange is reused instead of re-scanned
+    # (guide §2.4)
+    from ..operators.selection import (
+        rank_thresholds_from_counts,
+        value_counts,
+    )
 
-    med = rank_thresholds(
+    counts = value_counts(
         toks.select("lang", "n_tokens"),
+        group_by=["lang"],
+        value_col="n_tokens",
+    )
+    med = rank_thresholds_from_counts(
+        counts,
         group_by=["lang"],
         value_col="n_tokens",
         targets={"median_tokens": lambda cnt: F.ceil(cnt / 2)},
     )
-    kept = toks.join(F.broadcast(med), "lang").filter(
+    kept = counts.join(F.broadcast(med), "lang").filter(
         F.col("n_tokens") > F.col("median_tokens")
     )
     return (
         kept.groupBy("lang", "median_tokens")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("_c").alias("n_kept"),
             F.min("n_tokens").alias("min_kept_tokens"),
             F.max("n_tokens").alias("max_kept_tokens"),
         )
@@ -3221,10 +3233,22 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary scalar broadcast.  At 100 TB the count tables are the
     precomputed LM table this query would read instead of recompute.
     """
-    # (measured: adding a range exchange here HURT — the chain below has
-    # three consumers that each re-evaluate it, so the extra exchange is
-    # paid three times while the single-task scan map is cheap at this
-    # row count; 1.06s -> 2.04s, reverted)
+    # One (w1, w2) exchange serves BOTH grains (guide §2.4, the q20
+    # one-exchange-two-grains trick): the bigram instances are aggregated
+    # once to per-(doc, bigram) multiplicities k riding an explicit
+    # repartition("w1","w2") (hash-partitioning on a key subset satisfies
+    # the finer grouping's distribution), the corpus-wide bigram count
+    # c12 is a window SUM(k) over the same partitioning, and the per-doc
+    # score re-aggregates weighted by k — every instance of one bigram in
+    # one doc has the same p, and dsum's quantization is per distinct
+    # value, so the weighted mean is bit-identical to the row-level davg.
+    # The previous shape evaluated the tokenize+explode subtree twice
+    # (count side + join-back side); this evaluates it once.  (An earlier
+    # attempt kept the join-back and added a range exchange up front —
+    # that made all three consumers re-pay the exchange, 1.06s -> 2.04s,
+    # reverted in r14; this removes the extra consumer instead.)
+    from ..functions.exact import dsum_weighted
+
     (docs,) = _t(spark, sf_dir, "documents")
     w = text.words(F.col("text"))
     toks = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
@@ -3235,7 +3259,14 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = toks.select("doc_id", F.explode(pair).alias("p")).select(
         "doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2")
     )
-    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bgd = (
+        inst.repartition("w1", "w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn(
+            "c12", F.sum("k").over(Window.partitionBy("w1", "w2"))
+        )
+    )
     uni = (
         toks.select(F.explode(F.col("w")).alias("term"))
         .groupBy("term")
@@ -3243,8 +3274,7 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        inst.join(big, ["w1", "w2"])
-        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        bgd.join(uni.withColumnRenamed("term", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "p",
@@ -3255,8 +3285,10 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            davg(F.col("p")).alias("lm_score"),
+            F.sum("k").alias("n_bigrams"),
+            (dsum_weighted(F.col("p"), F.col("k")) / F.sum("k")).alias(
+                "lm_score"
+            ),
         )
         .orderBy("doc_id")
     )
