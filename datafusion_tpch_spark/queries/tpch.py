@@ -636,10 +636,19 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 # ---------------------------------------------------------------------------
 
 def _revenue_per_supplier(li: DataFrame) -> DataFrame:
+    # the explicit isnotnull(l_suppkey) is vacuous on the data (TPC-H key
+    # column) but decisive for the plan: the supplier join pushes exactly
+    # this predicate into ITS branch's scan, and without it here the max-
+    # revenue branch's scan subtree differs by that one filter — defeating
+    # AQE's shuffle-stage reuse, so lineitem was scanned and aggregated
+    # TWICE per q15 run.  With the branches canonically identical the
+    # revenue exchange is computed once and reused (guide §2.4; see
+    # plans/r15/q15_after.txt post-execution section).
     return (
         li.filter(
             (F.col("l_shipdate") >= _ts("1997-01-01"))
             & (F.col("l_shipdate") < _ts("1997-04-01"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
@@ -784,19 +793,22 @@ WHERE p_brand = 'Brand#3'
 # ---------------------------------------------------------------------------
 
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate lineitem ONCE at the order grain: the query's final
+    # per-(customer, order) sum is exactly the per-order quantity sum the
+    # big-order filter already computes (o_orderkey is unique in orders,
+    # c_custkey in customer, so the dimension joins never multiply rows).
+    # The previous shape scanned lineitem a second time through the
+    # orders semi-join and re-aggregated over a 5-column key (guide §2.4:
+    # one aggregation, one grain, no join-back).
     cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum(F.col("l_quantity")).alias("o_qty"))
-        .filter(F.col("o_qty") > 150)
-        .select("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
         .select("c_name", "c_custkey", "o_orderkey",
                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
                 "o_totalprice", "sum_qty")
@@ -928,20 +940,37 @@ ORDER BY s_name
 # ---------------------------------------------------------------------------
 
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS / NOT EXISTS as order-grain supplier extrema instead of two
+    # more lineitem passes (guide §2.4).  "Some OTHER supplier in the
+    # order" == the order has >= 2 distinct suppliers == min != max over
+    # ALL its lineitems (one aggregate, the only extra lineitem scan).
+    # "No OTHER supplier was late" == every late row of the order carries
+    # the same suppkey == min == max over the order's LATE rows — a
+    # window riding the late rows' own order-key partitioning, no new
+    # exchange and no third scan.  Row multiplicity matches the original
+    # semi/anti pair: every late row of the lone late supplier survives.
     li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("o_orderstatus") == "F"
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("k2"))
+        .agg(
+            F.min("l_suppkey").alias("_mn"),
+            F.max("l_suppkey").alias("_mx"),
+        )
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("k2")
     )
-    l1 = lo.filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")).select(
-        "l_orderkey", "l_suppkey"
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
+        .select("l_orderkey", "l_suppkey")
     )
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = lo.filter(F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")).select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi")
-        .join(l3, (l1.l_orderkey == l3.k3) & (l1.l_suppkey != l3.s3), "left_anti")
+        late.withColumn("_lmn", F.min("l_suppkey").over(w))
+        .withColumn("_lmx", F.max("l_suppkey").over(w))
+        .filter(F.col("_lmn") == F.col("_lmx"))
+        .join(multi, F.col("l_orderkey") == F.col("k2"), "left_semi")
     )
     return (
         waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)

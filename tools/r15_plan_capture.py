@@ -46,7 +46,10 @@ def main() -> None:
             fh.write(f"# {name} — explain(formatted) @ {sf_dir} [{tag}]\n\n")
             fh.write(plan)
             if executed:
-                df.write.format("noop").mode("overwrite").save()
+                # collect() (not a noop write) so the DataFrame's OWN
+                # queryExecution is the one that runs — a write executes a
+                # cloned plan and leaves this one isFinalPlan=false
+                df.collect()
                 fh.write(
                     "\n\n# --- post-execution final adaptive plan "
                     "(ReusedExchange visible here) ---\n\n"
