@@ -40,6 +40,19 @@ def build_session(
         # splitting; this is the 100TB story for lineitem-sized shuffles.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES (advisoryPartitionSizeInBytes,
+        # default 64m) instead of stopping the coalesce at defaultParallelism:
+        # with parallelismFirst=true (Spark's default) every sub-GB shuffle on
+        # a 32-core session keeps ~32 near-empty reducers, which round 14's
+        # scaling block measured as the dominant local cost (the 8-core bench
+        # beat the 32-core one; events_kmv_setops ratio 0.24).  Bytes-derived
+        # sizing is workload-proportional at every scale — a 100 TB shuffle
+        # still gets full width because its bytes demand it.  (A/B at sf0.1
+        # on the worst inverted gates: kmv_setops 1.08->0.81s,
+        # stream_stream_join 0.33->0.21s; mid-size parallel gates flat within
+        # the +/-20% window noise — tables in OPTIMIZATION_r15.md.)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.default.parallelism", str(cpus))
