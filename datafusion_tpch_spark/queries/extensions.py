@@ -3077,7 +3077,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df is declared FROM tf, but without the vacuous tf >= 1 guard
+    # Catalyst prunes the unused count from this branch, rewriting it to a
+    # distinct-style aggregate whose scan subtree no longer canonically
+    # matches tf's — so AQE re-ran the whole tokenize+explode+shuffle a
+    # second time (verified in plans/r15/tfidf_top_terms_before_exec.txt:
+    # two Generate stages, no ReusedExchange).  Referencing tf keeps the
+    # branches identical up to the (doc_id, term) exchange, which the
+    # final plan then computes once and reuses (guide §2.4 — the same
+    # vacuous-predicate trick as q15's isnotnull(l_suppkey)).  tf is a
+    # count, always >= 1, so the filter drops nothing.
+    df_ = (
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
     scored = (
         tf.join(df_, "term")
@@ -3661,12 +3675,31 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver collection.
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    words = docs.select(
+    # the vacuous isnotnull(doc_id) (key column, never null) keeps every
+    # consumer's scan subtree canonically identical: the scored/dl join
+    # branches infer it from their doc_id equi-joins and push it into
+    # their scans, and without it here the aggregate-only branches
+    # (dfreq, corpus stats) scan WITHOUT it — two exchange groups instead
+    # of one (the q15 lesson, commit 2d834d6)
+    words = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode(text.words(F.col("text"))).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dl and dfreq both re-aggregate the COMPACT tf table instead of the
+    # exploded words frame: dl = Σ tf per doc is identical to counting
+    # word instances (explode drops empty docs from both forms), and the
+    # vacuous tf >= 1 guard on the dfreq branch stops Catalyst pruning
+    # the count into a distinct-style aggregate whose subtree would no
+    # longer match tf's.  All three consumers now share ONE
+    # tokenize+explode+(doc_id, term) exchange, reused by AQE — the
+    # previous shape ran the explode three times (guide §2.4; executed
+    # plan pair in plans/r15/docs_bm25_topk_{before,after}_exec.txt).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = (
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     # vocabulary-sized input: take the top-nq terms with a TakeOrdered
     # (per-partition heaps, nq-row merge), never a partition-less window
     qterms = (
