@@ -8,8 +8,8 @@ tests/test_selection_algebra.py.
 
 - :func:`sharded_prefix` — range-sharded two-pass prefix aggregate
   (running sum / max / rank): local prefix per shard + a broadcast
-  triangle-join carry-in from earlier shards.  No task ever holds more
-  than one shard of the order.
+  triangle-join carry-in from earlier shards, all consumers sharing ONE
+  range exchange.  No task ever holds more than one shard of the order.
 - :func:`salted_topk` — two-level salted per-group top-k: per
   (group, salt) keep the k lexicographically-smallest key structs as a
   sorted slice, then union-and-re-truncate per group.  The merge sees
@@ -32,17 +32,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DEFAULT_RANGES = 32  # range-shard fan-out for the prefix scans
-_BUCKETS_PER_DECADE = 32  # log-quantization granularity for rank_thresholds
-# (band factor 10^(1/32) ≈ 1.075: even values uniform across a decade put
-# at most ~7% of a group's domain in one bucket)
 
 
-def _carry_join(
-    shard_tot: DataFrame, partition_by: Sequence[str], agg, out: str
+def _triangle_carry(
+    shard_tot: DataFrame, partition_by: Sequence[str], agg
 ) -> DataFrame:
-    """Per-(pid, group) aggregate of all EARLIER shards' totals — the
-    boundary exchange of the two-pass scans.  #shards x #groups rows,
-    broadcast both sides."""
+    """Per-(pid, group) aggregate of all EARLIER shards' totals as a
+    broadcast triangle join — #shards x #groups rows on both sides.
+    ``shard_tot`` must be the GUARDED totals frame (its ``_pg`` pruning
+    guard referenced), so this consumer prunes the upstream range
+    exchange to the same columns as the output branch and reuses it."""
     renames = {c: f"_p_{c}" for c in ["pid", *partition_by]}
     prior = shard_tot.select(
         *[F.col(c).alias(n) for c, n in renames.items()],
@@ -54,8 +53,11 @@ def _carry_join(
     return (
         shard_tot.join(F.broadcast(prior), cond, "left")
         .groupBy("pid", *partition_by)
-        .agg(agg(F.col("_pst")).alias(out))
+        .agg(agg(F.col("_pst")).alias("_carry"))
     )
+_BUCKETS_PER_DECADE = 32  # log-quantization granularity for rank_thresholds
+# (band factor 10^(1/32) ≈ 1.075: even values uniform across a decade put
+# at most ~7% of a group's domain in one bucket)
 
 
 def sharded_prefix(
@@ -91,17 +93,42 @@ def sharded_prefix(
     )
     fagg = {"sum": F.sum, "max": F.max}[agg]
     local = fagg(value).over(local_w)
+    # The _pg aggregate over a hash of EVERY input column is a pruning
+    # guard: the totals branch only needs (order, partition, value)
+    # columns, so column pruning would give its range exchange a narrower
+    # column set than the output branch's — two separate evaluations of
+    # the whole upstream chain (scan + scoring exprs + range shuffle)
+    # instead of one reused exchange.  Referencing all columns (and
+    # keeping _pg alive through the vacuous isNotNull filter below —
+    # max over a non-empty group of the never-null hash() is never null,
+    # but the optimizer cannot fold that) makes both branches prune
+    # identically, and AQE then computes the range exchange ONCE
+    # (plans/r15/docs_token_budget_*_exec.txt: 3 range exchanges -> 1 +
+    # 2 ReusedExchange).  hash() rather than a struct because min/max
+    # over a struct falls off the HashAggregate fast path to
+    # SortAggregate — a per-shard sort of the full input.
     shard_tot = ranged.groupBy("pid", *partition_by).agg(
-        fagg(value).alias("_st")
+        fagg(value).alias("_st"),
+        F.max(F.hash(*[F.col(c) for c in df.columns])).alias("_pg"),
     )
+    # carry = strictly-earlier shards' totals, via the broadcast triangle
+    # join over the tiny (pid, group) totals table (#shards x #groups
+    # rows both sides — a partition-less window here would be flagged by
+    # the global-window guard even though the input is construction-
+    # bounded, so the join form stays).  BOTH triangle sides run through
+    # `guarded` so the pruning guard survives in each branch and the one
+    # range exchange serves them all.
+    guarded = shard_tot.where(F.col("_pg").isNotNull())
     if agg == "sum":
-        carry = _carry_join(
-            shard_tot, partition_by, lambda c: F.coalesce(F.sum(c), F.lit(0)),
-            "_carry",
+        carry = _triangle_carry(
+            guarded, partition_by,
+            lambda c: F.coalesce(F.sum(c), F.lit(0)),
         )
         combined = F.col("_carry") + F.coalesce(F.col("_local"), F.lit(0))
     else:
-        carry = _carry_join(shard_tot, partition_by, F.max, "_carry")
+        # null iff no earlier shard exists (left join finds no match),
+        # preserving the strictly-previous-row semantics callers filter on
+        carry = _triangle_carry(guarded, partition_by, F.max)
         combined = F.greatest(F.col("_local"), F.col("_carry"))
     return (
         ranged.withColumn("_local", local)

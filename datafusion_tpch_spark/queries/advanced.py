@@ -273,7 +273,17 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(chunks).alias("chunk")
     )
     per = inst.groupBy("doc_id", "chunk").agg(F.count(F.lit(1)).alias("cnt"))
-    owner = per.groupBy("chunk").agg(F.min("doc_id").alias("owner"))
+    # vacuous (cnt is a count, always >= 1), but decisive for the plan:
+    # without it Catalyst prunes the unused cnt from this branch,
+    # rewriting it to a distinct-style aggregate whose subtree no longer
+    # matches per's, and the chunk explode ran TWICE (the q15/tfidf
+    # canonical-subtree lesson; executed pair in
+    # plans/r15/docs_chunk_dedup_{before,after}_exec.txt)
+    owner = (
+        per.where(F.col("cnt") >= 1)
+        .groupBy("chunk")
+        .agg(F.min("doc_id").alias("owner"))
+    )
     return (
         per.join(owner, "chunk")
         .groupBy("doc_id")
@@ -1953,8 +1963,22 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("user_days"),
         F.count_distinct("day").alias("n_days"),
     )
-    weekly = days.select("week", "user_id").distinct().groupBy("week").agg(
-        F.count(F.lit(1)).alias("wau")
+    # WAU as a duplicate-SENSITIVE two-level aggregate over `days`: both
+    # the re-distinct form and COUNT(DISTINCT user) are duplicate-
+    # insensitive, so Catalyst eliminated the shared `days` aggregate
+    # from this branch (distinct-over-distinct collapses to one
+    # aggregate over the raw scan) and the fact table was scanned and
+    # de-duplicated TWICE.  Counting per (week, user) first — with the
+    # vacuous k >= 1 guard keeping k consumed — pins the inner distinct
+    # in place, so both consumers share days' exchange and the scan runs
+    # once (guide §2.4; executed pair in
+    # plans/r15/events_stickiness_{audit,after_exec}.txt).
+    weekly = (
+        days.groupBy("week", "user_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .where(F.col("k") >= 1)
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("wau"))
     )
     return (
         daily.join(weekly, "week")
@@ -2391,10 +2415,20 @@ def events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-type chi2 contribution (summed over its 7 cells).
     """
     (ev,) = _t(spark, sf_dir, "events")
+    # the explicit not-null pair is vacuous on the fixture (event_type
+    # and ts are never null) but decisive for the plan: the cell join
+    # infers isnotnull(event_type) AND isnotnull(dow) into ITS branch's
+    # scan, row_tot/col_tot each infer only one, grand neither — four
+    # canonically different subtrees, so the fact table was scanned and
+    # aggregated FOUR times despite the docstring's one-aggregation
+    # claim.  With the branches identical the cells exchange is computed
+    # once and reused (the q15 lesson; executed pair in
+    # plans/r15/events_type_dow_chisq_{audit,after_exec}.txt).
     cells = (
         ev.select(
             F.col("event_type"), F.dayofweek(F.col("ts")).alias("dow")
         )
+        .where(F.col("event_type").isNotNull() & F.col("dow").isNotNull())
         .groupBy("event_type", "dow")
         .agg(F.count(F.lit(1)).alias("obs"))
     )

@@ -1530,7 +1530,13 @@ def docs_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "is_target",
         (hashing.md5_int(F.col("w")) % _DSIR_B).alias("bucket"),
-    )
+    # vacuous (md5 of a never-null exploded word): the scored join infers
+    # isnotnull(bucket) on its buckets branch while the totals branch has
+    # no such filter, so without this the two (bucket) exchange subtrees
+    # differ and the corpus-wide explode ran TWICE (the q15/tfidf
+    # canonical-subtree lesson; executed pair in
+    # plans/r15/docs_dsir_score_{before,after}_exec.txt)
+    ).where(F.col("bucket").isNotNull())
     buckets = inst.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("c_r"),

@@ -6484,9 +6484,17 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count per offset — the cohort-analysis staple."""
     (ev,) = _t(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    # first_day as a per-user window over `days` instead of a separate
+    # min-aggregate + join-back: the aggregate form let Catalyst drop the
+    # shared distinct from that branch (min over distinct = min over
+    # raw), so the fact table was scanned and shuffled TWICE; the window
+    # rides one user-keyed exchange over the compact distinct-day table
+    # — bounded per user by their active-day count — and the join
+    # disappears (guide §2.4; executed pair in
+    # plans/r15/events_user_retention_{audit,after_exec}.txt).
+    w = Window.partitionBy("user_id")
     return (
-        days.join(first, "user_id")
+        days.withColumn("first_day", F.min("day").over(w))
         .select(
             "user_id", F.datediff(F.col("day"), F.col("first_day")).alias("day_offset")
         )
@@ -6998,7 +7006,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds (unix_micros / epoch_us) for cross-engine
     exactness."""
     (ev,) = _t(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+    # vacuous not-nulls (fixture keys/timestamps are never null), but
+    # decisive for the plan: each stage frame feeds both the NEXT stage's
+    # join (which infers isnotnull(user_id)/isnotnull(us) into its scan)
+    # and its own stage count (which inferred neither and pruned the min
+    # column) — five canonically different events scans for three
+    # stages.  With the base frame guarded here and the stage counts
+    # referencing the min column below, each stage's exchange is
+    # computed once and reused (the q15 lesson; executed pair in
+    # plans/r15/events_funnel_{audit,after_exec}.txt).
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    ).where(F.col("user_id").isNotNull() & F.col("us").isNotNull())
     first_view = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -7019,15 +7038,24 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("us").alias("p_us"))
     )
 
-    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(n).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+    def stage(df: DataFrame, first_col: str, n: int, name: str) -> DataFrame:
+        # the where is vacuous (min over a non-empty group of never-null
+        # us) but keeps this branch consuming the min column, so it
+        # prunes identically to the join branch and reuses its exchange
+        return (
+            df.where(F.col(first_col).isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(
+                F.lit(n).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                "n_users",
+            )
         )
 
     return (
-        stage(first_view, 1, "view")
-        .unionAll(stage(first_click, 2, "view>click"))
-        .unionAll(stage(first_purch, 3, "view>click>purchase"))
+        stage(first_view, "v_us", 1, "view")
+        .unionAll(stage(first_click, "c_us", 2, "view>click"))
+        .unionAll(stage(first_purch, "p_us", 3, "view>click>purchase"))
         .orderBy("stage")
     )
 
