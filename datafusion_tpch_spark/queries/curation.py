@@ -158,21 +158,45 @@ def docs_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (docs,) = _t(spark, sf_dir, "documents")
     total = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    exploded = docs.select(
+    # ONE (doc, word) aggregation serves BOTH the document-frequency
+    # side and the strip side (guide §2.4): the previous shape exploded
+    # the corpus twice — once into distinct() for df, once raw for the
+    # anti-join — and the anti-join dragged every word INSTANCE through
+    # it.  The vacuous guards (doc_id never null; cnt is a count, >= 1)
+    # keep the two branches canonically identical so the explode and its
+    # exchange are computed once and reused, and the anti-join now sees
+    # one row per (doc, word) with the multiplicity re-applied as
+    # sum(cnt) — bit-identical, counts are integers.  Executed pair:
+    # plans/r15/docs_boilerplate_strip_{before,after}_exec.txt.
+    exploded = docs.where(F.col("doc_id").isNotNull()).select(
         "doc_id", F.explode(text.words(F.col("text"))).alias("w")
     )
+    per = exploded.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     hot = (
-        exploded.distinct()
+        per.where(F.col("cnt") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("df") > F.lit(_BP_DF_FRAC) * F.col("n_docs"))
         .select("w")
     )
+    # the when() is vacuous (cnt >= 1 always) but makes the anti-join key
+    # an expression over the aggregate's output, which stops
+    # PushDownLeftSemiAntiJoin from pushing the join below the shared
+    # (doc, word) aggregate — pushed, the two branches' exchange
+    # subtrees diverge again (one with the join, one without) and the
+    # explode runs twice with an extra exchange on top
     kept = (
-        exploded.join(F.broadcast(hot), "w", "left_anti")
+        per.select(
+            "doc_id",
+            F.when(F.col("cnt") >= 1, F.col("w")).alias("w"),
+            "cnt",
+        )
+        .join(F.broadcast(hot), "w", "left_anti")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_after"))
+        .agg(F.sum("cnt").alias("n_after"))
     )
     before = docs.select(
         "doc_id", F.size(text.words(F.col("text"))).cast("long").alias("n_before")
