@@ -413,3 +413,45 @@ def test_session_table_builds_are_lazy_no_jobs(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(jobs) == [], f"plan-only build ran jobs: {jobs}"
+
+
+# Round-15 canonical-subtree reuse: a frame declared once must be
+# EVALUATED once.  Column pruning / join-inferred not-nulls silently fork
+# shared subtrees into canonically different branches, and AQE then
+# re-runs the whole upstream chain (scan + tokenize/scoring + shuffle)
+# per consumer; the gates below carry vacuous-but-unfoldable guards that
+# keep the branches identical (see OPTIMIZATION_r15.md).  These counts
+# audit the POST-EXECUTION final plan — runtime ReusedExchange is
+# invisible in the initial plan — at sf0.01 (at sf0.001 selective gates
+# collapse to EmptyRelation and hide the shape).
+_SF01 = "/root/testdata/sf0.01"
+
+# gate -> (max FileScan parquet, max Generate) in the executed final plan
+_SINGLE_EVAL_BOUNDS = {
+    "tfidf_top_terms": (2, 1),        # tokenize once + the n_corpus scan
+    "docs_bm25_topk": (1, 1),         # tf/dl/dfreq/stats share one explode
+    "docs_chunk_dedup": (1, 1),
+    "docs_boilerplate_strip": (3, 1),  # df+strip share; before/total scans
+    "docs_dsir_score": (2, 2),        # full corpus + the non-en slice
+    "docs_token_budget": (1, 0),      # sharded_prefix: one range exchange
+    "docs_token_pack": (1, 0),
+    "events_late_audit": (1, 0),
+    "events_type_dow_chisq": (1, 0),  # cells exchange feeds all marginals
+    "events_stickiness": (1, 0),
+    "events_user_retention": (1, 0),
+    "events_funnel": (3, 0),          # one scan per funnel stage
+}
+
+
+def test_shared_subtrees_evaluated_once(spark):
+    offenders = {}
+    for name, (max_scans, max_gen) in sorted(_SINGLE_EVAL_BOUNDS.items()):
+        df = all_queries()[name].build(spark, _SF01)
+        df.collect()  # the FINAL adaptive plan is what actually ran
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        scans = final.count("FileScan parquet")
+        gens = final.count("Generate ")
+        if scans > max_scans or gens > max_gen:
+            offenders[name] = f"scans={scans}>{max_scans} or gen={gens}>{max_gen}"
+    assert not offenders, offenders
