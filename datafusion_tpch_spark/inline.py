@@ -29,7 +29,22 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["inline_table"]
 
 
-def _sql_lit(v) -> str:
+_INTEGRAL_ELEM_TYPES = {
+    "tinyint", "byte", "smallint", "short", "int", "integer", "bigint",
+    "long",
+}
+
+
+def _array_elem_type(typ: "str | None") -> "str | None":
+    if not typ:
+        return None
+    t = typ.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return t[len("array<"):-1].strip()
+    return None
+
+
+def _sql_lit(v, typ: "str | None" = None) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -57,7 +72,19 @@ def _sql_lit(v) -> str:
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, (list, tuple)):
-        if _all_numeric(v):
+        # The packed (split-string) form converts elements via a
+        # STRING->element cast, which differs from the double->integral
+        # cast for float values bound for an integral array
+        # (cast('2.5' as int) is NULL where array(2.5) cast yields 2) —
+        # so a float element destined for an integral element type falls
+        # back to the literal array form.  All current callers declare
+        # array<double>/array<float>; this closes the latent divergence.
+        elem = _array_elem_type(typ)
+        packable = _all_numeric(v) and not (
+            elem in _INTEGRAL_ELEM_TYPES
+            and any(isinstance(x, float) for x in v)
+        )
+        if packable:
             return _packed_numeric_array(v)
         return "array(" + ", ".join(_sql_lit(x) for x in v) + ")"
     raise TypeError(f"inline_table: unsupported literal type {type(v).__name__}")
@@ -154,6 +181,7 @@ def inline_table(spark: SparkSession, rows, schema: str) -> DataFrame:
             f"SELECT {casts} FROM (VALUES ({nulls})) AS t({names}) WHERE 1=0"
         )
     vals = ", ".join(
-        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+        "(" + ", ".join(_sql_lit(v, t) for v, (_, t) in zip(row, cols)) + ")"
+        for row in rows
     )
     return spark.sql(f"SELECT {casts} FROM (VALUES {vals}) AS t({names})")

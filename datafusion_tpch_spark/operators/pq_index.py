@@ -36,6 +36,7 @@ vector indexing; this extends the engine for the LLM-data-pipeline tier.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -177,6 +178,9 @@ def pq_recon_expr(codebook: "list[list[list[float]]]",
     literals (m element_at lookups + one concat) — the codebook values
     are EXACT doubles from the artifact, so the reconstruction is
     bit-identical to ``pq_encode``'s."""
+    # backtick-quoted (doubling any embedded backtick) so a codes column
+    # whose name needs quoting cannot break the spliced expression
+    quoted = "`" + codes_col.replace("`", "``") + "`"
     subs = []
     for s, sub_cb in enumerate(codebook):
         rows = ",".join(
@@ -184,7 +188,7 @@ def pq_recon_expr(codebook: "list[list[list[float]]]",
             for row in sub_cb
         )
         subs.append(
-            f"element_at(array({rows}), {codes_col}[{s}] + 1)"
+            f"element_at(array({rows}), {quoted}[{s}] + 1)"
         )
     return F.expr("concat(" + ",".join(subs) + ")")
 
@@ -192,5 +196,14 @@ def pq_recon_expr(codebook: "list[list[list[float]]]",
 def _double_lit(x: float) -> str:
     """Exact SQL double literal: CAST of Python's shortest round-trip
     repr — Java's parseDouble is correctly rounded, so the JVM sees the
-    bit-identical double that ``F.lit(float(x))`` would produce."""
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    bit-identical double that ``F.lit(float(x))`` would produce.
+    Non-finite values get Spark's canonical token spelling (repr would
+    emit 'inf'/'nan' and lean on the lenient string cast); centroids of
+    finite data can't produce them, but the helper shouldn't rely on
+    that."""
+    v = float(x)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"

@@ -40,7 +40,14 @@ def _docs_by_range(docs: DataFrame, *cols: str) -> DataFrame:
     per-partition order, collect concatenates partitions in range order),
     so the per-row gates need no trailing orderBy — which would otherwise
     RE-EXECUTE the whole kernel chain once more in the range-sampling job.
-    Partition count follows the session's parallelism, not a constant."""
+    Partition count follows the session's parallelism, not a constant.
+
+    CONTRACT CAVEAT (round-14 advisor): the global order of (2) is a
+    property of Spark's current execution (partition enumeration order +
+    mapInPandas order preservation), not a DataFrame API guarantee.  The
+    gates riding this front therefore declare their output UNORDERED —
+    the driver/oracle comparison is order-insensitive by contract — and
+    an order-sensitive external consumer must add its own orderBy."""
     sc = docs.sparkSession.sparkContext
     projected = docs.select("doc_id", *cols)
     return projected.repartitionByRange(

@@ -90,3 +90,19 @@ def test_inline_string_array_not_packed(spark):
         spark, [(1, ["a,b", "c"])], "k long, v array<string>"
     ).collect()[0]
     assert list(row.v) == ["a,b", "c"]
+
+
+def test_inline_float_into_integral_array_matches_literal_cast(spark):
+    """A float element bound for an integral element type must take the
+    literal-array path: the packed form's STRING->int cast yields NULL
+    for '2.5' where the double->int cast truncates to 2 (round-14
+    advisor note — latent until a caller declares array<int>)."""
+    row = inline_table(
+        spark, [(1, [2.5, 3.0, None])], "k long, v array<int>"
+    ).collect()[0]
+    assert list(row.v) == [2, 3, None]
+    # all-int elements still pack exactly into integral targets
+    row = inline_table(
+        spark, [(1, [7, 8])], "k long, v array<bigint>"
+    ).collect()[0]
+    assert list(row.v) == [7, 8]

@@ -455,3 +455,17 @@ def test_shared_subtrees_evaluated_once(spark):
         if scans > max_scans or gens > max_gen:
             offenders[name] = f"scans={scans}>{max_scans} or gen={gens}>{max_gen}"
     assert not offenders, offenders
+
+
+def test_recall_audit_inputs_pair_distinct(spark):
+    """dedup_lsh_recall_audit's three counts are exact ONLY if both
+    inputs are unique on (doc1, doc2) — true by construction today
+    (the LSH side ends in .distinct(), the exact side is aggregate-
+    keyed), but nothing upstream enforced it; an upstream change
+    emitting duplicate pairs would skew n_hit/n_candidate_pairs
+    silently (round-14 advisor note)."""
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        df = _build(spark, name)
+        n = df.count()
+        nd = df.select("doc1", "doc2").distinct().count()
+        assert n == nd, f"{name}: {n} rows but {nd} distinct (doc1, doc2)"

@@ -135,3 +135,25 @@ def test_serve_plan_has_no_python_stage(spark, index_dir):
     df = ext._serve_persisted_pq_topk(spark, SF_DIR, path)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_recon_expr_quoted_column_and_nonfinite_literals(spark):
+    """pq_recon_expr splices the codes column into SQL text: a name
+    needing backtick quoting must survive, and _double_lit must spell
+    non-finite values with Spark's canonical tokens instead of leaning
+    on the lenient cast of repr()'s 'inf'/'nan' (round-14 advisor
+    note)."""
+    from pyspark.sql import functions as F
+
+    cb = [[[1.5, float("inf")], [float("-inf"), float("nan")]]]
+    df = spark.range(1).select(
+        F.array(F.lit(0)).alias("my codes")
+    ).select(pqi.pq_recon_expr(cb, "my codes").alias("r"))
+    got = list(df.collect()[0].r)
+    assert got[0] == 1.5 and got[1] == float("inf")
+    df2 = spark.range(1).select(
+        F.array(F.lit(1)).alias("c")
+    ).select(pqi.pq_recon_expr(cb, "c").alias("r"))
+    got2 = list(df2.collect()[0].r)
+    import math as _m
+    assert got2[0] == float("-inf") and _m.isnan(got2[1])
